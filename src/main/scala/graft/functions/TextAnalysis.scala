@@ -1,0 +1,100 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-corpus analysis primitives for training-data pipelines.
+  *
+  * Everything here is pure Column algebra over `functions._` (split /
+  * regexp / higher-order array functions) — codegen-friendly, shuffle-free,
+  * and therefore embarrassingly parallel over document partitions at 100 TB.
+  * No UDFs: a per-row Scala closure would break whole-stage codegen for the
+  * hottest path of a corpus pipeline.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokenization (the baseline tokenizer). */
+  def tokens(text: Column): Column = split(trim(text), "\\s+")
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish subword-boundary token count: word runs + single non-word
+    * non-space marks, the common pre-tokenization regex.
+    */
+  def bpeishTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[A-Za-z0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
+
+  /** Fraction of characters that are ASCII punctuation. */
+  def punctRatio(text: Column): Column =
+    (length(text) - length(regexp_replace(text, "[\\p{Punct}]", "")))
+      .cast("double") / greatest(length(text), lit(1)).cast("double")
+
+  def digitRatio(text: Column): Column =
+    (length(text) - length(regexp_replace(text, "[0-9]", "")))
+      .cast("double") / greatest(length(text), lit(1)).cast("double")
+
+  /** Fraction of tokens appearing in `stopwords` (exact, case-sensitive). */
+  def stopwordRatio(text: Column, stopwords: Seq[String]): Column = {
+    val toks = tokens(text)
+    val stops = array(stopwords.map(lit): _*)
+    size(filter(toks, t => array_contains(stops, t))).cast("double") /
+      greatest(size(toks), lit(1)).cast("double")
+  }
+
+  /** Mean token length in characters. */
+  def avgTokenLen(text: Column): Column = {
+    val toks = tokens(text)
+    aggregate(toks, lit(0L), (acc, t) => acc + length(t).cast("long"))
+      .cast("double") / greatest(size(toks), lit(1)).cast("double")
+  }
+
+  /** Composite quality heuristic: long enough, not punctuation/digit soup,
+    * carries some stopword signal (natural-language-ness). Thresholds follow
+    * common corpus-filtering recipes (C4/Gopher-style rules).
+    */
+  def qualityOk(text: Column, stopwords: Seq[String]): Column =
+    (tokenCount(text) >= 10) && (punctRatio(text) < lit(0.2)) &&
+      (digitRatio(text) < lit(0.2)) &&
+      (stopwordRatio(text, stopwords) > lit(0.0)) &&
+      (avgTokenLen(text) < lit(12.0))
+
+  /** Language-ID by stopword-profile voting: score = how many tokens hit
+    * each language's stopword list; argmax with a fixed tie-break order.
+    * An n-gram-free heuristic that stays in pure Column algebra.
+    */
+  def langId(text: Column, profiles: Seq[(String, Seq[String])]): Column = {
+    val toks = tokens(text)
+    def score(words: Seq[String]): Column = {
+      val ws = array(words.map(lit): _*)
+      size(filter(toks, t => array_contains(ws, lower(t))))
+    }
+    val scored = profiles.map { case (lang, words) => (lang, score(words)) }
+    // argmax, first-listed language wins ties (deterministic)
+    scored.tail.foldLeft((scored.head._2, lit(scored.head._1))) {
+      case ((bestScore, bestLang), (lang, s)) =>
+        (greatest(bestScore, s),
+          when(s > bestScore, lit(lang)).otherwise(bestLang))
+    }._2
+  }
+
+  /** Order-insensitive content fingerprint: md5 over the sorted distinct
+    * token set. Used for fuzzy-exact dedup (same bag of words).
+    */
+  def tokenSetFingerprint(text: Column): Column =
+    md5(concat_ws(" ", array_sort(array_distinct(tokens(text)))))
+
+  /** Word n-gram shingles (n >= 1) as an array column, for Jaccard /
+    * MinHash dedup. Empty array when the document has fewer than n tokens.
+    */
+  def shingles(text: Column, n: Int): Column = {
+    val toks = tokens(text)
+    when(size(toks) < n, array().cast("array<string>")).otherwise(
+      transform(sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + j + 1)): _*)))
+  }
+
+  /** English stopwords used by default profiles/tests. */
+  val EnglishStopwords: Seq[String] = Seq(
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+    "that", "for", "on", "with", "as", "at", "by", "from", "this")
+}

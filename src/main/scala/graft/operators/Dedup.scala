@@ -1,0 +1,143 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextAnalysis
+
+/** Corpus deduplication: exact, n-gram Jaccard, MinHash+LSH, SimHash.
+  *
+  * Scale design: exact dedup is one hash-shuffle on a 32-char digest (not
+  * the document body). Near-dup never does all-pairs at scale — MinHash
+  * banding turns O(n^2) similarity into a groupBy on band buckets, then an
+  * exact Jaccard check on the (tiny) candidate set. The brute-force variants
+  * exist as correctness baselines for tests/oracles at small n.
+  */
+object Dedup {
+
+  /** Exact dedup on document content: one surviving (min) id per distinct
+    * text hash, plus the duplicate count. Shuffles 32-byte digests, never
+    * the document bodies.
+    */
+  def exact(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol), md5(col(textCol)).as("content_hash"))
+      .groupBy("content_hash")
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_count"))
+
+  /** Distinct word-n-gram shingle set per document (set semantics — the
+    * Jaccard universe).
+    */
+  def shingleSets(df: DataFrame, idCol: String, textCol: String,
+                  n: Int): DataFrame =
+    df.select(col(idCol).as("id"),
+      array_sort(array_distinct(TextAnalysis.shingles(col(textCol), n)))
+        .as("shingles"))
+
+  /** Exact n-gram Jaccard similarity for every id pair above `threshold`.
+    * All-pairs (O(n^2)) — the correctness baseline; use [[minHashLsh]] when
+    * n is large.
+    */
+  def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
+                   n: Int, threshold: Double): DataFrame = {
+    val s = shingleSets(df, idCol, textCol, n)
+    val a = s.select(col("id").as("id_a"), col("shingles").as("sh_a"))
+    val b = s.select(col("id").as("id_b"), col("shingles").as("sh_b"))
+    a.join(b, col("id_a") < col("id_b"))
+      .withColumn("inter",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double"))
+      .withColumn("uni",
+        size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
+      .filter(col("uni") > 0)
+      .withColumn("jaccard", col("inter") / col("uni"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  /** MinHash signature: k permutation-free min-hashes
+    * `min over shingles of xxhash64(seed_i || shingle)`.
+    */
+  def minHashSignature(shingles: Column, k: Int): Column =
+    array((0 until k).map { i =>
+      array_min(transform(shingles, s => xxhash64(lit(i), s)))
+    }: _*)
+
+  /** MinHash + LSH banding near-dup candidates, verified with exact Jaccard.
+    *
+    * `numHashes` hashes split into `bands` bands; documents sharing any
+    * band hash become candidates (banded signature groupBy — the scale
+    * path: shuffle carries (bandHash, id), not documents). Candidates are
+    * then exact-checked so output pairs all truly exceed `threshold`
+    * (LSH may only *miss* pairs, never emit false positives).
+    */
+  def minHashLsh(df: DataFrame, idCol: String, textCol: String, n: Int,
+                 threshold: Double, numHashes: Int = 64,
+                 bands: Int = 16): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rows = bands // rows per band = numHashes / bands
+    val s = shingleSets(df, idCol, textCol, n)
+      .filter(size(col("shingles")) > 0)
+      .withColumn("sig", minHashSignature(col("shingles"), numHashes))
+    val banded = s.select(col("id"), col("shingles"),
+      explode(array((0 until bands).map { b =>
+        struct(lit(b).as("band"),
+          xxhash64(slice(col("sig"), b * (numHashes / bands) + 1,
+            numHashes / bands)).as("bh"))
+      }: _*)).as("bb"))
+      .select(col("id"), col("shingles"),
+        col("bb.band").as("band"), col("bb.bh").as("bh"))
+    val a = banded.select(col("band"), col("bh"), col("id").as("id_a"),
+      col("shingles").as("sh_a"))
+    val bb = banded.select(col("band"), col("bh"), col("id").as("id_b"),
+      col("shingles").as("sh_b"))
+    val cand = a.join(bb, Seq("band", "bh"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "sh_a", "sh_b").dropDuplicates("id_a", "id_b")
+    cand
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  /** 64-bit SimHash over whitespace tokens: per-bit majority vote of token
+    * hashes, packed into a long. Pure Column algebra (aggregate over an
+    * array accumulator) — codegen'd, shuffle-free.
+    */
+  def simHash64(text: Column): Column = {
+    // constant per-bit masks (1L<<63 wraps negative — bitwise ops only)
+    val masks = array((0 until 64).map(i => lit(1L << i)): _*)
+    val toks = TextAnalysis.tokens(text)
+    val votes = aggregate(
+      toks,
+      array_repeat(lit(0L), 64),
+      (acc, t) => {
+        val h = xxhash64(t)
+        zip_with(acc, masks,
+          (a, m) => a + when(h.bitwiseAND(m) =!= 0L, lit(1L)).otherwise(lit(-1L)))
+      })
+    aggregate(
+      zip_with(votes, masks, (v, m) => when(v > 0, m).otherwise(lit(0L))),
+      lit(0L), (acc, x) => acc.bitwiseOR(x))
+  }
+
+  /** Hamming distance between two 64-bit fingerprints. */
+  def hamming64(a: Column, b: Column): Column =
+    bit_count(a.bitwiseXOR(b))
+
+  /** SimHash near-dup pairs: fingerprint once per doc, then all-pairs
+    * hamming check (baseline; at scale, block on fingerprint chunks —
+    * pigeonhole: distance <= k means some 16-bit chunk matches exactly).
+    */
+  def simHashPairs(df: DataFrame, idCol: String, textCol: String,
+                   maxHamming: Int): DataFrame = {
+    val s = df.select(col(idCol).as("id"), simHash64(col(textCol)).as("fp"))
+    val a = s.select(col("id").as("id_a"), col("fp").as("fp_a"))
+    val b = s.select(col("id").as("id_b"), col("fp").as("fp_b"))
+    a.join(b, col("id_a") < col("id_b"))
+      .withColumn("hamming", hamming64(col("fp_a"), col("fp_b")))
+      .filter(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+  }
+}

@@ -1,0 +1,96 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions._
+
+/** Approximate-nearest-neighbor search over an embedding column.
+  *
+  * Baseline: brute-force cosine top-k (exact; O(|Q| x |C|) — the
+  * correctness oracle). Scale paths:
+  *   - [[lshKnn]]: random-hyperplane LSH buckets both sides, joins on
+  *     bucket id, ranks within candidates — turns the cross join into an
+  *     equi-join whose shuffle carries bucket ids;
+  *   - [[ivfKnn]]: IVF-style coarse quantization — assign every vector to
+  *     its nearest of `nCentroids` seed centroids, probe only matching
+  *     cells.
+  * Both are recall<1 by construction; the exact top-k remains the baseline
+  * for tests.
+  */
+object Similarity {
+
+  /** Exact cosine top-k: for each query vector, the k nearest corpus
+    * vectors (excluding itself), ranked by similarity desc with id as the
+    * deterministic tie-break. Broadcast the query side when it is small —
+    * at cluster scale that makes this a map-only pass over the corpus.
+    */
+  def bruteForceKnn(queries: DataFrame, corpus: DataFrame, k: Int,
+                    idCol: String = "vec_id",
+                    vecCol: String = "embedding",
+                    broadcastQueries: Boolean = true): DataFrame = {
+    val q0 = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val q = if (broadcastQueries) broadcast(q0) else q0
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    q.join(c, col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim", round(cosine(col("qv"), col("cv")), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("sim"))
+  }
+
+  /** Random-hyperplane LSH ANN: vectors sharing a `planes.length`-bit
+    * bucket are candidates; rank within candidates. Deterministic given the
+    * plane set (pass seeded pseudo-random planes).
+    */
+  def lshKnn(queries: DataFrame, corpus: DataFrame, k: Int,
+             planes: Seq[Seq[Double]],
+             idCol: String = "vec_id",
+             vecCol: String = "embedding"): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      rhpBucket(col(vecCol), planes).as("bucket"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+      rhpBucket(col(vecCol), planes).as("bucket"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    q.join(c, Seq("bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim", round(cosine(col("qv"), col("cv")), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("sim"))
+  }
+
+  /** IVF-style ANN: nearest-centroid cell assignment on both sides (cells
+    * from `centroids`, a small driver-side seed list), candidates = same
+    * cell. One equi-join on cell id; recall grows with centroid overlap
+    * probing (nprobe=1 here — the minimal cell match).
+    */
+  def ivfKnn(queries: DataFrame, corpus: DataFrame, k: Int,
+             centroids: Seq[Seq[Double]],
+             idCol: String = "vec_id",
+             vecCol: String = "embedding"): DataFrame = {
+    // argmin via array_min + array_position (first occurrence breaks ties
+    // deterministically). NOT a fold of nested when(struct,...) — that
+    // duplicates the distance subtrees exponentially in the plan.
+    def cell(vec: org.apache.spark.sql.Column) = {
+      val dists = array(centroids.map(ct => l2sq(vec, array(ct.map(lit): _*))): _*)
+      array_position(dists, array_min(dists))
+    }
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      cell(col(vecCol)).as("cell"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+      cell(col(vecCol)).as("cell"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    q.join(c, Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim", round(cosine(col("qv"), col("cv")), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("sim"))
+  }
+}

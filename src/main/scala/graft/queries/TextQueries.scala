@@ -1,0 +1,222 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.TextAnalysis
+import graft.operators.Dedup
+
+/** Text-corpus operators (dedup + analysis) over `documents`, the
+  * training-data-pipeline side of the engine. SQL-expressible ones carry a
+  * DuckDB oracle; hash-based ones (xxhash64 MinHash/SimHash) are Spark-only
+  * and get rows-only checks plus ScalaTest baselines against the exact
+  * algorithms.
+  */
+object TextQueries {
+
+  private val toksSql = """string_split_regex(trim(text), '\s+')"""
+
+  /** Shared language stopword profiles (lowercase). Order = tie-break
+    * priority (earliest argmax wins).
+    */
+  val langProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "and", "of", "to", "in", "is", "for", "on", "with"),
+    "fr" -> Seq("le", "la", "les", "de", "et", "un", "une", "est", "pour", "dans"),
+    "es" -> Seq("el", "los", "las", "y", "que", "una", "es", "para", "por", "como"),
+    "de" -> Seq("der", "die", "das", "und", "von", "ein", "eine", "ist", "mit", "zu"),
+    "zh" -> Seq("的", "是", "在", "和", "了", "有", "我", "他", "这", "中"))
+
+  // ---------------------------------------------------------------- q20
+  // Exact dedup (hash-groupBy): shuffle carries digests, not documents.
+  private def q20(s: SparkSession, dir: String): DataFrame =
+    Dedup.exact(Tables.documents(s, dir), "doc_id", "text")
+      .orderBy(col("content_hash"))
+
+  private val q20Sql =
+    """SELECT md5(text) AS content_hash, MIN(doc_id) AS keep_id,
+      |  COUNT(*) AS dup_count
+      |FROM documents
+      |GROUP BY md5(text)
+      |ORDER BY content_hash""".stripMargin
+
+  // ---------------------------------------------------------------- q21
+  // Token statistics: whitespace + BPE-ish counts, char len, mean token len.
+  private def q21(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).select(
+      col("doc_id"), col("lang"),
+      TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+      TextAnalysis.bpeishTokenCount(col("text")).as("n_bpeish"),
+      length(col("text")).as("n_chars"),
+      round(TextAnalysis.avgTokenLen(col("text")), 6).as("avg_token_len"))
+      .orderBy(col("doc_id"))
+
+  private val q21Sql =
+    s"""SELECT doc_id, lang,
+       |  len($toksSql) AS n_tokens,
+       |  len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\\s]'))
+       |    AS n_bpeish,
+       |  length(text) AS n_chars,
+       |  round(CAST(list_sum(list_transform($toksSql, x -> length(x)))
+       |      AS DOUBLE)
+       |    / CAST(greatest(len($toksSql), 1) AS DOUBLE), 6)
+       |    AS avg_token_len
+       |FROM documents
+       |ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q22
+  // Quality scoring: punctuation/digit/stopword ratios + composite flag
+  // (C4/Gopher-style filters).
+  private def q22(s: SparkSession, dir: String): DataFrame = {
+    val stops = TextAnalysis.EnglishStopwords
+    Tables.documents(s, dir).select(
+      col("doc_id"),
+      round(TextAnalysis.punctRatio(col("text")), 6).as("punct_ratio"),
+      round(TextAnalysis.digitRatio(col("text")), 6).as("digit_ratio"),
+      round(TextAnalysis.stopwordRatio(col("text"), stops), 6)
+        .as("stopword_ratio"),
+      TextAnalysis.qualityOk(col("text"), stops).as("quality_ok"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val q22Sql = {
+    val stopsIn = TextAnalysis.EnglishStopwords
+      .map(w => s"'$w'").mkString(", ")
+    val nToks = s"greatest(len($toksSql), 1)"
+    val punct = s"""CAST(length(text) - length(regexp_replace(text,
+       '[[:punct:]]', '', 'g')) AS DOUBLE)
+       / CAST(greatest(length(text), 1) AS DOUBLE)"""
+    val digit = s"""CAST(length(text) - length(regexp_replace(text,
+       '[0-9]', '', 'g')) AS DOUBLE)
+       / CAST(greatest(length(text), 1) AS DOUBLE)"""
+    val stop = s"""CAST(len(list_filter($toksSql,
+       x -> x IN ($stopsIn))) AS DOUBLE) / CAST($nToks AS DOUBLE)"""
+    val avgLen = s"""CAST(list_sum(list_transform($toksSql,
+       x -> length(x))) AS DOUBLE) / CAST($nToks AS DOUBLE)"""
+    s"""SELECT doc_id,
+       |  round($punct, 6) AS punct_ratio,
+       |  round($digit, 6) AS digit_ratio,
+       |  round($stop, 6) AS stopword_ratio,
+       |  (len($toksSql) >= 10 AND ($punct) < 0.2 AND ($digit) < 0.2
+       |    AND ($stop) > 0.0 AND ($avgLen) < 12.0) AS quality_ok
+       |FROM documents
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q23
+  // Language-ID by stopword-profile voting, earliest-argmax tie-break.
+  private def q23(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).select(
+      col("doc_id"), col("lang").as("labeled_lang"),
+      TextAnalysis.langId(col("text"), langProfiles).as("pred_lang"))
+      .orderBy(col("doc_id"))
+
+  private val q23Sql = {
+    def score(words: Seq[String]) = {
+      val in = words.map(w => s"'$w'").mkString(", ")
+      s"len(list_filter($toksSql, x -> lower(x) IN ($in)))"
+    }
+    val scores = langProfiles.map { case (l, ws) => s"  ${score(ws)} AS s_$l" }
+      .mkString(",\n")
+    // earliest argmax == the fold-with-strict-> in TextAnalysis.langId
+    val langs = langProfiles.map(_._1)
+    val cases = langs.init.zipWithIndex.map { case (l, i) =>
+      val rest = langs.drop(i + 1).map("s_" + _)
+      val bound = if (rest.size == 1) rest.head
+        else s"greatest(${rest.mkString(", ")})"
+      s"WHEN s_$l >= $bound THEN '$l'"
+    }.mkString("\n    ")
+    s"""WITH scored AS (
+       |  SELECT doc_id, lang AS labeled_lang,
+       |$scores
+       |  FROM documents)
+       |SELECT doc_id, labeled_lang,
+       |  CASE
+       |    $cases
+       |    ELSE '${langs.last}'
+       |  END AS pred_lang
+       |FROM scored
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q24
+  // Token-set fingerprint (order-insensitive content hash).
+  private def q24(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).select(
+      col("doc_id"),
+      TextAnalysis.tokenSetFingerprint(col("text")).as("fingerprint"))
+      .orderBy(col("doc_id"))
+
+  private val q24Sql =
+    s"""SELECT doc_id,
+       |  md5(array_to_string(list_sort(list_distinct($toksSql)), ' '))
+       |    AS fingerprint
+       |FROM documents
+       |ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q25
+  // Exact n-gram Jaccard near-dup pairs (all-pairs baseline, capped id
+  // range keeps the oracle cross join tractable).
+  private val JaccardMaxId = 1000L
+  private def q25(s: SparkSession, dir: String): DataFrame =
+    Dedup.jaccardPairs(
+      Tables.documents(s, dir).filter(col("doc_id") < JaccardMaxId),
+      "doc_id", "text", n = 3, threshold = 0.4)
+      .orderBy(col("id_a"), col("id_b"))
+
+  private val q25Sql = {
+    // distinct sorted word-3-gram shingle set per doc
+    val sh =
+      s"""list_sort(list_distinct(list_transform(
+         |    generate_series(1, greatest(len($toksSql) - 2, 0)),
+         |    i -> concat_ws(' ', $toksSql[i], $toksSql[i+1],
+         |                   $toksSql[i+2]))))""".stripMargin
+    s"""WITH sets AS (
+       |  SELECT doc_id AS id, $sh AS sh
+       |  FROM documents WHERE doc_id < $JaccardMaxId),
+       |pairs AS (
+       |  SELECT a.id AS id_a, b.id AS id_b,
+       |    CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) AS inter,
+       |    CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) AS uni
+       |  FROM sets a JOIN sets b ON a.id < b.id)
+       |SELECT id_a, id_b, round(inter / uni, 6) AS jaccard
+       |FROM pairs
+       |WHERE uni > 0 AND inter / uni >= 0.4
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q26
+  // MinHash+LSH near-dup (scale path) — Spark-only (xxhash64 signatures);
+  // rows-only driver check, exactness covered by DedupSpec vs q25 baseline.
+  private def q26(s: SparkSession, dir: String): DataFrame =
+    Dedup.minHashLsh(
+      Tables.documents(s, dir).filter(col("doc_id") < JaccardMaxId),
+      "doc_id", "text", n = 3, threshold = 0.4)
+      .orderBy(col("id_a"), col("id_b"))
+
+  // ---------------------------------------------------------------- q27
+  // SimHash near-dup — Spark-only (xxhash64), rows-only check.
+  private def q27(s: SparkSession, dir: String): DataFrame =
+    Dedup.simHashPairs(
+      Tables.documents(s, dir).filter(col("doc_id") < JaccardMaxId),
+      "doc_id", "text", maxHamming = 12)
+      .orderBy(col("id_a"), col("id_b"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q20_exact_dedup" -> (q20 _),
+    "q21_token_stats" -> (q21 _),
+    "q22_quality_score" -> (q22 _),
+    "q23_langid" -> (q23 _),
+    "q24_fingerprint" -> (q24 _),
+    "q25_ngram_jaccard" -> (q25 _),
+    "q26_minhash_lsh" -> (q26 _),
+    "q27_simhash" -> (q27 _))
+
+  val oracleSql: Map[String, String] = Map(
+    "q20_exact_dedup" -> q20Sql,
+    "q21_token_stats" -> q21Sql,
+    "q22_quality_score" -> q22Sql,
+    "q23_langid" -> q23Sql,
+    "q24_fingerprint" -> q24Sql,
+    "q25_ngram_jaccard" -> q25Sql)
+}

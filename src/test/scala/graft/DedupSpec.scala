@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Dedup
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy cat"), // near-dup of 1
+    (3L, "the quick brown fox jumps over the lazy dog"), // exact dup of 1
+    (4L, "completely different words appear in this sentence here"),
+    (5L, "short one")
+  ).toDF("doc_id", "text")
+
+  test("exact dedup groups identical texts, keeps min id") {
+    val got = Dedup.exact(docs, "doc_id", "text")
+      .orderBy("keep_id")
+      .select("keep_id", "dup_count").as[(Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 2L), (2L, 1L), (4L, 1L), (5L, 1L)))
+  }
+
+  test("jaccard pairs finds the near-dup and the exact dup") {
+    val got = Dedup.jaccardPairs(docs, "doc_id", "text", n = 3,
+        threshold = 0.4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 2L), (1L, 3L), (2L, 3L)))
+  }
+
+  test("jaccard value is |intersection| / |union| of shingle sets") {
+    // docs 1,2: 7 trigrams each, 6 shared → 6/8
+    val j = Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.1)
+      .filter(col("id_a") === 1 && col("id_b") === 2)
+      .select("jaccard").as[Double].head()
+    assert(math.abs(j - 6.0 / 8.0) < 1e-9)
+  }
+
+  test("minhash LSH candidates verify to the same pairs as exact jaccard") {
+    val exact = Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val lsh = Dedup.minHashLsh(docs, "doc_id", "text", 3, 0.4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // LSH verifies candidates exactly → subset; high bands ⇒ equal here
+    assert(lsh.subsetOf(exact))
+    assert(lsh.contains((1L, 3L))) // exact dups always collide
+  }
+
+  test("simhash: identical texts distance 0, near-dups close, others far") {
+    val fps = docs.select(col("doc_id"),
+        Dedup.simHash64(col("text")).as("fp"))
+      .as[(Long, Long)].collect().toMap
+    assert(fps(1L) == fps(3L))
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(fps(1L), fps(2L)) < ham(fps(1L), fps(4L)))
+  }
+
+  test("simhash pairs flags exact dup at distance 0") {
+    val got = Dedup.simHashPairs(docs, "doc_id", "text", maxHamming = 0)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 3L)))
+  }
+}

@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.PandasRank.pctRank
+
+/** pandas `rank(pct=True, method='average')` semantics (SURVEY §2.7 W2 —
+  * the highest oracle-mismatch-risk operator). Expectations hand-computed
+  * the way pandas computes them.
+  */
+class PandasRankSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("ascending pct rank matches pandas average-rank/n on ties") {
+    // values: 10, 20, 20, 30  → avg ranks: 1, 2.5, 2.5, 4 → /4
+    val df = Seq((1, 10.0), (2, 20.0), (3, 20.0), (4, 30.0)).toDF("id", "v")
+    val got = df.withColumn("p", pctRank(col("v"), ascending = true))
+      .orderBy("id").select("p").as[Double].collect()
+    assert(got.toSeq == Seq(0.25, 0.625, 0.625, 1.0))
+  }
+
+  test("descending pct rank reverses order, keeps average ties") {
+    // desc: 30→1, 20,20→avg(2,3)=2.5, 10→4
+    val df = Seq((1, 10.0), (2, 20.0), (3, 20.0), (4, 30.0)).toDF("id", "v")
+    val got = df.withColumn("p", pctRank(col("v"), ascending = false))
+      .orderBy("id").select("p").as[Double].collect()
+    assert(got.toSeq == Seq(1.0, 0.625, 0.625, 0.25))
+  }
+
+  test("all-equal values rank to (n+1)/2/n exactly") {
+    val df = Seq.tabulate(5)(i => (i, 7.0)).toDF("id", "v")
+    val got = df.withColumn("p", pctRank(col("v")))
+      .select("p").as[Double].collect()
+    assert(got.forall(_ == 0.6)) // avg rank 3 of 5
+  }
+
+  test("partitioned rank is computed within each partition") {
+    val df = Seq(("a", 1.0), ("a", 2.0), ("b", 5.0), ("b", 6.0), ("b", 7.0))
+      .toDF("g", "v")
+    val got = df.withColumn("p",
+        pctRank(col("v"), ascending = true, partitionBy = Seq(col("g"))))
+      .orderBy("g", "v").select("p").as[Double].collect()
+    assert(got.toSeq == Seq(0.5, 1.0, 1.0 / 3, 2.0 / 3, 1.0))
+  }
+
+  test("results lie in (0, 1] and are monotone in the input") {
+    val df = Seq.tabulate(100)(i => (i, (i * 37 % 50).toDouble))
+      .toDF("id", "v")
+    val got = df.withColumn("p", pctRank(col("v")))
+      .orderBy("v", "id").select("p").as[Double].collect()
+    assert(got.forall(p => p > 0.0 && p <= 1.0))
+    assert(got.sliding(2).forall(w => w.length < 2 || w(0) <= w(1)))
+  }
+}

@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions
+import graft.operators.Similarity
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val vecs = Seq(
+    (0L, Seq(1.0f, 0.0f, 0.0f)),
+    (1L, Seq(0.9f, 0.1f, 0.0f)),
+    (2L, Seq(0.0f, 1.0f, 0.0f)),
+    (3L, Seq(0.0f, 0.0f, 1.0f)),
+    (4L, Seq(-1.0f, 0.0f, 0.0f))
+  ).toDF("vec_id", "embedding")
+
+  test("cosine of identical vectors is 1, orthogonal 0, opposite -1") {
+    val df = Seq((Seq(1.0f, 2.0f), Seq(1.0f, 2.0f), Seq(-1.0f, -2.0f),
+      Seq(2.0f, -1.0f))).toDF("a", "b", "c", "d")
+    val Seq(ab, ac, ad) = df.select(
+      VectorFunctions.cosine(col("a"), col("b")),
+      VectorFunctions.cosine(col("a"), col("c")),
+      VectorFunctions.cosine(col("a"), col("d")))
+      .as[(Double, Double, Double)].head().productIterator.toSeq
+      .map(_.asInstanceOf[Double])
+    assert(math.abs(ab - 1.0) < 1e-12)
+    assert(math.abs(ac + 1.0) < 1e-12)
+    assert(math.abs(ad) < 1e-12)
+  }
+
+  test("brute-force knn ranks by cosine desc with id tie-break") {
+    val got = Similarity.bruteForceKnn(
+        vecs.filter(col("vec_id") === 0), vecs, k = 2)
+      .orderBy("rank")
+      .select("neighbor_id").as[Long].collect().toSeq
+    assert(got == Seq(1L, 2L)) // 1 closest; 2 and 3 tie at 0 → lower id
+  }
+
+  test("lsh knn returns a subset ranking consistent with brute force") {
+    val planes = Seq(Seq(0.3, -0.2, 0.9), Seq(-0.5, 0.8, 0.1),
+      Seq(0.7, 0.6, -0.4))
+    val got = Similarity.lshKnn(
+        vecs.filter(col("vec_id") === 0), vecs, k = 3, planes)
+      .select("neighbor_id").as[Long].collect().toSet
+    val exact = Similarity.bruteForceKnn(
+        vecs.filter(col("vec_id") === 0), vecs, k = 4)
+      .select("neighbor_id").as[Long].collect().toSet
+    assert(got.subsetOf(exact))
+  }
+
+  test("ivf knn assigns cells and finds the nearest same-cell vector") {
+    val centroids = Seq(Seq(1.0, 0.0, 0.0), Seq(0.0, 1.0, 1.0))
+    val got = Similarity.ivfKnn(
+        vecs.filter(col("vec_id") === 0), vecs, k = 1, centroids)
+      .select("neighbor_id").as[Long].collect().toSeq
+    assert(got == Seq(1L)) // 0 and 1 share the x-axis cell
+  }
+}
