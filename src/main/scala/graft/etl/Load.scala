@@ -1,0 +1,65 @@
+package graft.etl
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.etl.Schema._
+
+/** Load stage (load_to_db.py): refined transactions → the
+  * `all_transactions` warehouse table.
+  *
+  * SQLite is replaced by partitioned parquet (SURVEY §1.4): the 4 B-tree
+  * indexes (load_to_db.py:125-128) become parquet min/max statistics +
+  * optional partitioning; `if_exists='replace'` becomes
+  * `mode("overwrite")` — same idempotent-snapshot contract (K2).
+  */
+object Load {
+
+  /** Surrogate key (X13, load_to_db.py:26-43): md5 over date + merchant +
+    * card + amount + type, with `safe_str` null discipline (null → '',
+    * else trimmed string).
+    *
+    * Amount rendering: Java's double→string ('123.0', '0.05') — declared as
+    * THIS engine's canonical format (SURVEY §7.4.5: intra-engine stability,
+    * not byte-compat with Python's repr on every edge case).
+    */
+  def transactionId(date: Column, merchant: Column, cardNo: Column,
+                    amount: Column, txnType: Column): Column = {
+    def safe(c: Column): Column = coalesce(trim(c.cast("string")), lit(""))
+    md5(concat(safe(date), safe(merchant), safe(cardNo), safe(amount),
+      safe(txnType)))
+  }
+
+  /** Refined → database-shaped frame: id column, snake_case rename (P4),
+    * typed dates. Column order follows load_to_db.py:81-97.
+    */
+  def toWarehouseShape(refined: DataFrame): DataFrame = {
+    val withId = refined.withColumn("transaction_id",
+      transactionId(col(TxnDate), col(Merchant), col(CardNo),
+        col(PayAmount), col(TxnType)))
+    val renamed = snakeCaseRename.foldLeft(withId) {
+      case (d, (from, to)) =>
+        if (d.columns.contains(from)) d.withColumnRenamed(from, to) else d
+    }
+    val dateCols = Seq("transaction_date", "posting_date", "conversion_date")
+    val typed = dateCols.foldLeft(renamed) { (d, c) =>
+      // dates ride as DateType in parquet; '' (the refined-stage null) → null
+      d.withColumn(c, try_to_date(col(c)))
+    }
+    typed.select((snakeCaseRename.map(_._2) :+ "transaction_id")
+      .map(col): _*)
+  }
+
+  /** K2 + K4: overwrite-load as a parquet-backed table, then count-check.
+    * Partitioning: none by default (personal-finance scale); at warehouse
+    * scale pass e.g. `partitionBy = Seq("transaction_date")`.
+    */
+  def loadToTable(spark: SparkSession, refined: DataFrame, table: String,
+                  partitionBy: Seq[String] = Nil): Long = {
+    val shaped = toWarehouseShape(refined)
+    val writer = shaped.write.mode("overwrite")
+    (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*)
+     else writer).saveAsTable(table)
+    spark.table(table).count() // load_to_db.py:133-135
+  }
+}

@@ -41,15 +41,61 @@ object Dedup {
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
                    n: Int, threshold: Double): DataFrame = {
     val s = shingleSets(df, idCol, textCol, n)
-    val a = s.select(col("id").as("id_a"), col("shingles").as("sh_a"))
-    val b = s.select(col("id").as("id_b"), col("shingles").as("sh_b"))
-    a.join(b, col("id_a") < col("id_b"))
+      .filter(size(col("shingles")) > 0)
+      .withColumn("sz", size(col("shingles")))
+    val a = s.select(col("id").as("id_a"), col("shingles").as("sh_a"),
+      col("sz").as("sz_a"))
+    val b = s.select(col("id").as("id_b"), col("shingles").as("sh_b"),
+      col("sz").as("sz_b"))
+    // size-bound prune: J >= t forces t*|A| <= |B| and t*|B| <= |A|, so
+    // mismatched sizes never reach the (expensive) intersect
+    a.join(b, col("id_a") < col("id_b") &&
+        col("sz_a") >= col("sz_b") * threshold &&
+        col("sz_b") >= col("sz_a") * threshold)
       .withColumn("inter",
         size(array_intersect(col("sh_a"), col("sh_b"))).cast("double"))
-      .withColumn("uni",
-        size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
-      .filter(col("uni") > 0)
-      .withColumn("jaccard", col("inter") / col("uni"))
+      // |A ∪ B| = |A| + |B| − |A ∩ B|: no need to materialize the union
+      .withColumn("jaccard",
+        col("inter") / (col("sz_a") + col("sz_b") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  /** Exact Jaccard near-dup pairs via a prefix-filtered set-similarity join
+    * (PPJoin-style) — same output as [[jaccardPairs]], but never all-pairs.
+    *
+    * If J(A,B) >= t then |A∩B| >= ceil(t*|A|), and two sorted sets with
+    * intersection >= k must share an element within their first
+    * (size − k + 1) elements. So each document only indexes that prefix of
+    * its sorted shingle set; candidate pairs come from a groupBy-style
+    * equi-join on prefix shingles (shuffle carries (shingle, id, size) —
+    * not documents), then one exact intersect per surviving candidate.
+    * At 100 TB this is the difference between O(n²) and ~O(n·avg_bucket).
+    */
+  def jaccardSimilarityJoin(df: DataFrame, idCol: String, textCol: String,
+                            n: Int, threshold: Double): DataFrame = {
+    val s = shingleSets(df, idCol, textCol, n)
+      .filter(size(col("shingles")) > 0)
+      .withColumn("sz", size(col("shingles")))
+    val prefLen = (col("sz") - ceil(col("sz") * threshold) + 1).cast("int")
+    val pref = s.select(col("id"), col("sz"),
+      explode(slice(col("shingles"), lit(1), prefLen)).as("tok"))
+    val cand = pref.as("a").join(pref.as("b"),
+        col("a.tok") === col("b.tok") && col("a.id") < col("b.id") &&
+          col("a.sz") >= col("b.sz") * threshold &&
+          col("b.sz") >= col("a.sz") * threshold)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    val sets = s.select(col("id"), col("shingles"), col("sz"))
+    cand
+      .join(sets.select(col("id").as("id_a"), col("shingles").as("sh_a"),
+        col("sz").as("sz_a")), "id_a")
+      .join(sets.select(col("id").as("id_b"), col("shingles").as("sh_b"),
+        col("sz").as("sz_b")), "id_b")
+      .withColumn("inter",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double"))
+      .withColumn("jaccard",
+        col("inter") / (col("sz_a") + col("sz_b") - col("inter")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
   }
@@ -78,25 +124,32 @@ object Dedup {
     val s = shingleSets(df, idCol, textCol, n)
       .filter(size(col("shingles")) > 0)
       .withColumn("sig", minHashSignature(col("shingles"), numHashes))
-    val banded = s.select(col("id"), col("shingles"),
+    // shuffle carries (band, bandHash, id) — 24 bytes/row, never documents
+    val banded = s.select(col("id"),
       explode(array((0 until bands).map { b =>
         struct(lit(b).as("band"),
           xxhash64(slice(col("sig"), b * (numHashes / bands) + 1,
             numHashes / bands)).as("bh"))
       }: _*)).as("bb"))
-      .select(col("id"), col("shingles"),
-        col("bb.band").as("band"), col("bb.bh").as("bh"))
-    val a = banded.select(col("band"), col("bh"), col("id").as("id_a"),
-      col("shingles").as("sh_a"))
-    val bb = banded.select(col("band"), col("bh"), col("id").as("id_b"),
-      col("shingles").as("sh_b"))
-    val cand = a.join(bb, Seq("band", "bh"))
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b", "sh_a", "sh_b").dropDuplicates("id_a", "id_b")
+      .select(col("id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+    val cand = banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    // exact-verify only the (tiny) candidate set, rejoining the shingle sets
+    val sets = s.select(col("id"), col("shingles"))
     cand
+      .join(sets.select(col("id").as("id_a"), col("shingles").as("sh_a")),
+        "id_a")
+      .join(sets.select(col("id").as("id_b"), col("shingles").as("sh_b")),
+        "id_b")
+      .withColumn("inter",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double"))
       .withColumn("jaccard",
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
+        col("inter") /
+          (size(col("sh_a")) + size(col("sh_b")) - col("inter")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
   }

@@ -48,13 +48,30 @@ object RuleEngine {
 
   /** Discipline 3: sequential whole-cell rewrite (refine.py:233-244). Each
     * rule is applied to the running value, so a later rule can match an
-    * earlier rule's replacement. A fold of `when`s — Catalyst collapses it
-    * into one projection.
+    * earlier rule's replacement.
+    *
+    * Linearized: until some rule matches, the running value IS the original
+    * input, so the first matching rule is the first whose pattern matches
+    * the input; from there the value is a known constant and the remaining
+    * rules fold on the DRIVER (regex over constants). The naive
+    * `when(acc.rlike).otherwise(acc)` fold duplicates the accumulator per
+    * level — exponential plan size; this emits one flat `when` chain.
     */
-  def sequentialRewrite(input: Column, rules: Seq[Rule]): Column =
-    rules.foldLeft(input) { (acc, r) =>
-      when(acc.rlike(r.pattern), lit(r.value)).otherwise(acc)
+  def sequentialRewrite(input: Column, rules: Seq[Rule]): Column = {
+    val continued = rules.indices.map { i =>
+      var v = rules(i).value
+      var j = i + 1
+      while (j < rules.size) {
+        if (java.util.regex.Pattern.compile(rules(j).pattern)
+            .matcher(v).find()) v = rules(j).value
+        j += 1
+      }
+      v
     }
+    rules.zip(continued).foldRight(input) { case ((r, fin), acc) =>
+      when(input.rlike(r.pattern), lit(fin)).otherwise(acc)
+    }
+  }
 
   /** Longest-prefix strip (db_to_RFManalysis.py:44-46,114-119): prefixes are
     * tried longest-first; the first (= longest) literal prefix found is

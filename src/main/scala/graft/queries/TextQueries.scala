@@ -155,11 +155,12 @@ object TextQueries {
        |ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------- q25
-  // Exact n-gram Jaccard near-dup pairs (all-pairs baseline, capped id
-  // range keeps the oracle cross join tractable).
+  // Exact n-gram Jaccard near-dup pairs via the prefix-filtered similarity
+  // join (never all-pairs; capped id range keeps the ORACLE's cross join
+  // tractable — our side would scale far beyond it).
   private val JaccardMaxId = 1000L
   private def q25(s: SparkSession, dir: String): DataFrame =
-    Dedup.jaccardPairs(
+    Dedup.jaccardSimilarityJoin(
       Tables.documents(s, dir).filter(col("doc_id") < JaccardMaxId),
       "doc_id", "text", n = 3, threshold = 0.4)
       .orderBy(col("id_a"), col("id_b"))

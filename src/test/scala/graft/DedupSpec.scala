@@ -37,6 +37,26 @@ class DedupSpec extends SparkSpec {
     assert(math.abs(j - 6.0 / 8.0) < 1e-9)
   }
 
+  test("prefix-filtered similarity join equals the all-pairs baseline") {
+    // broader corpus incl. size-skewed docs so the size-bound + prefix
+    // filters actually prune, then must still agree exactly
+    val corpus = docs.union(Seq(
+      (6L, "the quick brown fox jumps over the lazy dog and then naps"),
+      (7L, "a b c d e f g h i j k l m n o p q r s t u v w x y z"),
+      (8L, "the quick brown fox"),
+      (9L, "jumps over the lazy dog")
+    ).toDF("doc_id", "text"))
+    for (t <- Seq(0.1, 0.4, 0.8)) {
+      val all = Dedup.jaccardPairs(corpus, "doc_id", "text", 3, t)
+        .select("id_a", "id_b", "jaccard")
+        .as[(Long, Long, Double)].collect().toSet
+      val idx = Dedup.jaccardSimilarityJoin(corpus, "doc_id", "text", 3, t)
+        .select("id_a", "id_b", "jaccard")
+        .as[(Long, Long, Double)].collect().toSet
+      assert(idx == all, s"threshold $t")
+    }
+  }
+
   test("minhash LSH candidates verify to the same pairs as exact jaccard") {
     val exact = Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.4)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet

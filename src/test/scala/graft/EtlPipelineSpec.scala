@@ -1,0 +1,201 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.etl._
+
+/** End-to-end ETL parity tests over reference-shaped fixtures
+  * (FIXTURES.md §1-§3): extract quirks per bank, refine rule disciplines,
+  * classification cascade, load hashing, RFM analytics.
+  */
+class EtlPipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val dir: String = {
+    val d = Files.createTempDirectory("graft-etl").toString
+    EtlFixtures.write(d)
+    d
+  }
+  private lazy val cfg = Pipeline.loadConfigs(spark, s"$dir/configs")
+  private lazy val extracted =
+    Extract.extractAll(spark, s"$dir/data", cfg.banks).cache()
+  private lazy val refined = Refine.refine(extracted, cfg.cards,
+    cfg.payments, cfg.merchants, cfg.keywords).cache()
+
+  private def rows(df: DataFrame): Seq[Map[String, Any]] = {
+    val cols = df.columns
+    df.collect().toSeq.map(r =>
+      cols.zipWithIndex.map { case (c, i) => c -> r.get(i) }.toMap)
+  }
+
+  // ------------------------------------------------------------ extract
+
+  test("extract: header anchor skips preamble, master rows dropped") {
+    // 5 esun data rows (1 master dropped, 1 junk-date dropped → 4) +
+    // 3 cube + 2 ctbc + 3 hncb (1 master dropped → 2)
+    assert(extracted.count() == 4 + 3 + 2 + 2)
+  }
+
+  test("extract: ROC filename year + cross-year rollover (X8)") {
+    val esun = rows(extracted.filter(col("Bank_Name") === "esun_bank"))
+    val dates = esun.map(_("Transaction_Date").toString).sorted
+    assert(dates.contains("2024-01-05")) // 01/05 under 113年1月 → 2024
+    assert(dates.contains("2023-12-28")) // Dec txn on Jan bill → year−1
+  }
+
+  test("extract: master-row card fill-down; payment rows don't inherit") {
+    val esun = rows(extracted.filter(col("Bank_Name") === "esun_bank"))
+    val grocery = esun.find(_("Merchant") == "全聯福利中心").get
+    assert(grocery(Schema.CardNo) == "4444")
+    assert(grocery(Schema.CardType) == "玉山Unicard")
+    val payment = esun.find(_("Merchant").toString.contains("繳款")).get
+    assert(payment(Schema.CardNo) == null) // C2
+    val hncb = rows(extracted.filter(col("Bank_Name") === "hncb_bank"))
+    val coffee = hncb.find(_("Merchant") == "咖啡店").get
+    assert(coffee(Schema.CardNo) == "9876")
+    assert(coffee(Schema.CardType) == "華南經典卡")
+  }
+
+  test("extract: esun foreign split fills place/location/conversion date") {
+    val steam = rows(extracted).find(
+      _("Merchant").toString.startsWith("STEAMGAMES")).get
+    assert(steam(Schema.Merchant) == "STEAMGAMES.COM")
+    assert(steam(Schema.ConsumptionPlace) == "JPN TOKYO")
+    assert(steam(Schema.Location) == "JP") // X7: first token, 3→2
+    assert(steam(Schema.ConvDate).toString == "2023-12-28")
+    assert(steam(Schema.CurrAmount) == 35.5)
+  }
+
+  test("extract: cube combined location/currency split + domestic scrub") {
+    val cube = rows(extracted.filter(col("Bank_Name") === "cube_bank"))
+    val dept = cube.find(_("Merchant") == "百貨公司").get
+    assert(dept(Schema.Location) == "TW")
+    assert(dept(Schema.Currency) == null) // C5 domestic scrub
+    val amazon = cube.find(_("Merchant") == "AMAZON MARKETPLACE").get
+    assert(amazon(Schema.Location) == "JP")
+    assert(amazon(Schema.Currency) == "JPY")
+  }
+
+  test("extract: ctbc Big5 decode + TW/TWD defaults") {
+    val ctbc = rows(extracted.filter(col("Bank_Name") === "ctbc_bank"))
+    assert(ctbc.size == 2)
+    assert(ctbc.exists(_("Merchant") == "LINE PAY－好食餐廳忠孝店"))
+    assert(ctbc.forall(_(Schema.Location) == "TW"))
+  }
+
+  test("extract: payment amount backfilled from TWD amount (C3)") {
+    val grocery = rows(extracted).find(_("Merchant") == "全聯福利中心").get
+    assert(grocery(Schema.PayAmount) == 500.0)
+    assert(grocery(Schema.PayCurrency) == "TWD")
+  }
+
+  // ------------------------------------------------------------ refine
+
+  test("refine: card mapping overwrites card type; dual-number replace") {
+    val r = rows(refined)
+    val grocery = r.find(_(Schema.Merchant) == "全聯福利中心").get
+    assert(grocery(Schema.CardType) == "玉山Unicard")
+    val dept = r.find(_(Schema.Merchant).toString.contains("百貨公司")).get
+    assert(dept(Schema.CardNo) == "9999") // 卡號代換 on 1111/2222
+    val unmapped = r.find(_(Schema.Merchant) == "新商店").get
+    assert(unmapped(Schema.CardNo) == "3333") // C7 repair takes front half
+  }
+
+  test("refine: third-party tagging + merchant rewrite + prefix merge") {
+    val line = rows(refined).find(
+      _(Schema.Merchant).toString.contains("好食餐廳")).get
+    // J3 tagged Line Pay, rewrite collapsed to 好食餐廳, C10 prefixed
+    assert(line(Schema.MobilePay) == "Line Pay")
+    assert(line(Schema.Merchant) == "LinePay－好食餐廳")
+  }
+
+  test("refine: classification cascade (§2.6)") {
+    val r = rows(refined)
+    def typeOf(m: String) =
+      r.find(_(Schema.Merchant).toString.contains(m)).get(Schema.TxnType)
+    assert(typeOf("網路銀行繳款") == "繳款")
+    assert(typeOf("轉帳繳款") == "繳款")
+    assert(typeOf("e point") == "折抵") // credit beats refund (−100)
+    assert(typeOf("全聯福利中心") == "交易")
+    assert(typeOf("神祕咖啡店") == "交易")
+    // esun foreign row: TWD == TWD & location JP → cross-border + C8 sync
+    val steam = r.find(_(Schema.Merchant) == "Steam").get
+    assert(steam(Schema.TxnType) == "台幣跨境交易")
+    assert(steam(Schema.CurrAmount) == steam(Schema.PayAmount))
+    // cube foreign row: JPY ≠ TWD → 一般國外交易
+    val amazon = r.find(_(Schema.Merchant) == "AMAZON MARKETPLACE").get
+    assert(amazon(Schema.TxnType) == "一般國外交易")
+  }
+
+  test("refine: payment rows cleared of card/mobile metadata (C9)") {
+    val pay = rows(refined).find(
+      _(Schema.Merchant).toString == "網路銀行繳款").get
+    assert(pay(Schema.CardType) == "")
+    assert(pay(Schema.MobilePay) == "")
+  }
+
+  test("refine: e.Point extraction negates the cash amount (X15)") {
+    val ep = rows(refined).find(
+      _(Schema.Merchant).toString.contains("e point")).get
+    assert(ep(Schema.PayAmount) == -100.0)
+    assert(ep(Schema.PayCurrency) == "TWD")
+  }
+
+  // ------------------------------------------------------------ load
+
+  test("load: surrogate ids are deterministic and unique here") {
+    val shaped = Load.toWarehouseShape(refined)
+    assert(shaped.select("transaction_id").distinct().count()
+      == shaped.count())
+    val again = Load.toWarehouseShape(refined)
+    assert(shaped.select("transaction_id").except(
+      again.select("transaction_id")).count() == 0)
+  }
+
+  // ------------------------------------------------------------ analyze
+
+  private lazy val txns = Load.toWarehouseShape(refined).cache()
+
+  test("analyze: merchant RFM uses hybrid normalize + exclusions") {
+    val rfm = rows(Analyze.merchantRfm(txns, cfg.merchants, cfg.payments))
+    val names = rfm.map(_("clean_merchant_name"))
+    assert(names.contains("全聯福利中心"))
+    assert(names.contains("好食餐廳")) // prefix stripped before lookup
+    assert(!names.contains("百貨公司")) // RFM_Exclusion=True
+    assert(!names.exists(_.toString.contains("繳款"))) // F3 type filter
+    val grocery = rfm.find(_("clean_merchant_name") == "全聯福利中心").get
+    assert(grocery("Category") == "Grocery")
+    assert(grocery("life_frequency") == 1L)
+  }
+
+  test("analyze: payment RFM groups by wallet category") {
+    val rfm = rows(Analyze.paymentRfm(txns, cfg.payments))
+    val methods = rfm.map(_("Payment_Method")).toSet
+    assert(methods.contains("Line Pay")) // LinePay－ prefix, prio 25
+    assert(methods.contains("實體卡/其他"))
+    assert(!methods.contains("綠界科技")) // prio 15 < 20 threshold
+  }
+
+  test("analyze: card RFM filters unknown cards, labels segments") {
+    val rfm = rows(Analyze.cardRfm(txns))
+    assert(rfm.nonEmpty)
+    assert(rfm.forall(_("card_name").toString.nonEmpty))
+    assert(rfm.forall(r => Seq("❄️ 冷凍/沉睡卡 (Dormant)",
+      "👑 主力攻擊手 (Main Driver)", "🎯 狙擊手 (Sniper)",
+      "🔄 後勤補給 (Utility)", "📉 低效冗餘 (Inefficient)")
+      .contains(r("segment").toString)))
+    assert(rfm.forall(r => r("avg_ticket").isInstanceOf[Long]))
+  }
+
+  test("pipeline: full run writes all four outputs") {
+    val out = Files.createTempDirectory("graft-out").toString
+    val n = Pipeline.run(spark, s"$dir/data", s"$dir/configs", out)
+    assert(n == extracted.count())
+    for (t <- Seq("all_transactions", "rfm_merchant", "rfm_payment",
+        "rfm_card"))
+      assert(spark.read.parquet(s"$out/$t").count() > 0, t)
+  }
+}
