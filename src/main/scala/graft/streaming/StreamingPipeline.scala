@@ -1,0 +1,122 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming surface (SURVEY §2.12 extension).
+  *
+  * The reference is batch-only (statements arrive monthly as files), but
+  * every refine-stage transform is stateless per-row, so the same Column
+  * pipeline runs unchanged under `readStream`. This module provides the
+  * streaming shells a continuous deployment needs:
+  *
+  *   - [[statementFileStream]]: file-source ingest of statement drops —
+  *     the streaming twin of the batch extract (per-file W1 card fill-down
+  *     runs inside `foreachBatch`, where file grouping is preserved);
+  *   - [[hourlyEventCounts]]: watermarked tumbling-window aggregation
+  *     (the streaming twin of the batch q11);
+  *   - [[sessionize]]: gap-based session windows with
+  *     `flatMapGroupsWithState` — custom state the built-in windows can't
+  *     express (the streaming twin of the batch q12).
+  *
+  * Scale notes: the windowed agg is a standard two-phase streaming state
+  * store keyed by (window, event_type); sessionize keys state by user_id —
+  * state size is O(active users), and the event-time timeout evicts idle
+  * users, so the state store never grows unboundedly.
+  */
+object StreamingPipeline {
+
+  /** File-source statement ingest: watch `dir` for new CSV drops with the
+    * canonical unified schema, parse, and hand each micro-batch to the
+    * caller (typically `graft.etl.Refine.refine` + a sink write, mirroring
+    * foreachBatch deployment of the batch refine stage).
+    */
+  def statementFileStream(spark: SparkSession, dir: String)(
+      onBatch: (DataFrame, Long) => Unit) = {
+    val raw = spark.readStream
+      .option("header", "true")
+      .option("maxFilesPerTrigger", "16")
+      .schema(org.apache.spark.sql.types.StructType(
+        graft.etl.Schema.extractOrder.map(c =>
+          org.apache.spark.sql.types.StructField(c,
+            org.apache.spark.sql.types.StringType))))
+      .csv(dir)
+    raw.writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch(onBatch)
+  }
+
+  /** Watermarked tumbling-window count/sum per event type. `ts` must be a
+    * timestamp column; late rows beyond the watermark are dropped (state
+    * eviction — bounded memory at any input rate).
+    */
+  def hourlyEventCounts(events: DataFrame, watermark: String = "2 hours")
+      : DataFrame =
+    events
+      .withWatermark("ts_utc", watermark)
+      .groupBy(window(col("ts_utc"), "1 hour").as("win"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
+      .select(col("win.start").as("hour"), col("event_type"), col("n"),
+        col("total_value"))
+
+  /** Session record emitted by [[sessionize]]. */
+  final case class Session(
+      userId: Long, sessionStart: Long, sessionEnd: Long, nEvents: Long)
+
+  /** Per-user event for sessionization (epoch millis). */
+  final case class UserEvent(userId: Long, ms: Long)
+
+  /** Running-session state for [[sessionize]] (public — the state encoder
+    * codegen needs accessible accessors).
+    */
+  final case class SessionState(start: Long, end: Long, n: Long)
+
+  /** Gap-based sessionization with explicit state: events more than
+    * `gapMs` apart open a new session; sessions close (and emit) on
+    * event-time timeout. Batch-equivalent logic is q12's lag + running-sum
+    * window; this is the unbounded-stream formulation.
+    */
+  def sessionize(events: Dataset[UserEvent], gapMs: Long = 1800000L)
+      : Dataset[Session] = {
+    import events.sparkSession.implicits._
+    events
+      .withColumn("ts_utc", timestamp_millis(col("ms")))
+      .withWatermark("ts_utc", "1 hour")
+      .as[(Long, Long, Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, rows: Iterator[(Long, Long, Timestamp)],
+         state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val out = state.getOption.map(s =>
+              Session(userId, s.start, s.end, s.n)).iterator
+            state.remove()
+            out
+          } else {
+            val sorted = rows.map(_._2).toSeq.sorted
+            var closed = List.empty[Session]
+            var cur = state.getOption
+            sorted.foreach { ms =>
+              cur match {
+                case Some(s) if ms - s.end <= gapMs =>
+                  cur = Some(s.copy(end = math.max(s.end, ms), n = s.n + 1))
+                case Some(s) =>
+                  closed ::= Session(userId, s.start, s.end, s.n)
+                  cur = Some(SessionState(ms, ms, 1))
+                case None =>
+                  cur = Some(SessionState(ms, ms, 1))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.end + gapMs)
+            }
+            closed.reverseIterator
+          }
+      }
+  }
+}

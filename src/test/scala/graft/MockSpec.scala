@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.etl.{Mock, Schema}
+
+/** Mock-generation semantics (O5/O6): stratified sampling, gap-preserving
+  * date shift, integer-preserving noise, card masking.
+  */
+class MockSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val df = Seq(
+    ("2024-03-01", "LinePay－超商", "1111", 100.0),
+    ("2024-03-05", "NETFLIX.COM", "1111", 390.0),
+    ("2024-03-08", "Steam Games", "2222", 1250.5),
+    ("2024-03-10", "加油站", "2222", 800.0),
+    ("2024-03-15", "網路銀行繳款", null, -5000.0)
+  ).toDF(Schema.TxnDate, Schema.Merchant, Schema.CardNo, Schema.PayAmount)
+
+  test("smart sample keeps keyword hits and dedups") {
+    val s = Mock.smartSample(df, n = 4, seed = 1L)
+    val merchants = s.select(Schema.Merchant).as[String].collect().toSet
+    assert(merchants.contains("NETFLIX.COM")) // keyword hit always kept
+    assert(merchants.contains("Steam Games"))
+    assert(s.count() == s.dropDuplicates().count())
+  }
+
+  test("date shift lands max on target and preserves gaps") {
+    val shifted = Mock.shiftDates(df, "2023-12-25")
+    val dates = shifted.select(to_date(col(Schema.TxnDate)))
+      .as[java.sql.Date].collect().map(_.toLocalDate).sortBy(_.toEpochDay)
+    assert(dates.last.toString == "2023-12-25")
+    // 2024-03-01 .. 2024-03-15 is a 14-day span — preserved
+    assert(dates.last.toEpochDay - dates.head.toEpochDay == 14)
+  }
+
+  test("amount noise stays within ±5% and keeps integer columns integral") {
+    val noisy = Mock.perturbAmounts(df, seed = 7L,
+      cols = Seq(Schema.PayAmount))
+    val pairs = df.select(Schema.PayAmount).as[Double].collect()
+      .zip(noisy.select(Schema.PayAmount).as[Double].collect())
+    pairs.filter(_._1 != 0).foreach { case (orig, per) =>
+      assert(math.abs(per / orig - 1.0) <= 0.0501, s"$orig -> $per")
+    }
+    // column has non-integer 1250.5 → 2-decimal rounding, not truncation
+    assert(pairs.forall { case (_, p) => (p * 100).round / 100.0 == p })
+  }
+
+  test("card masking is total, format-shaped, and reports its map") {
+    val (masked, fakeMap) = Mock.maskCards(df,
+      customMap = Map("1111" -> "4444"))
+    assert(fakeMap("1111") == "****-****-****-4444")
+    assert(fakeMap.keySet == Set("1111", "2222"))
+    val cards = masked.select(Schema.CardNo).collect().map(_.getString(0))
+    assert(cards.count(_ == null) == 1) // null card untouched
+    assert(cards.filter(_ != null)
+      .forall(_.matches("\\*{4}-\\*{4}-\\*{4}-\\d{4}")))
+  }
+}

@@ -1,0 +1,100 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.streaming.StreamingPipeline
+import graft.streaming.StreamingPipeline.{Session, UserEvent}
+
+/** Structured Streaming semantics: windowed aggregation parity with the
+  * batch query, stateful sessionization parity with the batch
+  * lag+running-sum formulation, file-stream ingest.
+  */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("hourly window agg matches the batch groupBy on the same data") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String, Double)]
+    val events = mem.toDF().toDF("ms", "event_type", "value")
+      .withColumn("ts_utc", timestamp_millis(col("ms")))
+    val q = StreamingPipeline.hourlyEventCounts(events, "10 minutes")
+      .writeStream.format("memory").queryName("hourly")
+      .outputMode("append").start()
+    val h = 3600000L
+    mem.addData(
+      (0L, "click", 1.0), (h / 2, "click", 2.0), // hour 0
+      (h + 1, "click", 4.0), (h + 2, "view", 8.0)) // hour 1
+    q.processAllAvailable()
+    // watermark advances BETWEEN micro-batches: this batch raises it past
+    // hours 0-1, the next one flushes their (now-closed) windows
+    mem.addData((10 * h, "click", 16.0))
+    q.processAllAvailable()
+    mem.addData((11 * h, "click", 32.0))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("hourly")
+      .select(unix_millis(col("hour")).as("hms"), col("event_type"),
+        col("n"), col("total_value"))
+      .as[(Long, String, Long, Double)].collect().toSet
+    // hour-10 window stays open (not past watermark) — closed windows only
+    assert(got == Set((0L, "click", 2L, 3.0), (h, "click", 1L, 4.0),
+      (h, "view", 1L, 8.0)))
+  }
+
+  test("stateful sessionize emits gap-separated sessions") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[UserEvent]
+    val q = StreamingPipeline.sessionize(mem.toDS(), gapMs = 1000L)
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode("append").start()
+    // base offset keeps rows strictly above the initial (epoch) watermark
+    val b = 36000000L
+    mem.addData(
+      UserEvent(1, b), UserEvent(1, b + 500), UserEvent(1, b + 900), // A
+      UserEvent(1, b + 5000), // session B (gap > 1s)
+      UserEvent(2, b + 100)) // user 2 session
+    q.processAllAvailable()
+    // advance the watermark so event-time timeouts fire for idle users,
+    // then run one more batch to collect the timed-out sessions
+    mem.addData(UserEvent(3, b + 100000000))
+    q.processAllAvailable()
+    mem.addData(UserEvent(3, b + 200000000))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("sessions").as[Session].collect().toSet
+    assert(got.contains(Session(1, b, b + 900, 3)))
+    assert(got.contains(Session(1, b + 5000, b + 5000, 1)))
+    assert(got.contains(Session(2, b + 100, b + 100, 1)))
+  }
+
+  test("statement file stream refines micro-batches with the batch pipeline") {
+    val in = Files.createTempDirectory("graft-stream-in").toString
+    val chk = Files.createTempDirectory("graft-stream-chk").toString
+    var refinedRows = List.empty[(String, String)]
+    val query = StreamingPipeline.statementFileStream(spark, in) {
+      (batch, _) =>
+        if (!batch.isEmpty) {
+          val refined = graft.etl.Refine.refine(batch, Nil, Nil, Nil,
+            graft.etl.EtlConfigs.TxnTypeKeywords(
+              Seq("繳款"), Seq("回饋"), Seq("年費")))
+          refinedRows = refinedRows ++ refined
+            .select(graft.etl.Schema.Merchant, graft.etl.Schema.TxnType)
+            .collect().map(r => (r.getString(0), r.getString(1)))
+        }
+    }.option("checkpointLocation", chk)
+      .trigger(Trigger.AvailableNow()).start()
+    val header = graft.etl.Schema.extractOrder.mkString(",")
+    Files.write(java.nio.file.Paths.get(s"$in/drop1.csv"),
+      (header + "\n" +
+        "2024-01-05,2024-01-06,超商,TW,,,,,,150,TWD,,,,1234,esun_bank\n" +
+        "2024-01-06,2024-01-07,信用卡繳款,TW,,,,,,-500,TWD,,,,,esun_bank\n")
+        .getBytes("UTF-8"))
+    query.processAllAvailable()
+    query.stop()
+    assert(refinedRows.toSet == Set(("超商", "交易"), ("信用卡繳款", "繳款")))
+  }
+}
