@@ -1,0 +1,35 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Plan-inspection surface: `runMain graft.Explain [queryName ...]` prints
+  * the formatted physical plan for the named queries (default: a scan/
+  * join/agg sample) — the review loop for pushdown, pruning, broadcast,
+  * and WholeStageCodegen coverage.
+  */
+object Explain {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR",
+      "/root/testdata/sf0.001")
+    val names =
+      if (args.nonEmpty) args.toSeq
+      else Seq("q01_pricing_summary", "q02_filter_pushdown_topn",
+        "q03_join_revenue_nation", "q06_rfm_card_style", "q11_events_hourly",
+        "q25_ngram_jaccard", "q30_knn_bruteforce")
+    names.foreach { n =>
+      println(s"\n========== $n ==========")
+      SparkEntry.queries.get(n) match {
+        case Some(fn) => fn(spark, sfDir).explain("formatted")
+        case None => println(s"unknown query: $n")
+      }
+    }
+    spark.stop()
+  }
+}

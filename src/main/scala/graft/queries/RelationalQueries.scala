@@ -491,6 +491,145 @@ object RelationalQueries {
        |ORDER BY p_class, p_category""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q15
+  // Country-code normalize (§2.10 X7; etl.py:47-98) over inputs synthesized
+  // deterministically from c_custkey: null/empty → TW, first space-token,
+  // upper, 3→2-letter map, else passthrough.
+  private def q15(s: SparkSession, dir: String): DataFrame = {
+    val raw = elt(pmod(col("c_custkey"), lit(7)) + 1,
+      lit("JPN TOKYO"), lit("TWN"), lit("usa"), lit(""),
+      lit(null).cast("string"), lit("DE BERLIN"), lit("SGP  X"))
+    Tables.customer(s, dir)
+      .withColumn("norm",
+        graft.etl.Extract.normalizeCountry(raw))
+      .groupBy("norm").agg(count(lit(1)).as("n"))
+      .orderBy("norm")
+  }
+
+  private val q15Sql =
+    """WITH raw AS (
+      |  SELECT CASE (c_custkey % 7)
+      |    WHEN 0 THEN 'JPN TOKYO' WHEN 1 THEN 'TWN' WHEN 2 THEN 'usa'
+      |    WHEN 3 THEN '' WHEN 4 THEN NULL WHEN 5 THEN 'DE BERLIN'
+      |    ELSE 'SGP  X' END AS x
+      |  FROM customer),
+      |norm AS (
+      |  SELECT CASE
+      |    WHEN x IS NULL OR trim(x) = '' THEN 'TW'
+      |    ELSE CASE split_part(upper(trim(x)), ' ', 1)
+      |      WHEN 'TWN' THEN 'TW' WHEN 'USA' THEN 'US' WHEN 'JPN' THEN 'JP'
+      |      WHEN 'KOR' THEN 'KR' WHEN 'HKG' THEN 'HK' WHEN 'SGP' THEN 'SG'
+      |      WHEN 'GBR' THEN 'GB' WHEN 'CHN' THEN 'CN' WHEN 'IRL' THEN 'IE'
+      |      WHEN 'DEU' THEN 'DE' WHEN 'FRA' THEN 'FR' WHEN 'AUS' THEN 'AU'
+      |      WHEN 'VNM' THEN 'VN' WHEN 'THA' THEN 'TH' WHEN 'MYS' THEN 'MY'
+      |      WHEN 'IDN' THEN 'ID'
+      |      ELSE split_part(upper(trim(x)), ' ', 1) END
+      |  END AS norm
+      |  FROM raw)
+      |SELECT norm, COUNT(*) AS n FROM norm
+      |GROUP BY norm ORDER BY norm""".stripMargin
+
+  // ---------------------------------------------------------------- q16
+  // Billing-year date inference (§2.10 X8; etl.py:100-122) on MM/DD /
+  // YYYY/MM/DD / junk strings synthesized from o_orderdate. Base year 1995,
+  // bill month 1 → December transactions roll back to 1994. Sentinel date
+  // keeps the output NULL-free for the hash compare.
+  private def q16(s: SparkSession, dir: String): DataFrame = {
+    val d = to_date(col("o_orderdate"))
+    val raw = elt(pmod(col("o_orderkey"), lit(4)) + 1,
+      date_format(d, "MM/dd"), date_format(d, "yyyy/MM/dd"),
+      lit("junk"), lit(""))
+    Tables.orders(s, dir)
+      .withColumn("parsed", coalesce(
+        graft.etl.Extract.parseDateWithYear(raw, 1995, 1),
+        lit("1900-01-01").cast("date")))
+      .select(col("o_orderkey"), col("parsed"))
+      .orderBy("o_orderkey")
+  }
+
+  private val q16Sql =
+    """WITH raw AS (
+      |  SELECT o_orderkey, CAST(o_orderdate AS DATE) AS d,
+      |    CASE (o_orderkey % 4)
+      |      WHEN 0 THEN strftime(CAST(o_orderdate AS DATE), '%m/%d')
+      |      WHEN 1 THEN strftime(CAST(o_orderdate AS DATE), '%Y/%m/%d')
+      |      WHEN 2 THEN 'junk' ELSE '' END AS x
+      |  FROM orders)
+      |SELECT o_orderkey, COALESCE(CASE
+      |    WHEN regexp_matches(x, '^\d{1,2}/\d{1,2}$') THEN
+      |      -- TRY_CAST: 02/29 against the non-leap base year must be NULL
+      |      TRY_CAST(printf('%04d-%02d-%02d',
+      |        CASE WHEN month(d) = 12 THEN 1994 ELSE 1995 END,
+      |        month(d), day(d)) AS DATE)
+      |    WHEN regexp_matches(x, '^\d{4}/\d{1,2}/\d{1,2}$') THEN d
+      |    ELSE NULL END, DATE '1900-01-01') AS parsed
+      |FROM raw
+      |ORDER BY o_orderkey""".stripMargin
+
+  // ---------------------------------------------------------------- q17
+  // Longest-prefix strip (§2.9 J4 step 1; db_to_RFManalysis.py:44-46,
+  // 114-119): 'LinePay－' must win over its own prefix 'Line'.
+  private val stripPrefixes = Seq("LinePay－", "Line", "JKOPAY－")
+  private def q17(s: SparkSession, dir: String): DataFrame = {
+    val raw = elt(pmod(col("c_custkey"), lit(4)) + 1,
+      concat(lit("LinePay－STORE_"), col("c_custkey")),
+      concat(lit("LineX_"), col("c_custkey")),
+      concat(lit("JKOPAY－SHOP_"), col("c_custkey")),
+      concat(lit("PLAIN_"), col("c_custkey")))
+    Tables.customer(s, dir)
+      .select(col("c_custkey"),
+        graft.operators.RuleEngine.stripLongestPrefix(raw, stripPrefixes)
+          .as("stripped"))
+      .orderBy("c_custkey")
+  }
+
+  private val q17Sql =
+    """WITH raw AS (
+      |  SELECT c_custkey, CASE (c_custkey % 4)
+      |    WHEN 0 THEN 'LinePay－STORE_' || c_custkey
+      |    WHEN 1 THEN 'LineX_' || c_custkey
+      |    WHEN 2 THEN 'JKOPAY－SHOP_' || c_custkey
+      |    ELSE 'PLAIN_' || c_custkey END AS x
+      |  FROM customer)
+      |SELECT c_custkey, trim(CASE
+      |    WHEN starts_with(x, 'LinePay－') THEN substr(x, length('LinePay－') + 1)
+      |    WHEN starts_with(x, 'JKOPAY－') THEN substr(x, length('JKOPAY－') + 1)
+      |    WHEN starts_with(x, 'Line') THEN substr(x, 5)
+      |    ELSE x END) AS stripped
+      |FROM raw
+      |ORDER BY c_custkey""".stripMargin
+
+  // ---------------------------------------------------------------- q18
+  // Last-match-wins rule mapping (§2.9 J2; refine.py:139-170): file-order
+  // rules where later matches overwrite earlier ones.
+  private val j2Rules = Seq(
+    RuleEngine.Rule("A", "first"),
+    RuleEngine.Rule("F", "second"),
+    RuleEngine.Rule("O", "third"))
+  private def q18(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .withColumn("status_class",
+        RuleEngine.lastMatchWins(
+          concat(col("l_returnflag"), col("l_linestatus")), j2Rules,
+          lit("unmatched")))
+      .groupBy("status_class")
+      .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("qty"))
+      .orderBy("status_class")
+
+  private val q18Sql =
+    s"""WITH mapped AS (
+       |  SELECT l_quantity, CASE
+       |      WHEN regexp_matches(l_returnflag || l_linestatus, 'O')
+       |        THEN 'third'
+       |      WHEN regexp_matches(l_returnflag || l_linestatus, 'F')
+       |        THEN 'second'
+       |      WHEN regexp_matches(l_returnflag || l_linestatus, 'A')
+       |        THEN 'first'
+       |      ELSE 'unmatched' END AS status_class
+       |  FROM lineitem)
+       |SELECT status_class, COUNT(*) AS n, ${sqlDsum("l_quantity")} AS qty
+       |FROM mapped GROUP BY status_class ORDER BY status_class""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01 _),
     "q02_filter_pushdown_topn" -> (q02 _),
@@ -505,7 +644,11 @@ object RelationalQueries {
     "q11_events_hourly" -> (q11 _),
     "q12_sessionize" -> (q12 _),
     "q13_topk_users" -> (q13 _),
-    "q14_rule_rewrite" -> (q14 _))
+    "q14_rule_rewrite" -> (q14 _),
+    "q15_country_normalize" -> (q15 _),
+    "q16_billing_year_dates" -> (q16 _),
+    "q17_prefix_strip" -> (q17 _),
+    "q18_last_match_mapping" -> (q18 _))
 
   val oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" -> q01Sql,
@@ -521,5 +664,9 @@ object RelationalQueries {
     "q11_events_hourly" -> q11Sql,
     "q12_sessionize" -> q12Sql,
     "q13_topk_users" -> q13Sql,
-    "q14_rule_rewrite" -> q14Sql)
+    "q14_rule_rewrite" -> q14Sql,
+    "q15_country_normalize" -> q15Sql,
+    "q16_billing_year_dates" -> q16Sql,
+    "q17_prefix_strip" -> q17Sql,
+    "q18_last_match_mapping" -> q18Sql)
 }
