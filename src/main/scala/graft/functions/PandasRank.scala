@@ -45,6 +45,35 @@ object PandasRank {
       .cast("double") / lit(2.0) / count(lit(1)).over(wAll).cast("double")
   }
 
+  /** Distributed pandas-pct-rank: identical results to [[pctRank]] without
+    * a global single-partition window over the FACT rows. Tie counts come
+    * from a groupBy on the value (two-phase agg); the ordered cumulative
+    * sum runs over the DISTINCT-VALUE table (cardinality |values|, not
+    * |rows|); the ranks join back on the value (broadcast when small).
+    * This is the 100 TB path for ranking un-aggregated columns.
+    *
+    * Integer arithmetic `2*rank - 1 + ties` is kept exact and divided in
+    * the same fp order as [[pctRank]] / the oracle SQL, so results are
+    * bit-identical. Null values must be filtered by the caller (pandas
+    * excludes NaN from ranks; the reference never ranks nullable columns).
+    */
+  def pctRankJoined(df: org.apache.spark.sql.DataFrame, valueCol: String,
+                    outCol: String, ascending: Boolean = true)
+      : org.apache.spark.sql.DataFrame = {
+    val ordered = if (ascending) col(valueCol).asc else col(valueCol).desc
+    val wCum = Window.orderBy(ordered)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wAll = Window.partitionBy()
+    val ranked = df.groupBy(valueCol).agg(count(lit(1)).as("_cnt"))
+      .withColumn("_before", coalesce(sum(col("_cnt")).over(wCum), lit(0L)))
+      .withColumn("_n", sum(col("_cnt")).over(wAll))
+      .withColumn(outCol,
+        (lit(2) * (col("_before") + lit(1)) - lit(1) + col("_cnt"))
+          .cast("double") / lit(2.0) / col("_n").cast("double"))
+      .select(col(valueCol), col(outCol))
+    df.join(ranked, Seq(valueCol))
+  }
+
   /** The same formula as raw SQL text (for oracle parity / spark.sql use). */
   def sqlExpr(value: String, ascending: Boolean,
               partition: Option[String] = None): String = {

@@ -42,6 +42,23 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("sim"))
   }
 
+  /** Embedding-cosine near-duplicate pairs (the vector-space member of the
+    * dedup family): all (a < b) pairs with cosine >= threshold. Exact
+    * all-pairs baseline; the scale path buckets both sides with
+    * [[graft.functions.VectorFunctions.rhpBucket]] first (same shape as
+    * [[lshKnn]]) so candidates come from an equi-join.
+    */
+  def cosineNearDupPairs(df: DataFrame, threshold: Double,
+                         idCol: String = "vec_id",
+                         vecCol: String = "embedding"): DataFrame = {
+    val a = df.select(col(idCol).as("id_a"), col(vecCol).as("va"))
+    val b = df.select(col(idCol).as("id_b"), col(vecCol).as("vb"))
+    a.join(b, col("id_a") < col("id_b"))
+      .withColumn("sim", round(cosine(col("va"), col("vb")), 6))
+      .filter(col("sim") >= threshold)
+      .select(col("id_a"), col("id_b"), col("sim"))
+  }
+
   /** Random-hyperplane LSH ANN: vectors sharing a `planes.length`-bit
     * bucket are candidates; rank within candidates. Deterministic given the
     * plane set (pass seeded pseudo-random planes).

@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.OracleSafe.{davg, dsum}
+import graft.functions.PandasRank
 import graft.functions.PandasRank.pctRank
 import graft.operators.{Classify, Rfm, RuleEngine}
 
@@ -147,16 +148,25 @@ object RelationalQueries {
        |ORDER BY order_class""".stripMargin
 
   // ---------------------------------------------------------------- q05
-  // pandas pct-rank semantics (§2.7 W2) — global and per-partition.
-  private def q05(s: SparkSession, dir: String): DataFrame =
-    Tables.customer(s, dir)
+  // pandas pct-rank semantics (§2.7 W2). The two GLOBAL ranks use the
+  // distributed groupBy+join formulation (windows over distinct values,
+  // not fact rows — the 100 TB path); the per-segment rank keeps the
+  // window form (partitions parallelize it naturally).
+  private def q05(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.customer(s, dir)
       .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
-      .withColumn("bal_pct", pctRank(col("c_acctbal"), ascending = true))
-      .withColumn("bal_pct_desc", pctRank(col("c_acctbal"), ascending = false))
+    val asc = PandasRank.pctRankJoined(base, "c_acctbal", "bal_pct",
+      ascending = true)
+    val both = PandasRank.pctRankJoined(asc, "c_acctbal", "bal_pct_desc",
+      ascending = false)
+    both
       .withColumn("bal_pct_seg",
         pctRank(col("c_acctbal"), ascending = true,
           partitionBy = Seq(col("c_mktsegment"))))
+      .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"),
+        col("bal_pct"), col("bal_pct_desc"), col("bal_pct_seg"))
       .orderBy(col("c_custkey"))
+  }
 
   private val q05Sql =
     """SELECT c_custkey, c_mktsegment, c_acctbal,

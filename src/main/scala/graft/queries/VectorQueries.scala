@@ -76,11 +76,37 @@ object VectorQueries {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  // ---------------------------------------------------------------- q33
+  // Embedding-cosine near-dup pairs (vector-space dedup; capped id range
+  // keeps the ORACLE's cross join tractable).
+  private val NearDupMaxId = 500L
+  private val NearDupThreshold = 0.45
+  private def q33(s: SparkSession, dir: String): DataFrame =
+    Similarity.cosineNearDupPairs(
+      Tables.embeddings(s, dir).filter(col("vec_id") < NearDupMaxId),
+      NearDupThreshold)
+      .orderBy(col("id_a"), col("id_b"))
+
+  private val q33Sql = {
+    val sim = "round(list_inner_product(a.v, b.v) / " +
+      "(sqrt(list_inner_product(a.v, a.v)) * " +
+      "sqrt(list_inner_product(b.v, b.v))), 6)"
+    s"""WITH vecs AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+       |  WHERE vec_id < $NearDupMaxId)
+       |SELECT a.vec_id AS id_a, b.vec_id AS id_b, $sim AS sim
+       |FROM vecs a JOIN vecs b ON a.vec_id < b.vec_id
+       |WHERE $sim >= $NearDupThreshold
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_knn_bruteforce" -> (q30 _),
     "q31_knn_lsh" -> (q31 _),
-    "q32_knn_ivf" -> (q32 _))
+    "q32_knn_ivf" -> (q32 _),
+    "q33_embedding_neardup" -> (q33 _))
 
   val oracleSql: Map[String, String] = Map(
-    "q30_knn_bruteforce" -> q30Sql)
+    "q30_knn_bruteforce" -> q30Sql,
+    "q33_embedding_neardup" -> q33Sql)
 }

@@ -43,6 +43,19 @@ class PandasRankSpec extends SparkSpec {
     assert(got.toSeq == Seq(0.5, 1.0, 1.0 / 3, 2.0 / 3, 1.0))
   }
 
+  test("distributed groupBy+join rank is bit-identical to the window form") {
+    val df = Seq.tabulate(200)(i => (i, (i * 13 % 37).toDouble))
+      .toDF("id", "v")
+    for (asc <- Seq(true, false)) {
+      val win = df.withColumn("p", pctRank(col("v"), ascending = asc))
+        .orderBy("id").select("p").as[Double].collect().toSeq
+      val joined = graft.functions.PandasRank
+        .pctRankJoined(df, "v", "p", ascending = asc)
+        .orderBy("id").select("p").as[Double].collect().toSeq
+      assert(win == joined, s"ascending=$asc") // exact, not approximate
+    }
+  }
+
   test("results lie in (0, 1] and are monotone in the input") {
     val df = Seq.tabulate(100)(i => (i, (i * 37 % 50).toDouble))
       .toDF("id", "v")
