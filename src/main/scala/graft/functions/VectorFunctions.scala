@@ -3,17 +3,19 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
-/** Dense-vector math over `array<float|double>` columns, pure Column
-  * algebra (`zip_with` / `aggregate` higher-order functions — codegen'd,
-  * no UDF). Elements are cast to double and reduced left-to-right, so
-  * results are deterministic and reproducible across engines.
+/** Dense-vector math over `array<float|double>` columns. The hot kernels
+  * (dot / l2sq) are native Catalyst expressions with fused codegen loops
+  * (graft.plans.VectorExpressions) — one pass, zero allocation per pair;
+  * the rest is Column algebra over higher-order functions. All reductions
+  * are sequential left-to-right, so results are deterministic and match
+  * the DuckDB oracle bit-for-bit.
   */
 object VectorFunctions {
 
   private def d(c: Column): Column = c.cast("array<double>")
 
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(d(a), d(b), (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    graft.plans.VectorExpressions.dot(a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
@@ -22,8 +24,7 @@ object VectorFunctions {
 
   /** Squared L2 distance (cheaper than sqrt when only ordering matters). */
   def l2sq(a: Column, b: Column): Column =
-    aggregate(zip_with(d(a), d(b), (x, y) => (x - y) * (x - y)),
-      lit(0.0), (acc, x) => acc + x)
+    graft.plans.VectorExpressions.l2sq(a, b)
 
   /** Unit-normalize a vector (null-safe: zero vector stays zero). */
   def normalize(a: Column): Column = {

@@ -53,7 +53,8 @@ object Dedup {
         col("sz_a") >= col("sz_b") * threshold &&
         col("sz_b") >= col("sz_a") * threshold)
       .withColumn("inter",
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double"))
+        graft.plans.SetExpressions.sortedIntersectCount(
+          col("sh_a"), col("sh_b")).cast("double"))
       // |A ∪ B| = |A| + |B| − |A ∩ B|: no need to materialize the union
       .withColumn("jaccard",
         col("inter") / (col("sz_a") + col("sz_b") - col("inter")))
@@ -74,9 +75,12 @@ object Dedup {
     */
   def jaccardSimilarityJoin(df: DataFrame, idCol: String, textCol: String,
                             n: Int, threshold: Double): DataFrame = {
+    // cache: the shingle plan feeds the prefix self-join AND two verify
+    // rejoins — without it, tokenization recomputes 4x per query
     val s = shingleSets(df, idCol, textCol, n)
       .filter(size(col("shingles")) > 0)
       .withColumn("sz", size(col("shingles")))
+      .cache()
     val prefLen = (col("sz") - ceil(col("sz") * threshold) + 1).cast("int")
     val pref = s.select(col("id"), col("sz"),
       explode(slice(col("shingles"), lit(1), prefLen)).as("tok"))
@@ -93,20 +97,20 @@ object Dedup {
       .join(sets.select(col("id").as("id_b"), col("shingles").as("sh_b"),
         col("sz").as("sz_b")), "id_b")
       .withColumn("inter",
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double"))
+        graft.plans.SetExpressions.sortedIntersectCount(
+          col("sh_a"), col("sh_b")).cast("double"))
       .withColumn("jaccard",
         col("inter") / (col("sz_a") + col("sz_b") - col("inter")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
-  /** MinHash signature: k permutation-free min-hashes
-    * `min over shingles of xxhash64(seed_i || shingle)`.
+  /** MinHash signature: k-wide one-pass native expression using the
+    * two-hash construction h_i = h1 + i*h2 (graft.plans.MinHashArray) —
+    * one traversal of the shingle set instead of k.
     */
   def minHashSignature(shingles: Column, k: Int): Column =
-    array((0 until k).map { i =>
-      array_min(transform(shingles, s => xxhash64(lit(i), s)))
-    }: _*)
+    graft.plans.SetExpressions.minHash(shingles, k)
 
   /** MinHash + LSH banding near-dup candidates, verified with exact Jaccard.
     *
@@ -124,6 +128,7 @@ object Dedup {
     val s = shingleSets(df, idCol, textCol, n)
       .filter(size(col("shingles")) > 0)
       .withColumn("sig", minHashSignature(col("shingles"), numHashes))
+      .cache() // banded self-join + two verify rejoins read this 4x
     // shuffle carries (band, bandHash, id) — 24 bytes/row, never documents
     val banded = s.select(col("id"),
       explode(array((0 until bands).map { b =>
@@ -146,7 +151,8 @@ object Dedup {
       .join(sets.select(col("id").as("id_b"), col("shingles").as("sh_b")),
         "id_b")
       .withColumn("inter",
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double"))
+        graft.plans.SetExpressions.sortedIntersectCount(
+          col("sh_a"), col("sh_b")).cast("double"))
       .withColumn("jaccard",
         col("inter") /
           (size(col("sh_a")) + size(col("sh_b")) - col("inter")))

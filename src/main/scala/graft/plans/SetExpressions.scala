@@ -1,0 +1,158 @@
+package graft.plans
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graft.ColumnBridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.hash.Murmur3_x86_32
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expressions for the dedup hot path.
+  *
+  * Near-dup verification evaluates set overlap once per CANDIDATE PAIR;
+  * `size(array_intersect(a, b))` builds a hash set and an output array per
+  * call. [[SortedIntersectCount]] exploits the invariant that shingle sets
+  * are sorted+distinct (Dedup.shingleSets applies array_sort∘array_distinct)
+  * and counts with a single allocation-free merge walk.
+  *
+  * [[MinHashArray]] computes a k-wide MinHash signature in ONE pass over
+  * the shingle set using the standard two-hash construction
+  * h_i(x) = h1(x) + i·h2(x) — versus k array traversals with a fresh hash
+  * per (element, i) in the `array_min(transform(...))` formulation.
+  */
+object SetExpressions {
+
+  /** |a ∩ b| for two SORTED, DISTINCT string arrays. */
+  def sortedIntersectCount(a: Column, b: Column): Column =
+    ColumnBridge.column(SortedIntersectCount(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** k-wide MinHash signature of a string array (order-insensitive). */
+  def minHash(shingles: Column, k: Int): Column =
+    ColumnBridge.column(MinHashArray(
+      ColumnBridge.expression(shingles), k))
+}
+
+/** Merge-walk intersection count over sorted distinct string arrays. */
+case class SortedIntersectCount(left: Expression, right: Expression)
+    extends BinaryExpression with Serializable {
+
+  override def dataType: DataType = IntegerType
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(dt: DataType) = dt match {
+      case ArrayType(StringType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType))
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<string> inputs")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    var i = 0
+    var j = 0
+    var c = 0
+    while (i < x.numElements() && j < y.numElements()) {
+      val cmp = x.getUTF8String(i).compareTo(y.getUTF8String(j))
+      if (cmp == 0) { c += 1; i += 1; j += 1 }
+      else if (cmp < 0) i += 1
+      else j += 1
+    }
+    c
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      s"""
+         |int i = 0, j = 0, c = 0;
+         |int nx = $x.numElements(), ny = $y.numElements();
+         |while (i < nx && j < ny) {
+         |  int cmp = $x.getUTF8String(i).compareTo($y.getUTF8String(j));
+         |  if (cmp == 0) { c++; i++; j++; }
+         |  else if (cmp < 0) { i++; } else { j++; }
+         |}
+         |${ev.value} = c;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "sorted_intersect_count"
+}
+
+/** One-pass k-wide MinHash over a string array: per element compute two
+  * 32-bit Murmur3 hashes (different seeds), derive the i-th hash as
+  * `h1 + i*h2` (kept in long space to avoid overflow UB), and track k
+  * running minima.
+  */
+case class MinHashArray(child: Expression, k: Int)
+    extends UnaryExpression with Serializable {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<string> input")
+  }
+
+  override def nullSafeEval(a: Any): Any = {
+    val arr = a.asInstanceOf[ArrayData]
+    val mins = Array.fill(k)(Long.MaxValue)
+    var e = 0
+    while (e < arr.numElements()) {
+      val s = arr.getUTF8String(e)
+      val h1 = Murmur3_x86_32.hashUnsafeBytes(
+        s.getBaseObject, s.getBaseOffset, s.numBytes(), 42) & 0xffffffffL
+      val h2 = Murmur3_x86_32.hashUnsafeBytes(
+        s.getBaseObject, s.getBaseOffset, s.numBytes(), 1337) & 0xffffffffL
+      var i = 0
+      while (i < k) {
+        val h = h1 + i * h2
+        if (h < mins(i)) mins(i) = h
+        i += 1
+      }
+      e += 1
+    }
+    new GenericArrayData(mins)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val mins = ctx.freshName("mins")
+      s"""
+         |long[] $mins = new long[$k];
+         |java.util.Arrays.fill($mins, Long.MAX_VALUE);
+         |int n = $c.numElements();
+         |for (int e = 0; e < n; e++) {
+         |  org.apache.spark.unsafe.types.UTF8String s = $c.getUTF8String(e);
+         |  long h1 = org.apache.spark.unsafe.hash.Murmur3_x86_32
+         |    .hashUnsafeBytes(s.getBaseObject(), s.getBaseOffset(),
+         |      s.numBytes(), 42) & 0xffffffffL;
+         |  long h2 = org.apache.spark.unsafe.hash.Murmur3_x86_32
+         |    .hashUnsafeBytes(s.getBaseObject(), s.getBaseOffset(),
+         |      s.numBytes(), 1337) & 0xffffffffL;
+         |  for (int i = 0; i < $k; i++) {
+         |    long h = h1 + i * h2;
+         |    if (h < $mins[i]) $mins[i] = h;
+         |  }
+         |}
+         |${ev.value} =
+         |  new org.apache.spark.sql.catalyst.util.GenericArrayData($mins);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+  override def prettyName: String = s"minhash$k"
+}
