@@ -216,6 +216,19 @@ object Analyze {
       .orderBy(col("life_frequency").desc)
   }
 
+  /** Payment-method distribution diagnostic (A5;
+    * db_to_Payment_RFM.py:126-127): top-10 value counts.
+    */
+  def paymentMethodDistribution(txns: DataFrame,
+                                paymentRules: Seq[PaymentRule]): DataFrame =
+    txns.select("merchant_name")
+      .withColumn("Payment_Method",
+        paymentMethod(col("merchant_name"), paymentRules))
+      .groupBy("Payment_Method")
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("Payment_Method"))
+      .limit(10)
+
   // ------------------------------------------------------------ card
   /** Card RFM (db_to_card_RFM.py:76-153): per (bank_name, card_name)
     * portfolio check over the trailing 365 days. No r_rank (reference

@@ -50,6 +50,39 @@ object Load {
       .map(col): _*)
   }
 
+  /** K1: single-file CSV export with fixed column order and an optional
+    * UTF-8 BOM (the reference's `encoding='utf-8-sig'`, etl.py:500 — the
+    * BOM exists solely so Excel opens CJK content correctly). Spark's csv
+    * writer cannot emit a BOM, so the part file is renamed/prefixed
+    * driver-side. Export-sized outputs only (RFM reports, refined samples);
+    * warehouse-scale data stays parquet.
+    */
+  def writeCsv(df: DataFrame, path: String, bom: Boolean = true): Unit = {
+    val tmp = path + "_spark_tmp"
+    df.coalesce(1).write.mode("overwrite")
+      .option("header", "true").csv(tmp)
+    val part = new java.io.File(tmp).listFiles()
+      .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".csv"))
+      .getOrElse(throw new IllegalStateException(s"no csv part in $tmp"))
+    val out = new java.io.File(path)
+    if (out.exists()) out.delete()
+    val bytes = java.nio.file.Files.readAllBytes(part.toPath)
+    val stream = new java.io.FileOutputStream(out)
+    try {
+      if (bom) stream.write(Array(0xEF, 0xBB, 0xBF).map(_.toByte))
+      stream.write(bytes)
+    } finally stream.close()
+    part.getParentFile.listFiles().foreach(_.delete())
+    new java.io.File(tmp).delete()
+  }
+
+  /** S6: typed re-read of a unified/refined stage CSV (the reference's
+    * inter-stage file contract, refine.py:384 / load_to_db.py:66) — all
+    * columns as strings; `Refine.canonicalize` applies the type coercion.
+    */
+  def readStageCsv(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("header", "true").csv(path)
+
   /** K2 + K4: overwrite-load as a parquet-backed table, then count-check.
     * Partitioning: none by default (personal-finance scale); at warehouse
     * scale pass e.g. `partitionBy = Seq("transaction_date")`.

@@ -190,6 +190,28 @@ class EtlPipelineSpec extends SparkSpec {
     assert(rfm.forall(r => r("avg_ticket").isInstanceOf[Long]))
   }
 
+  test("analyze: diagnostics — payment distribution and unknown merchants") {
+    val dist = rows(Analyze.paymentMethodDistribution(txns, cfg.payments))
+    assert(dist.map(_("Payment_Method")).contains("實體卡/其他"))
+    assert(dist.map(_("n").asInstanceOf[Long]).sum == txns.count())
+    val unknown = rows(Analyze.unknownMerchantReport(txns, cfg.merchants,
+      cfg.payments))
+    // 加油站 has no merchant rule → Unknown; ruled merchants must not appear
+    assert(unknown.exists(_("clean_merchant_name") == "加油站"))
+    assert(!unknown.exists(_("clean_merchant_name") == "全聯福利中心"))
+  }
+
+  test("load: csv export round-trips with a UTF-8 BOM (K1)") {
+    val out = Files.createTempDirectory("graft-csv").toString + "/report.csv"
+    Load.writeCsv(Analyze.cardRfm(txns), out, bom = true)
+    val bytes = Files.readAllBytes(java.nio.file.Paths.get(out))
+    assert(bytes.take(3).sameElements(
+      Array(0xEF.toByte, 0xBB.toByte, 0xBF.toByte)))
+    // stage-interop: Spark reads its own export back (minus BOM col quirk)
+    val back = Load.readStageCsv(spark, out)
+    assert(back.count() == Analyze.cardRfm(txns).count())
+  }
+
   test("pipeline: full run writes all four outputs") {
     val out = Files.createTempDirectory("graft-out").toString
     val n = Pipeline.run(spark, s"$dir/data", s"$dir/configs", out)
