@@ -74,6 +74,56 @@ object PandasRank {
     df.join(ranked, Seq(valueCol))
   }
 
+  /** Fully distributed pandas-pct-rank — no single-partition window
+    * anywhere, exact to the bit vs [[pctRank]].
+    *
+    * [[pctRankJoined]] still runs one ordered window over the
+    * DISTINCT-VALUE table; for continuous metrics (monetary sums) distinct
+    * ≈ rows, so that window is the scale ceiling. Here the distinct-value
+    * table is RANGE partitioned and sorted within partitions (equal values
+    * land in one partition, so tie groups never straddle boundaries), the
+    * per-partition totals round-trip the driver (one long per partition),
+    * and a per-partition prefix sum assigns global ranks. RDD
+    * mapPartitionsWithIndex is the honest tool for the prefix-sum — a
+    * genuinely imperative per-partition pass.
+    */
+  def pctRankScalable(df: org.apache.spark.sql.DataFrame, valueCol: String,
+                      outCol: String, ascending: Boolean = true,
+                      numPartitions: Int = 0)
+      : org.apache.spark.sql.DataFrame = {
+    val spark = df.sparkSession
+    val ordered = if (ascending) col(valueCol).asc else col(valueCol).desc
+    val parts =
+      if (numPartitions > 0) numPartitions
+      else spark.sessionState.conf.numShufflePartitions
+    val counts = df.groupBy(valueCol).agg(count(lit(1)).as("_cnt"))
+      .repartitionByRange(parts, ordered)
+      .sortWithinPartitions(ordered)
+      .cache()
+    val partSums = counts.select(col("_cnt")).rdd
+      .mapPartitionsWithIndex { (pid, it) =>
+        Iterator((pid, it.map(_.getLong(0)).sum))
+      }.collect().sortBy(_._1).map(_._2)
+    if (partSums.isEmpty) return df.withColumn(outCol, lit(null).cast("double"))
+    val offsets = partSums.scanLeft(0L)(_ + _)
+    val total = offsets.last
+    val rankedRdd = counts.rdd.mapPartitionsWithIndex { (pid, it) =>
+      var before = offsets(pid)
+      it.map { row =>
+        val cnt = row.getLong(1)
+        // same integer form and fp order as pctRank: (2*rank-1+ties)/2/n
+        val pct = (2 * before + cnt + 1).toDouble / 2.0 / total.toDouble
+        before += cnt
+        org.apache.spark.sql.Row(row.get(0), pct)
+      }
+    }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      counts.schema.fields.head,
+      org.apache.spark.sql.types.StructField(outCol,
+        org.apache.spark.sql.types.DoubleType)))
+    df.join(spark.createDataFrame(rankedRdd, schema), Seq(valueCol))
+  }
+
   /** The same formula as raw SQL text (for oracle parity / spark.sql use). */
   def sqlExpr(value: String, ascending: Boolean,
               partition: Option[String] = None): String = {

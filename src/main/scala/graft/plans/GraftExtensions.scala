@@ -1,0 +1,55 @@
+package graft.plans
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+
+/** SQL-surface registration for the engine's native expressions, so
+  * `spark.sql` users get the same codegen'd kernels as the Scala API:
+  *
+  *   vec_dot(a, b)                Σ aᵢ·bᵢ over array<double>
+  *   vec_l2sq(a, b)               Σ (aᵢ−bᵢ)²
+  *   sorted_intersect_count(a, b) |a ∩ b| for sorted distinct array<string>
+  *   minhash(arr, k)              k-wide MinHash signature (k literal)
+  *
+  * Deploy either via `spark.sql.extensions=graft.plans.GraftExtensions`
+  * (applies at session build) or [[GraftExtensions.register]] on a live
+  * session.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.definitions.foreach { case (name, info, builder) =>
+      ext.injectFunction((FunctionIdentifier(name), info, builder))
+    }
+}
+
+object GraftExtensions {
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage,
+      "", "", "", "", "", "", "built-in")
+
+  private[plans] val definitions: Seq[(String, ExpressionInfo,
+      Seq[Expression] => Expression)] = Seq(
+    ("vec_dot", info("vec_dot", "dot product of two array<double>"),
+      (args: Seq[Expression]) => DotProduct(args(0), args(1))),
+    ("vec_l2sq", info("vec_l2sq", "squared L2 distance of two array<double>"),
+      (args: Seq[Expression]) => L2SquaredDistance(args(0), args(1))),
+    ("sorted_intersect_count",
+      info("sorted_intersect_count",
+        "intersection size of two sorted distinct array<string>"),
+      (args: Seq[Expression]) => SortedIntersectCount(args(0), args(1))),
+    ("minhash", info("minhash", "k-wide MinHash signature of array<string>"),
+      (args: Seq[Expression]) => args(1) match {
+        case Literal(k: Int, _) => MinHashArray(args(0), k)
+        case other => throw new IllegalArgumentException(
+          s"minhash k must be an integer literal, got $other")
+      }))
+
+  /** Register the functions on a live session (test / notebook use). */
+  def register(spark: SparkSession): Unit =
+    definitions.foreach { case (name, einfo, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(
+        FunctionIdentifier(name), einfo, builder)
+    }
+}

@@ -155,7 +155,9 @@ object RelationalQueries {
   private def q05(s: SparkSession, dir: String): DataFrame = {
     val base = Tables.customer(s, dir)
       .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
-    val asc = PandasRank.pctRankJoined(base, "c_acctbal", "bal_pct",
+    // both distributed formulations, each oracle-checked: range-partitioned
+    // prefix-sum (no single-partition window at all) and groupBy+join
+    val asc = PandasRank.pctRankScalable(base, "c_acctbal", "bal_pct",
       ascending = true)
     val both = PandasRank.pctRankJoined(asc, "c_acctbal", "bal_pct_desc",
       ascending = false)

@@ -56,6 +56,19 @@ class PandasRankSpec extends SparkSpec {
     }
   }
 
+  test("range-partitioned prefix-sum rank is bit-identical to the window form") {
+    // heavy ties + enough rows that values spread across range partitions
+    val df = Seq.tabulate(500)(i => (i, (i * 7 % 23).toDouble)).toDF("id", "v")
+    for (asc <- Seq(true, false); parts <- Seq(1, 3, 16)) {
+      val win = df.withColumn("p", pctRank(col("v"), ascending = asc))
+        .orderBy("id").select("p").as[Double].collect().toSeq
+      val scalable = graft.functions.PandasRank
+        .pctRankScalable(df, "v", "p", ascending = asc, numPartitions = parts)
+        .orderBy("id").select("p").as[Double].collect().toSeq
+      assert(win == scalable, s"ascending=$asc parts=$parts")
+    }
+  }
+
   test("results lie in (0, 1] and are monotone in the input") {
     val df = Seq.tabulate(100)(i => (i, (i * 37 % 50).toDouble))
       .toDF("id", "v")

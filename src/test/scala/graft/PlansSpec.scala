@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Skew
+import graft.plans.GraftExtensions
+
+/** Native-expression SQL surface + skew helpers. */
+class PlansSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("native expressions are callable from SQL after registration") {
+    GraftExtensions.register(spark)
+    val r = spark.sql(
+      """SELECT
+        |  vec_dot(array(1.0d, 2.0d, 3.0d), array(4.0d, 5.0d, 6.0d)) AS d,
+        |  vec_l2sq(array(0.0d, 0.0d), array(3.0d, 4.0d)) AS l2,
+        |  sorted_intersect_count(array('a','b','c'), array('b','c','d'))
+        |    AS ic,
+        |  size(minhash(array('x','y'), 8)) AS mh
+        |""".stripMargin).head()
+    assert(r.getDouble(0) == 32.0)
+    assert(r.getDouble(1) == 25.0)
+    assert(r.getInt(2) == 2)
+    assert(r.getInt(3) == 8)
+  }
+
+  test("native dot equals the higher-order-function formulation") {
+    val df = Seq((Seq(1.0, 2.0, 3.5), Seq(0.5, -1.0, 2.0))).toDF("a", "b")
+    val hof = df.select(aggregate(zip_with(col("a"), col("b"),
+      (x, y) => x * y), lit(0.0), (acc, x) => acc + x)).as[Double].head()
+    val native = df.select(
+      graft.functions.VectorFunctions.dot(col("a"), col("b")))
+      .as[Double].head()
+    assert(native == hof)
+  }
+
+  test("salted join matches the plain join on skewed keys") {
+    // 90% of left rows share one hot key
+    val left = Seq.tabulate(1000)(i =>
+      (if (i % 10 == 0) s"k$i" else "HOT", i)).toDF("key", "lv")
+    val right = (Seq(("HOT", 1)) ++ Seq.tabulate(100)(i => (s"k${i * 10}", 2)))
+      .toDF("key", "rv")
+    val plain = left.join(right, "key")
+      .select("key", "lv", "rv").as[(String, Int, Int)].collect().toSet
+    val salted = Skew.saltedJoin(left, right, "key", salt = 8)
+      .select("key", "lv", "rv").as[(String, Int, Int)].collect().toSet
+    assert(salted == plain)
+    assert(plain.count(_._1 == "HOT") == 900)
+  }
+}

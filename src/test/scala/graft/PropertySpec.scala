@@ -1,0 +1,112 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.etl.{EtlConfigs, Extract, Load, Refine, Schema}
+import graft.functions.PandasRank
+import graft.operators.RuleEngine
+
+/** Property-style tests (SURVEY §5): each property generates a few hundred
+  * random inputs with ScalaCheck generators (fixed seed — deterministic),
+  * runs them through Spark as ONE DataFrame, and checks the invariant over
+  * the collected results.
+  */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def sample[A](g: Gen[A], n: Int, seed: Long = 7L): Seq[A] =
+    Seq.tabulate(n)(i =>
+      g.apply(Gen.Parameters.default, Seed(seed + i)).get)
+
+  private val kw = EtlConfigs.TxnTypeKeywords(
+    Seq("繳款", "扣繳"), Seq("回饋", "調整"), Seq("年費", "調整"))
+
+  test("cascade totality: every refined row gets exactly one valid type") {
+    val merchGen = Gen.oneOf("網路銀行繳款", "現金回饋", "調整", "超商",
+      "手續費繳款", "年費", "STORE", "")
+    val amtGen = Gen.oneOf(Gen.const(null.asInstanceOf[java.lang.Double]),
+      Gen.chooseNum(-5000.0, 5000.0).map(Double.box),
+      Gen.const(Double.box(0.0)))
+    val locGen = Gen.oneOf("TW", "JP", "US", "")
+    val curGen = Gen.oneOf("TWD", "JPY", "")
+    val rows = sample(for {
+      m <- merchGen; a <- amtGen; l <- locGen; c <- curGen
+    } yield (m, a, l, c, "TWD"), 400)
+    val df = rows.toDF(Schema.Merchant, Schema.PayAmount, Schema.Location,
+      Schema.Currency, Schema.PayCurrency)
+    val out = Refine.refine(df, Nil, Nil, Nil, kw)
+      .select(Schema.TxnType, Schema.PayAmount).collect()
+    val valid = Set("繳款", "折抵", "退刷", "各項費用", "驗證/零元", "交易",
+      "一般國外交易", "台幣跨境交易", "一般雙幣交易", "")
+    assert(out.forall(r => valid.contains(r.getString(0))))
+    // any row with a non-null amount is always classified (cascade total
+    // over <0 / ==0 / >0); only null-amount keyword-less rows stay ''
+    assert(out.filter(r => !r.isNullAt(1)).forall(_.getString(0).nonEmpty))
+  }
+
+  test("rank invariants on random multisets: bounds, mean, tie equality") {
+    val rows = sample(Gen.chooseNum(0, 30), 300).zipWithIndex
+      .map { case (v, i) => (i, v.toDouble) }
+    val df = rows.toDF("id", "v")
+    val ranks = PandasRank.pctRankJoined(df, "v", "p")
+      .select("v", "p").as[(Double, Double)].collect()
+    val n = ranks.length
+    assert(ranks.forall { case (_, p) => p > 0.0 && p <= 1.0 })
+    // pandas invariant: average of average-ranks is exactly (n+1)/2
+    val meanRank = ranks.map(_._2 * n).sum / n
+    assert(math.abs(meanRank - (n + 1) / 2.0) < 1e-6)
+    // tied values share one rank
+    assert(ranks.groupBy(_._1).values.forall(g => g.map(_._2).toSet.size == 1))
+  }
+
+  test("surrogate id: deterministic, sensitive to every component") {
+    val gen = for {
+      d <- Gen.oneOf("2024-01-05", "2024-02-06", "")
+      m <- Gen.alphaNumStr.map(_.take(8))
+      c <- Gen.oneOf("1234", "5678", "")
+      a <- Gen.chooseNum(-999.0, 999.0)
+    } yield (d, m, c, a, "交易")
+    val rows = sample(gen, 300).distinct
+    val df = rows.toDF("d", "m", "c", "a", "t")
+    def ids(frame: org.apache.spark.sql.DataFrame) = frame.select(
+      Load.transactionId(col("d"), col("m"), col("c"), col("a"), col("t")))
+      .as[String].collect().toSeq
+    val first = ids(df)
+    assert(first == ids(df)) // deterministic
+    // flipping one component changes the id
+    val flipped = df.withColumn("a", col("a") + 1.0)
+    assert(first.zip(ids(flipped)).forall { case (x, y) => x != y })
+  }
+
+  test("longest-prefix strip removes exactly the longest matching prefix") {
+    val prefixes = Seq("LinePay－", "Line", "JKOPAY－")
+    val bodyGen = Gen.alphaNumStr.map(_.take(10)).suchThat(b =>
+      !prefixes.exists(b.startsWith))
+    val gen = for {
+      p <- Gen.oneOf(prefixes)
+      b <- bodyGen
+    } yield (p + b, b)
+    val rows = sample(gen, 200)
+    val got = rows.toDF("in", "expected")
+      .withColumn("out",
+        RuleEngine.stripLongestPrefix(col("in"), prefixes))
+      .select("out", "expected").as[(String, String)].collect()
+    assert(got.forall { case (o, e) => o == e.trim })
+  }
+
+  test("country normalize: total, space-free, blank-to-TW") {
+    val gen = Gen.oneOf(
+      Gen.const(null.asInstanceOf[String]), Gen.const(""),
+      Gen.const("   "), Gen.oneOf("JPN", "TWN", "USA", "DEU"),
+      Gen.oneOf("JPN TOKYO", "usa new york", "XX", "weird  input"))
+    val rows = sample(gen, 300).map(Tuple1(_))
+    val out = rows.toDF("c")
+      .select(Extract.normalizeCountry(col("c"))).as[String].collect()
+    assert(out.forall(_ != null))
+    assert(out.forall(!_.contains(" ")))
+    val blanks = rows.count(r => r._1 == null || r._1.trim.isEmpty)
+    assert(out.count(_ == "TW") >= blanks)
+  }
+}
