@@ -84,15 +84,23 @@ object Load {
     spark.read.option("header", "true").csv(path)
 
   /** K2 + K4: overwrite-load as a parquet-backed table, then count-check.
-    * Partitioning: none by default (personal-finance scale); at warehouse
-    * scale pass e.g. `partitionBy = Seq("transaction_date")`.
+    * Partitioning/bucketing: none by default (personal-finance scale); at
+    * warehouse scale, `partitionBy = Seq("transaction_date")` replaces the
+    * reference's date index with partition pruning, and
+    * `bucketBy = Some((64, "card_no"))` replaces the card index with
+    * shuffle-free co-located joins/aggregations on the bucket key
+    * (SURVEY §2.2 K3).
     */
   def loadToTable(spark: SparkSession, refined: DataFrame, table: String,
-                  partitionBy: Seq[String] = Nil): Long = {
+                  partitionBy: Seq[String] = Nil,
+                  bucketBy: Option[(Int, String)] = None): Long = {
     val shaped = toWarehouseShape(refined)
-    val writer = shaped.write.mode("overwrite")
-    (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*)
-     else writer).saveAsTable(table)
+    var writer = shaped.write.mode("overwrite")
+    if (partitionBy.nonEmpty) writer = writer.partitionBy(partitionBy: _*)
+    bucketBy.foreach { case (n, c) =>
+      writer = writer.bucketBy(n, c).sortBy(c)
+    }
+    writer.saveAsTable(table)
     spark.table(table).count() // load_to_db.py:133-135
   }
 }

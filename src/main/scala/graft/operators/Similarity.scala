@@ -91,16 +91,22 @@ object Similarity {
              idCol: String = "vec_id",
              vecCol: String = "embedding"): DataFrame = {
     // argmin via array_min + array_position (first occurrence breaks ties
-    // deterministically). NOT a fold of nested when(struct,...) — that
-    // duplicates the distance subtrees exponentially in the plan.
-    def cell(vec: org.apache.spark.sql.Column) = {
-      val dists = array(centroids.map(ct => l2sq(vec, array(ct.map(lit): _*))): _*)
-      array_position(dists, array_min(dists))
-    }
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
-      cell(col(vecCol)).as("cell"))
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
-      cell(col(vecCol)).as("cell"))
+    // deterministically). Two plan-health rules learned the hard way:
+    // (a) NOT a fold of nested when(struct,...) — that duplicates the
+    // distance subtrees exponentially; (b) centroids ride as ONE
+    // typedLit(array<array<double>>) literal + transform, not 16×64
+    // inlined lit() leaves — those bloat the generated code past JIT/
+    // janino limits and drop the whole projection to interpreted eval.
+    val ctLit = typedLit(centroids.map(_.toSeq))
+    def withCell(df: DataFrame, vec: String): DataFrame =
+      df.withColumn("_dists", transform(ctLit, ct => l2sq(col(vec), ct)))
+        .withColumn("cell",
+          array_position(col("_dists"), array_min(col("_dists"))))
+        .drop("_dists")
+    val q = withCell(queries.select(col(idCol).as("query_id"),
+      col(vecCol).as("qv")), "qv")
+    val c = withCell(corpus.select(col(idCol).as("neighbor_id"),
+      col(vecCol).as("cv")), "cv")
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("neighbor_id").asc)
     q.join(c, Seq("cell"))
