@@ -186,8 +186,8 @@ object Dedup {
     bit_count(a.bitwiseXOR(b))
 
   /** SimHash near-dup pairs: fingerprint once per doc, then all-pairs
-    * hamming check (baseline; at scale, block on fingerprint chunks —
-    * pigeonhole: distance <= k means some 16-bit chunk matches exactly).
+    * hamming check — the O(n²) correctness baseline for
+    * [[simHashPairsBlocked]].
     */
   def simHashPairs(df: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int): DataFrame = {
@@ -195,6 +195,46 @@ object Dedup {
     val a = s.select(col("id").as("id_a"), col("fp").as("fp_a"))
     val b = s.select(col("id").as("id_b"), col("fp").as("fp_b"))
     a.join(b, col("id_a") < col("id_b"))
+      .withColumn("hamming", hamming64(col("fp_a"), col("fp_b")))
+      .filter(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+  }
+
+  /** SimHash near-dup pairs via pigeonhole blocking — same output as
+    * [[simHashPairs]], never all-pairs.
+    *
+    * Split the 64-bit fingerprint into `maxHamming + 1` blocks: two
+    * fingerprints within `maxHamming` bit flips must agree EXACTLY on at
+    * least one block (pigeonhole), so candidates come from an equi-join on
+    * (blockIdx, blockBits) — the shuffle carries (int, long, id) rows, and
+    * each bucket holds documents sharing one exact sub-fingerprint. An
+    * exact hamming check then removes false positives.
+    */
+  def simHashPairsBlocked(df: DataFrame, idCol: String, textCol: String,
+                          maxHamming: Int): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 64, "maxHamming in [0, 63]")
+    val blocks = maxHamming + 1
+    val bounds = (0 to blocks).map(b => b * 64 / blocks)
+    val s = df.select(col(idCol).as("id"), simHash64(col(textCol)).as("fp"))
+      .cache() // blocked self-join + verify rejoins
+    val blocked = s.select(col("id"),
+      explode(array((0 until blocks).map { b =>
+        val lo = bounds(b)
+        val width = bounds(b + 1) - bounds(b)
+        val mask = if (width == 64) -1L else (1L << width) - 1L
+        struct(lit(b).as("bidx"),
+          shiftrightunsigned(col("fp"), lo).bitwiseAND(mask).as("bval"))
+      }: _*)).as("blk"))
+      .select(col("id"), col("blk.bidx").as("bidx"), col("blk.bval").as("bval"))
+    val cand = blocked.as("a")
+      .join(blocked.as("b"),
+        col("a.bidx") === col("b.bidx") && col("a.bval") === col("b.bval") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    cand
+      .join(s.select(col("id").as("id_a"), col("fp").as("fp_a")), "id_a")
+      .join(s.select(col("id").as("id_b"), col("fp").as("fp_b")), "id_b")
       .withColumn("hamming", hamming64(col("fp_a"), col("fp_b")))
       .filter(col("hamming") <= maxHamming)
       .select("id_a", "id_b", "hamming")

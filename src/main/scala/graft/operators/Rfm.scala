@@ -41,6 +41,12 @@ object Rfm {
 
   /** One RFM aggregate with pandas-pct ranks, columns named
     * `{prefix}recency_days/frequency/monetary/r_rank/f_rank/m_rank`.
+    *
+    * Ranks use the window form — right for group tables up to ~10⁷ rows
+    * (card/wallet/merchant cardinalities). For group keys whose
+    * cardinality approaches fact scale, swap in
+    * `PandasRank.pctRankScalable` (bit-identical; range-partitioned, no
+    * global window — oracle-proven via q05).
     */
   def aggregate(df: DataFrame, keys: Seq[String], dateCol: String,
                 idCol: String, amountCol: String, analysisDate: Date,

@@ -196,9 +196,11 @@ object TextQueries {
       .orderBy(col("id_a"), col("id_b"))
 
   // ---------------------------------------------------------------- q27
-  // SimHash near-dup — Spark-only (xxhash64), rows-only check.
+  // SimHash near-dup via pigeonhole blocking (scale path; equality with
+  // the all-pairs baseline asserted in DedupSpec) — Spark-only hashes,
+  // rows-only check.
   private def q27(s: SparkSession, dir: String): DataFrame =
-    Dedup.simHashPairs(
+    Dedup.simHashPairsBlocked(
       Tables.documents(s, dir).filter(col("doc_id") < JaccardMaxId),
       "doc_id", "text", maxHamming = 12)
       .orderBy(col("id_a"), col("id_b"))

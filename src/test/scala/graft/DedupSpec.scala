@@ -81,4 +81,21 @@ class DedupSpec extends SparkSpec {
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     assert(got == Set((1L, 3L)))
   }
+
+  test("pigeonhole-blocked simhash equals the all-pairs baseline") {
+    val corpus = docs.union(Seq(
+      (6L, "the quick brown fox jumps over the lazy dog today"),
+      (7L, "unrelated text about completely other topics entirely"),
+      (8L, "the quick brown fox leaps over the lazy dog")
+    ).toDF("doc_id", "text"))
+    for (k <- Seq(0, 3, 12, 30)) {
+      val all = Dedup.simHashPairs(corpus, "doc_id", "text", k)
+        .select("id_a", "id_b", "hamming")
+        .as[(Long, Long, Int)].collect().toSet
+      val blocked = Dedup.simHashPairsBlocked(corpus, "doc_id", "text", k)
+        .select("id_a", "id_b", "hamming")
+        .as[(Long, Long, Int)].collect().toSet
+      assert(blocked == all, s"maxHamming=$k")
+    }
+  }
 }
