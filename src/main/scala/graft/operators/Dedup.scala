@@ -160,6 +160,51 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
+  /** Connected components over near-dup pairs: every document gets the
+    * minimum doc id of its duplicate cluster. Iterative label propagation
+    * (each round: take the min label across yourself and your neighbors)
+    * — converges in O(cluster diameter) rounds, which for dedup graphs is
+    * tiny (near-dup clusters are dense). Each round is one broadcast-able
+    * join + a groupBy min; the driver only checks a changed-row count.
+    */
+  def connectedComponents(ids: DataFrame, pairs: DataFrame,
+                          maxIter: Int = 20): DataFrame = {
+    // undirected edge list, including self-loops so isolated ids survive
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .union(ids.select(col("id").as("src"), col("id").as("dst")))
+      .distinct().cache()
+    var labels = ids.select(col("id"), col("id").as("label")).cache()
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIter) {
+      val next = edges
+        .join(labels.withColumnRenamed("id", "dst")
+          .withColumnRenamed("label", "dst_label"), Seq("dst"))
+        .groupBy(col("src").as("id"))
+        .agg(min(col("dst_label")).as("label"))
+        .cache()
+      changed = next.join(labels.withColumnRenamed("label", "old"), Seq("id"))
+        .filter(col("label") =!= col("old")).count()
+      labels.unpersist()
+      labels = next
+      iter += 1
+    }
+    labels
+  }
+
+  /** Corpus-level dedup: given documents and their near-dup pairs, keep
+    * exactly one representative (min id) per duplicate cluster.
+    */
+  def dedupCorpus(df: DataFrame, idCol: String,
+                  pairs: DataFrame): DataFrame = {
+    val comps = connectedComponents(
+      df.select(col(idCol).as("id")), pairs)
+    df.join(comps.withColumnRenamed("id", idCol), Seq(idCol))
+      .filter(col(idCol) === col("label"))
+      .drop("label")
+  }
+
   /** 64-bit SimHash over whitespace tokens: per-bit majority vote of token
     * hashes, packed into a long. Pure Column algebra (aggregate over an
     * array accumulator) — codegen'd, shuffle-free.

@@ -205,6 +205,47 @@ object TextQueries {
       "doc_id", "text", maxHamming = 12)
       .orderBy(col("id_a"), col("id_b"))
 
+  // ---------------------------------------------------------------- q28
+  // End-to-end corpus dedup: near-dup pairs (prefix-filtered Jaccard) →
+  // connected components → one surviving doc per cluster. Oracle uses a
+  // recursive CTE for min-reachable-id over the same pair graph.
+  private def q28(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).filter(col("doc_id") < JaccardMaxId)
+    Dedup.dedupCorpus(docs, "doc_id",
+        Dedup.jaccardSimilarityJoin(docs, "doc_id", "text", 3, 0.4))
+      .select(col("doc_id"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val q28Sql = {
+    val sh =
+      s"""list_sort(list_distinct(list_transform(
+         |    generate_series(1, greatest(len($toksSql) - 2, 0)),
+         |    i -> concat_ws(' ', $toksSql[i], $toksSql[i+1],
+         |                   $toksSql[i+2]))))""".stripMargin
+    s"""WITH RECURSIVE sets AS (
+       |  SELECT doc_id AS id, $sh AS sh
+       |  FROM documents WHERE doc_id < $JaccardMaxId),
+       |pairs AS (
+       |  SELECT a.id AS id_a, b.id AS id_b
+       |  FROM sets a JOIN sets b ON a.id < b.id
+       |  WHERE len(a.sh) > 0 AND len(b.sh) > 0
+       |    AND len(list_distinct(list_concat(a.sh, b.sh))) > 0
+       |    AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+       |      / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE)
+       |      >= 0.4),
+       |edges AS (
+       |  SELECT id_a AS src, id_b AS dst FROM pairs
+       |  UNION SELECT id_b, id_a FROM pairs),
+       |reach(id, r) AS (
+       |  SELECT doc_id, doc_id FROM documents WHERE doc_id < $JaccardMaxId
+       |  UNION
+       |  SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id),
+       |labels AS (SELECT id, MIN(r) AS label FROM reach GROUP BY id)
+       |SELECT id AS doc_id FROM labels WHERE id = label
+       |ORDER BY doc_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q20_exact_dedup" -> (q20 _),
     "q21_token_stats" -> (q21 _),
@@ -213,7 +254,8 @@ object TextQueries {
     "q24_fingerprint" -> (q24 _),
     "q25_ngram_jaccard" -> (q25 _),
     "q26_minhash_lsh" -> (q26 _),
-    "q27_simhash" -> (q27 _))
+    "q27_simhash" -> (q27 _),
+    "q28_dedup_corpus" -> (q28 _))
 
   val oracleSql: Map[String, String] = Map(
     "q20_exact_dedup" -> q20Sql,
@@ -221,5 +263,6 @@ object TextQueries {
     "q22_quality_score" -> q22Sql,
     "q23_langid" -> q23Sql,
     "q24_fingerprint" -> q24Sql,
-    "q25_ngram_jaccard" -> q25Sql)
+    "q25_ngram_jaccard" -> q25Sql,
+    "q28_dedup_corpus" -> q28Sql)
 }

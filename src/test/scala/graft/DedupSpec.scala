@@ -82,6 +82,23 @@ class DedupSpec extends SparkSpec {
     assert(got == Set((1L, 3L)))
   }
 
+  test("connected components merge transitive near-dup chains") {
+    // chain 1-2, 2-3 plus isolated 4, 5: components {1,2,3}, {4}, {5}
+    val ids = Seq(1L, 2L, 3L, 4L, 5L).toDF("id")
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+    val got = Dedup.connectedComponents(ids, pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 5L))
+  }
+
+  test("corpus dedup keeps one representative per cluster") {
+    val pairs = Dedup.jaccardSimilarityJoin(docs, "doc_id", "text", 3, 0.4)
+    val kept = Dedup.dedupCorpus(docs, "doc_id", pairs)
+      .select("doc_id").as[Long].collect().toSet
+    // docs 1,2,3 are one near-dup cluster → keep 1; 4 and 5 survive
+    assert(kept == Set(1L, 4L, 5L))
+  }
+
   test("pigeonhole-blocked simhash equals the all-pairs baseline") {
     val corpus = docs.union(Seq(
       (6L, "the quick brown fox jumps over the lazy dog today"),
