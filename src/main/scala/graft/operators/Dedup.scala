@@ -83,11 +83,20 @@ object Dedup {
       .cache()
     val prefLen = (col("sz") - ceil(col("sz") * threshold) + 1).cast("int")
     val pref = s.select(col("id"), col("sz"),
-      explode(slice(col("shingles"), lit(1), prefLen)).as("tok"))
+      posexplode(slice(col("shingles"), lit(1), prefLen)))
+      .withColumnRenamed("col", "tok")
+    // positional refinement (PPJoin): a shared prefix token at 0-based
+    // positions (i, j) caps the overlap at 1 + min(szA−i−1, szB−j−1),
+    // which must still reach the Jaccard lower bound t/(1+t)·(szA+szB)
+    val overlapBound =
+      (col("a.sz") + col("b.sz")) * (threshold / (1 + threshold))
+    val posCap = lit(1) + least(
+      col("a.sz") - col("a.pos") - 1, col("b.sz") - col("b.pos") - 1)
     val cand = pref.as("a").join(pref.as("b"),
         col("a.tok") === col("b.tok") && col("a.id") < col("b.id") &&
           col("a.sz") >= col("b.sz") * threshold &&
-          col("b.sz") >= col("a.sz") * threshold)
+          col("b.sz") >= col("a.sz") * threshold &&
+          posCap >= overlapBound)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
     val sets = s.select(col("id"), col("shingles"), col("sz"))
