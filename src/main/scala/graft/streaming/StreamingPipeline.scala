@@ -62,6 +62,20 @@ object StreamingPipeline {
       .select(col("win.start").as("hour"), col("event_type"), col("n"),
         col("total_value"))
 
+  /** Streaming exact dedup: drop documents whose content hash was already
+    * seen within the watermark horizon — the unbounded-stream twin of
+    * `Dedup.exact`. State is keyed by the 32-char digest (never the
+    * document body) and evicted once the watermark passes, so memory is
+    * bounded by the dedup horizon, not the stream length.
+    */
+  def streamingExactDedup(docs: DataFrame, textCol: String,
+                          tsCol: String = "ts_utc",
+                          watermark: String = "1 hour"): DataFrame =
+    docs
+      .withColumn("content_hash", md5(col(textCol)))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("content_hash")
+
   /** Session record emitted by [[sessionize]]. */
   final case class Session(
       userId: Long, sessionStart: Long, sessionEnd: Long, nEvents: Long)

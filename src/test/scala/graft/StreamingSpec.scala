@@ -71,6 +71,27 @@ class StreamingSpec extends SparkSpec {
     assert(got.contains(Session(2, b + 100, b + 100, 1)))
   }
 
+  test("streaming exact dedup drops repeated content within the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Long, String)]
+    val docs = mem.toDF().toDF("doc_id", "ms", "text")
+      .withColumn("ts_utc", timestamp_millis(col("ms")))
+    val q = StreamingPipeline.streamingExactDedup(docs, "text")
+      .select("doc_id")
+      .writeStream.format("memory").queryName("dedup")
+      .outputMode("append").start()
+    val b = 36000000L
+    mem.addData(
+      (1L, b, "hello world"), (2L, b + 1, "hello world"), // dup of 1
+      (3L, b + 2, "something else"))
+    q.processAllAvailable()
+    mem.addData((4L, b + 3, "hello world")) // still within watermark → dup
+    q.processAllAvailable()
+    q.stop()
+    val kept = spark.table("dedup").as[Long].collect().toSet
+    assert(kept == Set(1L, 3L))
+  }
+
   test("statement file stream refines micro-batches with the batch pipeline") {
     val in = Files.createTempDirectory("graft-stream-in").toString
     val chk = Files.createTempDirectory("graft-stream-chk").toString
