@@ -1,15 +1,16 @@
-package graft
+package graft.etl
 
 import java.nio.charset.Charset
 import java.nio.file.{Files, Paths}
 
-/** Reference-shaped statement + config fixtures (FIXTURES.md §1-§2),
+/** Reference-shaped example statements + configs (FIXTURES.md §1-§2) —
+  * the shippable demo corpus (mirrors the reference's examples/ dir),
   * written to a temp dir: esun CSV with preamble junk / master rows /
   * foreign splits / e.Point (ROC filename), cube CSV with combined
   * location-currency and dual card numbers, ctbc CSV in Big5, hncb HTML
   * with multiple tables and starred master rows.
   */
-object EtlFixtures {
+object ExampleData {
 
   def write(dir: String): Unit = {
     Files.createDirectories(Paths.get(s"$dir/data"))

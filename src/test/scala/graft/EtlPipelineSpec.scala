@@ -16,7 +16,7 @@ class EtlPipelineSpec extends SparkSpec {
 
   private lazy val dir: String = {
     val d = Files.createTempDirectory("graft-etl").toString
-    EtlFixtures.write(d)
+    ExampleData.write(d)
     d
   }
   private lazy val cfg = Pipeline.loadConfigs(spark, s"$dir/configs")
