@@ -100,6 +100,30 @@ object Mock {
     (df.withColumn(CardNo, masked), fakeMap)
   }
 
+  /** Config sanitization (generate_mock.py's generate_dummy_configs):
+    * rewrite the card-mapping rule table so it matches the MASKED data —
+    * each rule's card number maps through the fake map (full value, else
+    * last-4 suffix of a masked value), keeping dual-number keys coherent.
+    * Rules whose cards vanished from the sample are dropped.
+    */
+  def sanitizeCardRules(rules: Seq[EtlConfigs.CardRule],
+                        fakeMap: Map[String, String])
+      : Seq[EtlConfigs.CardRule] = {
+    val bySuffix = fakeMap.map { case (real, fake) =>
+      real.trim.takeRight(4) -> fake
+    }
+    def remap(cardNo: String): Option[String] = {
+      val parts = cardNo.split("/").map(_.trim)
+      val mapped = parts.map { p =>
+        fakeMap.get(p).orElse(bySuffix.get(p.takeRight(4)))
+          .map(_.takeRight(4))
+      }
+      if (mapped.exists(_.isEmpty)) None
+      else Some(mapped.flatten.mkString("/"))
+    }
+    rules.flatMap(r => remap(r.cardNo).map(m => r.copy(cardNo = m)))
+  }
+
   /** Full golden-pair generation (generate_mock.py:291-334): sample →
     * anonymize → the anonymized raw frame, ready to run through
     * `Refine.refine` for the matching refined example.

@@ -47,6 +47,19 @@ class MockSpec extends SparkSpec {
     assert(pairs.forall { case (_, p) => (p * 100).round / 100.0 == p })
   }
 
+  test("config sanitization remaps card rules through the fake map") {
+    val rules = Seq(
+      graft.etl.EtlConfigs.CardRule("卡A", "1111", "", "", ""),
+      graft.etl.EtlConfigs.CardRule("卡B", "1111/2222", "", "", "9999"),
+      graft.etl.EtlConfigs.CardRule("卡C", "0000", "", "", "")) // unseen
+    val fakeMap = Map(
+      "1111" -> "****-****-****-4444",
+      "2222" -> "****-****-****-5555")
+    val got = Mock.sanitizeCardRules(rules, fakeMap)
+    assert(got.map(_.cardNo) == Seq("4444", "4444/5555")) // 0000 dropped
+    assert(got.head.cardType == "卡A") // other fields untouched
+  }
+
   test("card masking is total, format-shaped, and reports its map") {
     val (masked, fakeMap) = Mock.maskCards(df,
       customMap = Map("1111" -> "4444"))
