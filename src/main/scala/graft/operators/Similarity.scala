@@ -81,15 +81,16 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("sim"))
   }
 
-  /** IVF-style ANN: nearest-centroid cell assignment on both sides (cells
-    * from `centroids`, a small driver-side seed list), candidates = same
-    * cell. One equi-join on cell id; recall grows with centroid overlap
-    * probing (nprobe=1 here — the minimal cell match).
+  /** IVF-style ANN: nearest-centroid cell assignment for the corpus;
+    * queries probe their `nprobe` nearest cells (multi-probe — recall
+    * rises with nprobe at the cost of proportionally more candidates).
+    * Candidates come from one equi-join on cell id.
     */
   def ivfKnn(queries: DataFrame, corpus: DataFrame, k: Int,
              centroids: Seq[Seq[Double]],
              idCol: String = "vec_id",
-             vecCol: String = "embedding"): DataFrame = {
+             vecCol: String = "embedding",
+             nprobe: Int = 1): DataFrame = {
     // argmin via array_min + array_position (first occurrence breaks ties
     // deterministically). Two plan-health rules learned the hard way:
     // (a) NOT a fold of nested when(struct,...) — that duplicates the
@@ -97,16 +98,28 @@ object Similarity {
     // typedLit(array<array<double>>) literal + transform, not 16×64
     // inlined lit() leaves — those bloat the generated code past JIT/
     // janino limits and drop the whole projection to interpreted eval.
+    require(nprobe >= 1 && nprobe <= centroids.size, "nprobe in [1, cells]")
     val ctLit = typedLit(centroids.map(_.toSeq))
-    def withCell(df: DataFrame, vec: String): DataFrame =
+    def withDists(df: DataFrame, vec: String): DataFrame =
       df.withColumn("_dists", transform(ctLit, ct => l2sq(col(vec), ct)))
-        .withColumn("cell",
-          array_position(col("_dists"), array_min(col("_dists"))))
-        .drop("_dists")
-    val q = withCell(queries.select(col(idCol).as("query_id"),
-      col(vecCol).as("qv")), "qv")
-    val c = withCell(corpus.select(col(idCol).as("neighbor_id"),
-      col(vecCol).as("cv")), "cv")
+    // corpus: single nearest cell (array_position = first min, 1-based)
+    val c = withDists(corpus.select(col(idCol).as("neighbor_id"),
+        col(vecCol).as("cv")), "cv")
+      .withColumn("cell",
+        array_position(col("_dists"), array_min(col("_dists"))))
+      .drop("_dists")
+    // queries: the nprobe nearest cells — sort (dist, idx) structs so the
+    // tie-break matches array_position's first-occurrence rule
+    val q = withDists(queries.select(col(idCol).as("query_id"),
+        col(vecCol).as("qv")), "qv")
+      .withColumn("cell",
+        explode(transform(
+          slice(array_sort(transform(
+            sequence(lit(1), lit(centroids.size)),
+            i => struct(element_at(col("_dists"), i).as("dist"),
+              i.as("idx")))), 1, nprobe),
+          s => s.getField("idx").cast("long"))))
+      .drop("_dists")
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("neighbor_id").asc)
     q.join(c, Seq("cell"))

@@ -57,4 +57,21 @@ class SimilaritySpec extends SparkSpec {
       .select("neighbor_id").as[Long].collect().toSeq
     assert(got == Seq(1L)) // 0 and 1 share the x-axis cell
   }
+
+  test("multi-probe ivf recovers neighbors from adjacent cells") {
+    // query sits in cell A; its true 2nd neighbor lands in cell B —
+    // nprobe=1 misses it, nprobe=2 probes B and recovers it
+    val centroids = Seq(Seq(1.0, 0.0, 0.0), Seq(0.0, 1.0, 0.0))
+    val data = Seq(
+      (0L, Seq(0.9f, 0.35f, 0.0f)), // query: cell A, leaning toward B
+      (1L, Seq(1.0f, 0.0f, 0.0f)), // cell A
+      (2L, Seq(0.6f, 0.75f, 0.0f)) // cell B, cosine-close to the query
+    ).toDF("vec_id", "embedding")
+    def neighbors(np: Int) = Similarity.ivfKnn(
+        data.filter(col("vec_id") === 0), data, k = 2, centroids,
+        nprobe = np)
+      .select("neighbor_id").as[Long].collect().toSet
+    assert(neighbors(1) == Set(1L))
+    assert(neighbors(2) == Set(1L, 2L))
+  }
 }
