@@ -34,13 +34,16 @@ object RefineBench {
         date_format(date_add(lit("2024-01-01").cast("date"),
           pmod(id, lit(400)).cast("int")), "yyyy-MM-dd"))
       .withColumn(PostDate, col(TxnDate))
-      .withColumn(Merchant, elt(pmod(id, lit(12)) + 1,
+      .withColumn(Merchant, elt(pmod(id, lit(16)) + 1,
         lit("網路銀行繳款"), lit("現金回饋活動"),
         concat(lit("LINE PAY－餐廳_"), pmod(id, lit(97))),
         lit("加油站"), lit("STEAMGAMES.COM"),
         lit("使用e point 1,000 點折現金 100 元"),
         concat(lit("統一超商_"), pmod(id, lit(53))), lit("手續費"),
-        lit("年費帳單"), lit("蝦皮購物"), lit("全聯福利中心"), lit("調整")))
+        lit("年費帳單"), lit("蝦皮購物"), lit("全聯福利中心"), lit("調整"),
+        // adversarial: csv-quoting, embedded quotes, padding, full-width
+        lit("咖啡, 店"), lit("say \"hi\" store"), lit("  超商回饋  "),
+        lit("ＬＰＥＰＩ商店")))
       .withColumn(Location, elt(pmod(id, lit(4)) + 1,
         lit("TW"), lit("JP"), lit("US"), lit("")))
       .withColumn(ConsumptionPlace, lit(""))
