@@ -60,21 +60,39 @@ object Similarity {
   }
 
   /** Random-hyperplane LSH ANN: vectors sharing a `planes.length`-bit
-    * bucket are candidates; rank within candidates. Deterministic given the
-    * plane set (pass seeded pseudo-random planes).
+    * bucket in ANY of the hash tables are candidates; rank within the
+    * deduplicated candidate set. Multiple independent tables
+    * (`tables.size` > 1) are the standard recall lever — a true neighbor
+    * only needs to collide once. Deterministic given the plane sets.
     */
   def lshKnn(queries: DataFrame, corpus: DataFrame, k: Int,
              planes: Seq[Seq[Double]],
              idCol: String = "vec_id",
-             vecCol: String = "embedding"): DataFrame = {
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
-      rhpBucket(col(vecCol), planes).as("bucket"))
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
-      rhpBucket(col(vecCol), planes).as("bucket"))
+             vecCol: String = "embedding"): DataFrame =
+    lshKnnMultiTable(queries, corpus, k, Seq(planes), idCol, vecCol)
+
+  /** Multi-table variant of [[lshKnn]]: one (table, bucket) pair per hash
+    * table, candidates via an equi-join on both, deduplicated before the
+    * cosine ranking so each candidate is scored once.
+    */
+  def lshKnnMultiTable(queries: DataFrame, corpus: DataFrame, k: Int,
+                       tables: Seq[Seq[Seq[Double]]],
+                       idCol: String = "vec_id",
+                       vecCol: String = "embedding"): DataFrame = {
+    def bucketed(df: DataFrame, id: String, vec: String) =
+      df.select(col(idCol).as(id), col(vecCol).as(vec),
+        explode(array(tables.zipWithIndex.map { case (planes, t) =>
+          struct(lit(t).as("t"), rhpBucket(col(vecCol), planes).as("b"))
+        }: _*)).as("tb"))
+        .select(col(id), col(vec), col("tb.t").as("t"), col("tb.b").as("b"))
+    val q = bucketed(queries, "query_id", "qv")
+    val c = bucketed(corpus, "neighbor_id", "cv")
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("neighbor_id").asc)
-    q.join(c, Seq("bucket"))
+    q.join(c, Seq("t", "b"))
       .filter(col("query_id") =!= col("neighbor_id"))
+      .select("query_id", "qv", "neighbor_id", "cv")
+      .dropDuplicates("query_id", "neighbor_id")
       .withColumn("sim", round(cosine(col("qv"), col("cv")), 6))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)

@@ -50,6 +50,28 @@ class SimilaritySpec extends SparkSpec {
     assert(got.subsetOf(exact))
   }
 
+  test("multi-table lsh recall dominates single-table on real embeddings") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    // 4-bit buckets: these embeddings' top-5 neighbors sit at ~60-70°
+    // angles, so per-bit collision ≈ 0.65 → ~18%/table, ~55% with 4 tables
+    def planes(seed: Long) = {
+      val r = new scala.util.Random(seed)
+      Seq.fill(4)(Seq.fill(64)(r.nextGaussian()))
+    }
+    val queries = emb.filter(col("vec_id") < 20)
+    val exact = Similarity.bruteForceKnn(queries, emb, k = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    def recall(tables: Seq[Seq[Seq[Double]]]) = {
+      val got = Similarity.lshKnnMultiTable(queries, emb, k = 5, tables)
+        .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+      got.intersect(exact).size.toDouble / exact.size
+    }
+    val one = recall(Seq(planes(1)))
+    val four = recall(Seq(planes(1), planes(2), planes(3), planes(4)))
+    assert(four >= one) // more tables never lose candidates
+    assert(four > 0.25, s"4-table recall $four implausibly low")
+  }
+
   test("ivf knn assigns cells and finds the nearest same-cell vector") {
     val centroids = Seq(Seq(1.0, 0.0, 0.0), Seq(0.0, 1.0, 1.0))
     val got = Similarity.ivfKnn(
