@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The forked JVM's stdout must reach the console RAW: the driver parses
+// Bench's one-line JSON metric, and sbt's default LoggedOutput prefixes
+// every line with "[info] ", which broke the round-1 parse (parsed:null).
+run / outputStrategy := Some(StdoutOutput)
+// ... and keep "[success] Total time" off stdout so the metric line can
+// also be consumed by a last-line reader.
+Global / showSuccess := false
 // sun.jnu.encoding (filename charset) follows the process locale, not -D
 // flags — CJK statement filenames need a UTF-8 locale in forked JVMs
 Test / envVars ++= Map("LC_ALL" -> "C.UTF-8", "LANG" -> "C.UTF-8")

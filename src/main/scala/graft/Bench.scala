@@ -11,20 +11,44 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // warm-up: JVM/codegen/scheduler init shouldn't bill the first query
-    Tables.names.foreach(n =>
-      try spark.read.parquet(s"$sfDir/$n.parquet").count()
-      catch { case _: Throwable => () })
+    // warm-up: JVM/codegen/scheduler init shouldn't bill the first query.
+    // Tables.load (not raw parquet read) — events is TIMESTAMP(NANOS) and
+    // needs the nanosAsLong path or the warm-up count itself aborts a job.
+    Tables.names.foreach { n =>
+      try {
+        val df = if (n == "events") Tables.events(spark, sfDir)
+                 else Tables.load(spark, sfDir, n)
+        df.count()
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] warm-up $n failed: $e")
+      }
+    }
+    var errors = List.empty[(String, String)]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map {
       case (name, fn) =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        try { fn(spark, sfDir).count() } catch {
+          case e: Throwable =>
+            // a swallowed failure must be visible in the metric line —
+            // a silently-timed aborted job reads as a (fast) success
+            errors ::= name -> e.toString.take(200)
+            e.printStackTrace(System.err)
+        }
         name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    def jstr(s: String): String =
+      "\"" + s.flatMap {
+        case '"' => "\\\""; case '\\' => "\\\\"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"
+        case c => c.toString
+      } + "\""
+    val errJson = errors.reverse
+      .map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }
+      .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

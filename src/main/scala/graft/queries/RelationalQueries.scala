@@ -426,9 +426,13 @@ object RelationalQueries {
       |    THEN 1 ELSE 0 END AS new_session
       |  FROM gapped),
       |sessions AS (
-      |  SELECT *, SUM(new_session) OVER
+      |  -- CAST: DuckDB window-sums INTEGER into HUGEINT, which lands in
+      |  -- pandas as float64; Spark emits int64. The driver hash-compares
+      |  -- rendered values, so 2 vs 2.0 is a mismatch — pin to BIGINT.
+      |  SELECT *, CAST(SUM(new_session) OVER
       |    (PARTITION BY user_id ORDER BY ms ASC, event_id ASC
-      |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |    AS session_id
       |  FROM flagged)
       |SELECT user_id, session_id, COUNT(*) AS n_events,
       |  MIN(ms) AS start_ms, MAX(ms) AS end_ms

@@ -53,6 +53,12 @@ for name in sorted(oracle):
             idx = (~same).idxmax()
             bad.append(f"{c}: {n_diff} diffs, first@{idx}: "
                        f"exp={e.iloc[idx]!r} got={g.iloc[idx]!r}")
+        elif e.dtype.kind != g.dtype.kind:
+            # the driver hash-compares RENDERED values: int32 2 vs int64 2
+            # both render "2" (r01 hash-matched those), but float64 2.0 vs
+            # int64 2 renders "2.0" vs "2" and FAILS there even though ==
+            # passes here (round-1 q12: DuckDB HUGEINT -> pandas float64)
+            bad.append(f"{c}: DTYPE_KIND_MISMATCH exp={e.dtype} got={g.dtype}")
     results[name] = "OK" if not bad else "VALUE_MISMATCH " + "; ".join(bad[:3])
 
 n_ok = sum(1 for v in results.values() if v == "OK")
