@@ -214,26 +214,39 @@ object Dedup {
       .drop("label")
   }
 
-  /** 64-bit SimHash over whitespace tokens: per-bit majority vote of token
-    * hashes, packed into a long. Pure Column algebra (aggregate over an
-    * array accumulator) — codegen'd, shuffle-free.
+  /** SimHash over whitespace tokens: per-bit majority vote of token hashes,
+    * packed into a long. Pure Column algebra (aggregate over an array
+    * accumulator) — codegen'd, shuffle-free. Token hashes are materialized
+    * ONCE per token (transform) before the vote fold; inlining the hash in
+    * the per-bit lambda would re-evaluate it `bits` times per token.
     */
-  def simHash64(text: Column): Column = {
+  def simHash(text: Column, tokenHash: Column => Column, bits: Int): Column = {
+    require(bits >= 1 && bits <= 64, "bits in [1, 64]")
     // constant per-bit masks (1L<<63 wraps negative — bitwise ops only)
-    val masks = array((0 until 64).map(i => lit(1L << i)): _*)
-    val toks = TextAnalysis.tokens(text)
+    val masks = array((0 until bits).map(i => lit(1L << i)): _*)
+    val hashes = transform(TextAnalysis.tokens(text), tokenHash)
     val votes = aggregate(
-      toks,
-      array_repeat(lit(0L), 64),
-      (acc, t) => {
-        val h = xxhash64(t)
-        zip_with(acc, masks,
-          (a, m) => a + when(h.bitwiseAND(m) =!= 0L, lit(1L)).otherwise(lit(-1L)))
-      })
+      hashes,
+      array_repeat(lit(0L), bits),
+      (acc, h) => zip_with(acc, masks,
+        (a, m) => a + when(h.bitwiseAND(m) =!= 0L, lit(1L)).otherwise(lit(-1L))))
     aggregate(
       zip_with(votes, masks, (v, m) => when(v > 0, m).otherwise(lit(0L))),
       lit(0L), (acc, x) => acc.bitwiseOR(x))
   }
+
+  /** 64-bit xxhash64 SimHash — the scale default (fastest token hash). */
+  def simHash64(text: Column): Column = simHash(text, xxhash64(_), 64)
+
+  /** 60-bit md5-derived SimHash: token hash = first 15 hex chars of md5 as
+    * an integer — computable identically in any engine with md5 (DuckDB:
+    * `CAST(concat('0x', substr(md5(t),1,15)) AS BIGINT)`), so results are
+    * portable/oracle-checkable. 60 bits keeps the value in positive long
+    * range on every engine.
+    */
+  def simHashMd5(text: Column): Column =
+    simHash(text,
+      t => conv(substring(md5(t), 1, 15), 16, 10).cast("long"), 60)
 
   /** Hamming distance between two 64-bit fingerprints. */
   def hamming64(a: Column, b: Column): Column =
@@ -244,8 +257,9 @@ object Dedup {
     * [[simHashPairsBlocked]].
     */
   def simHashPairs(df: DataFrame, idCol: String, textCol: String,
-                   maxHamming: Int): DataFrame = {
-    val s = df.select(col(idCol).as("id"), simHash64(col(textCol)).as("fp"))
+                   maxHamming: Int,
+                   fp: Column => Column = simHash64): DataFrame = {
+    val s = df.select(col(idCol).as("id"), fp(col(textCol)).as("fp"))
     val a = s.select(col("id").as("id_a"), col("fp").as("fp_a"))
     val b = s.select(col("id").as("id_b"), col("fp").as("fp_b"))
     a.join(b, col("id_a") < col("id_b"))
@@ -265,11 +279,13 @@ object Dedup {
     * exact hamming check then removes false positives.
     */
   def simHashPairsBlocked(df: DataFrame, idCol: String, textCol: String,
-                          maxHamming: Int): DataFrame = {
-    require(maxHamming >= 0 && maxHamming < 64, "maxHamming in [0, 63]")
+                          maxHamming: Int,
+                          fp: Column => Column = simHash64,
+                          bits: Int = 64): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < bits, "maxHamming in [0, bits)")
     val blocks = maxHamming + 1
-    val bounds = (0 to blocks).map(b => b * 64 / blocks)
-    val s = df.select(col(idCol).as("id"), simHash64(col(textCol)).as("fp"))
+    val bounds = (0 to blocks).map(b => b * bits / blocks)
+    val s = df.select(col(idCol).as("id"), fp(col(textCol)).as("fp"))
       .cache() // blocked self-join + verify rejoins
     val blocked = s.select(col("id"),
       explode(array((0 until blocks).map { b =>

@@ -187,8 +187,13 @@ object TextQueries {
   }
 
   // ---------------------------------------------------------------- q26
-  // MinHash+LSH near-dup (scale path) — Spark-only (xxhash64 signatures);
-  // rows-only driver check, exactness covered by DedupSpec vs q25 baseline.
+  // MinHash+LSH near-dup (scale path). LSH can only MISS pairs vs the
+  // exact join (never emit false positives — every candidate is
+  // exact-Jaccard-verified), and at (64 hashes, 16 bands) it has full
+  // recall on the driver corpus: the output is row-identical to q25's.
+  // That makes the exact-pairs SQL a valid (and strict) oracle — if a
+  // signature/banding change ever drops recall below 1.0 here, the gate
+  // fails loudly instead of silently weakening to a rows-only check.
   private def q26(s: SparkSession, dir: String): DataFrame =
     Dedup.minHashLsh(
       Tables.documents(s, dir).filter(col("doc_id") < JaccardMaxId),
@@ -197,13 +202,38 @@ object TextQueries {
 
   // ---------------------------------------------------------------- q27
   // SimHash near-dup via pigeonhole blocking (scale path; equality with
-  // the all-pairs baseline asserted in DedupSpec) — Spark-only hashes,
-  // rows-only check.
+  // the all-pairs baseline asserted in DedupSpec). Uses the md5-derived
+  // 60-bit fingerprint so DuckDB can rebuild the exact same simhashes —
+  // the oracle is the all-pairs hamming join, which the blocked join must
+  // reproduce verbatim (pigeonhole guarantees no misses at maxHamming).
   private def q27(s: SparkSession, dir: String): DataFrame =
     Dedup.simHashPairsBlocked(
       Tables.documents(s, dir).filter(col("doc_id") < JaccardMaxId),
-      "doc_id", "text", maxHamming = 12)
+      "doc_id", "text", maxHamming = 12,
+      fp = Dedup.simHashMd5, bits = 60)
       .orderBy(col("id_a"), col("id_b"))
+
+  private val q27Sql =
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok
+       |  FROM documents WHERE doc_id < $JaccardMaxId),
+       |h AS (SELECT doc_id,
+       |        CAST(concat('0x', substr(md5(tok), 1, 15)) AS BIGINT) AS h
+       |      FROM toks),
+       |bits AS (SELECT unnest(range(60)) AS b),
+       |votes AS (
+       |  SELECT doc_id, b,
+       |    SUM(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+       |  FROM h CROSS JOIN bits GROUP BY doc_id, b),
+       |fp AS (SELECT doc_id,
+       |         CAST(SUM(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << b)
+       |           ELSE 0 END) AS BIGINT) AS fp
+       |       FROM votes GROUP BY doc_id)
+       |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |  CAST(bit_count(xor(a.fp, b.fp)) AS INTEGER) AS hamming
+       |FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.fp, b.fp)) <= 12
+       |ORDER BY id_a, id_b""".stripMargin
 
   // ---------------------------------------------------------------- q28
   // End-to-end corpus dedup: near-dup pairs (prefix-filtered Jaccard) →
@@ -264,5 +294,7 @@ object TextQueries {
     "q23_langid" -> q23Sql,
     "q24_fingerprint" -> q24Sql,
     "q25_ngram_jaccard" -> q25Sql,
+    "q26_minhash_lsh" -> q25Sql, // see q26 note: row-identical to q25
+    "q27_simhash" -> q27Sql,
     "q28_dedup_corpus" -> q28Sql)
 }

@@ -59,21 +59,85 @@ object VectorQueries {
   }
 
   // ---------------------------------------------------------------- q31
+  // The planes are part of the operator definition (fixed seed), so the
+  // oracle EMBEDS them as literals and replays the exact bucket assignment:
+  // rhpBucket's projection is a sequential left-fold dot product, which is
+  // bit-identical to DuckDB's list_inner_product (parity proven by q30).
+  private val q31Planes = randPlanes(8, 64, seed = 42L)
   private def q31(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir)
     Similarity.lshKnn(
-      emb.filter(col("vec_id") < NumQueries), emb, K,
-      planes = randPlanes(8, 64, seed = 42L))
+      emb.filter(col("vec_id") < NumQueries), emb, K, planes = q31Planes)
       .orderBy(col("query_id"), col("rank"))
   }
 
+  // Double.toString is the shortest round-trip form — DuckDB parses the
+  // literal back to the identical bits.
+  private def dlit(p: Seq[Double]): String = p.mkString("[", ",", "]")
+
+  private val q31Sql = {
+    val bucket = q31Planes.zipWithIndex.map { case (p, i) =>
+      s"(CASE WHEN list_inner_product(v, ${dlit(p)}) >= 0" +
+        s" THEN ${1L << i} ELSE 0 END)"
+    }.mkString(" + ")
+    s"""WITH vecs AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |b AS (SELECT vec_id, v, CAST($bucket AS BIGINT) AS bkt FROM vecs),
+       |q AS (SELECT * FROM b WHERE vec_id < $NumQueries),
+       |scored AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |    round(list_inner_product(q.v, c.v)
+       |      / (sqrt(list_inner_product(q.v, q.v))
+       |         * sqrt(list_inner_product(c.v, c.v))), 6) AS sim
+       |  FROM q JOIN b c ON q.bkt = c.bkt AND q.vec_id <> c.vec_id),
+       |ranked AS (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+       |    ORDER BY sim DESC, neighbor_id ASC) AS rank
+       |  FROM scored)
+       |SELECT query_id, rank, neighbor_id, sim
+       |FROM ranked WHERE rank <= $K
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
   // ---------------------------------------------------------------- q32
+  // Same constant-embedding trick for the IVF centroids. Cell assignment =
+  // FIRST argmin of the squared L2 distances; the oracle expands each
+  // distance as an explicit left-associated sum of (v[i]-c_i)^2 so the
+  // floating-point accumulation order matches the native l2sq loop exactly,
+  // and list_position(first occurrence) mirrors array_position's tie-break.
+  private val q32Centroids = randPlanes(16, 64, seed = 7L)
   private def q32(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir)
     Similarity.ivfKnn(
       emb.filter(col("vec_id") < NumQueries), emb, K,
-      centroids = randPlanes(16, 64, seed = 7L))
+      centroids = q32Centroids) // nprobe = 1: query cell == corpus argmin
       .orderBy(col("query_id"), col("rank"))
+  }
+
+  private val q32Sql = {
+    def l2sq(c: Seq[Double]): String =
+      c.zipWithIndex.map { case (x, i) =>
+        s"(v[${i + 1}]-($x))*(v[${i + 1}]-($x))"
+      }.mkString("(", " + ", ")")
+    val dists = q32Centroids.map(l2sq).mkString("[", ",", "]")
+    s"""WITH vecs AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |b AS (SELECT vec_id, v, list_position(dists, list_min(dists)) AS cell
+       |      FROM (SELECT vec_id, v, $dists AS dists FROM vecs)),
+       |q AS (SELECT * FROM b WHERE vec_id < $NumQueries),
+       |scored AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |    round(list_inner_product(q.v, c.v)
+       |      / (sqrt(list_inner_product(q.v, q.v))
+       |         * sqrt(list_inner_product(c.v, c.v))), 6) AS sim
+       |  FROM q JOIN b c ON q.cell = c.cell AND q.vec_id <> c.vec_id),
+       |ranked AS (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+       |    ORDER BY sim DESC, neighbor_id ASC) AS rank
+       |  FROM scored)
+       |SELECT query_id, rank, neighbor_id, sim
+       |FROM ranked WHERE rank <= $K
+       |ORDER BY query_id, rank""".stripMargin
   }
 
   // ---------------------------------------------------------------- q33
@@ -108,5 +172,7 @@ object VectorQueries {
 
   val oracleSql: Map[String, String] = Map(
     "q30_knn_bruteforce" -> q30Sql,
+    "q31_knn_lsh" -> q31Sql,
+    "q32_knn_ivf" -> q32Sql,
     "q33_embedding_neardup" -> q33Sql)
 }
