@@ -26,13 +26,17 @@ object Dedup {
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_count"))
 
   /** Distinct word-n-gram shingle set per document (set semantics — the
-    * Jaccard universe).
+    * Jaccard universe). Tokenizes into a column first so the shingle
+    * lambda reads a bound array instead of re-splitting the text per
+    * element (see TextAnalysis.shingles scaladoc).
     */
   def shingleSets(df: DataFrame, idCol: String, textCol: String,
                   n: Int): DataFrame =
     df.select(col(idCol).as("id"),
-      array_sort(array_distinct(TextAnalysis.shingles(col(textCol), n)))
-        .as("shingles"))
+        TextAnalysis.tokens(col(textCol)).as("_toks"))
+      .select(col("id"),
+        array_sort(array_distinct(
+          TextAnalysis.shinglesOfTokens(col("_toks"), n))).as("shingles"))
 
   /** Exact n-gram Jaccard similarity for every id pair above `threshold`.
     * All-pairs (O(n^2)) — the correctness baseline; use [[minHashLsh]] when
