@@ -1,0 +1,86 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Time-series joins the reference's pandas pipeline has no analog for but
+  * any event/transaction warehouse needs (pandas offers them as
+  * `merge_asof`; SURVEY §2.9's join family is the nearest reference
+  * surface).
+  *
+  * Scale design: the naive formulation — for each left row, scan the right
+  * side for the latest earlier row — is a non-equi join that Spark can only
+  * execute as a broadcast-nested-loop (right side must fit on one executor)
+  * or a per-row LATERAL re-sort. Neither survives two large inputs. The
+  * implementation here is the union+fill formulation instead: tag both
+  * sides, union them, and run ONE window pass per key ordered by time,
+  * carrying the most recent right-side values forward into each left row.
+  * Cost at any scale = one shuffle of (|L|+|R|) rows on the key plus a
+  * partition-local sort — the same plan shape as a windowed aggregation,
+  * no replication, no nested loop, AQE-splittable on skewed keys.
+  */
+object TemporalJoin {
+
+  /** Backward as-of join (pandas `merge_asof(direction="backward")`):
+    * for every left row, attach `valueCols` from the LATEST right row of
+    * the same `key` with `right.ts <= left.ts` (inclusive), or nulls when
+    * no such row exists. `tolerance` (same unit as `ts`) drops matches
+    * older than `left.ts - tolerance`.
+    *
+    * Right rows must be unique per (key, ts) — pre-aggregate the right
+    * side otherwise (ties would make "the latest row" ill-defined in any
+    * engine). Emits all left columns plus, per right value column `v`,
+    * `<v>_asof`, and `ts_asof` (the matched right timestamp).
+    */
+  def asOfBackward(left: DataFrame, right: DataFrame, key: String,
+                   ts: String, valueCols: Seq[String],
+                   tolerance: Option[Long] = None): DataFrame = {
+    val leftCols = left.columns.toSeq
+    require(!leftCols.contains("_side"), "left must not contain _side")
+
+    // shared union schema: key, ts, _side, every left col, every right value
+    val taggedLeft = left
+      .withColumn("_side", lit(1))
+      .select(Seq(col(key), col(ts).as("_ts"), col("_side")) ++
+        leftCols.filterNot(c => c == key || c == ts).map(col) ++
+        valueCols.map(v => lit(null).cast(right.schema(v).dataType)
+          .as(s"_r_$v")): _*)
+    val taggedRight = right
+      .withColumn("_side", lit(0))
+      .select(Seq(col(key), col(ts).as("_ts"), col("_side")) ++
+        leftCols.filterNot(c => c == key || c == ts)
+          .map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
+        valueCols.map(v => col(v).as(s"_r_$v")): _*)
+
+    // one key-partitioned pass; at equal ts the right row (side 0) sorts
+    // first, so the left row sees it — inclusive as-of
+    val w = Window.partitionBy(col(key))
+      .orderBy(col("_ts").asc, col("_side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    val withFill = taggedLeft.unionByName(taggedRight)
+      .withColumn("_ts_asof",
+        last(when(col("_side") === 0, col("_ts")), ignoreNulls = true)
+          .over(w))
+    val filled = valueCols.foldLeft(withFill) { (df, v) =>
+      df.withColumn(s"${v}_asof",
+        last(col(s"_r_$v"), ignoreNulls = true).over(w))
+    }
+
+    val inTol: Column = tolerance match {
+      case Some(t) => col("_ts_asof").isNotNull &&
+        (col("_ts") - col("_ts_asof")) <= t
+      case None => col("_ts_asof").isNotNull
+    }
+    val out = filled
+      .filter(col("_side") === 1)
+      .withColumn("ts_asof", when(inTol, col("_ts_asof")))
+    valueCols.foldLeft(out) { (df, v) =>
+      df.withColumn(s"${v}_asof", when(inTol, col(s"${v}_asof")))
+    }
+      .select(Seq(col(key), col("_ts").as(ts)) ++
+        leftCols.filterNot(c => c == key || c == ts).map(col) ++
+        (Seq("ts_asof") ++ valueCols.map(v => s"${v}_asof")).map(col): _*)
+  }
+}
