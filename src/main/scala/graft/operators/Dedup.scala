@@ -38,6 +38,24 @@ object Dedup {
         array_sort(array_distinct(
           TextAnalysis.shinglesOfTokens(col("_toks"), n))).as("shingles"))
 
+  /** [[shingleSets]] with each shingle collapsed to its xxhash64 — the
+    * representation every downstream join/cache/shuffle should use at
+    * scale: 8 bytes per shingle instead of a 3-word string, fixed-width
+    * compares in the intersect walk, cheap columnar caching. Jaccard on
+    * hashed sets equals Jaccard on string sets absent 64-bit collisions
+    * (P ≈ |universe|²/2⁶⁵ — negligible for any real corpus).
+    */
+  def hashedShingleSets(df: DataFrame, idCol: String, textCol: String,
+                        n: Int): DataFrame =
+    df.select(col(idCol).as("id"),
+        TextAnalysis.tokens(col(textCol)).as("_toks"))
+      .select(col("id"),
+        array_sort(array_distinct(transform(
+          TextAnalysis.shinglesOfTokens(col("_toks"), n),
+          s => xxhash64(s)))).as("shingles"))
+
+  private def widen(df: DataFrame): DataFrame = Partitioning.widen(df)
+
   /** Exact n-gram Jaccard similarity for every id pair above `threshold`.
     * All-pairs (O(n^2)) — the correctness baseline; use [[minHashLsh]] when
     * n is large.
@@ -80,8 +98,11 @@ object Dedup {
   def jaccardSimilarityJoin(df: DataFrame, idCol: String, textCol: String,
                             n: Int, threshold: Double): DataFrame = {
     // cache: the shingle plan feeds the prefix self-join AND two verify
-    // rejoins — without it, tokenization recomputes 4x per query
-    val s = shingleSets(df, idCol, textCol, n)
+    // rejoins — without it, tokenization recomputes 4x per query.
+    // Hashed (long) shingles: the prefix index, cache, and intersect all
+    // move 8-byte values; PPJoin's prefix bound holds under any total
+    // order of the universe, so ordering by hash is as valid as lexical.
+    val s = hashedShingleSets(widen(df), idCol, textCol, n)
       .filter(size(col("shingles")) > 0)
       .withColumn("sz", size(col("shingles")))
       .cache()
@@ -110,7 +131,7 @@ object Dedup {
       .join(sets.select(col("id").as("id_b"), col("shingles").as("sh_b"),
         col("sz").as("sz_b")), "id_b")
       .withColumn("inter",
-        graft.plans.SetExpressions.sortedIntersectCount(
+        graft.plans.SetExpressions.sortedLongIntersectCount(
           col("sh_a"), col("sh_b")).cast("double"))
       .withColumn("jaccard",
         col("inter") / (col("sz_a") + col("sz_b") - col("inter")))
@@ -137,10 +158,10 @@ object Dedup {
                  threshold: Double, numHashes: Int = 64,
                  bands: Int = 16): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
-    val rows = bands // rows per band = numHashes / bands
-    val s = shingleSets(df, idCol, textCol, n)
+    val s = hashedShingleSets(widen(df), idCol, textCol, n)
       .filter(size(col("shingles")) > 0)
-      .withColumn("sig", minHashSignature(col("shingles"), numHashes))
+      .withColumn("sig",
+        graft.plans.SetExpressions.minHashLongs(col("shingles"), numHashes))
       .cache() // banded self-join + two verify rejoins read this 4x
     // shuffle carries (band, bandHash, id) — 24 bytes/row, never documents
     val banded = s.select(col("id"),
@@ -164,7 +185,7 @@ object Dedup {
       .join(sets.select(col("id").as("id_b"), col("shingles").as("sh_b")),
         "id_b")
       .withColumn("inter",
-        graft.plans.SetExpressions.sortedIntersectCount(
+        graft.plans.SetExpressions.sortedLongIntersectCount(
           col("sh_a"), col("sh_b")).cast("double"))
       .withColumn("jaccard",
         col("inter") /
@@ -188,17 +209,22 @@ object Dedup {
       .union(ids.select(col("id").as("src"), col("id").as("dst")))
       .distinct().cache()
     var labels = ids.select(col("id"), col("id").as("label")).cache()
-    var changed = 1L
+    // labels only ever decrease (min-propagation), so the label sum is a
+    // strictly-decreasing convergence measure: fixpoint iff the sum is
+    // unchanged. One tiny agg job per round instead of a join + count.
+    var prevSum = labels.agg(sum(col("label"))).head().getLong(0)
     var iter = 0
-    while (changed > 0 && iter < maxIter) {
+    var converged = false
+    while (!converged && iter < maxIter) {
       val next = edges
         .join(labels.withColumnRenamed("id", "dst")
           .withColumnRenamed("label", "dst_label"), Seq("dst"))
         .groupBy(col("src").as("id"))
         .agg(min(col("dst_label")).as("label"))
         .cache()
-      changed = next.join(labels.withColumnRenamed("label", "old"), Seq("id"))
-        .filter(col("label") =!= col("old")).count()
+      val nextSum = next.agg(sum(col("label"))).head().getLong(0)
+      converged = nextSum == prevSum
+      prevSum = nextSum
       labels.unpersist()
       labels = next
       iter += 1
@@ -289,7 +315,7 @@ object Dedup {
     require(maxHamming >= 0 && maxHamming < bits, "maxHamming in [0, bits)")
     val blocks = maxHamming + 1
     val bounds = (0 to blocks).map(b => b * bits / blocks)
-    val s = df.select(col(idCol).as("id"), fp(col(textCol)).as("fp"))
+    val s = widen(df).select(col(idCol).as("id"), fp(col(textCol)).as("fp"))
       .cache() // blocked self-join + verify rejoins
     val blocked = s.select(col("id"),
       explode(array((0 until blocks).map { b =>

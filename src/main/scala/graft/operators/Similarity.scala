@@ -32,7 +32,10 @@ object Similarity {
                     broadcastQueries: Boolean = true): DataFrame = {
     val q0 = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
     val q = if (broadcastQueries) broadcast(q0) else q0
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    // widen: a small corpus file scans as one split, serializing the
+    // |Q|x|C| dot products on one core; see Partitioning.widen
+    val c = Partitioning.widen(corpus)
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("neighbor_id").asc)
     q.join(c, col("query_id") =!= col("neighbor_id"))
@@ -51,8 +54,9 @@ object Similarity {
   def cosineNearDupPairs(df: DataFrame, threshold: Double,
                          idCol: String = "vec_id",
                          vecCol: String = "embedding"): DataFrame = {
-    val a = df.select(col(idCol).as("id_a"), col(vecCol).as("va"))
-    val b = df.select(col(idCol).as("id_b"), col(vecCol).as("vb"))
+    val wdf = Partitioning.widen(df)
+    val a = wdf.select(col(idCol).as("id_a"), col(vecCol).as("va"))
+    val b = wdf.select(col(idCol).as("id_b"), col(vecCol).as("vb"))
     a.join(b, col("id_a") < col("id_b"))
       .withColumn("sim", round(cosine(col("va"), col("vb")), 6))
       .filter(col("sim") >= threshold)
@@ -86,7 +90,7 @@ object Similarity {
         }: _*)).as("tb"))
         .select(col(id), col(vec), col("tb.t").as("t"), col("tb.b").as("b"))
     val q = bucketed(queries, "query_id", "qv")
-    val c = bucketed(corpus, "neighbor_id", "cv")
+    val c = bucketed(Partitioning.widen(corpus), "neighbor_id", "cv")
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("neighbor_id").asc)
     q.join(c, Seq("t", "b"))
@@ -121,8 +125,8 @@ object Similarity {
     def withDists(df: DataFrame, vec: String): DataFrame =
       df.withColumn("_dists", transform(ctLit, ct => l2sq(col(vec), ct)))
     // corpus: single nearest cell (array_position = first min, 1-based)
-    val c = withDists(corpus.select(col(idCol).as("neighbor_id"),
-        col(vecCol).as("cv")), "cv")
+    val c = withDists(Partitioning.widen(corpus)
+        .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv")), "cv")
       .withColumn("cell",
         array_position(col("_dists"), array_min(col("_dists"))))
       .drop("_dists")

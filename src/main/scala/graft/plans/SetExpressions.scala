@@ -30,6 +30,18 @@ object SetExpressions {
     ColumnBridge.column(SortedIntersectCount(
       ColumnBridge.expression(a), ColumnBridge.expression(b)))
 
+  /** |a ∩ b| for two SORTED, DISTINCT long arrays (hashed shingles — the
+    * scale representation: 8-byte fixed-width compares, no UTF8 walks).
+    */
+  def sortedLongIntersectCount(a: Column, b: Column): Column =
+    ColumnBridge.column(SortedLongIntersectCount(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** k-wide MinHash signature of a long array (hashed shingles). */
+  def minHashLongs(shingles: Column, k: Int): Column =
+    ColumnBridge.column(MinHashLongArray(
+      ColumnBridge.expression(shingles), k))
+
   /** k-wide MinHash signature of a string array (order-insensitive). */
   def minHash(shingles: Column, k: Int): Column =
     ColumnBridge.column(MinHashArray(
@@ -155,4 +167,125 @@ case class MinHashArray(child: Expression, k: Int)
   override protected def withNewChildInternal(c: Expression): Expression =
     copy(child = c)
   override def prettyName: String = s"minhash$k"
+}
+
+/** Merge-walk intersection count over sorted distinct long arrays. Same
+  * contract as [[SortedIntersectCount]] but on fixed-width elements — the
+  * representation [[graft.operators.Dedup.hashedShingleSets]] produces.
+  */
+case class SortedLongIntersectCount(left: Expression, right: Expression)
+    extends BinaryExpression with Serializable {
+
+  override def dataType: DataType = IntegerType
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(dt: DataType) = dt match {
+      case ArrayType(LongType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType))
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<bigint> inputs")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    var i = 0
+    var j = 0
+    var c = 0
+    while (i < x.numElements() && j < y.numElements()) {
+      val xv = x.getLong(i)
+      val yv = y.getLong(j)
+      if (xv == yv) { c += 1; i += 1; j += 1 }
+      else if (xv < yv) i += 1
+      else j += 1
+    }
+    c
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      s"""
+         |int i = 0, j = 0, c = 0;
+         |int nx = $x.numElements(), ny = $y.numElements();
+         |while (i < nx && j < ny) {
+         |  long xv = $x.getLong(i);
+         |  long yv = $y.getLong(j);
+         |  if (xv == yv) { c++; i++; j++; }
+         |  else if (xv < yv) { i++; } else { j++; }
+         |}
+         |${ev.value} = c;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "sorted_long_intersect_count"
+}
+
+/** One-pass k-wide MinHash over a long array (pre-hashed shingles): two
+  * Murmur3 hashes of each 8-byte element seed the h1 + i·h2 family —
+  * mirrors [[MinHashArray]] without touching string bytes.
+  */
+case class MinHashLongArray(child: Expression, k: Int)
+    extends UnaryExpression with Serializable {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<bigint> input")
+  }
+
+  override def nullSafeEval(a: Any): Any = {
+    val arr = a.asInstanceOf[ArrayData]
+    val mins = Array.fill(k)(Long.MaxValue)
+    var e = 0
+    while (e < arr.numElements()) {
+      val v = arr.getLong(e)
+      val h1 = Murmur3_x86_32.hashLong(v, 42) & 0xffffffffL
+      val h2 = Murmur3_x86_32.hashLong(v, 1337) & 0xffffffffL
+      var i = 0
+      while (i < k) {
+        val h = h1 + i * h2
+        if (h < mins(i)) mins(i) = h
+        i += 1
+      }
+      e += 1
+    }
+    new GenericArrayData(mins)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val mins = ctx.freshName("mins")
+      s"""
+         |long[] $mins = new long[$k];
+         |java.util.Arrays.fill($mins, Long.MAX_VALUE);
+         |int n = $c.numElements();
+         |for (int e = 0; e < n; e++) {
+         |  long v = $c.getLong(e);
+         |  long h1 = org.apache.spark.unsafe.hash.Murmur3_x86_32
+         |    .hashLong(v, 42) & 0xffffffffL;
+         |  long h2 = org.apache.spark.unsafe.hash.Murmur3_x86_32
+         |    .hashLong(v, 1337) & 0xffffffffL;
+         |  for (int i = 0; i < $k; i++) {
+         |    long h = h1 + i * h2;
+         |    if (h < $mins[i]) $mins[i] = h;
+         |  }
+         |}
+         |${ev.value} =
+         |  new org.apache.spark.sql.catalyst.util.GenericArrayData($mins);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+  override def prettyName: String = s"minhash_long$k"
 }
