@@ -17,10 +17,13 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Li
   * session.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.definitions.foreach { case (name, info, builder) =>
       ext.injectFunction((FunctionIdentifier(name), info, builder))
     }
+    // opt-in range-join rewrite (spark.graft.rangeJoin.bucketWidth > 0)
+    ext.injectOptimizerRule(_ => RangeJoinRewrite)
+  }
 }
 
 object GraftExtensions {
@@ -46,10 +49,16 @@ object GraftExtensions {
           s"minhash k must be an integer literal, got $other")
       }))
 
-  /** Register the functions on a live session (test / notebook use). */
-  def register(spark: SparkSession): Unit =
+  /** Register the functions + optimizer rules on a live session (test /
+    * notebook use — sessions built without `spark.sql.extensions`).
+    */
+  def register(spark: SparkSession): Unit = {
     definitions.foreach { case (name, einfo, builder) =>
       spark.sessionState.functionRegistry.registerFunction(
         FunctionIdentifier(name), einfo, builder)
     }
+    if (!spark.experimental.extraOptimizations.contains(RangeJoinRewrite))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ RangeJoinRewrite
+  }
 }
