@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{RelationalQueries, ScaleQueries, TextQueries, VectorQueries}
+import graft.queries.{AnalyticsQueries, RelationalQueries, ScaleQueries, TextQueries, VectorQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -25,7 +25,8 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     RelationalQueries.queries ++ TextQueries.queries ++
-      VectorQueries.queries ++ ScaleQueries.queries
+      VectorQueries.queries ++ ScaleQueries.queries ++
+      AnalyticsQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops →
@@ -33,5 +34,6 @@ object SparkEntry {
     */
   def oracleSql: Map[String, String] =
     RelationalQueries.oracleSql ++ TextQueries.oracleSql ++
-      VectorQueries.oracleSql ++ ScaleQueries.oracleSql
+      VectorQueries.oracleSql ++ ScaleQueries.oracleSql ++
+      AnalyticsQueries.oracleSql
 }
