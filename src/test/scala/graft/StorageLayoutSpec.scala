@@ -1,0 +1,60 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+/** Storage-layout scale levers: bucketing (co-located joins with NO
+  * shuffle on either side) and partition pruning (directory-level data
+  * skipping). These are deploy-time decisions, so the evidence is
+  * plan-shape assertions rather than oracle queries.
+  */
+class StorageLayoutSpec extends SparkSpec {
+
+  test("bucketed tables join with no shuffle exchange") {
+    val orders = Tables.orders(spark, sf)
+    val customer = Tables.customer(spark, sf)
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_customer")
+    orders.write.bucketBy(8, "o_custkey").sortBy("o_custkey")
+      .mode("overwrite").saveAsTable("b_orders")
+    customer.write.bucketBy(8, "c_custkey").sortBy("c_custkey")
+      .mode("overwrite").saveAsTable("b_customer")
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // force the shuffled-join path: broadcast would hide the exchange
+      // question entirely (and is the right plan for a genuinely small dim)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val j = spark.table("b_orders").join(spark.table("b_customer"),
+        col("o_custkey") === col("c_custkey"))
+      val plan = j.queryExecution.sparkPlan.toString
+      assert(plan.contains("SortMergeJoin"))
+      assert(!plan.contains("Exchange"),
+        s"bucketed join must not shuffle either side:\n$plan")
+      // and it still computes the right thing
+      val expected = orders.join(customer,
+        col("o_custkey") === col("c_custkey")).count()
+      assert(j.count() == expected && expected > 0)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+    }
+  }
+
+  test("partition pruning reaches the file listing") {
+    val dir = Files.createTempDirectory("graft_part").toString
+    Tables.events(spark, sf)
+      .select(col("event_id"), col("user_id"), col("value"),
+        col("event_type"))
+      .write.partitionBy("event_type").mode("overwrite").parquet(dir)
+    val clicks = spark.read.parquet(dir)
+      .filter(col("event_type") === "click")
+    val scan = clicks.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters"))
+    assert(scan.contains("event_type"),
+      s"partition filter must reach the scan:\n$scan")
+    // pruning is semantically invisible
+    val expected = Tables.events(spark, sf)
+      .filter(col("event_type") === "click").count()
+    assert(clicks.count() == expected && expected > 0)
+  }
+}
