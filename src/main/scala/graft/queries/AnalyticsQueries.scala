@@ -126,15 +126,33 @@ object AnalyticsQueries {
       |FROM w FULL OUTER JOIN wo USING (c_mktsegment)
       |ORDER BY c_mktsegment""".stripMargin
 
+  // ---------------------------------------------------------------- q42
+  // Same top-3-per-group as q38, via the native bounded-heap AGGREGATE
+  // (graft.plans.TopKByScore) instead of the window rank-filter: one hash
+  // aggregation with O(k) partial state per group and no sort anywhere.
+  // Oracle-checked against the identical SQL as q38 — two different plans
+  // must produce byte-identical results.
+  private def q42(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .groupBy(col("o_orderpriority"))
+      .agg(graft.plans.AggExpressions.topKByScore(
+        col("o_totalprice"), col("o_orderkey"), 3).as("top"))
+      .select(col("o_orderpriority"), posexplode(col("top")))
+      .select(col("o_orderpriority"), (col("pos") + 1).as("rk"),
+        col("col.id").as("o_orderkey"), col("col.score").as("o_totalprice"))
+      .orderBy(col("o_orderpriority"), col("rk"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q38_topk_per_group" -> (q38 _),
     "q39_rollup" -> (q39 _),
     "q40_pivot" -> (q40 _),
-    "q41_semi_anti_join" -> (q41 _))
+    "q41_semi_anti_join" -> (q41 _),
+    "q42_topk_agg" -> (q42 _))
 
   val oracleSql: Map[String, String] = Map(
     "q38_topk_per_group" -> q38Sql,
     "q39_rollup" -> q39Sql,
     "q40_pivot" -> q40Sql,
-    "q41_semi_anti_join" -> q41Sql)
+    "q41_semi_anti_join" -> q41Sql,
+    "q42_topk_agg" -> q38Sql) // same semantics, aggregate-shaped plan
 }

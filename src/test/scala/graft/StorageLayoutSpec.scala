@@ -16,6 +16,16 @@ class StorageLayoutSpec extends SparkSpec {
     val customer = Tables.customer(spark, sf)
     spark.sql("DROP TABLE IF EXISTS b_orders")
     spark.sql("DROP TABLE IF EXISTS b_customer")
+    // the in-memory catalog forgets tables between JVMs but their
+    // warehouse directories survive — clear them or CREATE TABLE refuses
+    Seq("b_orders", "b_customer").foreach { t =>
+      val p = new java.io.File(
+        new java.net.URI(spark.conf.get("spark.sql.warehouse.dir"))
+          .getPath, t)
+      if (p.exists()) {
+        p.listFiles().foreach(_.delete()); p.delete()
+      }
+    }
     orders.write.bucketBy(8, "o_custkey").sortBy("o_custkey")
       .mode("overwrite").saveAsTable("b_orders")
     customer.write.bucketBy(8, "c_custkey").sortBy("c_custkey")
