@@ -103,6 +103,33 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("sim"))
   }
 
+  /** Scale path for [[cosineNearDupPairs]]: multi-table random-hyperplane
+    * bucketing on both sides, candidates from an equi-join on
+    * (table, bucket), exact cosine check on the candidate set. Same
+    * contract as MinHash-LSH text dedup: may only MISS pairs (recall
+    * rises with table count), never emits a false positive — every
+    * output pair truly clears `threshold`.
+    */
+  def cosineNearDupPairsBucketed(df: DataFrame, threshold: Double,
+                                 tables: Seq[Seq[Seq[Double]]],
+                                 idCol: String = "vec_id",
+                                 vecCol: String = "embedding"): DataFrame = {
+    val wdf = Partitioning.widen(df)
+    def bucketed(id: String, vec: String) =
+      wdf.select(col(idCol).as(id), col(vecCol).as(vec),
+        explode(array(tables.zipWithIndex.map { case (planes, t) =>
+          struct(lit(t).as("t"), rhpBucket(col(vecCol), planes).as("b"))
+        }: _*)).as("tb"))
+        .select(col(id), col(vec), col("tb.t").as("t"), col("tb.b").as("b"))
+    bucketed("id_a", "va").join(bucketed("id_b", "vb"), Seq("t", "b"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "va", "id_b", "vb")
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("sim", round(cosine(col("va"), col("vb")), 6))
+      .filter(col("sim") >= threshold)
+      .select(col("id_a"), col("id_b"), col("sim"))
+  }
+
   /** IVF-style ANN: nearest-centroid cell assignment for the corpus;
     * queries probe their `nprobe` nearest cells (multi-probe — recall
     * rises with nprobe at the cost of proportionally more candidates).

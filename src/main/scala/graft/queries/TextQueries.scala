@@ -276,7 +276,55 @@ object TextQueries {
        |ORDER BY doc_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q43
+  // Deterministic train/val/test folds: fold = md5-hash(doc_id) mod 10 —
+  // a pure projection (no shuffle for the assignment itself), stable
+  // across runs, partitionings, and engines; the oracle recomputes the
+  // identical assignment in DuckDB.
+  private def q43(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Splits.assignFolds(
+        Tables.documents(s, dir), "doc_id", folds = 10)
+      .groupBy(col("fold"))
+      .agg(count(lit(1)).as("n_docs"),
+        graft.functions.OracleSafe.dsum(length(col("text")))
+          .as("total_chars"))
+      .orderBy(col("fold"))
+
+  private val q43Sql =
+    """SELECT CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+      |    AS BIGINT) % 10 AS fold,
+      |  COUNT(*) AS n_docs,
+      |  CAST(SUM(CAST(length(text) AS DECIMAL(28,6))) AS DOUBLE)
+      |    AS total_chars
+      |FROM documents
+      |GROUP BY fold
+      |ORDER BY fold""".stripMargin
+
+  // ---------------------------------------------------------------- q44
+  // Leakage-safe GROUPED split: fold keyed on user_id, so every event of
+  // a user lands in one fold (the split unit is the entity, not the row).
+  private def q44(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Splits.assignFolds(
+        Tables.events(s, dir), "user_id", folds = 5)
+      .groupBy(col("fold"))
+      .agg(countDistinct(col("user_id")).as("n_users"),
+        count(lit(1)).as("n_events"),
+        graft.functions.OracleSafe.dsum(col("value")).as("total_value"))
+      .orderBy(col("fold"))
+
+  private val q44Sql =
+    """SELECT CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+      |    AS BIGINT) % 5 AS fold,
+      |  COUNT(DISTINCT user_id) AS n_users,
+      |  COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS total_value
+      |FROM events
+      |GROUP BY fold
+      |ORDER BY fold""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q43_fold_split" -> (q43 _),
+    "q44_grouped_split" -> (q44 _),
     "q20_exact_dedup" -> (q20 _),
     "q21_token_stats" -> (q21 _),
     "q22_quality_score" -> (q22 _),
@@ -288,6 +336,8 @@ object TextQueries {
     "q28_dedup_corpus" -> (q28 _))
 
   val oracleSql: Map[String, String] = Map(
+    "q43_fold_split" -> q43Sql,
+    "q44_grouped_split" -> q44Sql,
     "q20_exact_dedup" -> q20Sql,
     "q21_token_stats" -> q21Sql,
     "q22_quality_score" -> q22Sql,

@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Similarity, Splits}
+
+class SplitsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("fold assignment is deterministic and partition-independent") {
+    val ids = spark.range(0, 2000).toDF("k")
+    val a = Splits.assignFolds(ids, "k", 10)
+      .select("k", "fold").as[(Long, Long)].collect().toMap
+    val b = Splits.assignFolds(ids.repartition(13), "k", 10)
+      .select("k", "fold").as[(Long, Long)].collect().toMap
+    assert(a == b)
+    assert(a.values.toSet.subsetOf((0L until 10L).toSet))
+    // roughly balanced: no fold under half or over double the fair share
+    val sizes = a.values.groupBy(identity).map(_._2.size)
+    assert(sizes.min > 100 && sizes.max < 400, s"unbalanced: $sizes")
+  }
+
+  test("grouped split never leaks a key across folds") {
+    val ev = Tables.events(spark, sf)
+    val folded = Splits.assignFolds(ev, "user_id", 5)
+    val leaky = folded.groupBy("user_id")
+      .agg(countDistinct(col("fold")).as("nf"))
+      .filter(col("nf") > 1).count()
+    assert(leaky == 0)
+  }
+
+  private def planes(n: Int, dim: Int, seed: Long): Seq[Seq[Double]] = {
+    val r = new scala.util.Random(seed)
+    Seq.fill(n)(Seq.fill(dim)(r.nextGaussian()))
+  }
+
+  test("bucketed cosine near-dup is a subset of exact with high recall") {
+    // the driver embeddings have no true near-dups at a high threshold,
+    // so plant them: a deterministically perturbed copy of each vector
+    // (cosine ≈ 0.999 to its original)
+    val base = Tables.embeddings(spark, sf).filter(col("vec_id") < 300)
+    val copies = base
+      .withColumn("vec_id", col("vec_id") + 1000)
+      .withColumn("embedding", expr(
+        "transform(embedding, (x, i) -> x * (1.0f + float(0.03 * sin(i + vec_id))))"))
+    val corpus = base.unionByName(copies)
+    val dim = base.select(size(col("embedding"))).head().getInt(0)
+    val exact = Similarity.cosineNearDupPairs(corpus, 0.95)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val tables = (0 until 6).map(t => planes(6, dim, seed = 100 + t))
+    val bucketed = Similarity
+      .cosineNearDupPairsBucketed(corpus, 0.95, tables)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(bucketed.subsetOf(exact)) // never a false positive
+    assert(exact.size >= 300) // every planted pair is present
+    val recall = bucketed.size.toDouble / exact.size
+    assert(recall >= 0.8, s"recall $recall (${bucketed.size}/${exact.size})")
+  }
+}
