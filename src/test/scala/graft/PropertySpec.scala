@@ -109,4 +109,35 @@ class PropertySpec extends SparkSpec {
     val blanks = rows.count(r => r._1 == null || r._1.trim.isEmpty)
     assert(out.count(_ == "TW") >= blanks)
   }
+
+  test("as-of join equals the brute-force definition on random streams") {
+    // dense key/ts ranges force plenty of cross-key collisions, ties
+    // (ts equality between sides), multi-quote runs, and quoteless keys
+    val leftRows = sample(for {
+      k <- Gen.chooseNum(0, 8); ts <- Gen.chooseNum(0L, 60L)
+    } yield (k, ts), 250).zipWithIndex
+      .map { case ((k, ts), i) => (i.toLong, k, ts) }
+    val rightRows = sample(for {
+      k <- Gen.chooseNum(0, 6); ts <- Gen.chooseNum(0L, 60L)
+      v <- Gen.chooseNum(1.0, 9.0)
+    } yield (k, ts, v), 180, seed = 99L)
+      // unique (key, ts) — the operator's documented precondition
+      .groupBy(t => (t._1, t._2)).map(_._2.maxBy(_._3)).toSeq
+    val left = leftRows.toDF("id", "k", "ts")
+    val right = rightRows.toDF("k", "ts", "v")
+    val got = graft.operators.TemporalJoin
+      .asOfBackward(left, right, "k", "ts", Seq("v"), tolerance = Some(15L))
+      .select(col("id"), col("ts_asof"), col("v_asof"))
+      .as[(Long, Option[Long], Option[Double])].collect()
+      .map(t => t._1 -> (t._2, t._3)).toMap
+    // brute force: latest right row at-or-before, within tolerance
+    val expected = leftRows.map { case (id, k, ts) =>
+      val m = rightRows.filter(r => r._1 == k && r._2 <= ts &&
+        r._2 >= ts - 15L)
+      id -> (if (m.isEmpty) (None, None)
+             else { val b = m.maxBy(_._2); (Some(b._2), Some(b._3)) })
+    }.toMap
+    assert(got.size == leftRows.size)
+    assert(got == expected)
+  }
 }
