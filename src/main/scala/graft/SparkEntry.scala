@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{AnalyticsQueries, RelationalQueries, ScaleQueries, TextQueries, VectorQueries}
+import graft.queries.{AnalyticsQueries, ExtendedQueries, RelationalQueries, ScaleQueries, TextQueries, VectorQueries, WindowSetQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -26,7 +26,8 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     RelationalQueries.queries ++ TextQueries.queries ++
       VectorQueries.queries ++ ScaleQueries.queries ++
-      AnalyticsQueries.queries
+      AnalyticsQueries.queries ++ WindowSetQueries.queries ++
+      ExtendedQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops →
@@ -35,5 +36,6 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     RelationalQueries.oracleSql ++ TextQueries.oracleSql ++
       VectorQueries.oracleSql ++ ScaleQueries.oracleSql ++
-      AnalyticsQueries.oracleSql
+      AnalyticsQueries.oracleSql ++ WindowSetQueries.oracleSql ++
+      ExtendedQueries.oracleSql
 }

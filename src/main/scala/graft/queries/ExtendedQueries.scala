@@ -1,0 +1,239 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** SQL-surface completions: unpivot (wide→long), higher-order array
+  * lambdas, correlated EXISTS / scalar subqueries, explicit grouping
+  * sets, JSON extraction, RANGE-frame windows, and the scalar string
+  * battery.
+  *
+  * Scale notes: every query here is either a pure projection (q52, q57,
+  * q59), a single-shuffle aggregate (q53, q56), one window pass (q58),
+  * or a join Catalyst derives from a subquery (q54/q55 — EXISTS becomes
+  * a left-semi hash join, NOT EXISTS a left-anti, the scalar subquery a
+  * one-row broadcast). Nothing materializes on the driver.
+  */
+object ExtendedQueries {
+
+  private def dsumSql(e: String) =
+    s"CAST(SUM(CAST(($e) AS DECIMAL(28,6))) AS DOUBLE)"
+
+  // ---------------------------------------------------------------- q52
+  // Unpivot / melt — the inverse of q40's pivot. Wide numeric columns
+  // become (key, metric, value) rows via Dataset.unpivot, a zero-shuffle
+  // Expand (each input row emits one row per value column, executor-side).
+  private def q52(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity"), col("l_extendedprice"), col("l_discount"))
+      .unpivot(
+        Array(col("l_orderkey"), col("l_linenumber")),
+        Array(col("l_quantity"), col("l_extendedprice"),
+          col("l_discount")),
+        "metric", "value")
+      .orderBy(col("l_orderkey"), col("l_linenumber"), col("metric"))
+
+  private val q52Sql =
+    """SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric,
+      |  l_quantity AS value FROM lineitem
+      |UNION ALL
+      |SELECT l_orderkey, l_linenumber, 'l_extendedprice',
+      |  l_extendedprice FROM lineitem
+      |UNION ALL
+      |SELECT l_orderkey, l_linenumber, 'l_discount',
+      |  l_discount FROM lineitem
+      |ORDER BY l_orderkey, l_linenumber, metric""".stripMargin
+
+  // ---------------------------------------------------------------- q53
+  // Higher-order array lambdas over per-group collected arrays:
+  // filter / aggregate run INSIDE codegen on the executor — no explode,
+  // no UDF. The decimal-accumulating aggregate lambda keeps the sum
+  // bit-identical to DuckDB's exact list_sum over decimals.
+  private def q53(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .groupBy(col("o_custkey"))
+      .agg(sort_array(collect_list(col("o_totalprice"))).as("arr"))
+      .select(
+        col("o_custkey"),
+        size(col("arr")).as("n"),
+        size(expr("filter(arr, x -> x > 100000.0D)")).as("n_big"),
+        expr("""aggregate(arr, CAST(0 AS DECIMAL(28,6)),
+                (acc, x) -> CAST(acc + CAST(x AS DECIMAL(28,6))
+                            AS DECIMAL(28,6)),
+                acc -> CAST(acc AS DOUBLE))""").as("total"))
+      .orderBy(col("o_custkey"))
+
+  private val q53Sql =
+    """WITH l AS (
+      |  SELECT o_custkey, list_sort(list(o_totalprice)) AS arr
+      |  FROM orders GROUP BY o_custkey)
+      |SELECT o_custkey, len(arr) AS n,
+      |  len(list_filter(arr, x -> x > 100000)) AS n_big,
+      |  CAST(list_sum(list_transform(arr,
+      |    x -> CAST(x AS DECIMAL(28,6)))) AS DOUBLE) AS total
+      |FROM l ORDER BY o_custkey""".stripMargin
+
+  // ---------------------------------------------------------------- q54
+  // Correlated EXISTS / NOT EXISTS — written as SQL subqueries; Catalyst
+  // decorrelates them into a left-semi and a left-anti hash join (no
+  // per-row re-execution). Same text runs on both engines.
+  private val q54Sql =
+    """SELECT c_custkey, c_name FROM customer c
+      |WHERE EXISTS (SELECT 1 FROM orders o
+      |              WHERE o.o_custkey = c.c_custkey
+      |                AND o.o_totalprice > 300000)
+      |  AND NOT EXISTS (SELECT 1 FROM orders o
+      |                  WHERE o.o_custkey = c.c_custkey
+      |                    AND o.o_orderstatus = 'F')
+      |ORDER BY c_custkey""".stripMargin
+
+  private def q54(s: SparkSession, dir: String): DataFrame = {
+    Tables.customer(s, dir).createOrReplaceTempView("customer")
+    Tables.orders(s, dir).createOrReplaceTempView("orders")
+    s.sql(q54Sql)
+  }
+
+  // ---------------------------------------------------------------- q55
+  // Scalar subquery: the global mean rides to every task as a one-row
+  // broadcast (SubqueryExec), not a driver-side collect in user code.
+  // Decimal-sum / count division keeps the threshold bit-identical.
+  private val q55Sql =
+    s"""SELECT o_orderkey, o_totalprice FROM orders
+       |WHERE o_totalprice > (
+       |  SELECT ${dsumSql("o_totalprice")} / COUNT(*) FROM orders) * 1.5
+       |ORDER BY o_orderkey""".stripMargin
+
+  private def q55(s: SparkSession, dir: String): DataFrame = {
+    Tables.orders(s, dir).createOrReplaceTempView("orders")
+    s.sql(q55Sql)
+  }
+
+  // ---------------------------------------------------------------- q56
+  // Explicit grouping sets via the Dataset.groupingSets API (Spark 4):
+  // (priority, status), (priority), () — like cube/rollup, the expansion
+  // happens inside one partial aggregation; the table is scanned once.
+  private def q56(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    o.groupingSets(
+        Seq(Seq(col("o_orderpriority"), col("o_orderstatus")),
+          Seq(col("o_orderpriority")), Seq.empty),
+        col("o_orderpriority"), col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"))
+      .select(
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        col("n"))
+      .orderBy(col("priority"), col("status"))
+  }
+
+  private val q56Sql =
+    """SELECT COALESCE(o_orderpriority, 'ALL') AS priority,
+      |  COALESCE(o_orderstatus, 'ALL') AS status, COUNT(*) AS n
+      |FROM orders
+      |GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus),
+      |                        (o_orderpriority), ())
+      |ORDER BY priority, status""".stripMargin
+
+  // ---------------------------------------------------------------- q57
+  // JSON extraction: a deterministic JSON string column is parsed two
+  // ways — path extraction (get_json_object) and full schema parse
+  // (from_json → struct field). Both stay inside codegen; at 100 TB this
+  // is the semi-structured-log scan pattern (parse once, prune fields).
+  private def q57(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .select(concat(
+        lit("{\"k\":"), col("o_orderkey").cast("string"),
+        lit(",\"p\":\""), col("o_orderpriority"), lit("\"}")).as("j"))
+      .select(
+        get_json_object(col("j"), "$.k").cast("bigint").as("k"),
+        get_json_object(col("j"), "$.p").as("p"),
+        from_json(col("j"),
+          org.apache.spark.sql.types.StructType.fromDDL("k BIGINT, p STRING"))
+          .getField("p").as("p2"))
+      .orderBy(col("k"))
+
+  private val q57Sql =
+    """WITH js AS (
+      |  SELECT concat('{"k":', o_orderkey, ',"p":"', o_orderpriority,
+      |    '"}') AS j
+      |  FROM orders)
+      |SELECT CAST(json_extract(j, '$.k') AS BIGINT) AS k,
+      |  json_extract_string(j, '$.p') AS p,
+      |  json_extract_string(j, '$.p') AS p2
+      |FROM js ORDER BY k""".stripMargin
+
+  // ---------------------------------------------------------------- q58
+  // RANGE-frame window: per customer, spend over the trailing 30 days —
+  // a value-based frame (peers included by day distance, not row count).
+  // One shuffle on the partition key, one sort, bounded frame state.
+  private def q58(s: SparkSession, dir: String): DataFrame = {
+    // o_orderdate is TIMESTAMP_NTZ in the parquet; the session TZ is
+    // pinned UTC, so the NTZ->TZ cast matches DuckDB's epoch_ms exactly.
+    val day =
+      expr("unix_millis(cast(o_orderdate as timestamp)) div 86400000")
+    val w = Window.partitionBy(col("o_custkey")).orderBy(day)
+      .rangeBetween(-30, Window.currentRow)
+    Tables.orders(s, dir)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+        col("o_totalprice"))
+      .select(col("o_custkey"), col("o_orderkey"),
+        sum(col("o_totalprice").cast("decimal(28,6)")).over(w)
+          .cast("double").as("spend30"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
+  private val q58Sql =
+    """SELECT o_custkey, o_orderkey,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) OVER (
+      |    PARTITION BY o_custkey ORDER BY epoch_ms(o_orderdate)//86400000
+      |    RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) AS DOUBLE)
+      |    AS spend30
+      |FROM orders
+      |ORDER BY o_custkey, o_orderkey""".stripMargin
+
+  // ---------------------------------------------------------------- q59
+  // Scalar string battery: levenshtein, translate, lpad, repeat,
+  // substring, reverse — all codegen'd built-ins, zero shuffles. The
+  // functions a rule-matching / normalization pipeline leans on.
+  private def q59(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir)
+      .select(
+        col("c_custkey"),
+        levenshtein(col("c_name"), reverse(col("c_name"))).as("lev"),
+        lpad(col("c_name"), 25, "*").as("pad"),
+        translate(col("c_name"), "#", "-").as("tr"),
+        repeat(substring(col("c_name"), 1, 3), 2).as("rep"))
+      .orderBy(col("c_custkey"))
+
+  private val q59Sql =
+    """SELECT c_custkey,
+      |  levenshtein(c_name, reverse(c_name)) AS lev,
+      |  lpad(c_name, 25, '*') AS pad,
+      |  translate(c_name, '#', '-') AS tr,
+      |  repeat(substr(c_name, 1, 3), 2) AS rep
+      |FROM customer ORDER BY c_custkey""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q52_unpivot" -> (q52 _),
+    "q53_higher_order" -> (q53 _),
+    "q54_exists_subquery" -> (q54 _),
+    "q55_scalar_subquery" -> (q55 _),
+    "q56_grouping_sets" -> (q56 _),
+    "q57_json_extract" -> (q57 _),
+    "q58_range_frame" -> (q58 _),
+    "q59_string_funcs" -> (q59 _))
+
+  val oracleSql: Map[String, String] = Map(
+    "q52_unpivot" -> q52Sql,
+    "q53_higher_order" -> q53Sql,
+    "q54_exists_subquery" -> q54Sql,
+    "q55_scalar_subquery" -> q55Sql,
+    "q56_grouping_sets" -> q56Sql,
+    "q57_json_extract" -> q57Sql,
+    "q58_range_frame" -> q58Sql,
+    "q59_string_funcs" -> q59Sql)
+}

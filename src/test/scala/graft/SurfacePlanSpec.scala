@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.expressions.ScalarSubquery
+import org.apache.spark.sql.catalyst.plans.{LeftAnti, LeftSemi}
+import org.apache.spark.sql.catalyst.plans.logical.{Expand, Generate, Join}
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.window.WindowExec
+
+/** Plan-shape assertions for the q45–q59 surface: the point is not that
+  * the queries return the right rows (the oracle gate covers that) but
+  * that Catalyst plans them the way the 100 TB design intends — one
+  * window pass per spec, Expand instead of multi-scan, decorrelated
+  * semi/anti joins, no nested-loop fallbacks, no explode round-trips.
+  *
+  * Uses queryExecution.sparkPlan / optimizedPlan (NOT executedPlan):
+  * AQE wraps the executed plan in AdaptiveSparkPlanExec whose children
+  * only materialize on execution.
+  */
+class SurfacePlanSpec extends SparkSpec {
+
+  private def run(name: String): DataFrame =
+    SparkEntry.queries(name)(spark, sf)
+
+  private def physical(df: DataFrame): SparkPlan =
+    df.queryExecution.sparkPlan
+
+  test("q45 window family: all six functions share ONE window pass") {
+    val windows = physical(run("q45_window_family")).collect {
+      case w: WindowExec => w
+    }
+    assert(windows.size == 1,
+      s"expected a single WindowExec, got ${windows.size}")
+    // every window expression landed in that one node
+    assert(windows.head.windowExpression.size == 5)
+  }
+
+  test("q46 cube and q56 grouping sets expand inside one aggregation " +
+    "(single scan, no union-of-aggregates)") {
+    for (name <- Seq("q46_cube", "q56_grouping_sets")) {
+      val plan = run(name).queryExecution.optimizedPlan
+      assert(plan.collect { case e: Expand => e }.size == 1,
+        s"$name: expected one Expand")
+      // one scan of the fact table, not one per grouping set
+      assert(plan.collectLeaves().size == 1,
+        s"$name: expected one scan leaf")
+    }
+  }
+
+  test("q53 higher-order lambdas stay in-row: no Generate (explode) " +
+    "anywhere in the plan") {
+    val plan = run("q53_higher_order").queryExecution.optimizedPlan
+    assert(plan.collect { case g: Generate => g }.isEmpty)
+  }
+
+  test("q54 EXISTS/NOT EXISTS decorrelate to left-semi + left-anti " +
+    "joins (no per-row subquery re-execution)") {
+    val joins = run("q54_exists_subquery").queryExecution.optimizedPlan
+      .collect { case j: Join => j.joinType }
+    assert(joins.contains(LeftSemi) && joins.contains(LeftAnti),
+      s"got join types: $joins")
+  }
+
+  test("q55 threshold is a scalar subquery (one-row broadcast), not a " +
+    "driver-side collect") {
+    val plan = run("q55_scalar_subquery").queryExecution.optimizedPlan
+    val subqueries = plan.flatMap(_.expressions.flatMap(_.collect {
+      case s: ScalarSubquery => s
+    }))
+    assert(subqueries.nonEmpty, "expected a ScalarSubquery expression")
+  }
+
+  test("q58 RANGE frame plans as one value-bounded window pass") {
+    val p = physical(run("q58_range_frame"))
+    val windows = p.collect { case w: WindowExec => w }
+    assert(windows.size == 1)
+    // physical rendering: specifiedwindowframe(RangeFrame, -30, ...)
+    assert(windows.head.windowExpression.mkString.contains("RangeFrame"),
+      "frame should be RANGE (value-based), not ROWS")
+  }
+
+  test("q51/q52: no nested-loop join in the auto range join; unpivot " +
+    "is a zero-shuffle Expand") {
+    val rj = physical(run("q51_range_join_auto")).toString
+    assert(!rj.contains("NestedLoop"), "range join fell back to a " +
+      "nested loop — RangeJoinRewrite did not fire")
+    val up = run("q52_unpivot").queryExecution.optimizedPlan
+    assert(up.collect { case e: Expand => e }.size == 1)
+    val shuffles = physical(run("q52_unpivot")).collect {
+      case s if s.nodeName.contains("Exchange") => s
+    }
+    // the only exchange allowed is the final output range-sort
+    assert(shuffles.size <= 1, s"unpivot added shuffles: $shuffles")
+  }
+}
