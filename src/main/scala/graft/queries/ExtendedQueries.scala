@@ -217,6 +217,62 @@ object ExtendedQueries {
       |  repeat(substr(c_name, 1, 3), 2) AS rep
       |FROM customer ORDER BY c_custkey""".stripMargin
 
+  // ---------------------------------------------------------------- q60
+  // Snapshot merge / upsert: a delta batch overwrites matching keys in
+  // the previous snapshot (SCD-1 keep-latest). One shuffle on the key;
+  // the incremental form of the reference's full-overwrite load.
+  private def q60(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_totalprice"))
+    val prev = o.filter(col("o_orderkey") % 3 =!= 0)
+      .withColumn("version", lit(1))
+    val delta = o.filter(col("o_orderkey") % 2 === 0)
+      .withColumn("version", lit(2))
+      .withColumn("o_totalprice", col("o_totalprice") + 1000.0)
+    graft.operators.Snapshot
+      .mergeSnapshot(prev, delta, Seq("o_orderkey"), "version")
+      .select(col("o_orderkey"), col("version"), col("o_totalprice"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  private val q60Sql =
+    """WITH prev AS (
+      |  SELECT o_orderkey, 1 AS version, o_totalprice
+      |  FROM orders WHERE o_orderkey % 3 <> 0),
+      |delta AS (
+      |  SELECT o_orderkey, 2 AS version, o_totalprice + 1000.0
+      |  FROM orders WHERE o_orderkey % 2 = 0),
+      |u AS (SELECT * FROM prev UNION ALL SELECT * FROM delta),
+      |r AS (SELECT *, ROW_NUMBER() OVER (
+      |  PARTITION BY o_orderkey ORDER BY version DESC) AS rn FROM u)
+      |SELECT o_orderkey, version, o_totalprice
+      |FROM r WHERE rn = 1 ORDER BY o_orderkey""".stripMargin
+
+  // ---------------------------------------------------------------- q61
+  // Data profiling: per-column counts/nulls/distincts/min/max in ONE
+  // aggregation over ONE scan (the multi-distinct Expand replicates rows,
+  // never rescans), melted to one row per column executor-side.
+  private def q61(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Profile.profile(
+      Tables.orders(s, dir),
+      Seq("o_custkey", "o_orderstatus", "o_totalprice"))
+
+  private val q61Sql = {
+    def block(c: String, num: Boolean) =
+      s"""SELECT '$c' AS col_name, COUNT(*) AS n_rows,
+         |  COUNT(*) - COUNT($c) AS n_nulls,
+         |  COUNT(DISTINCT $c) AS n_distinct,
+         |  ${if (num) s"CAST(MIN($c) AS DOUBLE)" else "-1.0"} AS min_num,
+         |  ${if (num) s"CAST(MAX($c) AS DOUBLE)" else "-1.0"} AS max_num
+         |FROM orders""".stripMargin
+    s"""${block("o_custkey", num = true)}
+       |UNION ALL
+       |${block("o_orderstatus", num = false)}
+       |UNION ALL
+       |${block("o_totalprice", num = true)}
+       |ORDER BY col_name""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q52_unpivot" -> (q52 _),
     "q53_higher_order" -> (q53 _),
@@ -225,7 +281,9 @@ object ExtendedQueries {
     "q56_grouping_sets" -> (q56 _),
     "q57_json_extract" -> (q57 _),
     "q58_range_frame" -> (q58 _),
-    "q59_string_funcs" -> (q59 _))
+    "q59_string_funcs" -> (q59 _),
+    "q60_snapshot_merge" -> (q60 _),
+    "q61_profile" -> (q61 _))
 
   val oracleSql: Map[String, String] = Map(
     "q52_unpivot" -> q52Sql,
@@ -235,5 +293,7 @@ object ExtendedQueries {
     "q56_grouping_sets" -> q56Sql,
     "q57_json_extract" -> q57Sql,
     "q58_range_frame" -> q58Sql,
-    "q59_string_funcs" -> q59Sql)
+    "q59_string_funcs" -> q59Sql,
+    "q60_snapshot_merge" -> q60Sql,
+    "q61_profile" -> q61Sql)
 }

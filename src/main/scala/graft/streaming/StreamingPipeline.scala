@@ -76,6 +76,36 @@ object StreamingPipeline {
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark("content_hash")
 
+  /** Stream-static enrichment join: attach dimension attributes to a
+    * stream. The static side is a plain DataFrame — Spark re-plans it per
+    * micro-batch (picking up dimension updates between batches) and
+    * broadcasts it when small, so the stream side never shuffles. This is
+    * the streaming twin of q03's fact-to-dim join.
+    */
+  def enrichWithDim(stream: DataFrame, dim: DataFrame,
+                    keys: Seq[String]): DataFrame =
+    stream.join(broadcast(dim), keys, "left")
+
+  /** Watermarked stream-stream interval join: pair each left event with
+    * right events for the same key whose timestamp lands in
+    * `[leftTs - lowerMs, leftTs + upperMs]`. Both sides carry watermarks,
+    * so the join state buffers only rows inside the watermark horizon —
+    * bounded memory at any input rate (the click-attribution shape).
+    *
+    * Columns: left must have `ts_utc`, right `r_ts_utc` (both timestamps)
+    * plus the key columns.
+    */
+  def intervalJoin(left: DataFrame, right: DataFrame, key: String,
+                   lowerMs: Long, upperMs: Long,
+                   watermark: String = "1 hour"): DataFrame = {
+    val l = left.withWatermark("ts_utc", watermark)
+    val r = right.withWatermark("r_ts_utc", watermark)
+    l.join(r,
+      l(key) === r(s"r_$key") &&
+        col("r_ts_utc") >= col("ts_utc") - expr(s"INTERVAL $lowerMs MILLISECOND") &&
+        col("r_ts_utc") <= col("ts_utc") + expr(s"INTERVAL $upperMs MILLISECOND"))
+  }
+
   /** Session record emitted by [[sessionize]]. */
   final case class Session(
       userId: Long, sessionStart: Long, sessionEnd: Long, nEvents: Long)

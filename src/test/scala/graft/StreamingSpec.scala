@@ -92,6 +92,50 @@ class StreamingSpec extends SparkSpec {
     assert(kept == Set(1L, 3L))
   }
 
+  test("stream-static enrichment join attaches dim attributes per batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Long)]
+    val stream = mem.toDF().toDF("nation_id", "ms")
+    val dim = Seq((0L, "ALGERIA"), (1L, "ARGENTINA"))
+      .toDF("nation_id", "n_name")
+    val q = StreamingPipeline.enrichWithDim(stream, dim, Seq("nation_id"))
+      .select("nation_id", "n_name")
+      .writeStream.format("memory").queryName("enriched")
+      .outputMode("append").start()
+    mem.addData((0L, 1L), (1L, 2L), (7L, 3L)) // 7 has no dim row
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("enriched")
+      .as[(Long, Option[String])].collect().toSet
+    assert(got == Set((0L, Some("ALGERIA")), (1L, Some("ARGENTINA")),
+      (7L, None)))
+  }
+
+  test("stream-stream interval join pairs events within the time bound " +
+    "and keeps state bounded by the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val views = MemoryStream[(Long, Long)]
+    val clicks = MemoryStream[(Long, Long)]
+    val l = views.toDF().toDF("user_id", "ms")
+      .withColumn("ts_utc", timestamp_millis(col("ms")))
+    val r = clicks.toDF().toDF("r_user_id", "r_ms")
+      .withColumn("r_ts_utc", timestamp_millis(col("r_ms")))
+    // clicks within 10s AFTER a view by the same user
+    val q = StreamingPipeline.intervalJoin(l, r, "user_id",
+      lowerMs = 0L, upperMs = 10000L, watermark = "1 minute")
+      .select("user_id", "ms", "r_ms")
+      .writeStream.format("memory").queryName("attributed")
+      .outputMode("append").start()
+    views.addData((1L, 10000L), (2L, 10000L))
+    clicks.addData((1L, 15000L), // within 10s of view → pair
+      (2L, 25000L)) // 15s after → outside bound
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("attributed")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == Set((1L, 10000L, 15000L)))
+  }
+
   test("statement file stream refines micro-batches with the batch pipeline") {
     val in = Files.createTempDirectory("graft-stream-in").toString
     val chk = Files.createTempDirectory("graft-stream-chk").toString
