@@ -273,6 +273,126 @@ object ExtendedQueries {
        |ORDER BY col_name""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q62
+  // Statistical aggregates from EXACT decimal moments: mean, stddev and
+  // corr derived from decimal sums (Sx, Sxx, Sxy …) cast to double only
+  // at the end. The built-in corr/stddev would drift across engines (and
+  // across PARTITION ORDERS — their float merge is order-sensitive);
+  // exact moments are associative, so the result is bit-stable under any
+  // parallelism. DECIMAL(28,6) operands keep products within both
+  // engines' 38-digit limit.
+  private def q62(s: SparkSession, dir: String): DataFrame = {
+    val x = col("l_quantity").cast("decimal(28,6)")
+    val y = col("l_extendedprice").cast("decimal(28,6)")
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(x).as("sx"), sum(y).as("sy"),
+        sum(x * x).as("sxx"), sum(y * y).as("syy"),
+        sum(x * y).as("sxy"))
+      .select(
+        col("l_returnflag"), col("n"),
+        round(col("sx").cast("double") / col("n"), 6).as("mean_qty"),
+        round(sqrt(
+          (col("sxx").cast("double")
+            - col("sx").cast("double") * col("sx").cast("double")
+              / col("n")) / (col("n") - 1)), 6).as("sd_qty"),
+        round(
+          (col("n") * col("sxy").cast("double")
+            - col("sx").cast("double") * col("sy").cast("double"))
+          / (sqrt(col("n") * col("sxx").cast("double")
+              - col("sx").cast("double") * col("sx").cast("double"))
+            * sqrt(col("n") * col("syy").cast("double")
+              - col("sy").cast("double") * col("sy").cast("double"))), 6)
+          .as("corr_qty_price"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  private val q62Sql =
+    """WITH m AS (
+      |  SELECT l_returnflag, COUNT(*) AS n,
+      |    SUM(CAST(l_quantity AS DECIMAL(28,6))) AS sx,
+      |    SUM(CAST(l_extendedprice AS DECIMAL(28,6))) AS sy,
+      |    SUM(CAST(l_quantity AS DECIMAL(28,6))
+      |      * CAST(l_quantity AS DECIMAL(28,6))) AS sxx,
+      |    SUM(CAST(l_extendedprice AS DECIMAL(28,6))
+      |      * CAST(l_extendedprice AS DECIMAL(28,6))) AS syy,
+      |    SUM(CAST(l_quantity AS DECIMAL(28,6))
+      |      * CAST(l_extendedprice AS DECIMAL(28,6))) AS sxy
+      |  FROM lineitem GROUP BY l_returnflag)
+      |SELECT l_returnflag, n,
+      |  round(CAST(sx AS DOUBLE) / n, 6) AS mean_qty,
+      |  round(sqrt((CAST(sxx AS DOUBLE)
+      |    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n) / (n - 1)), 6)
+      |    AS sd_qty,
+      |  round((n * CAST(sxy AS DOUBLE)
+      |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+      |    / (sqrt(n * CAST(sxx AS DOUBLE)
+      |        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+      |      * sqrt(n * CAST(syy AS DOUBLE)
+      |        - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+      |    AS corr_qty_price
+      |FROM m ORDER BY l_returnflag""".stripMargin
+
+  // ---------------------------------------------------------------- q63
+  // Calendar battery: month/quarter truncation, month end, day-of-year,
+  // ISO week and ISO day-of-week — pure codegen'd projections; the
+  // date-dimension derivations a reporting rollup partitions by.
+  private def q63(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .select(
+        col("o_orderkey"),
+        to_date(date_trunc("month", col("o_orderdate"))).as("month_start"),
+        to_date(date_trunc("quarter", col("o_orderdate"))).as("q_start"),
+        last_day(col("o_orderdate")).as("month_end"),
+        dayofyear(col("o_orderdate")).as("doy"),
+        weekofyear(col("o_orderdate")).as("woy"),
+        (weekday(col("o_orderdate")) + 1).as("dow_iso"))
+      .orderBy(col("o_orderkey"))
+
+  private val q63Sql =
+    """SELECT o_orderkey,
+      |  CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+      |  CAST(date_trunc('quarter', o_orderdate) AS DATE) AS q_start,
+      |  CAST(last_day(o_orderdate) AS DATE) AS month_end,
+      |  dayofyear(o_orderdate) AS doy,
+      |  weekofyear(o_orderdate) AS woy,
+      |  isodow(o_orderdate) AS dow_iso
+      |FROM orders ORDER BY o_orderkey""".stripMargin
+
+  // ---------------------------------------------------------------- q64
+  // Incremental distinct via sketch union: per-shard HLL sketches (here
+  // sharded by orderkey parity) union into a global estimate WITHOUT
+  // rescanning the shards — the daily-corpus-stats pattern: persist
+  // sketch bytes per day, merge on demand. The oracle pins the exact
+  // count and the within-tolerance boolean; shard-merge drift past 5%
+  // fails the gate.
+  private def q64(s: SparkSession, dir: String): DataFrame = {
+    val shards = Tables.lineitem(s, dir)
+      .withColumn("shard", col("l_orderkey") % 2)
+      .groupBy(col("shard"))
+      .agg(graft.operators.Sketches.distinctSketch(col("l_orderkey"))
+        .as("sk"))
+    val merged = shards.agg(
+      count(lit(1)).as("n_shards"),
+      graft.operators.Sketches.mergeDistinct(col("sk")).as("est"))
+    val exact = Tables.lineitem(s, dir)
+      .agg(countDistinct(col("l_orderkey")).as("exact_distinct"))
+    merged.crossJoin(exact)
+      .select(
+        col("n_shards"), col("exact_distinct"),
+        (abs(col("est").cast("double")
+            - col("exact_distinct").cast("double"))
+          <= col("exact_distinct").cast("double") * 0.05).as("hll_ok"))
+  }
+
+  private val q64Sql =
+    """SELECT 2 AS n_shards,
+      |  COUNT(DISTINCT l_orderkey) AS exact_distinct,
+      |  TRUE AS hll_ok
+      |FROM lineitem""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q52_unpivot" -> (q52 _),
     "q53_higher_order" -> (q53 _),
@@ -283,7 +403,10 @@ object ExtendedQueries {
     "q58_range_frame" -> (q58 _),
     "q59_string_funcs" -> (q59 _),
     "q60_snapshot_merge" -> (q60 _),
-    "q61_profile" -> (q61 _))
+    "q61_profile" -> (q61 _),
+    "q62_stats_moments" -> (q62 _),
+    "q63_calendar" -> (q63 _),
+    "q64_sketch_union" -> (q64 _))
 
   val oracleSql: Map[String, String] = Map(
     "q52_unpivot" -> q52Sql,
@@ -295,5 +418,8 @@ object ExtendedQueries {
     "q58_range_frame" -> q58Sql,
     "q59_string_funcs" -> q59Sql,
     "q60_snapshot_merge" -> q60Sql,
-    "q61_profile" -> q61Sql)
+    "q61_profile" -> q61Sql,
+    "q62_stats_moments" -> q62Sql,
+    "q63_calendar" -> q63Sql,
+    "q64_sketch_union" -> q64Sql)
 }
