@@ -22,7 +22,9 @@ object Explain {
       if (args.nonEmpty) args.toSeq
       else Seq("q01_pricing_summary", "q02_filter_pushdown_topn",
         "q03_join_revenue_nation", "q06_rfm_card_style", "q11_events_hourly",
-        "q25_ngram_jaccard", "q30_knn_bruteforce")
+        "q25_ngram_jaccard", "q30_knn_bruteforce", "q45_window_family",
+        "q51_range_join_auto", "q54_exists_subquery", "q60_snapshot_merge",
+        "q61_profile")
     names.foreach { n =>
       println(s"\n========== $n ==========")
       SparkEntry.queries.get(n) match {

@@ -106,6 +106,46 @@ object StreamingPipeline {
         col("r_ts_utc") <= col("ts_utc") + expr(s"INTERVAL $upperMs MILLISECOND"))
   }
 
+  /** Streaming upsert sink: each micro-batch merges into the latest
+    * parquet snapshot via [[graft.operators.Snapshot.mergeSnapshot]]
+    * (keep-highest-`versionCol` per key) and writes a NEW snapshot
+    * version directory — readers never see a half-written snapshot, and
+    * the previous version stays readable until the new one commits (the
+    * manifest-swap idiom; a table format replaces the directory listing
+    * in a real deployment, and partition-overwrite bounds the rewrite).
+    */
+  def upsertStream(delta: DataFrame, keys: Seq[String], versionCol: String,
+                   snapshotDir: String) = {
+    new java.io.File(snapshotDir).mkdirs()
+    delta.writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val s = batch.sparkSession
+        val versions = Option(new java.io.File(snapshotDir).listFiles())
+          .getOrElse(Array.empty)
+          .filter(f => f.isDirectory && f.getName.startsWith("v"))
+          .sortBy(_.getName)
+        val merged = versions.lastOption match {
+          case Some(prev) =>
+            graft.operators.Snapshot.mergeSnapshot(
+              s.read.parquet(prev.getPath), batch, keys, versionCol)
+          case None =>
+            graft.operators.Snapshot.keepLatest(batch, keys, versionCol)
+        }
+        merged.write.mode("overwrite")
+          .parquet(f"$snapshotDir/v$batchId%05d")
+      }
+  }
+
+  /** Latest committed snapshot version under `snapshotDir`, if any. */
+  def latestSnapshot(spark: SparkSession, snapshotDir: String)
+      : Option[DataFrame] =
+    Option(new java.io.File(snapshotDir).listFiles())
+      .getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("v"))
+      .sortBy(_.getName).lastOption
+      .map(f => spark.read.parquet(f.getPath))
+
   /** Session record emitted by [[sessionize]]. */
   final case class Session(
       userId: Long, sessionStart: Long, sessionEnd: Long, nEvents: Long)

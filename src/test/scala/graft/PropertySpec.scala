@@ -140,4 +140,30 @@ class PropertySpec extends SparkSpec {
     assert(got.size == leftRows.size)
     assert(got == expected)
   }
+
+  test("snapshot merge equals the brute-force map fold on random " +
+    "update sequences") {
+    // several generations of updates over a small key space — merge them
+    // generation by generation and compare against a driver-side Map fold
+    val gens = (1 to 4).map { g =>
+      sample(for {
+        k <- Gen.chooseNum(0, 12)
+        v <- Gen.alphaStr.map(s => s"g$g-" + s.take(4))
+      } yield (k.toLong, v), 40, seed = 1000L * g)
+        // one row per key within a generation (upsert batch semantics)
+        .groupBy(_._1).map(_._2.head).toSeq
+        .map { case (k, v) => (k, v, g) }
+    }
+    val merged = gens.tail.foldLeft(
+      gens.head.toDF("k", "v", "version")) { (snap, delta) =>
+      graft.operators.Snapshot.mergeSnapshot(
+        snap, delta.toDF("k", "v", "version"), Seq("k"), "version")
+    }
+    val got = merged.select("k", "v").as[(Long, String)].collect().toMap
+    val expected = gens.flatten
+      .foldLeft(Map.empty[Long, String]) { case (m, (k, v, _)) =>
+        m.updated(k, v) // generations apply in order; later wins
+      }
+    assert(got == expected)
+  }
 }

@@ -136,6 +136,30 @@ class StreamingSpec extends SparkSpec {
     assert(got == Set((1L, 10000L, 15000L)))
   }
 
+  test("streaming upsert: later micro-batches overwrite matching keys " +
+    "in the snapshot, earlier versions stay readable") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("graft-upsert").toString
+    val chk = Files.createTempDirectory("graft-upsert-chk").toString
+    val mem = MemoryStream[(Long, String, Int)]
+    val q = StreamingPipeline.upsertStream(
+      mem.toDF().toDF("k", "v", "version"), Seq("k"), "version", dir)
+      .option("checkpointLocation", chk).start()
+    mem.addData((1L, "a", 1), (2L, "b", 1))
+    q.processAllAvailable()
+    mem.addData((2L, "B", 2), (3L, "C", 2))
+    q.processAllAvailable()
+    q.stop()
+    val latest = StreamingPipeline.latestSnapshot(spark, dir).get
+      .select("k", "v").as[(Long, String)].collect().toSet
+    assert(latest == Set((1L, "a"), (2L, "B"), (3L, "C")))
+    // the v0 snapshot is still intact (readers of the old version are
+    // never broken by the new write)
+    val v0 = spark.read.parquet(s"$dir/v00000")
+      .select("k", "v").as[(Long, String)].collect().toSet
+    assert(v0 == Set((1L, "a"), (2L, "b")))
+  }
+
   test("statement file stream refines micro-batches with the batch pipeline") {
     val in = Files.createTempDirectory("graft-stream-in").toString
     val chk = Files.createTempDirectory("graft-stream-chk").toString
