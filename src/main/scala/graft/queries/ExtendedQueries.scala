@@ -393,6 +393,49 @@ object ExtendedQueries {
       |  TRUE AS hll_ok
       |FROM lineitem""".stripMargin
 
+  // ---------------------------------------------------------------- q65
+  // Built-in session windows: `session_window(ts, gap)` merges events
+  // whose [ts, ts+gap) windows overlap — the same operator Structured
+  // Streaming uses for stateful session aggregation, here in batch.
+  // Boundary semantics differ from q12's lag-islands: a gap of EXACTLY
+  // the timeout starts a NEW session (strict overlap), so the oracle's
+  // island test is `>=`, not `>`. Session end = last event + gap.
+  private def q65(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .withColumn("ms", expr("ts DIV 1000000"))
+      .groupBy(col("user_id"),
+        session_window(timestamp_millis(col("ms")), "30 minutes")
+          .as("sw"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        unix_millis(col("sw.start")).as("start_ms"),
+        unix_millis(col("sw.end")).as("end_ms"),
+        col("n_events"))
+      .orderBy(col("user_id"), col("start_ms"))
+
+  private val q65Sql =
+    """WITH stamped AS (
+      |  SELECT user_id, event_id, epoch_ms(ts) AS ms FROM events),
+      |gapped AS (
+      |  SELECT *, ms - LAG(ms, 1) OVER
+      |    (PARTITION BY user_id ORDER BY ms ASC, event_id ASC) AS gap_ms
+      |  FROM stamped),
+      |flagged AS (
+      |  SELECT *, CASE WHEN gap_ms IS NULL OR gap_ms >= 1800000
+      |    THEN 1 ELSE 0 END AS new_session
+      |  FROM gapped),
+      |sessions AS (
+      |  SELECT *, CAST(SUM(new_session) OVER
+      |    (PARTITION BY user_id ORDER BY ms ASC, event_id ASC
+      |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |    AS session_id
+      |  FROM flagged)
+      |SELECT user_id, MIN(ms) AS start_ms,
+      |  MAX(ms) + 1800000 AS end_ms, COUNT(*) AS n_events
+      |FROM sessions
+      |GROUP BY user_id, session_id
+      |ORDER BY user_id, start_ms""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q52_unpivot" -> (q52 _),
     "q53_higher_order" -> (q53 _),
@@ -406,7 +449,8 @@ object ExtendedQueries {
     "q61_profile" -> (q61 _),
     "q62_stats_moments" -> (q62 _),
     "q63_calendar" -> (q63 _),
-    "q64_sketch_union" -> (q64 _))
+    "q64_sketch_union" -> (q64 _),
+    "q65_session_window" -> (q65 _))
 
   val oracleSql: Map[String, String] = Map(
     "q52_unpivot" -> q52Sql,
@@ -421,5 +465,6 @@ object ExtendedQueries {
     "q61_profile" -> q61Sql,
     "q62_stats_moments" -> q62Sql,
     "q63_calendar" -> q63Sql,
-    "q64_sketch_union" -> q64Sql)
+    "q64_sketch_union" -> q64Sql,
+    "q65_session_window" -> q65Sql)
 }
