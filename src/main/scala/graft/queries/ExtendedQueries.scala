@@ -436,6 +436,27 @@ object ExtendedQueries {
       |GROUP BY user_id, session_id
       |ORDER BY user_id, start_ms""".stripMargin
 
+  // ---------------------------------------------------------------- q66
+  // Map-typed columns: build a map per event, explode back to
+  // (key, value) rows — the attribute-bag round trip. Map construction
+  // and the Generate both run executor-side inside codegen; the oracle
+  // rebuilds the same rows relationally (maps are an encoding choice,
+  // not a semantic one — which is exactly what the gate proves).
+  private def q66(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select(col("event_id"),
+        explode(map(
+          lit("type"), col("event_type"),
+          lit("uid"), col("user_id").cast("string"))))
+      .select(col("event_id"), col("key"), col("value"))
+      .orderBy(col("event_id"), col("key"))
+
+  private val q66Sql =
+    """SELECT event_id, 'type' AS key, event_type AS value FROM events
+      |UNION ALL
+      |SELECT event_id, 'uid', CAST(user_id AS VARCHAR) FROM events
+      |ORDER BY event_id, key""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q52_unpivot" -> (q52 _),
     "q53_higher_order" -> (q53 _),
@@ -450,7 +471,8 @@ object ExtendedQueries {
     "q62_stats_moments" -> (q62 _),
     "q63_calendar" -> (q63 _),
     "q64_sketch_union" -> (q64 _),
-    "q65_session_window" -> (q65 _))
+    "q65_session_window" -> (q65 _),
+    "q66_map_ops" -> (q66 _))
 
   val oracleSql: Map[String, String] = Map(
     "q52_unpivot" -> q52Sql,
@@ -466,5 +488,6 @@ object ExtendedQueries {
     "q62_stats_moments" -> q62Sql,
     "q63_calendar" -> q63Sql,
     "q64_sketch_union" -> q64Sql,
-    "q65_session_window" -> q65Sql)
+    "q65_session_window" -> q65Sql,
+    "q66_map_ops" -> q66Sql)
 }
