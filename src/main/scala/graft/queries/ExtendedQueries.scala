@@ -457,6 +457,89 @@ object ExtendedQueries {
       |SELECT event_id, 'uid', CAST(user_id AS VARCHAR) FROM events
       |ORDER BY event_id, key""".stripMargin
 
+  // ---------------------------------------------------------------- q67
+  // Per-group equi-depth histogram: quartiles of price WITHIN each
+  // return flag via ntile over a total order (price, orderkey,
+  // linenumber — unique, so bucket assignment is deterministic). The
+  // window partitions by flag, so buckets compute in parallel across
+  // groups; a GLOBAL ntile would funnel into one partition — at scale,
+  // global equi-depth boundaries come from approx_percentile instead.
+  private def q67(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("l_returnflag"))
+      .orderBy(col("l_extendedprice"), col("l_orderkey"),
+        col("l_linenumber"))
+    Tables.lineitem(s, dir)
+      .select(col("l_returnflag"), col("l_extendedprice"),
+        col("l_orderkey"), col("l_linenumber"))
+      .withColumn("quartile", ntile(4).over(w))
+      .groupBy(col("l_returnflag"), col("quartile"))
+      .agg(count(lit(1)).as("n"),
+        min(col("l_extendedprice")).as("lo"),
+        max(col("l_extendedprice")).as("hi"))
+      .orderBy(col("l_returnflag"), col("quartile"))
+  }
+
+  private val q67Sql =
+    """WITH t AS (
+      |  SELECT l_returnflag, l_extendedprice,
+      |    ntile(4) OVER (PARTITION BY l_returnflag
+      |      ORDER BY l_extendedprice, l_orderkey, l_linenumber)
+      |      AS quartile
+      |  FROM lineitem)
+      |SELECT l_returnflag, quartile, COUNT(*) AS n,
+      |  MIN(l_extendedprice) AS lo, MAX(l_extendedprice) AS hi
+      |FROM t GROUP BY l_returnflag, quartile
+      |ORDER BY l_returnflag, quartile""".stripMargin
+
+  // ---------------------------------------------------------------- q68
+  // Conditional aggregation: count_if / filtered decimal sum — the
+  // one-pass alternative to filter-then-join-back. Maps to DuckDB's
+  // FILTER clause; both fold into a single hash aggregate.
+  private def q68(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        expr("count_if(l_quantity > 25)").as("n_big"),
+        coalesce(sum(when(col("l_quantity") > 25,
+            col("l_extendedprice").cast("decimal(28,6)"))), lit(0))
+          .cast("double").as("rev_big"))
+      .orderBy(col("l_returnflag"))
+
+  private val q68Sql =
+    """SELECT l_returnflag,
+      |  COUNT(*) FILTER (WHERE l_quantity > 25) AS n_big,
+      |  CAST(COALESCE(SUM(CAST(l_extendedprice AS DECIMAL(28,6)))
+      |    FILTER (WHERE l_quantity > 25), 0) AS DOUBLE) AS rev_big
+      |FROM lineitem GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
+
+  // ---------------------------------------------------------------- q69
+  // Array set algebra over per-group collected sets: membership,
+  // cardinality, and intersection size — emitted as SCALARS (array
+  // outputs are kept out of the gate: set-function result order is
+  // implementation-defined, so arrays are sorted or reduced before
+  // they ever leave the query).
+  private def q69(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .groupBy(col("o_custkey"))
+      .agg(array_sort(collect_set(col("o_orderstatus"))).as("st"))
+      .select(
+        col("o_custkey"),
+        size(col("st")).as("n_status"),
+        array_contains(col("st"), "F").as("has_f"),
+        size(array_intersect(col("st"),
+          array(lit("O"), lit("F")))).as("n_common"))
+      .orderBy(col("o_custkey"))
+
+  private val q69Sql =
+    """WITH t AS (
+      |  SELECT o_custkey, list_sort(list(DISTINCT o_orderstatus)) AS st
+      |  FROM orders GROUP BY o_custkey)
+      |SELECT o_custkey, len(st) AS n_status,
+      |  list_contains(st, 'F') AS has_f,
+      |  len(list_intersect(st, ['O','F'])) AS n_common
+      |FROM t ORDER BY o_custkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q52_unpivot" -> (q52 _),
     "q53_higher_order" -> (q53 _),
@@ -472,7 +555,10 @@ object ExtendedQueries {
     "q63_calendar" -> (q63 _),
     "q64_sketch_union" -> (q64 _),
     "q65_session_window" -> (q65 _),
-    "q66_map_ops" -> (q66 _))
+    "q66_map_ops" -> (q66 _),
+    "q67_equidepth_hist" -> (q67 _),
+    "q68_conditional_agg" -> (q68 _),
+    "q69_array_setops" -> (q69 _))
 
   val oracleSql: Map[String, String] = Map(
     "q52_unpivot" -> q52Sql,
@@ -489,5 +575,8 @@ object ExtendedQueries {
     "q63_calendar" -> q63Sql,
     "q64_sketch_union" -> q64Sql,
     "q65_session_window" -> q65Sql,
-    "q66_map_ops" -> q66Sql)
+    "q66_map_ops" -> q66Sql,
+    "q67_equidepth_hist" -> q67Sql,
+    "q68_conditional_agg" -> q68Sql,
+    "q69_array_setops" -> q69Sql)
 }
