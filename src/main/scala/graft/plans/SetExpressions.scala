@@ -19,11 +19,15 @@ import org.apache.spark.unsafe.types.UTF8String
   * and counts with a single allocation-free merge walk.
   *
   * [[MinHashArray]] computes a k-wide MinHash signature in ONE pass over
-  * the shingle set using the standard two-hash construction
-  * h_i(x) = h1(x) + i·h2(x) — versus k array traversals with a fresh hash
-  * per (element, i) in the `array_min(transform(...))` formulation.
+  * the shingle set using the Broder two-hash construction
+  * h_i(x) = (h1(x) + i·h2(x)) mod P — versus k array traversals with a
+  * fresh hash per (element, i) in the `array_min(transform(...))`
+  * formulation.
   */
 object SetExpressions {
+
+  /** Smallest prime > 2^32 — the modulus of the double-hash family. */
+  val MinHashP: Long = 4294967311L
 
   /** |a ∩ b| for two SORTED, DISTINCT string arrays. */
   def sortedIntersectCount(a: Column, b: Column): Column =
@@ -47,6 +51,8 @@ object SetExpressions {
     ColumnBridge.column(MinHashArray(
       ColumnBridge.expression(shingles), k))
 }
+
+import SetExpressions.MinHashP
 
 /** Merge-walk intersection count over sorted distinct string arrays. */
 case class SortedIntersectCount(left: Expression, right: Expression)
@@ -103,8 +109,16 @@ case class SortedIntersectCount(left: Expression, right: Expression)
 
 /** One-pass k-wide MinHash over a string array: per element compute two
   * 32-bit Murmur3 hashes (different seeds), derive the i-th hash as
-  * `h1 + i*h2` (kept in long space to avoid overflow UB), and track k
-  * running minima.
+  * `(h1 + i*h2) mod P` (P = smallest prime > 2^32 — the Broder
+  * double-hash family), and track k running minima.
+  *
+  * The modulus is essential, not cosmetic: without it, `h1 + i*h2` is
+  * monotone in h2 for growing i, so every position's argmin converges to
+  * the set's min-h2 element and the k positions COLLAPSE to one
+  * effective hash — measured 1/64 signature agreement on a pair with
+  * true Jaccard 8/9 (q26 missed it at sf0.001). With the modular wrap
+  * the positions behave as independent hashes and agreement tracks
+  * Jaccard as theory says.
   */
 case class MinHashArray(child: Expression, k: Int)
     extends UnaryExpression with Serializable {
@@ -129,7 +143,7 @@ case class MinHashArray(child: Expression, k: Int)
         s.getBaseObject, s.getBaseOffset, s.numBytes(), 1337) & 0xffffffffL
       var i = 0
       while (i < k) {
-        val h = h1 + i * h2
+        val h = (h1 + i * h2) % MinHashP
         if (h < mins(i)) mins(i) = h
         i += 1
       }
@@ -155,7 +169,7 @@ case class MinHashArray(child: Expression, k: Int)
          |    .hashUnsafeBytes(s.getBaseObject(), s.getBaseOffset(),
          |      s.numBytes(), 1337) & 0xffffffffL;
          |  for (int i = 0; i < $k; i++) {
-         |    long h = h1 + i * h2;
+         |    long h = (h1 + i * h2) % ${MinHashP}L;
          |    if (h < $mins[i]) $mins[i] = h;
          |  }
          |}
@@ -252,7 +266,7 @@ case class MinHashLongArray(child: Expression, k: Int)
       val h2 = Murmur3_x86_32.hashLong(v, 1337) & 0xffffffffL
       var i = 0
       while (i < k) {
-        val h = h1 + i * h2
+        val h = (h1 + i * h2) % MinHashP
         if (h < mins(i)) mins(i) = h
         i += 1
       }
@@ -276,7 +290,7 @@ case class MinHashLongArray(child: Expression, k: Int)
          |  long h2 = org.apache.spark.unsafe.hash.Murmur3_x86_32
          |    .hashLong(v, 1337) & 0xffffffffL;
          |  for (int i = 0; i < $k; i++) {
-         |    long h = h1 + i * h2;
+         |    long h = (h1 + i * h2) % ${MinHashP}L;
          |    if (h < $mins[i]) $mins[i] = h;
          |  }
          |}

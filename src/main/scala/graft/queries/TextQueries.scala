@@ -189,15 +189,19 @@ object TextQueries {
   // ---------------------------------------------------------------- q26
   // MinHash+LSH near-dup (scale path). LSH can only MISS pairs vs the
   // exact join (never emit false positives — every candidate is
-  // exact-Jaccard-verified), and at (64 hashes, 16 bands) it has full
-  // recall on the driver corpus: the output is row-identical to q25's.
-  // That makes the exact-pairs SQL a valid (and strict) oracle — if a
-  // signature/banding change ever drops recall below 1.0 here, the gate
-  // fails loudly instead of silently weakening to a rows-only check.
+  // exact-Jaccard-verified), so the exact-pairs SQL is a valid (and
+  // strict) oracle: if banding recall ever drops below 1.0 on the gate
+  // corpus, the gate fails loudly instead of silently weakening to a
+  // rows-only check. Banding is 32 bands of 2: candidate probability at
+  // the s=0.4 decision boundary is 1-(1-0.4^2)^32 ≈ 0.996, vs ≈ 0.34
+  // for 16 bands of 4 — which measurably missed a boundary pair on the
+  // sf0.001 corpus. Cost: the banded shuffle carries 2x rows, still
+  // (band, hash, id) triples, never documents.
   private def q26(s: SparkSession, dir: String): DataFrame =
     Dedup.minHashLsh(
       Tables.documents(s, dir).filter(col("doc_id") < JaccardMaxId),
-      "doc_id", "text", n = 3, threshold = 0.4)
+      "doc_id", "text", n = 3, threshold = 0.4, numHashes = 64,
+      bands = 32)
       .orderBy(col("id_a"), col("id_b"))
 
   // ---------------------------------------------------------------- q27

@@ -67,6 +67,27 @@ class DedupSpec extends SparkSpec {
     assert(lsh.contains((1L, 3L))) // exact dups always collide
   }
 
+  test("minhash signature agreement tracks true Jaccard (hash-family " +
+    "regression: a collapsed family scores ~0 on subset pairs)") {
+    // A ⊃ B with |A∩B|/|A∪B| = 30/31: expected per-position agreement is
+    // ~0.97. The broken (non-modular) h1+i*h2 family measured 1/64 on
+    // exactly this shape — every position's argmin collapsed to the
+    // min-h2 element — which silently destroyed LSH recall (q26 missed a
+    // Jaccard-0.89 pair at sf0.001).
+    val a = (1 to 31).map(i => s"tok$i")
+    val b = a.take(30) // drop one element
+    val df = Seq((1L, a), (2L, b)).toDF("id", "toks")
+      .select(col("id"),
+        graft.plans.SetExpressions.minHash(
+          array_sort(col("toks")), 64).as("sig"))
+    val sigs = df.collect().map(r => r.getLong(0) -> r.getSeq[Long](1))
+      .toMap
+    val agree = sigs(1L).zip(sigs(2L)).count { case (x, y) => x == y }
+    // E[agree] = 64 * 30/31 ≈ 62; binomial 3σ lower bound ≈ 58.
+    assert(agree >= 52, s"agreement $agree/64 far below Jaccard 30/31 — " +
+      "minhash family is not behaving as independent hashes")
+  }
+
   test("simhash: identical texts distance 0, near-dups close, others far") {
     val fps = docs.select(col("doc_id"),
         Dedup.simHash64(col("text")).as("fp"))
