@@ -140,8 +140,9 @@ object Dedup {
   }
 
   /** MinHash signature: k-wide one-pass native expression using the
-    * two-hash construction h_i = h1 + i*h2 (graft.plans.MinHashArray) —
-    * one traversal of the shingle set instead of k.
+    * Broder construction h_i = (h1 + i*h2) mod P
+    * (graft.plans.MinHashArray) — one traversal of the shingle set
+    * instead of k.
     */
   def minHashSignature(shingles: Column, k: Int): Column =
     graft.plans.SetExpressions.minHash(shingles, k)
