@@ -540,6 +540,71 @@ object ExtendedQueries {
       |  len(list_intersect(st, ['O','F'])) AS n_common
       |FROM t ORDER BY o_custkey""".stripMargin
 
+  // ---------------------------------------------------------------- q70
+  // Multi-match regex extraction: all matches as an array, consumed as
+  // count + first/last (ANSI mode: try_element_at, not element_at — an
+  // empty match list must yield NULL→'', not an INVALID_ARRAY_INDEX
+  // error). Codegen'd projection, zero shuffles.
+  private def q70(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        regexp_extract_all(col("text"), lit("[a-z]+"), lit(0)).as("ws"))
+      .select(col("doc_id"),
+        size(col("ws")).as("n_words"),
+        coalesce(try_element_at(col("ws"), lit(1)), lit(""))
+          .as("first_w"),
+        coalesce(try_element_at(col("ws"), lit(-1)), lit(""))
+          .as("last_w"))
+      .orderBy(col("doc_id"))
+
+  private val q70Sql =
+    """SELECT doc_id,
+      |  len(regexp_extract_all(text, '[a-z]+')) AS n_words,
+      |  COALESCE(regexp_extract_all(text, '[a-z]+')[1], '') AS first_w,
+      |  COALESCE(regexp_extract_all(text, '[a-z]+')[-1], '') AS last_w
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q71
+  // Discrete percentiles (WITHIN GROUP ordered-set aggregate): returns
+  // an ACTUAL data value (first with cume_dist >= p) — no interpolation,
+  // so the result is hash-exact across engines by definition.
+  private def q71(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY l_extendedprice)")
+          .as("p25"),
+        expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY l_extendedprice)")
+          .as("p50"))
+      .orderBy(col("l_returnflag"))
+
+  private val q71Sql =
+    """SELECT l_returnflag,
+      |  quantile_disc(l_extendedprice, 0.25) AS p25,
+      |  quantile_disc(l_extendedprice, 0.5) AS p50
+      |FROM lineitem GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
+
+  // ---------------------------------------------------------------- q72
+  // Bitwise aggregates (AND/OR/XOR fold): associative+commutative, so
+  // partial aggregation and any merge order give identical results —
+  // the bitmask-rollup primitive.
+  private def q72(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        expr("bit_and(l_orderkey)").as("band"),
+        expr("bit_or(l_orderkey)").as("bor"),
+        expr("bit_xor(l_orderkey)").as("bxor"))
+      .orderBy(col("l_returnflag"))
+
+  private val q72Sql =
+    """SELECT l_returnflag,
+      |  bit_and(l_orderkey) AS band, bit_or(l_orderkey) AS bor,
+      |  bit_xor(l_orderkey) AS bxor
+      |FROM lineitem GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q52_unpivot" -> (q52 _),
     "q53_higher_order" -> (q53 _),
@@ -558,7 +623,10 @@ object ExtendedQueries {
     "q66_map_ops" -> (q66 _),
     "q67_equidepth_hist" -> (q67 _),
     "q68_conditional_agg" -> (q68 _),
-    "q69_array_setops" -> (q69 _))
+    "q69_array_setops" -> (q69 _),
+    "q70_regex_extract_all" -> (q70 _),
+    "q71_percentile_disc" -> (q71 _),
+    "q72_bitwise_agg" -> (q72 _))
 
   val oracleSql: Map[String, String] = Map(
     "q52_unpivot" -> q52Sql,
@@ -578,5 +646,8 @@ object ExtendedQueries {
     "q66_map_ops" -> q66Sql,
     "q67_equidepth_hist" -> q67Sql,
     "q68_conditional_agg" -> q68Sql,
-    "q69_array_setops" -> q69Sql)
+    "q69_array_setops" -> q69Sql,
+    "q70_regex_extract_all" -> q70Sql,
+    "q71_percentile_disc" -> q71Sql,
+    "q72_bitwise_agg" -> q72Sql)
 }
