@@ -83,4 +83,56 @@ object TemporalJoin {
         leftCols.filterNot(c => c == key || c == ts).map(col) ++
         (Seq("ts_asof") ++ valueCols.map(v => s"${v}_asof")).map(col): _*)
   }
+
+  /** Broadcast backward as-of join — same semantics and output schema as
+    * [[asOfBackward]], for the SMALL-right-side case (rate tables, config
+    * history: thousands-to-millions of rows, not billions).
+    *
+    * The right side packs into one row per key (sorted array of
+    * (ts, values) structs) and BROADCASTS; each left row then
+    * binary-searches the packed array with the codegen'd
+    * [[graft.plans.SortedLastLeq]] probe. The left side never shuffles
+    * and never sorts — a map-only pass at any left scale, vs the
+    * union+window form's shuffle of |L|+|R| rows. `ts` must be integral
+    * (long); right rows unique per (key, ts).
+    */
+  def asOfBroadcast(left: DataFrame, right: DataFrame, key: String,
+                    ts: String, valueCols: Seq[String],
+                    tolerance: Option[Long] = None): DataFrame = {
+    val leftCols = left.columns.toSeq
+    // (ts, values) structs sort by leading _ts; (key, ts) unique input
+    // makes the order total and the pack deterministic
+    val packed = right
+      .groupBy(col(key))
+      .agg(array_sort(collect_list(struct(
+        Seq(col(ts).cast("long").as("_ts")) ++
+          valueCols.map(v => col(v).as(s"_r_$v")): _*))).as("_packed"))
+      .withColumn("_ts_arr",
+        transform(col("_packed"), p => p.getField("_ts")))
+
+    val probed = left
+      .join(broadcast(packed), Seq(key), "left")
+      .withColumn("_idx",
+        graft.plans.SetExpressions.sortedLastLeq(
+          col("_ts_arr"), col(ts).cast("long")))
+      .withColumn("_hit",
+        col("_idx").isNotNull && col("_idx") >= 0 &&
+          (tolerance match {
+            case Some(t) =>
+              element_at(col("_ts_arr"), col("_idx") + 1) >=
+                col(ts).cast("long") - t
+            case None => lit(true)
+          }))
+      .withColumn("_m",
+        when(col("_hit"), element_at(col("_packed"), col("_idx") + 1)))
+
+    val out = probed
+      .withColumn("ts_asof", col("_m").getField("_ts"))
+    valueCols.foldLeft(out) { (df, v) =>
+      df.withColumn(s"${v}_asof", col("_m").getField(s"_r_$v"))
+    }
+      .select(Seq(col(key), col(ts)) ++
+        leftCols.filterNot(c => c == key || c == ts).map(col) ++
+        (Seq("ts_asof") ++ valueCols.map(v => s"${v}_asof")).map(col): _*)
+  }
 }

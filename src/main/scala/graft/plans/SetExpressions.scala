@@ -50,6 +50,13 @@ object SetExpressions {
   def minHash(shingles: Column, k: Int): Column =
     ColumnBridge.column(MinHashArray(
       ColumnBridge.expression(shingles), k))
+
+  /** 0-based index of the last element <= t in a sorted long array
+    * (-1 when none) — the broadcast as-of probe.
+    */
+  def sortedLastLeq(arr: Column, t: Column): Column =
+    ColumnBridge.column(SortedLastLeq(
+      ColumnBridge.expression(arr), ColumnBridge.expression(t)))
 }
 
 import SetExpressions.MinHashP
@@ -302,4 +309,56 @@ case class MinHashLongArray(child: Expression, k: Int)
   override protected def withNewChildInternal(c: Expression): Expression =
     copy(child = c)
   override def prettyName: String = s"minhash_long$k"
+}
+
+/** Binary search over a SORTED ascending long array: 0-based index of the
+  * LAST element <= t, or -1 when every element is greater (or the array
+  * is empty). The broadcast as-of join's probe kernel — O(log n) per left
+  * row against a per-key packed right side, fully codegen'd.
+  */
+case class SortedLastLeq(left: Expression, right: Expression)
+    extends BinaryExpression with Serializable {
+
+  override def dataType: DataType = IntegerType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), LongType) =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (array<bigint>, bigint)")
+    }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val arr = a.asInstanceOf[ArrayData]
+    val t = b.asInstanceOf[Long]
+    var lo = 0
+    var hi = arr.numElements() - 1
+    var ans = -1
+    while (lo <= hi) {
+      val mid = (lo + hi) >>> 1
+      if (arr.getLong(mid) <= t) { ans = mid; lo = mid + 1 }
+      else hi = mid - 1
+    }
+    ans
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, t) => {
+      s"""
+         |int lo = 0, hi = $a.numElements() - 1, ans = -1;
+         |while (lo <= hi) {
+         |  int mid = (lo + hi) >>> 1;
+         |  if ($a.getLong(mid) <= $t) { ans = mid; lo = mid + 1; }
+         |  else { hi = mid - 1; }
+         |}
+         |${ev.value} = ans;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "sorted_last_leq"
 }

@@ -61,6 +61,27 @@ object ScaleQueries {
        |  ORDER BY c.ms DESC LIMIT 1) c ON true
        |ORDER BY p.event_id""".stripMargin
 
+  // ---------------------------------------------------------------- q73
+  // Same as-of semantics as q34, via the BROADCAST formulation: the
+  // click history packs to one sorted array per user and broadcasts;
+  // purchases binary-search it (SortedLastLeq) — the purchases side
+  // never shuffles. Same oracle as q34: two plans, one truth.
+  private def q73(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).withColumn("ms", expr("ts DIV 1000000"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ms"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .groupBy(col("user_id"), col("ms"))
+      .agg(max(col("value")).as("click_value"))
+    TemporalJoin.asOfBroadcast(purchases, clicks, key = "user_id",
+        ts = "ms", valueCols = Seq("click_value"),
+        tolerance = Some(asofTolMs))
+      .select(col("event_id"), col("user_id"), col("ms"),
+        coalesce(col("ts_asof"), lit(-1L)).as("click_ms"),
+        coalesce(col("click_value_asof"), lit(-1.0)).as("click_value"))
+      .orderBy(col("event_id"))
+  }
+
   // ---------------------------------------------------------------- q35
   // Bucketed point-in-interval join: orders priced into 5k bands plus one
   // full-domain band (an interval spanning ~100 buckets — the expansion
@@ -149,11 +170,13 @@ object ScaleQueries {
     "q34_asof_join" -> (q34 _),
     "q35_range_join" -> (q35 _),
     "q36_salted_join" -> (q36 _),
-    "q37_quantiles" -> (q37 _))
+    "q37_quantiles" -> (q37 _),
+    "q73_asof_broadcast" -> (q73 _))
 
   val oracleSql: Map[String, String] = Map(
     "q34_asof_join" -> q34Sql,
     "q35_range_join" -> q35Sql,
     "q36_salted_join" -> q36Sql,
-    "q37_quantiles" -> q37Sql)
+    "q37_quantiles" -> q37Sql,
+    "q73_asof_broadcast" -> q34Sql)
 }

@@ -139,6 +139,15 @@ class PropertySpec extends SparkSpec {
     }.toMap
     assert(got.size == leftRows.size)
     assert(got == expected)
+    // the broadcast (packed-array binary-search) form must agree with
+    // both the window form and the brute force on the same streams
+    val gotB = graft.operators.TemporalJoin
+      .asOfBroadcast(left, right, "k", "ts", Seq("v"),
+        tolerance = Some(15L))
+      .select(col("id"), col("ts_asof"), col("v_asof"))
+      .as[(Long, Option[Long], Option[Double])].collect()
+      .map(t => t._1 -> (t._2, t._3)).toMap
+    assert(gotB == expected)
   }
 
   test("snapshot merge equals the brute-force map fold on random " +

@@ -79,6 +79,22 @@ class SurfacePlanSpec extends SparkSpec {
       "frame should be RANGE (value-based), not ROWS")
   }
 
+  test("q73 broadcast as-of: probe side joins via broadcast hash, no " +
+    "window pass, and the only shuffles are the packed-agg and the " +
+    "output sort") {
+    val p = physical(run("q73_asof_broadcast"))
+    assert(p.toString.contains("BroadcastHashJoin"),
+      "expected a broadcast hash join")
+    assert(p.collect { case w: WindowExec => w }.isEmpty,
+      "broadcast form must not fall back to the union+window plan")
+    val shuffles = p.collect {
+      case s if s.nodeName == "ShuffleExchange"
+        || s.nodeName == "Exchange" => s
+    }
+    assert(shuffles.size <= 2,
+      s"left side should not shuffle; exchanges: ${shuffles.size}")
+  }
+
   test("q51/q52: no nested-loop join in the auto range join; unpivot " +
     "is a zero-shuffle Expand") {
     val rj = physical(run("q51_range_join_auto")).toString
