@@ -605,6 +605,75 @@ object ExtendedQueries {
       |FROM lineitem GROUP BY l_returnflag
       |ORDER BY l_returnflag""".stripMargin
 
+  // ---------------------------------------------------------------- q74
+  // Frame-value window functions: first/last/nth over the FULL partition
+  // frame (unbounded both ways — last_value with the default frame is
+  // the running-last trap both engines share). One sort per key.
+  private def q74(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.orders(s, dir)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+        col("o_totalprice"))
+      .select(col("o_custkey"), col("o_orderkey"),
+        first(col("o_totalprice")).over(w).as("first_p"),
+        last(col("o_totalprice")).over(w).as("last_p"),
+        coalesce(nth_value(col("o_totalprice"), 2).over(w), lit(-1.0))
+          .as("second_p"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
+  private val q74Sql =
+    """SELECT o_custkey, o_orderkey,
+      |  first_value(o_totalprice) OVER w AS first_p,
+      |  last_value(o_totalprice) OVER w AS last_p,
+      |  COALESCE(nth_value(o_totalprice, 2) OVER w, -1.0) AS second_p
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey
+      |  ORDER BY o_orderdate, o_orderkey
+      |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+      |ORDER BY o_custkey, o_orderkey""".stripMargin
+
+  // ---------------------------------------------------------------- q75
+  // Equi-width histogram via width_bucket — the complement of q67's
+  // equi-depth: bucket bounds are CONSTANTS, so assignment is a pure
+  // projection (no window, no sort) and the histogram is one hash
+  // aggregate. The oracle spells out the same arithmetic.
+  private def q75(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .select(expr("width_bucket(o_totalprice, 0D, 500000D, 10)")
+        .as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("bucket"))
+
+  private val q75Sql =
+    """SELECT CASE WHEN o_totalprice < 0 THEN 0
+      |  WHEN o_totalprice >= 500000 THEN 11
+      |  ELSE 1 + CAST(FLOOR(o_totalprice / 50000) AS BIGINT) END
+      |  AS bucket,
+      |  COUNT(*) AS n
+      |FROM orders GROUP BY bucket ORDER BY bucket""".stripMargin
+
+  // ---------------------------------------------------------------- q76
+  // String aggregation (listagg/string_agg): per-group sorted distinct
+  // values joined into one string — collect_set + array_sort +
+  // array_join keeps the result deterministic under any partitioning.
+  private def q76(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .groupBy(col("o_custkey"))
+      .agg(array_join(array_sort(collect_set(col("o_orderstatus"))), ",")
+        .as("statuses"))
+      .orderBy(col("o_custkey"))
+
+  private val q76Sql =
+    """SELECT o_custkey,
+      |  string_agg(o_orderstatus, ',' ORDER BY o_orderstatus)
+      |    AS statuses
+      |FROM (SELECT DISTINCT o_custkey, o_orderstatus FROM orders)
+      |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q52_unpivot" -> (q52 _),
     "q53_higher_order" -> (q53 _),
@@ -626,7 +695,10 @@ object ExtendedQueries {
     "q69_array_setops" -> (q69 _),
     "q70_regex_extract_all" -> (q70 _),
     "q71_percentile_disc" -> (q71 _),
-    "q72_bitwise_agg" -> (q72 _))
+    "q72_bitwise_agg" -> (q72 _),
+    "q74_frame_values" -> (q74 _),
+    "q75_equiwidth_hist" -> (q75 _),
+    "q76_string_agg" -> (q76 _))
 
   val oracleSql: Map[String, String] = Map(
     "q52_unpivot" -> q52Sql,
@@ -649,5 +721,8 @@ object ExtendedQueries {
     "q69_array_setops" -> q69Sql,
     "q70_regex_extract_all" -> q70Sql,
     "q71_percentile_disc" -> q71Sql,
-    "q72_bitwise_agg" -> q72Sql)
+    "q72_bitwise_agg" -> q72Sql,
+    "q74_frame_values" -> q74Sql,
+    "q75_equiwidth_hist" -> q75Sql,
+    "q76_string_agg" -> q76Sql)
 }
