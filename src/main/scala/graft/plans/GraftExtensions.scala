@@ -11,6 +11,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Li
   *   vec_l2sq(a, b)               Σ (aᵢ−bᵢ)²
   *   sorted_intersect_count(a, b) |a ∩ b| for sorted distinct array<string>
   *   minhash(arr, k)              k-wide MinHash signature (k literal)
+  *   sorted_last_leq(arr, t)      last index with arr[i] <= t (as-of probe)
   *
   * Deploy either via `spark.sql.extensions=graft.plans.GraftExtensions`
   * (applies at session build) or [[GraftExtensions.register]] on a live
@@ -47,7 +48,11 @@ object GraftExtensions {
         case Literal(k: Int, _) => MinHashArray(args(0), k)
         case other => throw new IllegalArgumentException(
           s"minhash k must be an integer literal, got $other")
-      }))
+      }),
+    ("sorted_last_leq",
+      info("sorted_last_leq",
+        "index of last element <= t in a sorted array<bigint>, -1 if none"),
+      (args: Seq[Expression]) => SortedLastLeq(args(0), args(1))))
 
   /** Register the functions + optimizer rules on a live session (test /
     * notebook use — sessions built without `spark.sql.extensions`).

@@ -17,12 +17,16 @@ class PlansSpec extends SparkSpec {
         |  vec_l2sq(array(0.0d, 0.0d), array(3.0d, 4.0d)) AS l2,
         |  sorted_intersect_count(array('a','b','c'), array('b','c','d'))
         |    AS ic,
-        |  size(minhash(array('x','y'), 8)) AS mh
+        |  size(minhash(array('x','y'), 8)) AS mh,
+        |  sorted_last_leq(array(10L, 20L, 30L), 25L) AS leq,
+        |  sorted_last_leq(array(10L, 20L, 30L), 5L) AS leq_none
         |""".stripMargin).head()
     assert(r.getDouble(0) == 32.0)
     assert(r.getDouble(1) == 25.0)
     assert(r.getInt(2) == 2)
     assert(r.getInt(3) == 8)
+    assert(r.getInt(4) == 1)
+    assert(r.getInt(5) == -1)
   }
 
   test("native dot equals the higher-order-function formulation") {
