@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.spark.network.util.JavaUtils
 import org.apache.spark.sql.DataFrame
 
 /** Partition-health helpers shared by the CPU-heavy operators. */
@@ -14,9 +15,21 @@ object Partitioning {
     * when the input is already at least as wide as the session default
     * (the cluster-scale case — big scans arrive with hundreds of splits,
     * and repartitioning those would be a harmful extra shuffle).
+    *
+    * Width is estimated from optimizer statistics (output size estimate /
+    * scan split size), NOT from `df.rdd.getNumPartitions`: the RDD probe
+    * forces physical planning of the subtree outside the AQE-managed run,
+    * which is pure planning overhead on a cluster. Stats come from the
+    * optimized logical plan — no physical plan, no RDD, no job. Relations
+    * without real stats default to a huge size estimate, so the unknown
+    * case safely degrades to "already wide → no-op".
     */
   def widen(df: DataFrame): DataFrame = {
-    val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+    val spark = df.sparkSession
+    val target = spark.sparkContext.defaultParallelism
+    val splitBytes = JavaUtils.byteStringAsBytes(
+      spark.conf.get("spark.sql.files.maxPartitionBytes", "128MB")).max(1L)
+    val estSplits = df.queryExecution.optimizedPlan.stats.sizeInBytes / splitBytes + 1
+    if (estSplits < target) df.repartition(target) else df
   }
 }
