@@ -62,6 +62,18 @@ object ExampleData {
         |</body></html>
         |""".stripMargin, "Big5")
 
+    // ---- sinopac: real .xlsx (S5) — date-styled serial cells, shared
+    // strings, numeric amounts; exercises the ZIP+OOXML reader end-to-end
+    // (the reference routes 永豐/DAWAY → sinopac_bank, etl.py:458, and its
+    // excel path is the generic pd.read_excel, etl.py:311-315)
+    Xlsx.writeSheets(s"$dir/data/永豐202401帳單.xlsx", Seq(
+      "明細" -> Seq(
+        Seq("交易日期", "入帳日期", "卡號末四碼", "交易摘要", "臺幣金額"),
+        Seq(java.time.LocalDate.of(2024, 1, 12),
+          java.time.LocalDate.of(2024, 1, 13), "7777", "永豐超市", 350),
+        Seq(java.time.LocalDate.of(2024, 1, 20),
+          java.time.LocalDate.of(2024, 1, 21), "7777", "書店", 420))))
+
     // ---- configs (reference layout)
     put(s"$dir/configs/banks_config.yaml",
       """esun_bank:
@@ -112,6 +124,17 @@ object ExampleData {
         |    卡號末四碼: Card_No
         |    摘要: Merchant
         |    金額: Amount
+        |sinopac_bank:
+        |  bank_name: "永豐銀行"
+        |  file_type: "excel"
+        |  encoding: "utf-8"
+        |  header_keyword: "交易日期"
+        |  columns_mapping:
+        |    交易日期: Transaction_Date
+        |    入帳日期: Posting_Date
+        |    卡號末四碼: Card_No
+        |    交易摘要: Merchant
+        |    臺幣金額: Amount
         |""".stripMargin)
 
     put(s"$dir/configs/cards.csv",

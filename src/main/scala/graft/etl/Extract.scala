@@ -160,10 +160,8 @@ object Extract {
     val raw = cfg.fileType match {
       case "html" =>
         Ingest.readHtmlTable(spark, path, cfg.encoding, cfg.headerKeyword)
-      case "excel" =>
-        throw new UnsupportedOperationException(
-          "excel statements are not supported; export to csv " +
-            "(all reference banks use csv/html)")
+      case "excel" => // S5 (etl.py:311-315, pd.read_excel)
+        Xlsx.readFirstSheet(spark, path)
       case _ =>
         Ingest.smartReadCsv(spark, path, cfg.encoding, cfg.headerKeyword)
     }

@@ -35,8 +35,18 @@ class EtlPipelineSpec extends SparkSpec {
 
   test("extract: header anchor skips preamble, master rows dropped") {
     // 5 esun data rows (1 master dropped, 1 junk-date dropped → 4) +
-    // 3 cube + 2 ctbc + 3 hncb (1 master dropped → 2)
-    assert(extracted.count() == 4 + 3 + 2 + 2)
+    // 3 cube + 2 ctbc + 3 hncb (1 master dropped → 2) + 2 sinopac xlsx
+    assert(extracted.count() == 4 + 3 + 2 + 2 + 2)
+  }
+
+  test("extract: sinopac xlsx ingest (S5) — date serials + shared strings") {
+    val sp = rows(extracted.filter(col("Bank_Name") === "sinopac_bank"))
+    assert(sp.size == 2)
+    val shop = sp.find(_(Schema.Merchant) == "永豐超市").get
+    // date-styled serial cell decodes to a real date (not a day number)
+    assert(shop(Schema.TxnDate).toString == "2024-01-12")
+    assert(shop(Schema.CardNo) == "7777")
+    assert(shop(Schema.PayAmount) == 350.0) // C3 backfill from 臺幣金額
   }
 
   test("extract: ROC filename year + cross-year rollover (X8)") {
