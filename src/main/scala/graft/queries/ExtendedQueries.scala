@@ -674,6 +674,56 @@ object ExtendedQueries {
       |FROM (SELECT DISTINCT o_custkey, o_orderstatus FROM orders)
       |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin
 
+  // ---------------------------------------------------------------- q77
+  // Scale-safe equi-depth histogram — q67's cluster-shaped twin. q67's
+  // per-group ntile is exact but funnels each group through ONE window
+  // task (3 return flags → 3 cores, regardless of cluster size). Here
+  // the quartile BOUNDARIES come from percentile_approx (fixed-size GK
+  // sketches, map-side combinable, one cheap agg on a 2-column scan),
+  // the 3-row boundary table broadcasts, and bucket assignment is a pure
+  // codegen'd projection feeding a hash agg — every stage parallelizes
+  // with the data, nothing depends on group count. Oracle discipline
+  // follows q50: the exact columns (flag, bucket grid, group totals)
+  // hash-match DuckDB; the sketch-dependent bucket share is emitted as a
+  // boolean gate (each bucket holds 25% ± 1% of its group) that the
+  // oracle pins to TRUE, so boundary drift past tolerance fails the row.
+  private def q77(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+      .select(col("l_returnflag"), col("l_extendedprice"))
+    val bounds = li.groupBy(col("l_returnflag"))
+      .agg(expr(
+        "percentile_approx(l_extendedprice, array(0.25D, 0.5D, 0.75D), 10000)")
+        .as("bs"))
+    val counts = li.join(broadcast(bounds), Seq("l_returnflag"))
+      .select(col("l_returnflag"),
+        when(col("l_extendedprice") <= col("bs").getItem(0), 1)
+          .when(col("l_extendedprice") <= col("bs").getItem(1), 2)
+          .when(col("l_extendedprice") <= col("bs").getItem(2), 3)
+          .otherwise(4).as("bucket"))
+      .groupBy(col("l_returnflag"), col("bucket"))
+      .agg(count(lit(1)).as("n"))
+    // grid join keeps all 4 buckets per flag even if a sketch boundary
+    // collapsed one to empty — row count stays deterministic
+    val totals = counts.groupBy(col("l_returnflag"))
+      .agg(sum(col("n")).as("total"))
+    totals
+      .select(col("l_returnflag"), col("total"),
+        explode(array((1 to 4).map(lit): _*)).as("bucket"))
+      .join(counts, Seq("l_returnflag", "bucket"), "left")
+      .select(col("l_returnflag"), col("bucket"), col("total"),
+        (abs(coalesce(col("n"), lit(0L)).cast("double")
+            / col("total").cast("double") - 0.25) <= 0.01).as("depth_ok"))
+      .orderBy(col("l_returnflag"), col("bucket"))
+  }
+
+  private val q77Sql =
+    """WITH t AS (
+      |  SELECT l_returnflag, COUNT(*) AS total
+      |  FROM lineitem GROUP BY l_returnflag)
+      |SELECT l_returnflag, bucket, total, TRUE AS depth_ok
+      |FROM t CROSS JOIN (SELECT UNNEST([1, 2, 3, 4]) AS bucket) b
+      |ORDER BY l_returnflag, bucket""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q52_unpivot" -> (q52 _),
     "q53_higher_order" -> (q53 _),
@@ -698,7 +748,8 @@ object ExtendedQueries {
     "q72_bitwise_agg" -> (q72 _),
     "q74_frame_values" -> (q74 _),
     "q75_equiwidth_hist" -> (q75 _),
-    "q76_string_agg" -> (q76 _))
+    "q76_string_agg" -> (q76 _),
+    "q77_equidepth_approx" -> (q77 _))
 
   val oracleSql: Map[String, String] = Map(
     "q52_unpivot" -> q52Sql,
@@ -724,5 +775,6 @@ object ExtendedQueries {
     "q72_bitwise_agg" -> q72Sql,
     "q74_frame_values" -> q74Sql,
     "q75_equiwidth_hist" -> q75Sql,
-    "q76_string_agg" -> q76Sql)
+    "q76_string_agg" -> q76Sql,
+    "q77_equidepth_approx" -> q77Sql)
 }
