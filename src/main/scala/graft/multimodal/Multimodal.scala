@@ -14,10 +14,11 @@ import org.apache.spark.sql.functions._
   *
   *   - partitioning and batch shape are real — each task streams its
   *     partition through the codec without materializing it;
-  *   - the codec is a pluggable trait: this container has no image/audio
-  *     libs, so [[SyntheticCodec]] implements a deterministic fake format
-  *     (STUB — swap in a JNI/javacv codec for real media; every call site
-  *     is typed against the trait, nothing else changes);
+  *   - the codec is a pluggable trait with REAL implementations in
+  *     [[Codecs]]: hand-rolled BMP and PPM parsers, the JDK-builtin
+  *     `javax.imageio` codec (PNG/JPEG/BMP/GIF), and a magic-byte
+  *     [[Codecs.AutoCodec]] for mixed corpora. [[SyntheticCodec]] remains
+  *     for deterministic volume tests of the plumbing itself;
   *   - downstream features are `Array[Float]` columns — the same shape the
   *     ANN operators (graft.operators.Similarity) consume.
   */
@@ -50,10 +51,10 @@ object Multimodal {
     def encode(img: Image): Array[Byte]
   }
 
-  /** STUB codec for the synthetic container format
+  /** Codec for the synthetic container format
     * `GFT0 | width:int32 | height:int32 | channels:int32 | pixels…` —
-    * deterministic, dependency-free, exercises the full plumbing. A real
-    * deployment swaps this single object for a JPEG/PNG codec.
+    * deterministic raw-pixel payloads for volume/partitioning tests.
+    * Real formats (BMP, PPM, PNG/JPEG/GIF) live in [[Codecs]].
     */
   object SyntheticCodec extends ImageCodec {
     private val Magic = Array[Byte]('G', 'F', 'T', '0')
