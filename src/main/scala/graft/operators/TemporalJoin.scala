@@ -96,6 +96,46 @@ object TemporalJoin {
     * union+window form's shuffle of |L|+|R| rows. `ts` must be integral
     * (long); right rows unique per (key, ts).
     */
+  /** Backward as-of join on the dedicated physical operator
+    * ([[graft.plans.AsOfJoin.AsOfJoinExec]]) — same semantics as
+    * [[asOfBackward]], output schema `left.* ++ (ts_asof, <v>_asof…)`
+    * (left column order preserved; use a select for asOfBackward's
+    * key-first order).
+    *
+    * vs the union+window form: both shuffle |L|+|R| rows, but here each
+    * side keeps its OWN schema (the union pads every row with null slots
+    * for the other side's columns), the sorts are per-side codegen'd
+    * UnsafeSorts, and the merge streams with one held right record
+    * instead of a WindowExec buffering the merged partition. `ts` must
+    * be integral on both sides; right rows unique per (key, ts).
+    */
+  def asOfMerge(left: DataFrame, right: DataFrame, key: String,
+                ts: String, valueCols: Seq[String],
+                tolerance: Option[Long] = None): DataFrame = {
+    import graft.plans.AsOfJoin
+    val spark = left.sparkSession
+    graft.plans.GraftExtensions.register(spark)
+    val l = left.withColumn(ts, col(ts).cast("long"))
+    val r = right.withColumn(ts, col(ts).cast("long"))
+    val lPlan = l.queryExecution.analyzed
+    val rPlan = r.queryExecution.analyzed
+    def attr(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+             n: String) = p.output.find(_.name == n).getOrElse(
+      throw new IllegalArgumentException(s"no column $n"))
+    val rightVals = valueCols.map(attr(rPlan, _))
+    val asofOut =
+      org.apache.spark.sql.catalyst.expressions.AttributeReference(
+        "ts_asof", org.apache.spark.sql.types.LongType)() +:
+        rightVals.map(v =>
+          org.apache.spark.sql.catalyst.expressions.AttributeReference(
+            s"${v.name}_asof", v.dataType)())
+    org.apache.spark.sql.graft.PlanBridge.ofRows(spark,
+      AsOfJoin.AsOfJoinPlan(lPlan, rPlan,
+        attr(lPlan, key), attr(lPlan, ts),
+        attr(rPlan, key), attr(rPlan, ts),
+        rightVals, asofOut, tolerance))
+  }
+
   def asOfBroadcast(left: DataFrame, right: DataFrame, key: String,
                     ts: String, valueCols: Seq[String],
                     tolerance: Option[Long] = None): DataFrame = {

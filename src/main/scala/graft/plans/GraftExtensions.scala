@@ -24,6 +24,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     }
     // opt-in range-join rewrite (spark.graft.rangeJoin.bucketWidth > 0)
     ext.injectOptimizerRule(_ => RangeJoinRewrite)
+    // whole-operator as-of join (TemporalJoin.asOfMerge)
+    ext.injectPlannerStrategy(_ => AsOfJoin.AsOfJoinStrategy)
   }
 }
 
@@ -65,5 +67,9 @@ object GraftExtensions {
     if (!spark.experimental.extraOptimizations.contains(RangeJoinRewrite))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ RangeJoinRewrite
+    if (!spark.experimental.extraStrategies.contains(
+        AsOfJoin.AsOfJoinStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ AsOfJoin.AsOfJoinStrategy
   }
 }

@@ -166,17 +166,45 @@ object ScaleQueries {
       |GROUP BY l_returnflag
       |ORDER BY l_returnflag""".stripMargin
 
+  // ---------------------------------------------------------------- q78
+  // Same as-of semantics a THIRD way: the dedicated physical operator
+  // (AsOfJoinExec — custom LogicalPlan/Strategy/SparkPlan). Each side
+  // shuffles with its own schema and the merge streams one held record
+  // per partition, replacing q34's padded union + WindowExec. Same
+  // oracle as q34/q73: three plans, one truth.
+  private def q78(s: SparkSession, dir: String): DataFrame = {
+    // two independent reads: fresh exprIds per side keep the self-join
+    // unambiguous for the custom binary node
+    val purchases = Tables.events(s, dir)
+      .withColumn("ms", expr("ts DIV 1000000"))
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ms"))
+    val clicks = Tables.events(s, dir)
+      .withColumn("ms", expr("ts DIV 1000000"))
+      .filter(col("event_type") === "click")
+      .groupBy(col("user_id"), col("ms"))
+      .agg(max(col("value")).as("click_value"))
+    TemporalJoin.asOfMerge(purchases, clicks, key = "user_id", ts = "ms",
+        valueCols = Seq("click_value"), tolerance = Some(asofTolMs))
+      .select(col("event_id"), col("user_id"), col("ms"),
+        coalesce(col("ts_asof"), lit(-1L)).as("click_ms"),
+        coalesce(col("click_value_asof"), lit(-1.0)).as("click_value"))
+      .orderBy(col("event_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q34_asof_join" -> (q34 _),
     "q35_range_join" -> (q35 _),
     "q36_salted_join" -> (q36 _),
     "q37_quantiles" -> (q37 _),
-    "q73_asof_broadcast" -> (q73 _))
+    "q73_asof_broadcast" -> (q73 _),
+    "q78_asof_merge" -> (q78 _))
 
   val oracleSql: Map[String, String] = Map(
     "q34_asof_join" -> q34Sql,
     "q35_range_join" -> q35Sql,
     "q36_salted_join" -> q36Sql,
     "q37_quantiles" -> q37Sql,
-    "q73_asof_broadcast" -> q34Sql)
+    "q73_asof_broadcast" -> q34Sql,
+    "q78_asof_merge" -> q34Sql)
 }

@@ -148,6 +148,26 @@ class PropertySpec extends SparkSpec {
       .as[(Long, Option[Long], Option[Double])].collect()
       .map(t => t._1 -> (t._2, t._3)).toMap
     assert(gotB == expected)
+    // the dedicated physical operator (AsOfJoinExec streaming merge)
+    // must agree too — three plans, one truth
+    val gotM = graft.operators.TemporalJoin
+      .asOfMerge(left, right, "k", "ts", Seq("v"), tolerance = Some(15L))
+      .select(col("id"), col("ts_asof"), col("v_asof"))
+      .as[(Long, Option[Long], Option[Double])].collect()
+      .map(t => t._1 -> (t._2, t._3)).toMap
+    assert(gotM == expected)
+    // no tolerance: unbounded backward matches
+    val gotM2 = graft.operators.TemporalJoin
+      .asOfMerge(left, right, "k", "ts", Seq("v"))
+      .select(col("id"), col("ts_asof"), col("v_asof"))
+      .as[(Long, Option[Long], Option[Double])].collect()
+      .map(t => t._1 -> (t._2, t._3)).toMap
+    val expected2 = leftRows.map { case (id, k, ts) =>
+      val m = rightRows.filter(r => r._1 == k && r._2 <= ts)
+      id -> (if (m.isEmpty) (None, None)
+             else { val b = m.maxBy(_._2); (Some(b._2), Some(b._3)) })
+    }.toMap
+    assert(gotM2 == expected2)
   }
 
   test("snapshot merge equals the brute-force map fold on random " +

@@ -95,6 +95,45 @@ class SurfacePlanSpec extends SparkSpec {
       s"left side should not shuffle; exchanges: ${shuffles.size}")
   }
 
+  test("q78 as-of merge: dedicated AsOfJoinExec, no WindowExec, no " +
+    "padded union — each side shuffles its own schema") {
+    val p = physical(run("q78_asof_merge"))
+    assert(p.collect {
+      case e: graft.plans.AsOfJoin.AsOfJoinExec => e
+    }.size == 1, "expected the dedicated physical as-of operator")
+    assert(p.collect { case w: WindowExec => w }.isEmpty,
+      "merge form must not plan a window pass")
+    assert(!p.toString.contains("Union"),
+      "merge form must not pad sides into a union schema")
+  }
+
+  test("q77 equi-depth approx: no window funnel — boundaries broadcast, " +
+    "assignment is a projection") {
+    val p = physical(run("q77_equidepth_approx"))
+    assert(p.collect { case w: WindowExec => w }.isEmpty,
+      "scale-safe form must not use ntile windows")
+    assert(p.toString.contains("BroadcastHashJoin"),
+      "boundaries should broadcast to the assigning projection")
+  }
+
+  test("widen() decides from optimizer stats: narrow scans repartition, " +
+    "already-wide inputs pass through untouched") {
+    val df = graft.Tables.documents(spark, sf).select("doc_id")
+    val widened = graft.operators.Partitioning.widen(df)
+    assert(widened.queryExecution.logical.toString.contains("Repartition"),
+      "small scan should widen to default parallelism")
+    // shrink the split size so the same scan estimates as already-wide:
+    // the cluster-scale branch must return the SAME frame (no shuffle),
+    // decided from stats alone — no job, no RDD materialization
+    val old = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    try {
+      spark.conf.set("spark.sql.files.maxPartitionBytes", "1024")
+      val big = graft.Tables.documents(spark, sf).select("doc_id")
+      assert(graft.operators.Partitioning.widen(big) eq big,
+        "an input estimated wider than defaultParallelism must no-op")
+    } finally spark.conf.set("spark.sql.files.maxPartitionBytes", old)
+  }
+
   test("q51/q52: no nested-loop join in the auto range join; unpivot " +
     "is a zero-shuffle Expand") {
     val rj = physical(run("q51_range_join_auto")).toString
