@@ -72,6 +72,30 @@ class XlsxSpec extends SparkSpec {
     assert(!Files.exists(java.nio.file.Paths.get(s"$outDir/missing.csv")))
   }
 
+  test("ConvertModel: real workbook beats template, known sheets export") {
+    val work = Files.createTempDirectory("graft-cm").toString
+    Files.createDirectories(java.nio.file.Paths.get(s"$work/configs"))
+    // template exists with one known sheet…
+    Xlsx.writeSheets(s"$work/${graft.etl.ConvertModel.ExampleSourceFile}",
+      Seq("卡號對照表(mapping table)" ->
+        Seq(Seq("對應卡片", "卡號"), Seq("template卡", "0000"))))
+    assert(graft.etl.ConvertModel.sourceFile(work).get.contains("範本"))
+    // …but the real workbook wins once present
+    Xlsx.writeSheets(s"$work/${graft.etl.ConvertModel.RealSourceFile}",
+      Seq(
+        "卡號對照表(mapping table)" ->
+          Seq(Seq("對應卡片", "卡號"), Seq("玉山Unicard", "4444"),
+            Seq("國泰CUBE", "1111/2222")),
+        "外幣匯率紀錄(維度表)" ->
+          Seq(Seq("幣別", "匯率"), Seq("JPY", "0.21")),
+        "無關的表" -> Seq(Seq("x"), Seq("1"))))
+    val got = graft.etl.ConvertModel.run(work).toMap
+    assert(got == Map("card_mapping.csv" -> 2, "exchange_rates.csv" -> 1))
+    val text = new String(Files.readAllBytes(
+      java.nio.file.Paths.get(s"$work/configs/card_mapping.csv")), "UTF-8")
+    assert(text.contains("玉山Unicard,4444")) // real data, not template
+  }
+
   test("multi-sheet workbooks keep workbook order") {
     val f = tmp(".xlsx")
     Xlsx.writeSheets(f, Seq(
