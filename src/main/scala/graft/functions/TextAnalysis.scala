@@ -103,6 +103,43 @@ object TextAnalysis {
       transform(sequence(lit(0), size(toks) - n),
         i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + j + 1)): _*)))
 
+  /** PII masking patterns, applied in order (emails first so their digit
+    * runs can't be half-eaten by the numeric patterns; SSN before card
+    * before phone so the more specific shape wins). Lookarounds keep a
+    * longer digit run from matching a shorter pattern's prefix.
+    */
+  val PiiPatterns: Seq[(String, String, String)] = Seq(
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ssn", "(?<![0-9])[0-9]{3}-[0-9]{2}-[0-9]{4}(?![0-9])", "<SSN>"),
+    ("card", "(?<![0-9])[0-9]{13,16}(?![0-9])", "<CARD>"),
+    ("phone",
+      "(?<![0-9])(\\+?[0-9]{1,2}[ .-])?\\(?[0-9]{3}\\)?[ .-][0-9]{3}[ .-][0-9]{4}(?![0-9])",
+      "<PHONE>"))
+
+  /** Masks emails / SSNs / card numbers / phone numbers with typed
+    * placeholder tags — the pre-training PII-scrub pass. Pure chained
+    * `regexp_replace` (codegen'd, shuffle-free); patterns are a standard
+    * heuristic scrub, not a compliance guarantee.
+    */
+  def redactPii(text: Column): Column =
+    PiiPatterns.foldLeft(text) { case (c, (_, re, tag)) =>
+      regexp_replace(c, re, tag)
+    }
+
+  /** Per-category PII hit counts as a struct column (email, ssn, card,
+    * phone) — the audit metric alongside [[redactPii]]. Counts are taken
+    * on the progressively redacted text so categories never double-count
+    * the same span (mirrors the replace order).
+    */
+  def piiCounts(text: Column): Column = {
+    val (_, cols) = PiiPatterns.foldLeft((text, Seq.empty[Column])) {
+      case ((t, acc), (name, re, tag)) =>
+        val hits = size(regexp_extract_all(t, lit(re), lit(0))).as(name)
+        (regexp_replace(t, re, tag), acc :+ hits)
+    }
+    struct(cols: _*)
+  }
+
   /** English stopwords used by default profiles/tests. */
   val EnglishStopwords: Seq[String] = Seq(
     "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",

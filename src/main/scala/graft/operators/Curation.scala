@@ -1,0 +1,218 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextAnalysis
+
+/** Corpus-curation operators for training-data pipelines: benchmark
+  * contamination detection, repetition/quality signals, TF-IDF keyword
+  * extraction, incremental (snapshot-aware) dedup, deterministic stratified
+  * quota sampling, and source-mixture planning.
+  *
+  * Scale design, per operator:
+  *   - contamination: benchmark n-gram sets are small by construction (a
+  *     benchmark is human-curated — thousands of documents, not billions),
+  *     so the distinct benchmark-gram set is BROADCAST and the corpus side
+  *     is a map-side hash probe: no corpus shuffle at all. Grams travel as
+  *     xxhash64 8-byte keys, never strings (same argument as
+  *     [[Dedup.hashedShingleSets]]: equality modulo 2^-65 collisions).
+  *   - repetition signals: pure Column algebra over each document's own
+  *     token array (sort + linear fold) — zero shuffle, embarrassingly
+  *     parallel, stays inside whole-stage codegen.
+  *   - TF-IDF: two hash-shuffles on bounded keys ((doc,term) then term);
+  *     the document-frequency side aggregates to |vocab| rows before the
+  *     re-join, and AQE picks broadcast when vocab is small.
+  *   - incremental dedup: anti-join on 32-char digests, never bodies; the
+  *     snapshot side is digest-only, so even a 100 TB corpus snapshot
+  *     joins at ~32 bytes/doc.
+  *   - quota sampling: per-group top-k by a deterministic hash order;
+  *     Spark plans rank-filter windows as two-phase WindowGroupLimit
+  *     (partial per-partition top-k before the shuffle), so the shuffle
+  *     carries at most k rows per group per input partition.
+  *   - mixture planning: one partial-aggregated groupBy to |sources| rows
+  *     plus a one-row broadcast total — driver never sees row data.
+  */
+object Curation {
+
+  // ------------------------------------------------------------------
+  // Benchmark contamination
+  // ------------------------------------------------------------------
+
+  /** Flags corpus documents whose word n-grams overlap a benchmark set —
+    * the standard train/test contamination check run before training on
+    * scraped corpora (n-gram collision against eval benchmarks).
+    *
+    * Returns one row per corpus document that shares at least one n-gram
+    * with the benchmark: (id, n_shingles, n_overlap, overlap_ratio,
+    * contaminated), where `contaminated` flags ratio >= `flagThreshold`.
+    *
+    * The benchmark's distinct grams are broadcast (see object scaladoc);
+    * the corpus never shuffles — each partition probes the broadcast set
+    * and partial-aggregates its own per-doc hit counts.
+    */
+  def contaminationReport(corpus: DataFrame, bench: DataFrame,
+                          idCol: String, textCol: String, n: Int,
+                          flagThreshold: Double): DataFrame = {
+    val corpusSets = Dedup.hashedShingleSets(corpus, idCol, textCol, n)
+    val benchGrams = Dedup.hashedShingleSets(bench, idCol, textCol, n)
+      .select(explode(col("shingles")).as("g")).distinct()
+    val hits = corpusSets
+      .select(col("id"), size(col("shingles")).as("n_shingles"),
+        explode(col("shingles")).as("g"))
+      .join(broadcast(benchGrams), Seq("g"))
+      .groupBy("id", "n_shingles")
+      .agg(count(lit(1)).as("n_overlap"))
+    val ratio = col("n_overlap").cast("double") /
+      greatest(col("n_shingles"), lit(1)).cast("double")
+    hits.select(col("id"), col("n_shingles"), col("n_overlap"),
+      round(ratio, 6).as("overlap_ratio"),
+      (ratio >= lit(flagThreshold)).as("contaminated"))
+  }
+
+  // ------------------------------------------------------------------
+  // Repetition / diversity signals (Gopher-style quality rules)
+  // ------------------------------------------------------------------
+
+  /** Count of the most frequent element in a (string) array column —
+    * computed as the longest run in the sorted array via a linear
+    * `aggregate` fold. Pure Column algebra: no explode, no shuffle.
+    */
+  def topElementCount(arr: Column): Column = {
+    val init = struct(
+      lit(null).cast("string").as("prev"),
+      lit(0L).as("run"), lit(0L).as("best"))
+    aggregate(
+      array_sort(arr), init,
+      (acc, t) => {
+        val run = when(t === acc.getField("prev"), acc.getField("run") + 1L)
+          .otherwise(lit(1L))
+        struct(t.as("prev"), run.as("run"),
+          greatest(acc.getField("best"), run).as("best"))
+      },
+      acc => acc.getField("best"))
+  }
+
+  /** Per-document repetition signals: token count, distinct-token (type/
+    * token) ratio, most-frequent-token share, most-frequent-bigram share,
+    * plus a composite `repetitive` flag. The Gopher/FineWeb family of
+    * repetition filters, as one shuffle-free projection.
+    */
+  def repetitionSignals(df: DataFrame, idCol: String, textCol: String,
+                        minDistinctRatio: Double = 0.35,
+                        maxTopTokenFrac: Double = 0.13): DataFrame = {
+    val base = df.select(col(idCol),
+      TextAnalysis.tokens(col(textCol)).as("_toks"))
+      .select(col(idCol), col("_toks"),
+        TextAnalysis.shinglesOfTokens(col("_toks"), 2).as("_bigrams"))
+    val n = greatest(size(col("_toks")), lit(1)).cast("double")
+    val nBi = greatest(size(col("_bigrams")), lit(1)).cast("double")
+    val distinctRatio = size(array_distinct(col("_toks"))).cast("double") / n
+    val topTokFrac = topElementCount(col("_toks")).cast("double") / n
+    val topBiFrac = topElementCount(col("_bigrams")).cast("double") / nBi
+    base.select(col(idCol),
+      size(col("_toks")).as("n_tokens"),
+      round(distinctRatio, 6).as("distinct_ratio"),
+      round(topTokFrac, 6).as("top_token_frac"),
+      round(topBiFrac, 6).as("top_bigram_frac"),
+      (distinctRatio < lit(minDistinctRatio) ||
+        topTokFrac > lit(maxTopTokenFrac)).as("repetitive"))
+  }
+
+  // ------------------------------------------------------------------
+  // TF-IDF keyword extraction
+  // ------------------------------------------------------------------
+
+  /** The highest-TF-IDF term of each document (smooth idf:
+    * ln((N+1)/(df+1)) + 1, sklearn's formulation), ties broken by the
+    * lexicographically smallest term. Two bounded-key shuffles; see the
+    * object scaladoc for the 100 TB argument.
+    */
+  def topTfidfTerm(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val terms = df.select(col(idCol),
+        explode(TextAnalysis.tokens(col(textCol))).as("term"))
+    val tf = terms.groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    // one row per (doc, term) already, so df(term) = count of rows
+    val dfT = tf.groupBy("term").agg(count(lit(1)).as("doc_freq"))
+    val nDocs = df.agg(countDistinct(col(idCol)).as("n_docs"))
+    val scored = tf.join(dfT, "term")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("score",
+        col("tf").cast("double") *
+          (log((col("n_docs").cast("double") + 1d) /
+            (col("doc_freq").cast("double") + 1d)) + 1d))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("score").desc, col("term").asc)
+    scored.withColumn("_rk", row_number().over(w))
+      .filter(col("_rk") === 1)
+      .select(col(idCol), col("term").as("top_term"), col("tf"),
+        round(col("score"), 6).as("tfidf"))
+  }
+
+  // ------------------------------------------------------------------
+  // Incremental dedup against a corpus snapshot
+  // ------------------------------------------------------------------
+
+  /** Dedups an incoming batch against an already-ingested corpus snapshot:
+    * keeps one (min-id) row per distinct content hash that does NOT already
+    * exist in the snapshot. The daily-increment form of [[Dedup.exact]] —
+    * no rescan of the historical corpus, just its digest set.
+    */
+  def incrementalDedup(batch: DataFrame, snapshot: DataFrame,
+                       idCol: String, textCol: String): DataFrame =
+    batch.select(col(idCol), md5(col(textCol)).as("content_hash"))
+      .join(snapshot.select(md5(col(textCol)).as("content_hash")).distinct(),
+        Seq("content_hash"), "left_anti")
+      .groupBy("content_hash")
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("batch_dups"))
+
+  // ------------------------------------------------------------------
+  // Deterministic stratified quota sampling
+  // ------------------------------------------------------------------
+
+  /** Takes up to `quota` rows per stratum, ordered by a deterministic
+    * content-free hash of the id (md5, same construction as
+    * [[Splits.assignFolds]]) — a reproducible "random" sample that is
+    * stable across runs, partitionings, and engines. The rank filter plans
+    * as two-phase WindowGroupLimit (partial top-k before the shuffle).
+    */
+  def quotaSample(df: DataFrame, stratumCol: String, idCol: String,
+                  quota: Int): DataFrame = {
+    val w = Window.partitionBy(col(stratumCol))
+      .orderBy(md5(col(idCol).cast("string")).asc, col(idCol).asc)
+    df.withColumn("sample_rank", row_number().over(w))
+      .filter(col("sample_rank") <= quota)
+  }
+
+  // ------------------------------------------------------------------
+  // Source-mixture planning
+  // ------------------------------------------------------------------
+
+  /** Per-source token inventory + the downsampling rate that would flatten
+    * the mixture to uniform shares: rate = min(1, target/actual). The
+    * planning step before mixture-weighted corpus sampling (the per-domain
+    * reweighting every large-scale pretraining recipe runs).
+    */
+  def mixturePlan(df: DataFrame, sourceCol: String,
+                  tokenCount: Column): DataFrame = {
+    val perSource = df.groupBy(col(sourceCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(tokenCount.cast("long")).as("n_tokens"))
+    val totals = perSource.agg(
+      sum(col("n_tokens")).as("total_tokens"),
+      count(lit(1)).as("n_sources"))
+    val actual = col("n_tokens").cast("double") /
+      col("total_tokens").cast("double")
+    val target = lit(1d) / col("n_sources").cast("double")
+    val rate = least(lit(1d), target / actual)
+    perSource.crossJoin(broadcast(totals))
+      .select(col(sourceCol), col("n_docs"), col("n_tokens"),
+        round(actual, 6).as("actual_share"),
+        round(target, 6).as("target_share"),
+        round(rate, 6).as("sample_rate"),
+        floor(col("n_tokens").cast("double") * rate).cast("long")
+          .as("expected_tokens"))
+  }
+}

@@ -1,0 +1,202 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.TextAnalysis
+import graft.operators.Curation
+
+/** Corpus-curation operators over `documents`: contamination detection,
+  * repetition signals, TF-IDF keywords, incremental dedup, stratified quota
+  * sampling, and mixture planning. Every query carries a DuckDB oracle.
+  *
+  * Benchmark / batch membership is derived from doc_id arithmetic so the
+  * partition is deterministic, engine-independent, and scales with the
+  * table (no hard-coded id lists).
+  */
+object CurationQueries {
+
+  private val toksSql = """string_split_regex(trim(text), '\s+')"""
+
+  // ---------------------------------------------------------------- q79
+  // Benchmark contamination: corpus docs sharing word-4-grams with the
+  // "benchmark" slice (doc_id % 20 == 0). Grams travel as xxhash64 keys in
+  // Spark (broadcast probe, no corpus shuffle); the oracle joins the gram
+  // strings themselves — identical counts absent 2^-65 hash collisions.
+  private def q79(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    Curation.contaminationReport(
+        docs.filter(col("doc_id") % 20 =!= 0),
+        docs.filter(col("doc_id") % 20 === 0),
+        "doc_id", "text", n = 4, flagThreshold = 0.05)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy(col("doc_id"))
+  }
+
+  private val q79Sql = {
+    val sh =
+      s"""list_distinct(list_transform(
+         |    generate_series(1, greatest(len($toksSql) - 3, 0)),
+         |    i -> concat_ws(' ', $toksSql[i], $toksSql[i+1],
+         |                   $toksSql[i+2], $toksSql[i+3])))""".stripMargin
+    s"""WITH sh AS (
+       |  SELECT doc_id, unnest($sh) AS g FROM documents),
+       |bench AS (SELECT DISTINCT g FROM sh WHERE doc_id % 20 = 0),
+       |corpus AS (SELECT doc_id, g FROM sh WHERE doc_id % 20 != 0),
+       |tot AS (SELECT doc_id, count(*) AS n_shingles FROM corpus GROUP BY 1),
+       |hit AS (SELECT c.doc_id, count(*) AS n_overlap
+       |        FROM corpus c JOIN bench b USING (g) GROUP BY 1)
+       |SELECT t.doc_id, t.n_shingles, h.n_overlap,
+       |  round(CAST(h.n_overlap AS DOUBLE)
+       |    / CAST(greatest(t.n_shingles, 1) AS DOUBLE), 6) AS overlap_ratio,
+       |  CAST(h.n_overlap AS DOUBLE)
+       |    / CAST(greatest(t.n_shingles, 1) AS DOUBLE) >= 0.05
+       |    AS contaminated
+       |FROM tot t JOIN hit h USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q80
+  // Gopher-style repetition signals as one shuffle-free projection (the
+  // Spark side folds each doc's own sorted token array; the oracle
+  // re-derives the same numbers relationally via unnest + group-by).
+  private def q80(s: SparkSession, dir: String): DataFrame =
+    Curation.repetitionSignals(Tables.documents(s, dir), "doc_id", "text")
+      .orderBy(col("doc_id"))
+
+  private val q80Sql = {
+    val bigrams =
+      s"""list_transform(generate_series(1, greatest(len($toksSql) - 1, 0)),
+         |    i -> concat_ws(' ', $toksSql[i], $toksSql[i+1]))""".stripMargin
+    s"""WITH t AS (SELECT doc_id, unnest($toksSql) AS tok FROM documents),
+       |c AS (SELECT doc_id, tok, count(*) AS cnt FROM t GROUP BY 1, 2),
+       |ts AS (SELECT doc_id, sum(cnt) AS n, count(*) AS nd, max(cnt) AS top
+       |       FROM c GROUP BY 1),
+       |bt AS (SELECT doc_id, unnest($bigrams) AS bg FROM documents),
+       |bc AS (SELECT doc_id, bg, count(*) AS cnt FROM bt GROUP BY 1, 2),
+       |bs AS (SELECT doc_id, sum(cnt) AS nb, max(cnt) AS topb
+       |       FROM bc GROUP BY 1)
+       |SELECT ts.doc_id, CAST(ts.n AS BIGINT) AS n_tokens,
+       |  round(CAST(nd AS DOUBLE) / CAST(greatest(n, 1) AS DOUBLE), 6)
+       |    AS distinct_ratio,
+       |  round(CAST(top AS DOUBLE) / CAST(greatest(n, 1) AS DOUBLE), 6)
+       |    AS top_token_frac,
+       |  round(CAST(coalesce(topb, 0) AS DOUBLE)
+       |    / CAST(greatest(coalesce(nb, 1), 1) AS DOUBLE), 6)
+       |    AS top_bigram_frac,
+       |  (CAST(nd AS DOUBLE) / CAST(greatest(n, 1) AS DOUBLE) < 0.35
+       |    OR CAST(top AS DOUBLE) / CAST(greatest(n, 1) AS DOUBLE) > 0.13)
+       |    AS repetitive
+       |FROM ts LEFT JOIN bs USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q81
+  // Top TF-IDF term per document (smooth idf, deterministic tie-break).
+  private def q81(s: SparkSession, dir: String): DataFrame =
+    Curation.topTfidfTerm(Tables.documents(s, dir), "doc_id", "text")
+      .orderBy(col("doc_id"))
+
+  private val q81Sql =
+    s"""WITH t AS (SELECT doc_id, unnest($toksSql) AS term FROM documents),
+       |tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY 1, 2),
+       |dft AS (SELECT term, count(*) AS doc_freq FROM tf GROUP BY 1),
+       |n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+       |scored AS (
+       |  SELECT tf.doc_id, tf.term, tf.tf,
+       |    CAST(tf.tf AS DOUBLE) *
+       |      (ln((CAST(n_docs AS DOUBLE) + 1) /
+       |          (CAST(doc_freq AS DOUBLE) + 1)) + 1) AS score
+       |  FROM tf JOIN dft USING (term) CROSS JOIN n),
+       |rk AS (SELECT *, row_number() OVER
+       |         (PARTITION BY doc_id ORDER BY score DESC, term ASC) AS rk
+       |       FROM scored)
+       |SELECT doc_id, term AS top_term, tf, round(score, 6) AS tfidf
+       |FROM rk WHERE rk = 1
+       |ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q82
+  // Incremental dedup: the "new batch" (doc_id % 10 < 2) against the
+  // already-ingested snapshot (the rest) — anti-join on digests only.
+  private def q82(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    Curation.incrementalDedup(
+        docs.filter(col("doc_id") % 10 < 2),
+        docs.filter(col("doc_id") % 10 >= 2),
+        "doc_id", "text")
+      .orderBy(col("content_hash"))
+  }
+
+  private val q82Sql =
+    """WITH batch AS (SELECT doc_id, md5(text) AS h FROM documents
+      |               WHERE doc_id % 10 < 2),
+      |snap AS (SELECT DISTINCT md5(text) AS h FROM documents
+      |         WHERE doc_id % 10 >= 2)
+      |SELECT h AS content_hash, min(doc_id) AS keep_id,
+      |  count(*) AS batch_dups
+      |FROM batch WHERE h NOT IN (SELECT h FROM snap)
+      |GROUP BY h
+      |ORDER BY content_hash""".stripMargin
+
+  // ---------------------------------------------------------------- q83
+  // Deterministic stratified quota sample: 20 docs per language, ordered
+  // by a content-free md5 of the id (stable across engines and runs).
+  private def q83(s: SparkSession, dir: String): DataFrame =
+    Curation.quotaSample(Tables.documents(s, dir), "lang", "doc_id", 20)
+      .select(col("lang"), col("doc_id"), col("sample_rank"))
+      .orderBy(col("lang"), col("sample_rank"))
+
+  private val q83Sql =
+    """WITH rk AS (
+      |  SELECT lang, doc_id, row_number() OVER (PARTITION BY lang
+      |    ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC)
+      |    AS sample_rank
+      |  FROM documents)
+      |SELECT lang, doc_id, sample_rank FROM rk WHERE sample_rank <= 20
+      |ORDER BY lang, sample_rank""".stripMargin
+
+  // ---------------------------------------------------------------- q84
+  // Source-mixture plan: per-source token inventory and the downsampling
+  // rate that flattens the corpus to uniform source shares.
+  private def q84(s: SparkSession, dir: String): DataFrame =
+    Curation.mixturePlan(Tables.documents(s, dir), "source",
+        TextAnalysis.tokenCount(col("text")))
+      .orderBy(col("source"))
+
+  private val q84Sql = {
+    val actual = "CAST(n_tokens AS DOUBLE) / CAST(total_tokens AS DOUBLE)"
+    val target = "1.0 / CAST(n_sources AS DOUBLE)"
+    val rate = s"least(1.0, ($target) / ($actual))"
+    s"""WITH per AS (
+       |  SELECT source, count(*) AS n_docs,
+       |    sum(len($toksSql)) AS n_tokens
+       |  FROM documents GROUP BY 1),
+       |tot AS (SELECT sum(n_tokens) AS total_tokens,
+       |          count(*) AS n_sources FROM per)
+       |SELECT source, n_docs, CAST(n_tokens AS BIGINT) AS n_tokens,
+       |  round($actual, 6) AS actual_share,
+       |  round($target, 6) AS target_share,
+       |  round($rate, 6) AS sample_rate,
+       |  CAST(floor(CAST(n_tokens AS DOUBLE) * ($rate)) AS BIGINT)
+       |    AS expected_tokens
+       |FROM per CROSS JOIN tot
+       |ORDER BY source""".stripMargin
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q79_contamination" -> (q79 _),
+    "q80_repetition" -> (q80 _),
+    "q81_tfidf" -> (q81 _),
+    "q82_incremental_dedup" -> (q82 _),
+    "q83_quota_sample" -> (q83 _),
+    "q84_mixture_plan" -> (q84 _))
+
+  val oracleSql: Map[String, String] = Map(
+    "q79_contamination" -> q79Sql,
+    "q80_repetition" -> q80Sql,
+    "q81_tfidf" -> q81Sql,
+    "q82_incremental_dedup" -> q82Sql,
+    "q83_quota_sample" -> q83Sql,
+    "q84_mixture_plan" -> q84Sql)
+}

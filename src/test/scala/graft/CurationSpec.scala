@@ -1,0 +1,161 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextAnalysis
+import graft.operators.Curation
+
+class CurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (1L, "alpha beta gamma delta alpha beta gamma delta", "en", "a"),
+    (2L, "alpha beta gamma delta epsilon zeta eta theta", "en", "a"),
+    (3L, "spark spark spark spark spark spark spark spark", "en", "b"),
+    (4L, "one two three four five six seven eight nine ten", "fr", "b"),
+    (5L, "alpha beta gamma delta alpha beta gamma delta", "fr", "b") // dup of 1
+  ).toDF("doc_id", "text", "lang", "source")
+
+  // ---------------------------------------------------------------- PII
+
+  test("redactPii masks emails, SSNs, cards, and phones with typed tags") {
+    val in = Seq(
+      "mail bob.smith+x@example.co.uk now",
+      "ssn 123-45-6789 end",
+      "card 4111111111111111 ok",
+      "call +1 (555) 123-4567 or 555-987-6543",
+      "clean text with plain words and the number 42"
+    ).toDF("text")
+    val got = in.select(TextAnalysis.redactPii(col("text")).as("r"))
+      .as[String].collect().toSeq
+    assert(got(0) == "mail <EMAIL> now")
+    assert(got(1) == "ssn <SSN> end")
+    assert(got(2) == "card <CARD> ok")
+    assert(got(3) == "call <PHONE> or <PHONE>")
+    assert(got(4) == "clean text with plain words and the number 42")
+  }
+
+  test("piiCounts counts each category once, no double counting") {
+    val in = Seq("a@b.io and 123-45-6789 and 4111111111111111").toDF("text")
+    val c = in.select(TextAnalysis.piiCounts(col("text")).as("c"))
+      .select("c.email", "c.ssn", "c.card", "c.phone")
+      .as[(Int, Int, Int, Int)].head()
+    assert(c == ((1, 1, 1, 0)))
+    // the SSN's digits must not also be counted as a phone after masking
+  }
+
+  // ------------------------------------------------------- contamination
+
+  test("contaminationReport finds n-gram overlap against the benchmark") {
+    val bench = docs.filter(col("doc_id") === 1)
+    val corpus = docs.filter(col("doc_id") =!= 1)
+    val got = Curation.contaminationReport(
+        corpus, bench, "doc_id", "text", n = 3, flagThreshold = 0.5)
+      .orderBy("id")
+      .select("id", "n_overlap", "contaminated")
+      .as[(Long, Long, Boolean)].collect().toSeq
+    // doc 2 shares "alpha beta gamma"+"beta gamma delta" (2 of its 6
+    // distinct 3-grams → ratio 1/3, not flagged); doc 5 is an exact dup
+    // (all 4 distinct grams hit → flagged); docs 3,4 share nothing.
+    assert(got == Seq((2L, 2L, false), (5L, 4L, true)))
+  }
+
+  // ---------------------------------------------------------- repetition
+
+  test("topElementCount is the mode count, and 0 only for empty arrays") {
+    val got = Seq(
+      Seq("b", "a", "b", "c", "b"),
+      Seq("x"),
+      Seq.empty[String]
+    ).toDF("arr").select(Curation.topElementCount(col("arr")))
+      .as[Long].collect().toSeq
+    assert(got == Seq(3L, 1L, 0L))
+  }
+
+  test("repetitionSignals computes TTR and top-token/bigram shares") {
+    val got = Curation.repetitionSignals(docs, "doc_id", "text")
+      .orderBy("doc_id")
+      .select("doc_id", "n_tokens", "distinct_ratio", "top_token_frac",
+        "top_bigram_frac", "repetitive")
+      .as[(Long, Int, Double, Double, Double, Boolean)].collect().toSeq
+    // doc 3: one token repeated 8x → TTR 1/8, top token 8/8, bigram 7/7
+    assert(got(2) == ((3L, 8, 0.125, 1.0, 1.0, true)))
+    // doc 4: all distinct → TTR 1, top shares 1/10 and 1/9
+    assert(got(3)._3 == 1.0 && got(3)._4 == 0.1 && !got(3)._6)
+    // doc 1: 4 distinct of 8, top token 2/8, top bigram "delta alpha" ties
+    // at 1 with others? no: "alpha beta" appears twice of 7 bigrams
+    assert(got(0)._3 == 0.5 && got(0)._4 == 0.25 &&
+      math.abs(got(0)._5 - math.rint(2.0 / 7.0 * 1e6) / 1e6) < 1e-12)
+  }
+
+  // -------------------------------------------------------------- tfidf
+
+  test("topTfidfTerm picks the highest-scoring term with stable ties") {
+    val got = Curation.topTfidfTerm(docs, "doc_id", "text")
+      .orderBy("doc_id")
+      .select("doc_id", "top_term").as[(Long, String)].collect().toMap
+    // doc 3's only term wins trivially
+    assert(got(3L) == "spark")
+    // doc 4: all terms tf=1 and df=1 → identical scores → lexicographic
+    assert(got(4L) == "eight")
+    // doc 2: epsilon/zeta/eta/theta are unique (df=1) and beat the shared
+    // alpha..delta (df=3); tie among the four → lexicographic smallest
+    assert(got(2L) == "epsilon")
+  }
+
+  // --------------------------------------------------- incremental dedup
+
+  test("incrementalDedup drops batch docs already in the snapshot") {
+    val batch = docs.filter(col("doc_id").isin(1L, 2L, 5L))
+    val snapshot = docs.filter(col("doc_id").isin(3L, 4L) ||
+      col("doc_id") === 5L) // snapshot already holds doc 5 (= doc 1's text)
+    val got = Curation.incrementalDedup(batch, snapshot, "doc_id", "text")
+      .select("keep_id", "batch_dups").as[(Long, Long)].collect().toSeq
+    // docs 1 and 5 share text that exists in the snapshot → only doc 2
+    assert(got == Seq((2L, 1L)))
+  }
+
+  test("incrementalDedup collapses in-batch duplicates to the min id") {
+    val batch = docs.filter(col("doc_id").isin(1L, 5L))
+    val snapshot = docs.filter(col("doc_id") === 4L)
+    val got = Curation.incrementalDedup(batch, snapshot, "doc_id", "text")
+      .select("keep_id", "batch_dups").as[(Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 2L)))
+  }
+
+  // ------------------------------------------------------- quota sample
+
+  test("quotaSample is deterministic and respects per-stratum quotas") {
+    val a = Curation.quotaSample(docs, "lang", "doc_id", 2)
+      .select("lang", "doc_id", "sample_rank")
+      .as[(String, Long, Int)].collect().toSet
+    val b = Curation.quotaSample(docs.repartition(7), "lang", "doc_id", 2)
+      .select("lang", "doc_id", "sample_rank")
+      .as[(String, Long, Int)].collect().toSet
+    assert(a == b) // partition-independent
+    assert(a.groupBy(_._1).forall(_._2.size <= 2))
+    assert(a.count(_._1 == "en") == 2 && a.count(_._1 == "fr") == 2)
+  }
+
+  // ------------------------------------------------------- mixture plan
+
+  test("mixturePlan computes shares and clamps sample_rate at 1") {
+    val got = Curation.mixturePlan(docs, "source",
+        TextAnalysis.tokenCount(col("text")))
+      .orderBy("source")
+      .select("source", "n_docs", "n_tokens", "actual_share", "sample_rate",
+        "expected_tokens")
+      .as[(String, Long, Long, Double, Double, Long)].collect().toSeq
+    // a: docs 1,2 → 16 tokens; b: docs 3,4,5 → 26 tokens; total 42
+    assert(got.map(r => (r._1, r._2, r._3)) == Seq(("a", 2L, 16L),
+      ("b", 3L, 26L)))
+    val a = got(0); val b = got(1)
+    assert(math.abs(a._4 - math.rint(16.0 / 42 * 1e6) / 1e6) < 1e-12)
+    // source a is UNDER target (16/42 < 1/2) → rate clamps to 1.0,
+    // expected tokens unchanged
+    assert(a._5 == 1.0 && a._6 == 16L)
+    // source b is over target → rate = (1/2)/(26/42) = 21/26
+    assert(math.abs(b._5 - math.rint(21.0 / 26 * 1e6) / 1e6) < 1e-12)
+    assert(b._6 == math.floor(26.0 * (0.5 / (26.0 / 42))).toLong)
+  }
+}
