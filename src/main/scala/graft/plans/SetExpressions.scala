@@ -57,6 +57,14 @@ object SetExpressions {
   def sortedLastLeq(arr: Column, t: Column): Column =
     ColumnBridge.column(SortedLastLeq(
       ColumnBridge.expression(arr), ColumnBridge.expression(t)))
+
+  /** Sorted distinct xxhash64 word-n-gram shingles of a text column —
+    * one-pass native form of the transform/xxhash64 lambda pipeline
+    * (see [[ShingleKernel]] for the why).
+    */
+  def hashedWordShingles(text: Column, n: Int): Column =
+    ColumnBridge.column(HashedWordShingles(
+      ColumnBridge.expression(text), n))
 }
 
 import SetExpressions.MinHashP
@@ -309,6 +317,38 @@ case class MinHashLongArray(child: Expression, k: Int)
   override protected def withNewChildInternal(c: Expression): Expression =
     copy(child = c)
   override def prettyName: String = s"minhash_long$k"
+}
+
+/** Sorted distinct xxhash64(seed 42) hashes of the word n-grams of a
+  * string column, as one linear pass ([[ShingleKernel.hashedWordShingles]]).
+  * Semantically identical to the four-level lambda formulation in
+  * [[graft.operators.Dedup.hashedShingleSets]]'s scaladoc; exists because
+  * Catalyst copies expressions into filters where the lambda form was
+  * interpreted and re-split the text per element. Generated code is a
+  * single static call — codegen-cache-stable, cheap wherever it's copied.
+  */
+case class HashedWordShingles(child: Expression, n: Int)
+    extends UnaryExpression with Serializable {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string input")
+  }
+
+  override def nullSafeEval(t: Any): Any =
+    ShingleKernel.hashedWordShingles(t.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.plans.ShingleKernel.hashedWordShingles($c, $n);")
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+  override def prettyName: String = s"hashed_word_shingles$n"
 }
 
 /** Binary search over a SORTED ascending long array: 0-based index of the

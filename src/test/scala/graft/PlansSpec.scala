@@ -39,6 +39,30 @@ class PlansSpec extends SparkSpec {
     assert(native == hof)
   }
 
+  test("native hashed shingles equal the transform/xxhash64 formulation") {
+    import graft.functions.TextAnalysis
+    val docs = Seq(
+      "the quick brown fox jumps over the lazy dog",
+      "a b c",          // exactly n tokens for n=3 → one shingle
+      "one two",        // fewer than n → empty
+      "",               // blank → [""] → empty
+      "  padded   with   runs  of spaces ",
+      "dup dup dup dup dup dup"  // repeated shingles → distinct collapses
+    ).zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    for (n <- Seq(2, 3, 4)) {
+      val lambda = docs.select(col("doc_id"),
+          TextAnalysis.tokens(col("text")).as("_toks"))
+        .select(col("doc_id"), array_sort(array_distinct(transform(
+          TextAnalysis.shinglesOfTokens(col("_toks"), n),
+          s => xxhash64(s)))).as("shingles"))
+        .orderBy("doc_id").as[(Long, Seq[Long])].collect().toSeq
+      val native = graft.operators.Dedup
+        .hashedShingleSets(docs, "doc_id", "text", n)
+        .orderBy("id").as[(Long, Seq[Long])].collect().toSeq
+      assert(native == lambda, s"n=$n")
+    }
+  }
+
   test("salted join matches the plain join on skewed keys") {
     // 90% of left rows share one hot key
     val left = Seq.tabulate(1000)(i =>
