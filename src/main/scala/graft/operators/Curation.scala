@@ -187,6 +187,94 @@ object Curation {
   }
 
   // ------------------------------------------------------------------
+  // Sequence packing (concatenate-and-split into context windows)
+  // ------------------------------------------------------------------
+
+  /** GPT-style sequence packing layout: documents are concatenated in a
+    * deterministic hash order and split into `ctxTokens`-sized context
+    * windows; each document learns which window its first token lands in
+    * and at what offset (documents straddle boundaries — that is the
+    * concatenate-then-chunk training recipe, not bin packing).
+    *
+    * Packing needs a total order, which cannot scale globally — so the
+    * corpus is first split into `numGroups` independent packing groups by
+    * id hash, and each group packs under its own window. One reducer per
+    * group: size numGroups to the cluster (thousands at 100 TB) and the
+    * per-group window stays bounded; the assignment is reproducible
+    * because group, order, and offsets all derive from md5(id).
+    */
+  def packSequences(df: DataFrame, idCol: String, tokenCount: Column,
+                    ctxTokens: Int, numGroups: Int): DataFrame = {
+    val w = Window.partitionBy(col("pack_group"))
+      .orderBy(col("_key"), col(idCol))
+    df.select(col(idCol), tokenCount.cast("long").as("n_tokens"),
+        Splits.deterministicFold(col(idCol), numGroups).as("pack_group"),
+        md5(col(idCol).cast("string")).as("_key"))
+      .withColumn("_start", sum(col("n_tokens")).over(w) - col("n_tokens"))
+      .select(col(idCol), col("pack_group"), col("n_tokens"),
+        expr(s"_start DIV $ctxTokens").as("start_window"),
+        expr(s"_start % $ctxTokens").as("window_offset"))
+  }
+
+  // ------------------------------------------------------------------
+  // Mixture-weighted sampling (executes a mixture plan)
+  // ------------------------------------------------------------------
+
+  /** Applies [[mixturePlan]]'s per-source rates as a deterministic
+    * Bernoulli filter: keep a document iff md5-hash(id)/2^60 < rate.
+    * The same document survives on every run, engine, and partitioning
+    * (reproducible corpus freeze), and the realized mixture lands on the
+    * plan's targets in expectation. Rates join back via a broadcast of
+    * the |sources|-row plan; the corpus never shuffles before the final
+    * per-source rollup.
+    */
+  def mixtureSample(df: DataFrame, sourceCol: String, idCol: String,
+                    tokenCount: Column): DataFrame = {
+    val rates = mixturePlan(df, sourceCol, tokenCount)
+      .select(col(sourceCol), col("sample_rate"))
+    // 2^60 — the hash is 15 hex chars (60 bits)
+    val u = conv(substring(md5(col(idCol).cast("string")), 1, 15), 16, 10)
+      .cast("double") / lit(1152921504606846976d)
+    df.join(broadcast(rates), sourceCol)
+      .filter(u < col("sample_rate"))
+      .groupBy(col(sourceCol), col("sample_rate"))
+      .agg(count(lit(1)).as("kept_docs"),
+        sum(tokenCount.cast("long")).as("kept_tokens"))
+  }
+
+  // ------------------------------------------------------------------
+  // Vocabulary induction
+  // ------------------------------------------------------------------
+
+  /** Top-k corpus vocabulary by occurrence count (ties broken
+    * lexicographically) with cumulative corpus coverage — the
+    * tokenizer-vocab / frequency-cutoff profile. The top-k is a
+    * TakeOrderedAndProject (per-partition partial top-k, never a full
+    * sort), and the cumulative window runs over only the k survivors;
+    * the corpus-wide total rides a one-row broadcast.
+    */
+  def vocabulary(df: DataFrame, textCol: String, k: Int): DataFrame = {
+    val counts = df
+      .select(explode(TextAnalysis.tokens(col(textCol))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("occurrences"))
+    val total = counts.agg(sum(col("occurrences")).as("_total"))
+    val top = counts.orderBy(col("occurrences").desc, col("token").asc)
+      .limit(k)
+    // k rows at this point — the single-partition window is fine
+    val w = Window.orderBy(col("occurrences").desc, col("token").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    top.crossJoin(broadcast(total))
+      .select(col("token"), col("occurrences"),
+        sum(col("occurrences")).over(w).as("_cum"), col("_total"))
+      .select(
+        row_number().over(Window.orderBy(col("occurrences").desc,
+          col("token").asc)).as("vocab_rank"),
+        col("token"), col("occurrences"),
+        round(col("_cum").cast("double") / col("_total").cast("double"), 6)
+          .as("cum_coverage"))
+  }
+
+  // ------------------------------------------------------------------
   // Source-mixture planning
   // ------------------------------------------------------------------
 

@@ -12,6 +12,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Li
   *   sorted_intersect_count(a, b) |a ∩ b| for sorted distinct array<string>
   *   minhash(arr, k)              k-wide MinHash signature (k literal)
   *   sorted_last_leq(arr, t)      last index with arr[i] <= t (as-of probe)
+  *   hashed_word_shingles(s, n)   sorted distinct xxhash64 word n-grams
   *
   * Deploy either via `spark.sql.extensions=graft.plans.GraftExtensions`
   * (applies at session build) or [[GraftExtensions.register]] on a live
@@ -54,7 +55,15 @@ object GraftExtensions {
     ("sorted_last_leq",
       info("sorted_last_leq",
         "index of last element <= t in a sorted array<bigint>, -1 if none"),
-      (args: Seq[Expression]) => SortedLastLeq(args(0), args(1))))
+      (args: Seq[Expression]) => SortedLastLeq(args(0), args(1))),
+    ("hashed_word_shingles",
+      info("hashed_word_shingles",
+        "sorted distinct xxhash64 word-n-gram shingles of a string (n literal)"),
+      (args: Seq[Expression]) => args(1) match {
+        case Literal(n: Int, _) => HashedWordShingles(args(0), n)
+        case other => throw new IllegalArgumentException(
+          s"hashed_word_shingles n must be an integer literal, got $other")
+      }))
 
   /** Register the functions + optimizer rules on a live session (test /
     * notebook use — sessions built without `spark.sql.extensions`).

@@ -184,13 +184,110 @@ object CurationQueries {
        |ORDER BY source""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q85
+  // Sequence packing: concatenate docs in md5 order within 16 hash
+  // groups, split at 512-token context boundaries; each doc reports its
+  // starting window + offset. Pure integer arithmetic end to end.
+  private def q85(s: SparkSession, dir: String): DataFrame =
+    Curation.packSequences(Tables.documents(s, dir), "doc_id",
+        TextAnalysis.tokenCount(col("text")), ctxTokens = 512,
+        numGroups = 16)
+      .orderBy(col("doc_id"))
+
+  private val q85Sql = {
+    val h60 = "CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), " +
+      "1, 15)) AS BIGINT)"
+    s"""WITH d AS (
+       |  SELECT doc_id, CAST(len($toksSql) AS BIGINT) AS n_tokens,
+       |    $h60 % 16 AS pack_group,
+       |    md5(CAST(doc_id AS VARCHAR)) AS k
+       |  FROM documents),
+       |c AS (
+       |  SELECT doc_id, pack_group, n_tokens,
+       |    CAST(sum(n_tokens) OVER (PARTITION BY pack_group
+       |      ORDER BY k, doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |      - n_tokens AS s
+       |  FROM d)
+       |SELECT doc_id, pack_group, n_tokens,
+       |  s // 512 AS start_window, s % 512 AS window_offset
+       |FROM c
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q86
+  // Mixture-weighted sampling: q84's plan executed as a deterministic
+  // Bernoulli keep (md5(id)/2^60 < rounded rate) — reproducible corpus
+  // freeze; both engines compare the identical doubles.
+  private def q86(s: SparkSession, dir: String): DataFrame =
+    Curation.mixtureSample(Tables.documents(s, dir), "source", "doc_id",
+        TextAnalysis.tokenCount(col("text")))
+      .orderBy(col("source"))
+
+  private val q86Sql = {
+    val actual = "CAST(n_tokens AS DOUBLE) / CAST(total_tokens AS DOUBLE)"
+    val target = "1.0 / CAST(n_sources AS DOUBLE)"
+    val h60 = "CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), " +
+      "1, 15)) AS BIGINT)"
+    s"""WITH per AS (
+       |  SELECT source, sum(len($toksSql)) AS n_tokens
+       |  FROM documents GROUP BY 1),
+       |tot AS (SELECT sum(n_tokens) AS total_tokens,
+       |          count(*) AS n_sources FROM per),
+       |rates AS (
+       |  SELECT source, round(least(1.0, ($target) / ($actual)), 6)
+       |    AS sample_rate
+       |  FROM per CROSS JOIN tot),
+       |kept AS (
+       |  SELECT d.source, r.sample_rate,
+       |    CAST(len($toksSql) AS BIGINT) AS n_toks
+       |  FROM documents d JOIN rates r ON d.source = r.source
+       |  WHERE CAST($h60 AS DOUBLE) / 1152921504606846976.0
+       |    < r.sample_rate)
+       |SELECT source, sample_rate, count(*) AS kept_docs,
+       |  CAST(sum(n_toks) AS BIGINT) AS kept_tokens
+       |FROM kept
+       |GROUP BY source, sample_rate
+       |ORDER BY source""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q87
+  // Vocabulary induction: top-20 tokens by corpus frequency with
+  // cumulative coverage (frequency-cutoff tokenizer profile).
+  private def q87(s: SparkSession, dir: String): DataFrame =
+    Curation.vocabulary(Tables.documents(s, dir), "text", k = 20)
+      .orderBy(col("vocab_rank"))
+
+  private val q87Sql =
+    s"""WITH t AS (SELECT unnest($toksSql) AS token FROM documents),
+       |c AS (SELECT token, count(*) AS occurrences FROM t GROUP BY 1),
+       |tot AS (SELECT CAST(sum(occurrences) AS BIGINT) AS total FROM c),
+       |top AS (SELECT token, occurrences FROM c
+       |        ORDER BY occurrences DESC, token ASC LIMIT 20),
+       |r AS (
+       |  SELECT token, occurrences,
+       |    row_number() OVER (ORDER BY occurrences DESC, token ASC)
+       |      AS vocab_rank,
+       |    CAST(sum(occurrences) OVER (ORDER BY occurrences DESC, token ASC
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |      AS cum
+       |  FROM top)
+       |SELECT vocab_rank, token, occurrences,
+       |  round(CAST(cum AS DOUBLE) / CAST(total AS DOUBLE), 6)
+       |    AS cum_coverage
+       |FROM r CROSS JOIN tot
+       |ORDER BY vocab_rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q79_contamination" -> (q79 _),
     "q80_repetition" -> (q80 _),
     "q81_tfidf" -> (q81 _),
     "q82_incremental_dedup" -> (q82 _),
     "q83_quota_sample" -> (q83 _),
-    "q84_mixture_plan" -> (q84 _))
+    "q84_mixture_plan" -> (q84 _),
+    "q85_sequence_pack" -> (q85 _),
+    "q86_mixture_sample" -> (q86 _),
+    "q87_vocabulary" -> (q87 _))
 
   val oracleSql: Map[String, String] = Map(
     "q79_contamination" -> q79Sql,
@@ -198,5 +295,8 @@ object CurationQueries {
     "q81_tfidf" -> q81Sql,
     "q82_incremental_dedup" -> q82Sql,
     "q83_quota_sample" -> q83Sql,
-    "q84_mixture_plan" -> q84Sql)
+    "q84_mixture_plan" -> q84Sql,
+    "q85_sequence_pack" -> q85Sql,
+    "q86_mixture_sample" -> q86Sql,
+    "q87_vocabulary" -> q87Sql)
 }

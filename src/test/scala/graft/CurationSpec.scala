@@ -137,6 +137,64 @@ class CurationSpec extends SparkSpec {
     assert(a.count(_._1 == "en") == 2 && a.count(_._1 == "fr") == 2)
   }
 
+  // ---------------------------------------------------- sequence packing
+
+  test("packSequences: contiguous offsets per group, windows chunk at ctx") {
+    val many = spark.range(0, 200).selectExpr("id AS doc_id",
+      "repeat('w ', 7) AS text") // 7 tokens each (trailing '' trimmed)
+    val got = Curation.packSequences(many, "doc_id",
+        graft.functions.TextAnalysis.tokenCount(col("text")),
+        ctxTokens = 10, numGroups = 4)
+      .select("doc_id", "pack_group", "n_tokens", "start_window",
+        "window_offset")
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(got.length == 200)
+    // per group: offsets are the cumsum of 7-token docs; windows of 10
+    // tokens → doc i-th in its group starts at 7i → window 7i/10
+    val byGroup = got.groupBy(_._2)
+    for ((_, rows) <- byGroup) {
+      val starts = rows.map(r => r._4 * 10 + r._5).sorted
+      assert(starts.toSeq == rows.indices.map(_ * 7L))
+    }
+    // determinism across partitionings
+    val again = Curation.packSequences(many.repartition(13), "doc_id",
+        graft.functions.TextAnalysis.tokenCount(col("text")), 10, 4)
+      .select("doc_id", "start_window", "window_offset")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(again == got.map(r => (r._1, r._4, r._5)).toSet)
+  }
+
+  // --------------------------------------------------- mixture sampling
+
+  test("mixtureSample keeps exactly the hash-selected docs per source") {
+    val got = Curation.mixtureSample(docs, "source", "doc_id",
+        graft.functions.TextAnalysis.tokenCount(col("text")))
+      .select("source", "sample_rate", "kept_docs")
+      .as[(String, Double, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    // under-target source keeps everything (rate clamps to 1)
+    assert(got("a") == ((1.0, 2L)))
+    // over-target source: rate < 1, kept set decided by md5(id)/2^60
+    val (rateB, keptB) = got("b")
+    assert(rateB < 1.0 && keptB <= 3L)
+  }
+
+  // ----------------------------------------------------------- vocab
+
+  test("vocabulary ranks by count then token, coverage is cumulative") {
+    val got = Curation.vocabulary(docs, "text", k = 3)
+      .select("vocab_rank", "token", "occurrences", "cum_coverage")
+      .as[(Int, String, Long, Double)].collect().toSeq
+    // 42 tokens total; "spark" 8, then alpha/beta/gamma/delta 5 each →
+    // lexicographic alpha, beta at ranks 2-3
+    assert(got.map(_._2) == Seq("spark", "alpha", "beta"))
+    assert(got.map(_._3) == Seq(8L, 5L, 5L))
+    assert(got.map(_._4) == Seq(
+      math.rint(8.0 / 42 * 1e6) / 1e6,
+      math.rint(13.0 / 42 * 1e6) / 1e6,
+      math.rint(18.0 / 42 * 1e6) / 1e6))
+  }
+
   // ------------------------------------------------------- mixture plan
 
   test("mixturePlan computes shares and clamps sample_rate at 1") {

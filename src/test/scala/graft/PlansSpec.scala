@@ -19,7 +19,9 @@ class PlansSpec extends SparkSpec {
         |    AS ic,
         |  size(minhash(array('x','y'), 8)) AS mh,
         |  sorted_last_leq(array(10L, 20L, 30L), 25L) AS leq,
-        |  sorted_last_leq(array(10L, 20L, 30L), 5L) AS leq_none
+        |  sorted_last_leq(array(10L, 20L, 30L), 5L) AS leq_none,
+        |  size(hashed_word_shingles('a b c d', 3)) AS hws,
+        |  size(hashed_word_shingles('a b', 3)) AS hws_short
         |""".stripMargin).head()
     assert(r.getDouble(0) == 32.0)
     assert(r.getDouble(1) == 25.0)
@@ -27,6 +29,8 @@ class PlansSpec extends SparkSpec {
     assert(r.getInt(3) == 8)
     assert(r.getInt(4) == 1)
     assert(r.getInt(5) == -1)
+    assert(r.getInt(6) == 2)  // "a b c", "b c d"
+    assert(r.getInt(7) == 0)  // fewer than n tokens → empty
   }
 
   test("native dot equals the higher-order-function formulation") {

@@ -134,6 +134,45 @@ class SurfacePlanSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.files.maxPartitionBytes", old)
   }
 
+  test("q79 contamination: benchmark grams broadcast, corpus side " +
+    "never sort-merge-joins") {
+    val plan = physical(run("q79_contamination")).toString
+    assert(plan.contains("BroadcastHashJoin"),
+      "benchmark gram set must be the broadcast side")
+    assert(!plan.contains("SortMergeJoin"),
+      "the corpus probe must not shuffle into a sort-merge join")
+  }
+
+  test("q82 incremental dedup plans a broadcast anti join on digests") {
+    val joins = run("q82_incremental_dedup").queryExecution.optimizedPlan
+      .collect { case j: Join => j.joinType }
+    assert(joins == Seq(LeftAnti), s"expected one LeftAnti join, got $joins")
+    val plan = physical(run("q82_incremental_dedup")).toString
+    assert(plan.contains("BroadcastHashJoin"),
+      "digest-only snapshot side should broadcast at this scale")
+  }
+
+  test("q83 quota sample: rank filter plans as two-phase " +
+    "WindowGroupLimit (partial top-k before the shuffle)") {
+    val plan = physical(run("q83_quota_sample")).toString
+    assert(plan.contains("WindowGroupLimit"),
+      "row_number<=k filter should enable WindowGroupLimit pushdown")
+    assert(plan.contains("Partial") || plan.contains("WindowGroupLimit"),
+      plan.take(500))
+  }
+
+  test("q80 repetition signals: shuffle-free projection (no Exchange, " +
+    "no Generate) up to the output sort") {
+    val plan = physical(run("q80_repetition"))
+    assert(plan.collect { case g if g.nodeName.contains("Generate") => g }
+      .isEmpty, "repetition signals must not explode")
+    val exchanges = plan.collect {
+      case s if s.nodeName.contains("Exchange") => s
+    }
+    // only the final ORDER BY range exchange is allowed
+    assert(exchanges.size <= 1, s"unexpected shuffles: $exchanges")
+  }
+
   test("q51/q52: no nested-loop join in the auto range join; unpivot " +
     "is a zero-shuffle Expand") {
     val rj = physical(run("q51_range_join_auto")).toString
