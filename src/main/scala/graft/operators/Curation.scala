@@ -275,6 +275,64 @@ object Curation {
   }
 
   // ------------------------------------------------------------------
+  // End-to-end corpus curation funnel
+  // ------------------------------------------------------------------
+
+  /** The whole pre-training curation pipeline as one composed plan:
+    * quality filter → exact dedup (min-id among quality survivors) →
+    * benchmark decontamination → deterministic mixture sampling, reported
+    * as a per-source funnel (how many documents survive each stage, plus
+    * the final token yield).
+    *
+    * Every stage is a COLUMN FLAG, not a materialized intermediate
+    * corpus: the funnel is one pass over the corpus with one
+    * content-hash window (dedup), one broadcast probe (contamination),
+    * and one broadcast rates join (sampling) — no stage writes or
+    * rescans anything. Flags nest (a doc counts for stage k only if it
+    * survived k-1), so the counts are a true funnel.
+    */
+  def curateCorpus(corpus: DataFrame, bench: DataFrame, idCol: String,
+                   textCol: String, sourceCol: String,
+                   stopwords: Seq[String], n: Int = 4,
+                   flagThreshold: Double = 0.05): DataFrame = {
+    val tokenCount = TextAnalysis.tokenCount(col(textCol))
+    // stage 1: quality
+    val q = TextAnalysis.qualityOk(col(textCol), stopwords)
+    // stage 2: exact dedup among quality survivors (min quality id wins)
+    val hashW = Window.partitionBy(md5(col(textCol)))
+    val minQualityId = min(when(col("_q"), col(idCol))).over(hashW)
+    // stage 3: contamination ratios (computed for every corpus doc;
+    // docs sharing no grams with the benchmark are clean by default)
+    val contaminated = contaminationReport(corpus, bench, idCol, textCol,
+        n, flagThreshold)
+      .filter(col("contaminated"))
+      .select(col("id").as(idCol), lit(true).as("_dirty"))
+    // stage 4: mixture-sampling keep decision (rates from the FULL
+    // corpus mixture, q84 semantics — the plan is fixed before filtering)
+    val rates = mixturePlan(corpus, sourceCol, tokenCount)
+      .select(col(sourceCol), col("sample_rate"))
+    val u = conv(substring(md5(col(idCol).cast("string")), 1, 15), 16, 10)
+      .cast("double") / lit(1152921504606846976d)
+    corpus
+      .withColumn("_q", q)
+      .withColumn("_dedup", col("_q") && col(idCol) === minQualityId)
+      // no broadcast hint: the flagged set's size is data-dependent
+      // (could be a large corpus fraction) — AQE picks the strategy
+      .join(contaminated, Seq(idCol), "left")
+      .withColumn("_clean", col("_dedup") && col("_dirty").isNull)
+      .join(broadcast(rates), sourceCol)
+      .withColumn("_sampled", col("_clean") && u < col("sample_rate"))
+      .groupBy(col(sourceCol))
+      .agg(count(lit(1)).as("n_input"),
+        count_if(col("_q")).as("n_quality"),
+        count_if(col("_dedup")).as("n_unique"),
+        count_if(col("_clean")).as("n_clean"),
+        count_if(col("_sampled")).as("n_sampled"),
+        coalesce(sum(when(col("_sampled"), tokenCount.cast("long"))),
+          lit(0L)).as("sampled_tokens"))
+  }
+
+  // ------------------------------------------------------------------
   // Source-mixture planning
   // ------------------------------------------------------------------
 

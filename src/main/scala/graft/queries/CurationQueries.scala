@@ -278,6 +278,93 @@ object CurationQueries {
        |FROM r CROSS JOIN tot
        |ORDER BY vocab_rank""".stripMargin
 
+  // ---------------------------------------------------------------- q88
+  // The whole curation pipeline as one funnel: quality → exact dedup →
+  // benchmark decontamination → mixture sampling, per-source counts.
+  // The oracle rebuilds every stage flag relationally from the same
+  // building blocks the standalone queries (q22/q20/q79/q86) pin.
+  private def q88(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    Curation.curateCorpus(
+        docs.filter(col("doc_id") % 20 =!= 0),
+        docs.filter(col("doc_id") % 20 === 0),
+        "doc_id", "text", "source",
+        TextAnalysis.EnglishStopwords, n = 4, flagThreshold = 0.05)
+      .orderBy(col("source"))
+  }
+
+  private val q88Sql = {
+    val stopsIn = TextAnalysis.EnglishStopwords.map(w => s"'$w'")
+      .mkString(", ")
+    val nToks = s"greatest(len($toksSql), 1)"
+    val punct = s"""CAST(length(text) - length(regexp_replace(text,
+       '[[:punct:]]', '', 'g')) AS DOUBLE)
+       / CAST(greatest(length(text), 1) AS DOUBLE)"""
+    val digit = s"""CAST(length(text) - length(regexp_replace(text,
+       '[0-9]', '', 'g')) AS DOUBLE)
+       / CAST(greatest(length(text), 1) AS DOUBLE)"""
+    val stop = s"""CAST(len(list_filter($toksSql,
+       x -> x IN ($stopsIn))) AS DOUBLE) / CAST($nToks AS DOUBLE)"""
+    val avgLen = s"""CAST(list_sum(list_transform($toksSql,
+       x -> length(x))) AS DOUBLE) / CAST($nToks AS DOUBLE)"""
+    val qFlag = s"""(len($toksSql) >= 10 AND ($punct) < 0.2
+       AND ($digit) < 0.2 AND ($stop) > 0.0 AND ($avgLen) < 12.0)"""
+    val sh =
+      s"""list_distinct(list_transform(
+         |    generate_series(1, greatest(len($toksSql) - 3, 0)),
+         |    i -> concat_ws(' ', $toksSql[i], $toksSql[i+1],
+         |                   $toksSql[i+2], $toksSql[i+3])))""".stripMargin
+    val h60 = "CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), " +
+      "1, 15)) AS BIGINT)"
+    s"""WITH corpus AS (
+       |  SELECT doc_id, text, source, $qFlag AS q,
+       |    CAST(len($toksSql) AS BIGINT) AS n_toks
+       |  FROM documents WHERE doc_id % 20 != 0),
+       |sh AS (
+       |  SELECT doc_id, unnest($sh) AS g FROM documents),
+       |bench AS (SELECT DISTINCT g FROM sh WHERE doc_id % 20 = 0),
+       |csh AS (SELECT doc_id, g FROM sh WHERE doc_id % 20 != 0),
+       |tot AS (SELECT doc_id, count(*) AS n_sh FROM csh GROUP BY 1),
+       |hit AS (SELECT c.doc_id, count(*) AS n_hit
+       |        FROM csh c JOIN bench b USING (g) GROUP BY 1),
+       |dirty AS (
+       |  SELECT t.doc_id FROM tot t JOIN hit h USING (doc_id)
+       |  WHERE CAST(h.n_hit AS DOUBLE)
+       |    / CAST(greatest(t.n_sh, 1) AS DOUBLE) >= 0.05),
+       |per AS (SELECT source, sum(n_toks) AS n_tokens
+       |        FROM corpus GROUP BY 1),
+       |stot AS (SELECT sum(n_tokens) AS total_tokens,
+       |           count(*) AS n_sources FROM per),
+       |rates AS (
+       |  SELECT source, round(least(1.0,
+       |    (1.0 / CAST(n_sources AS DOUBLE)) /
+       |    (CAST(n_tokens AS DOUBLE) / CAST(total_tokens AS DOUBLE))), 6)
+       |    AS sample_rate
+       |  FROM per CROSS JOIN stot),
+       |flagged AS (
+       |  SELECT c.doc_id, c.source, c.n_toks, c.q,
+       |    (c.q AND c.doc_id = MIN(CASE WHEN c.q THEN c.doc_id END)
+       |      OVER (PARTITION BY md5(c.text))) AS dedup,
+       |    (c.doc_id IN (SELECT doc_id FROM dirty)) AS dirty_flag,
+       |    CAST($h60 AS DOUBLE) / 1152921504606846976.0 AS u,
+       |    r.sample_rate
+       |  FROM corpus c JOIN rates r ON c.source = r.source),
+       |full_flags AS (
+       |  SELECT *, (dedup AND NOT dirty_flag) AS clean,
+       |    (dedup AND NOT dirty_flag AND u < sample_rate) AS sampled
+       |  FROM flagged)
+       |SELECT source, count(*) AS n_input,
+       |  count(*) FILTER (WHERE q) AS n_quality,
+       |  count(*) FILTER (WHERE dedup) AS n_unique,
+       |  count(*) FILTER (WHERE clean) AS n_clean,
+       |  count(*) FILTER (WHERE sampled) AS n_sampled,
+       |  CAST(coalesce(sum(CASE WHEN sampled THEN n_toks END), 0)
+       |    AS BIGINT) AS sampled_tokens
+       |FROM full_flags
+       |GROUP BY source
+       |ORDER BY source""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q79_contamination" -> (q79 _),
     "q80_repetition" -> (q80 _),
@@ -287,7 +374,8 @@ object CurationQueries {
     "q84_mixture_plan" -> (q84 _),
     "q85_sequence_pack" -> (q85 _),
     "q86_mixture_sample" -> (q86 _),
-    "q87_vocabulary" -> (q87 _))
+    "q87_vocabulary" -> (q87 _),
+    "q88_curate_corpus" -> (q88 _))
 
   val oracleSql: Map[String, String] = Map(
     "q79_contamination" -> q79Sql,
@@ -298,5 +386,6 @@ object CurationQueries {
     "q84_mixture_plan" -> q84Sql,
     "q85_sequence_pack" -> q85Sql,
     "q86_mixture_sample" -> q86Sql,
-    "q87_vocabulary" -> q87Sql)
+    "q87_vocabulary" -> q87Sql,
+    "q88_curate_corpus" -> q88Sql)
 }

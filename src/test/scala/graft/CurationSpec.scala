@@ -195,6 +195,36 @@ class CurationSpec extends SparkSpec {
       math.rint(18.0 / 42 * 1e6) / 1e6))
   }
 
+  // ---------------------------------------------------- curation funnel
+
+  test("curateCorpus: per-source funnel counts nest stage by stage") {
+    val bench = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog today", "x")
+    ).toDF("doc_id", "text", "source")
+    val corpus = Seq(
+      // = bench text → quality but contaminated
+      (1L, "the quick brown fox jumps over the lazy dog today", "a"),
+      (2L, "the red cat and the blue dog sat on a mat", "a"),
+      (3L, "the red cat and the blue dog sat on a mat", "a"), // dup of 2
+      (4L, "x y z", "b"),                                     // fails quality
+      (5L, "we saw the and of to in is it small words here now", "b")
+    ).toDF("doc_id", "text", "source")
+    val got = graft.operators.Curation.curateCorpus(corpus, bench,
+        "doc_id", "text", "source",
+        graft.functions.TextAnalysis.EnglishStopwords)
+      .orderBy("source")
+      .select("source", "n_input", "n_quality", "n_unique", "n_clean",
+        "n_sampled", "sampled_tokens")
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect().toSeq
+    val a = got(0); val b = got(1)
+    // src a: 3 in, all quality, dup 3 collapses onto 2, doc 1 is dirty
+    assert((a._1, a._2, a._3, a._4, a._5) == (("a", 3L, 3L, 2L, 1L)))
+    assert(a._6 <= a._5) // sampling can only shrink
+    // src b is under its mixture target → rate clamps to 1.0, so every
+    // clean doc samples through: 2 in, only doc 5 passes quality
+    assert(b == (("b", 2L, 1L, 1L, 1L, 1L, 13L)))
+  }
+
   // ------------------------------------------------------- mixture plan
 
   test("mixturePlan computes shares and clamps sample_rate at 1") {
