@@ -195,4 +195,35 @@ class PropertySpec extends SparkSpec {
       }
     assert(got == expected)
   }
+
+  test("native hashed shingles == lambda formulation on adversarial text " +
+    "(whitespace runs, unicode, empties, repeats)") {
+    import graft.functions.TextAnalysis
+    val tokenGen = Gen.oneOf(
+      Gen.oneOf("a", "bb", "ccc", "dup", "dup", "木", "🙂", "a-b", "x,y"),
+      Gen.stringOfN(3, Gen.alphaNumChar))
+    val wsGen = Gen.oneOf(" ", "  ", "\t", "\n", " \t ", "\r\n")
+    val textGen = for {
+      k <- Gen.chooseNum(0, 12)
+      toks <- Gen.listOfN(k, tokenGen)
+      seps <- Gen.listOfN(k + 1, wsGen)
+      lead <- Gen.oneOf("", " ", "\t")
+      trail <- Gen.oneOf("", " ", "\n")
+    } yield lead + toks.zip(seps).map { case (t, s) => t + s }
+      .mkString("") + trail
+    val docs = sample(textGen, 300).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    for (n <- Seq(2, 4)) {
+      val lambda = docs.select(col("doc_id"),
+          TextAnalysis.tokens(col("text")).as("_toks"))
+        .select(col("doc_id"), array_sort(array_distinct(transform(
+          TextAnalysis.shinglesOfTokens(col("_toks"), n),
+          s => xxhash64(s)))).as("sh"))
+        .orderBy("doc_id").as[(Long, Seq[Long])].collect().toSeq
+      val native = graft.operators.Dedup
+        .hashedShingleSets(docs, "doc_id", "text", n)
+        .orderBy("id").as[(Long, Seq[Long])].collect().toSeq
+      assert(native == lambda, s"n=$n")
+    }
+  }
 }

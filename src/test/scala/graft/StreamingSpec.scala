@@ -92,6 +92,44 @@ class StreamingSpec extends SparkSpec {
     assert(kept == Set(1L, 3L))
   }
 
+  test("streaming curation: quality + repetition + PII projections give " +
+    "batch-identical rows per micro-batch") {
+    // every curation signal is a pure projection, so it streams with NO
+    // state — this pins that the same Columns run in both modes
+    import graft.functions.TextAnalysis
+    implicit val sqlCtx = spark.sqlContext
+    val rows = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today again"),
+      (2L, "mail me at alice@example.com or call 555-123-4567 now " +
+        "please do it with the others"),
+      (3L, "spam spam spam spam spam spam spam spam spam spam"),
+      (4L, "x"))
+    def curate(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("doc_id"),
+        TextAnalysis.qualityOk(col("text"),
+          TextAnalysis.EnglishStopwords).as("quality_ok"),
+        graft.operators.Curation.topElementCount(
+          TextAnalysis.tokens(col("text"))).as("top_tok"),
+        TextAnalysis.redactPii(col("text")).as("clean_text"))
+    val mem = MemoryStream[(Long, String)]
+    val q = curate(mem.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("curation")
+      .outputMode("append").start()
+    mem.addData(rows.take(2): _*)
+    q.processAllAvailable()
+    mem.addData(rows.drop(2): _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("curation")
+      .as[(Long, Boolean, Long, String)].collect().toSet
+    val batch = curate(rows.toDF("doc_id", "text"))
+      .as[(Long, Boolean, Long, String)].collect().toSet
+    assert(streamed == batch)
+    assert(streamed.find(_._1 == 2L).get._4
+      .contains("<EMAIL>"))
+    assert(streamed.find(_._1 == 3L).get._3 == 10L)
+  }
+
   test("stream-static enrichment join attaches dim attributes per batch") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, Long)]
