@@ -333,6 +333,25 @@ object Curation {
   }
 
   // ------------------------------------------------------------------
+  // Corpus freeze (training-ready storage layout)
+  // ------------------------------------------------------------------
+
+  /** Writes a curated corpus in the layout a training run reads:
+    * PARTITIONED by deterministic fold (directory-level pruning — a
+    * val/test read lists only its fold's files) and BUCKETED + sorted by
+    * id (joins against feature/embedding tables frozen with the same
+    * bucketing are shuffle-free on both sides — see StorageLayoutSpec).
+    * The fold derives from md5(id) ([[Splits.deterministicFold]]), so
+    * re-freezing the same corpus reproduces the identical layout.
+    */
+  def freezeCorpus(df: DataFrame, idCol: String, table: String,
+                   folds: Int = 10, buckets: Int = 8): Unit =
+    Splits.assignFolds(df, idCol, folds)
+      .write.partitionBy("fold")
+      .bucketBy(buckets, idCol).sortBy(idCol)
+      .mode("overwrite").saveAsTable(table)
+
+  // ------------------------------------------------------------------
   // Source-mixture planning
   // ------------------------------------------------------------------
 

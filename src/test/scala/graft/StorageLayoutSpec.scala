@@ -50,6 +50,56 @@ class StorageLayoutSpec extends SparkSpec {
     }
   }
 
+  test("freezeCorpus layout: fold partitions prune, id buckets join " +
+    "feature tables with zero exchange") {
+    Seq("frozen_docs", "frozen_emb").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val p = new java.io.File(
+        new java.net.URI(spark.conf.get("spark.sql.warehouse.dir"))
+          .getPath, t)
+      if (p.exists()) {
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rm); f.delete()
+        }
+        rm(p)
+      }
+    }
+    graft.operators.Curation.freezeCorpus(
+      Tables.documents(spark, sf), "doc_id", "frozen_docs",
+      folds = 5, buckets = 4)
+    graft.operators.Curation.freezeCorpus(
+      Tables.embeddings(spark, sf).withColumnRenamed("vec_id", "doc_id"),
+      "doc_id", "frozen_emb", folds = 5, buckets = 4)
+    // fold filter prunes at the directory listing
+    val fold3 = spark.table("frozen_docs").filter(col("fold") === 3)
+    val scan = fold3.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters") && scan.contains("fold"),
+      s"fold pruning must reach the scan:\n${scan.take(600)}")
+    // identical bucketing on both tables → co-located sort-merge join
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val j = spark.table("frozen_docs").select("doc_id", "text")
+        .join(spark.table("frozen_emb").select("doc_id", "embedding"),
+          "doc_id")
+      val plan = j.queryExecution.sparkPlan.toString
+      assert(plan.contains("SortMergeJoin") && !plan.contains("Exchange"),
+        s"frozen join must not shuffle:\n${plan.take(600)}")
+      assert(j.count() > 0)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    }
+    // the freeze is reproducible: fold assignment is content-free md5
+    val folds1 = spark.table("frozen_docs").select("doc_id", "fold")
+      .collect()
+      .map(r => r.getLong(0) -> r.getAs[Number](1).intValue).toMap
+    val folds2 = graft.operators.Splits
+      .assignFolds(Tables.documents(spark, sf), "doc_id", 5)
+      .select("doc_id", "fold").collect()
+      .map(r => r.getLong(0) -> r.getAs[Number](1).intValue).toMap
+    assert(folds1 == folds2)
+  }
+
   test("partition pruning reaches the file listing") {
     val dir = Files.createTempDirectory("graft_part").toString
     Tables.events(spark, sf)
