@@ -132,8 +132,12 @@ object Curation {
   def topTfidfTerm(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val terms = df.select(col(idCol),
         explode(TextAnalysis.tokens(col(textCol))).as("term"))
+    // cached: tf feeds BOTH the scored join and the document-frequency
+    // rollup — without it Catalyst re-scans and re-explodes the corpus
+    // for each branch (no automatic subplan sharing)
     val tf = terms.groupBy(col(idCol), col("term"))
       .agg(count(lit(1)).as("tf"))
+      .cache()
     // one row per (doc, term) already, so df(term) = count of rows
     val dfT = tf.groupBy("term").agg(count(lit(1)).as("doc_freq"))
     val nDocs = df.agg(countDistinct(col(idCol)).as("n_docs"))
@@ -362,9 +366,13 @@ object Curation {
     */
   def mixturePlan(df: DataFrame, sourceCol: String,
                   tokenCount: Column): DataFrame = {
+    // cached: the |sources|-row rollup feeds both the totals aggregate
+    // and the final projection — uncached, each branch re-runs the full
+    // corpus scan+agg (Catalyst does not share subplans across branches)
     val perSource = df.groupBy(col(sourceCol))
       .agg(count(lit(1)).as("n_docs"),
         sum(tokenCount.cast("long")).as("n_tokens"))
+      .cache()
     val totals = perSource.agg(
       sum(col("n_tokens")).as("total_tokens"),
       count(lit(1)).as("n_sources"))
