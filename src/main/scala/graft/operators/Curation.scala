@@ -121,6 +121,40 @@ object Curation {
   }
 
   // ------------------------------------------------------------------
+  // Duplicated-span diagnostic (corpus-level duplication rate)
+  // ------------------------------------------------------------------
+
+  /** Per-document fraction of word-n-gram spans that also occur in at
+    * least one OTHER document — the corpus-duplication diagnostic that
+    * complements pairwise dedup (a doc can be stitched from popular
+    * fragments without having any single near-duplicate). Flags docs
+    * whose duplicated fraction exceeds `flagThreshold`.
+    *
+    * Scale: spans travel as 8-byte hashes ([[Dedup.hashedShingleSets]]);
+    * the duplicated-span set is a groupBy on those hashes (count distinct
+    * docs >= 2) re-joined span-to-span — two bounded-key shuffles, AQE
+    * picks the join strategy. Never materializes text after the scan.
+    */
+  def duplicatedSpanFraction(df: DataFrame, idCol: String, textCol: String,
+                             n: Int, flagThreshold: Double): DataFrame = {
+    val spans = Dedup.hashedShingleSets(df, idCol, textCol, n)
+      .select(col("id"), explode(col("shingles")).as("h"))
+    val dupSpans = spans.groupBy(col("h"))
+      .agg(countDistinct(col("id")).as("_nd"))
+      .filter(col("_nd") >= 2)
+      .select(col("h"), lit(true).as("_dup"))
+    val frac = col("n_dup_spans").cast("double") /
+      greatest(col("n_spans"), lit(1)).cast("double")
+    spans.join(dupSpans, Seq("h"), "left")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_spans"),
+        count_if(col("_dup")).as("n_dup_spans"))
+      .select(col("id"), col("n_spans"), col("n_dup_spans"),
+        round(frac, 6).as("dup_fraction"),
+        (frac >= lit(flagThreshold)).as("mostly_duplicated"))
+  }
+
+  // ------------------------------------------------------------------
   // TF-IDF keyword extraction
   // ------------------------------------------------------------------
 

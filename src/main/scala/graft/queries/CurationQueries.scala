@@ -365,6 +365,40 @@ object CurationQueries {
        |ORDER BY source""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q89
+  // Duplicated-span diagnostic: fraction of each doc's word-5-gram spans
+  // occurring in >= 2 documents. Spark joins hashed spans; the oracle
+  // joins the gram strings — identical modulo 2^-65 collisions.
+  private def q89(s: SparkSession, dir: String): DataFrame =
+    Curation.duplicatedSpanFraction(Tables.documents(s, dir), "doc_id",
+        "text", n = 5, flagThreshold = 0.5)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy(col("doc_id"))
+
+  private val q89Sql = {
+    val sh =
+      s"""list_distinct(list_transform(
+         |    generate_series(1, greatest(len($toksSql) - 4, 0)),
+         |    i -> concat_ws(' ', $toksSql[i], $toksSql[i+1], $toksSql[i+2],
+         |                   $toksSql[i+3], $toksSql[i+4])))""".stripMargin
+    s"""WITH sh AS (SELECT doc_id, unnest($sh) AS g FROM documents),
+       |dup AS (SELECT g FROM sh GROUP BY g
+       |        HAVING count(DISTINCT doc_id) >= 2),
+       |m AS (
+       |  SELECT s.doc_id, count(*) AS n_spans,
+       |    count(*) FILTER (WHERE d.g IS NOT NULL) AS n_dup_spans
+       |  FROM sh s LEFT JOIN dup d ON s.g = d.g
+       |  GROUP BY 1)
+       |SELECT doc_id, n_spans, n_dup_spans,
+       |  round(CAST(n_dup_spans AS DOUBLE)
+       |    / CAST(greatest(n_spans, 1) AS DOUBLE), 6) AS dup_fraction,
+       |  CAST(n_dup_spans AS DOUBLE)
+       |    / CAST(greatest(n_spans, 1) AS DOUBLE) >= 0.5
+       |    AS mostly_duplicated
+       |FROM m
+       |ORDER BY doc_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q79_contamination" -> (q79 _),
     "q80_repetition" -> (q80 _),
@@ -375,7 +409,8 @@ object CurationQueries {
     "q85_sequence_pack" -> (q85 _),
     "q86_mixture_sample" -> (q86 _),
     "q87_vocabulary" -> (q87 _),
-    "q88_curate_corpus" -> (q88 _))
+    "q88_curate_corpus" -> (q88 _),
+    "q89_dup_spans" -> (q89 _))
 
   val oracleSql: Map[String, String] = Map(
     "q79_contamination" -> q79Sql,
@@ -387,5 +422,6 @@ object CurationQueries {
     "q85_sequence_pack" -> q85Sql,
     "q86_mixture_sample" -> q86Sql,
     "q87_vocabulary" -> q87Sql,
-    "q88_curate_corpus" -> q88Sql)
+    "q88_curate_corpus" -> q88Sql,
+    "q89_dup_spans" -> q89Sql)
 }

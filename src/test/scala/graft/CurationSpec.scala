@@ -88,6 +88,22 @@ class CurationSpec extends SparkSpec {
       math.abs(got(0)._5 - math.rint(2.0 / 7.0 * 1e6) / 1e6) < 1e-12)
   }
 
+  // ------------------------------------------------------ dup spans
+
+  test("duplicatedSpanFraction counts spans shared across documents") {
+    val got = graft.operators.Curation
+      .duplicatedSpanFraction(docs, "doc_id", "text", n = 3,
+        flagThreshold = 0.5)
+      .orderBy("id")
+      .select("id", "n_spans", "n_dup_spans", "mostly_duplicated")
+      .as[(Long, Long, Long, Boolean)].collect().toSeq
+    // docs 1 and 5 are identical → all 4 distinct grams duplicated;
+    // doc 2 shares 2 of its 6 grams with them; docs 3, 4 share nothing
+    assert(got == Seq(
+      (1L, 4L, 4L, true), (2L, 6L, 2L, false), (3L, 1L, 0L, false),
+      (4L, 8L, 0L, false), (5L, 4L, 4L, true)))
+  }
+
   // -------------------------------------------------------------- tfidf
 
   test("topTfidfTerm picks the highest-scoring term with stable ties") {
