@@ -9,7 +9,9 @@ import graft.operators.Curation
 
 /** Corpus-curation operators over `documents`: contamination detection,
   * repetition signals, TF-IDF keywords, incremental dedup, stratified quota
-  * sampling, and mixture planning. Every query carries a DuckDB oracle.
+  * sampling, mixture planning/sampling, sequence packing, vocabulary
+  * induction, the end-to-end curation funnel, and the duplicated-span
+  * diagnostic. Every query carries a DuckDB oracle.
   *
   * Benchmark / batch membership is derived from doc_id arithmetic so the
   * partition is deterministic, engine-independent, and scales with the
