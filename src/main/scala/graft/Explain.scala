@@ -24,7 +24,8 @@ object Explain {
         "q03_join_revenue_nation", "q06_rfm_card_style", "q11_events_hourly",
         "q25_ngram_jaccard", "q30_knn_bruteforce", "q45_window_family",
         "q51_range_join_auto", "q54_exists_subquery", "q60_snapshot_merge",
-        "q61_profile")
+        "q61_profile", "q79_contamination", "q85_sequence_pack",
+        "q88_curate_corpus")
     names.foreach { n =>
       println(s"\n========== $n ==========")
       SparkEntry.queries.get(n) match {
