@@ -173,6 +173,24 @@ class SurfacePlanSpec extends SparkSpec {
     assert(exchanges.size <= 1, s"unexpected shuffles: $exchanges")
   }
 
+  test("q85 sequence packing: one shuffle (the group window), no joins") {
+    val plan = physical(run("q85_sequence_pack"))
+    val exchanges = plan.collect {
+      case s if s.nodeName.contains("Exchange") => s
+    }
+    // the pack-group window exchange + the final ORDER BY range sort
+    assert(exchanges.size <= 2, s"unexpected shuffles: $exchanges")
+    assert(plan.collect { case j if j.nodeName.contains("Join") => j }
+      .isEmpty, "packing must not join")
+  }
+
+  test("q87 vocabulary: top-k plans as TakeOrderedAndProject, " +
+    "never a full sort of the vocab") {
+    val plan = physical(run("q87_vocabulary")).toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"limit-after-sort must become partial top-k:\n${plan.take(500)}")
+  }
+
   test("q51/q52: no nested-loop join in the auto range join; unpivot " +
     "is a zero-shuffle Expand") {
     val rj = physical(run("q51_range_join_auto")).toString
