@@ -122,6 +122,25 @@ class AudioSpec extends SparkSpec {
     assert(WavCodec.decode(riffF).get.samples.toSeq == floats.toSeq)
   }
 
+  test("property: random clips round-trip within one 16-bit step, any " +
+    "rate/channel/length combination") {
+    val rnd = new scala.util.Random(42)
+    for (_ <- 1 to 50) {
+      val rate = 4000 + rnd.nextInt(44100)
+      val ch = 1 + rnd.nextInt(3)
+      val frames = rnd.nextInt(500)
+      val samples = Array.fill(frames * ch)(
+        (rnd.nextFloat() * 2f - 1f) * (if (rnd.nextBoolean()) 1f else 0.01f))
+      val clip = AudioClip(1L, rate, ch, samples)
+      val back = WavCodec.decode(WavCodec.encode(clip)).get
+      assert(back.sampleRate == rate && back.channels == ch)
+      assert(back.samples.length == samples.length)
+      back.samples.zip(samples).foreach { case (d, o) =>
+        assert(math.abs(d - o) <= 1.5f / 32768f, s"rate=$rate ch=$ch")
+      }
+    }
+  }
+
   test("malformed payloads return None, never throw") {
     assert(WavCodec.decode(Array.emptyByteArray).isEmpty)
     assert(WavCodec.decode("RIFFxxxxNOPE".getBytes("US-ASCII")).isEmpty)
