@@ -207,11 +207,15 @@ object Dedup {
     */
   def connectedComponents(ids: DataFrame, pairs: DataFrame,
                           maxIter: Int = 20): DataFrame = {
-    // undirected edge list, including self-loops so isolated ids survive
+    // undirected edge list, including self-loops so isolated ids survive.
+    // No distinct(): pairs are unique with id_a < id_b, so the reversed
+    // union and the self-loops introduce no duplicates — and min-agg
+    // label propagation is duplicate-tolerant regardless. Skipping it
+    // removes a full edge-list shuffle.
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .union(ids.select(col("id").as("src"), col("id").as("dst")))
-      .distinct().cache()
+      .cache()
     var labels = ids.select(col("id"), col("id").as("label")).cache()
     // labels only ever decrease (min-propagation), so the label sum is a
     // strictly-decreasing convergence measure: fixpoint iff the sum is
