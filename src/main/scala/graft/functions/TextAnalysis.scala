@@ -111,7 +111,12 @@ object TextAnalysis {
   val PiiPatterns: Seq[(String, String, String)] = Seq(
     ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
     ("ssn", "(?<![0-9])[0-9]{3}-[0-9]{2}-[0-9]{4}(?![0-9])", "<SSN>"),
-    ("card", "(?<![0-9])[0-9]{13,16}(?![0-9])", "<CARD>"),
+    // grouped 4-4-4-4 (space/dash separators — the dominant written form)
+    // OR a contiguous 13-16 digit run; grouped must come first in the
+    // alternation so "4111 1111 1111 1111" isn't half-eaten as 4 digits
+    ("card",
+      "(?<![0-9])(?:[0-9]{4}(?:[ -][0-9]{4}){3}|[0-9]{13,16})(?![0-9])",
+      "<CARD>"),
     ("phone",
       "(?<![0-9])(\\+?[0-9]{1,2}[ .-])?\\(?[0-9]{3}\\)?[ .-][0-9]{3}[ .-][0-9]{4}(?![0-9])",
       "<PHONE>"))

@@ -157,7 +157,10 @@ object Audio {
                codec: AudioCodec = WavCodec): Dataset[MediaRow] = {
     import media.sparkSession.implicits._
     media.mapPartitions(_.flatMap { m =>
-      codec.decode(m.data).map { c =>
+      // zero-frame clips (valid WAV, empty data chunk) would index
+      // samples(-1) below — drop them, honoring the module contract that
+      // degenerate payloads never become exceptions
+      codec.decode(m.data).filter(_.samples.nonEmpty).map { c =>
         val inFrames = c.samples.length / c.channels
         val outFrames =
           math.max(1, (inFrames.toLong * targetRate / c.sampleRate).toInt)

@@ -31,8 +31,9 @@ import graft.functions.TextAnalysis
   *     Spark plans rank-filter windows as two-phase WindowGroupLimit
   *     (partial per-partition top-k before the shuffle), so the shuffle
   *     carries at most k rows per group per input partition.
-  *   - mixture planning: one partial-aggregated groupBy to |sources| rows
-  *     plus a one-row broadcast total — driver never sees row data.
+  *   - mixture planning: one partial-aggregated groupBy to |sources| rows,
+  *     totals via a bounded single-partition window over that rollup —
+  *     driver never sees row data, nothing cached.
   */
 object Curation {
 
@@ -162,16 +163,29 @@ object Curation {
     * ln((N+1)/(df+1)) + 1, sklearn's formulation), ties broken by the
     * lexicographically smallest term. Two bounded-key shuffles; see the
     * object scaladoc for the 100 TB argument.
+    *
+    * CACHE LIFETIME: each call persists the (doc, term) tf frame at
+    * `tfStorage` — it feeds both the scored join and the document-
+    * frequency rollup, and Catalyst does not share the differently-pruned
+    * subplans. The blocks live until session LRU eviction; callers running
+    * this repeatedly in a long-lived session own the cleanup
+    * (`spark.catalog.clearCache()` between runs) or can pass
+    * `StorageLevel.DISK_ONLY` to keep the 100 TB tf frame out of executor
+    * memory entirely (the explicit trade: disk reads instead of a memory
+    * ceiling).
     */
-  def topTfidfTerm(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def topTfidfTerm(df: DataFrame, idCol: String, textCol: String,
+                   tfStorage: org.apache.spark.storage.StorageLevel =
+                     org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      : DataFrame = {
     val terms = df.select(col(idCol),
         explode(TextAnalysis.tokens(col(textCol))).as("term"))
-    // cached: tf feeds BOTH the scored join and the document-frequency
-    // rollup — without it Catalyst re-scans and re-explodes the corpus
-    // for each branch (no automatic subplan sharing)
+    // persisted: tf feeds BOTH branches; a window-by-term alternative
+    // would avoid the cache but loses map-side combine and puts every
+    // (doc, term) row of a hot term on one reducer — worse at scale
     val tf = terms.groupBy(col(idCol), col("term"))
       .agg(count(lit(1)).as("tf"))
-      .cache()
+      .persist(tfStorage)
     // one row per (doc, term) already, so df(term) = count of rows
     val dfT = tf.groupBy("term").agg(count(lit(1)).as("doc_freq"))
     val nDocs = df.agg(countDistinct(col(idCol)).as("n_docs"))
@@ -400,21 +414,21 @@ object Curation {
     */
   def mixturePlan(df: DataFrame, sourceCol: String,
                   tokenCount: Column): DataFrame = {
-    // cached: the |sources|-row rollup feeds both the totals aggregate
-    // and the final projection — uncached, each branch re-runs the full
-    // corpus scan+agg (Catalyst does not share subplans across branches)
     val perSource = df.groupBy(col(sourceCol))
       .agg(count(lit(1)).as("n_docs"),
         sum(tokenCount.cast("long")).as("n_tokens"))
-      .cache()
-    val totals = perSource.agg(
-      sum(col("n_tokens")).as("total_tokens"),
-      count(lit(1)).as("n_sources"))
-    val actual = col("n_tokens").cast("double") /
-      col("total_tokens").cast("double")
-    val target = lit(1d) / col("n_sources").cast("double")
+    // totals via a global window over the |sources|-row rollup — one scan
+    // of the aggregate, so nothing needs caching (an earlier cache-fed
+    // crossJoin leaked a fresh cache per call, and q84/q86/q88 each call
+    // this). A single-partition window over |sources| rows is bounded by
+    // construction.
+    val w = Window.partitionBy()
+    val totalTokens = sum(col("n_tokens")).over(w)
+    val nSources = count(lit(1)).over(w)
+    val actual = col("n_tokens").cast("double") / totalTokens.cast("double")
+    val target = lit(1d) / nSources.cast("double")
     val rate = least(lit(1d), target / actual)
-    perSource.crossJoin(broadcast(totals))
+    perSource
       .select(col(sourceCol), col("n_docs"), col("n_tokens"),
         round(actual, 6).as("actual_share"),
         round(target, 6).as("target_share"),

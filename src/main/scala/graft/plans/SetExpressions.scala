@@ -333,6 +333,8 @@ case class HashedWordShingles(child: Expression, n: Int)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case _ if n < 1 => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires n >= 1, got $n")
     case StringType => TypeCheckResult.TypeCheckSuccess
     case _ => TypeCheckResult.TypeCheckFailure(
       s"$prettyName requires a string input")

@@ -167,6 +167,20 @@ class AudioSpec extends SparkSpec {
     assert(math.abs(zc - 40) <= 2)
   }
 
+  test("resample drops zero-frame clips instead of throwing") {
+    // a valid WAV with an EMPTY data chunk decodes to Some(clip) with 0
+    // samples — resample must not index samples(-1) on it
+    val empty = WavCodec.encode(AudioClip(1L, 8000, 1, Array.emptyFloatArray))
+    assert(WavCodec.decode(empty).exists(_.samples.isEmpty))
+    val media = Seq(
+      MediaRow(1L, "audio", empty, "wav"),
+      MediaRow(2L, "audio",
+        WavCodec.encode(AudioClip(2L, 8000, 1, sine(8000, 0.1, 100))),
+        "wav")).toDS()
+    val out = Audio.resample(media, 4000).collect()
+    assert(out.map(_.mediaId).toSeq == Seq(2L))
+  }
+
   test("segment splits clips and audioMeta/audioFeatures run per partition") {
     val clips = Seq(
       MediaRow(1L, "audio",

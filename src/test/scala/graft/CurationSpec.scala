@@ -24,7 +24,9 @@ class CurationSpec extends SparkSpec {
       "ssn 123-45-6789 end",
       "card 4111111111111111 ok",
       "call +1 (555) 123-4567 or 555-987-6543",
-      "clean text with plain words and the number 42"
+      "clean text with plain words and the number 42",
+      "spaced 4111 1111 1111 1111 card",
+      "dashed 4111-1111-1111-1111 card"
     ).toDF("text")
     val got = in.select(TextAnalysis.redactPii(col("text")).as("r"))
       .as[String].collect().toSeq
@@ -33,6 +35,8 @@ class CurationSpec extends SparkSpec {
     assert(got(2) == "card <CARD> ok")
     assert(got(3) == "call <PHONE> or <PHONE>")
     assert(got(4) == "clean text with plain words and the number 42")
+    assert(got(5) == "spaced <CARD> card")
+    assert(got(6) == "dashed <CARD> card")
   }
 
   test("piiCounts counts each category once, no double counting") {

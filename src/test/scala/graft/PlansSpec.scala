@@ -33,6 +33,16 @@ class PlansSpec extends SparkSpec {
     assert(r.getInt(7) == 0)  // fewer than n tokens → empty
   }
 
+  test("hashed_word_shingles rejects n < 1 at analysis time") {
+    GraftExtensions.register(spark)
+    Seq(0, -3).foreach { n =>
+      val e = intercept[org.apache.spark.sql.AnalysisException] {
+        spark.sql(s"SELECT hashed_word_shingles('a b c', $n)").collect()
+      }
+      assert(e.getMessage.contains("requires n >= 1"))
+    }
+  }
+
   test("native dot equals the higher-order-function formulation") {
     val df = Seq((Seq(1.0, 2.0, 3.5), Seq(0.5, -1.0, 2.0))).toDF("a", "b")
     val hof = df.select(aggregate(zip_with(col("a"), col("b"),
