@@ -273,16 +273,27 @@ object Dedup {
       lit(0L), (acc, x) => acc.bitwiseOR(x))
   }
 
-  /** 64-bit xxhash64 SimHash — the scale default (fastest token hash). */
-  def simHash64(text: Column): Column = simHash(text, xxhash64(_), 64)
+  /** 64-bit xxhash64 SimHash — the scale default (fastest token hash).
+    * Native one-pass kernel ([[graft.plans.SimHashXx64Words]]); bit-equal
+    * to the Column baseline `simHash(text, xxhash64(_), 64)` (DedupSpec).
+    */
+  def simHash64(text: Column): Column =
+    graft.plans.SimHashExpressions.simHashXx64Words(text)
 
   /** 60-bit md5-derived SimHash: token hash = first 15 hex chars of md5 as
     * an integer — computable identically in any engine with md5 (DuckDB:
     * `CAST(concat('0x', substr(md5(t),1,15)) AS BIGINT)`), so results are
     * portable/oracle-checkable. 60 bits keeps the value in positive long
-    * range on every engine.
+    * range on every engine. Native one-pass kernel
+    * ([[graft.plans.SimHashMd5Words]]); bit-equal to [[simHashMd5Column]].
     */
   def simHashMd5(text: Column): Column =
+    graft.plans.SimHashExpressions.simHashMd5Words(text)
+
+  /** Column-algebra twin of [[simHashMd5]] — the correctness baseline the
+    * native kernel is asserted against (DedupSpec).
+    */
+  def simHashMd5Column(text: Column): Column =
     simHash(text,
       t => conv(substring(md5(t), 1, 15), 16, 10).cast("long"), 60)
 

@@ -13,6 +13,8 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Li
   *   minhash(arr, k)              k-wide MinHash signature (k literal)
   *   sorted_last_leq(arr, t)      last index with arr[i] <= t (as-of probe)
   *   hashed_word_shingles(s, n)   sorted distinct xxhash64 word n-grams
+  *   simhash_xx64(s)              64-bit xxhash64-token SimHash
+  *   simhash_md5(s)               60-bit md5-token SimHash (oracle-portable)
   *
   * Deploy either via `spark.sql.extensions=graft.plans.GraftExtensions`
   * (applies at session build) or [[GraftExtensions.register]] on a live
@@ -63,7 +65,14 @@ object GraftExtensions {
         case Literal(n: Int, _) => HashedWordShingles(args(0), n)
         case other => throw new IllegalArgumentException(
           s"hashed_word_shingles n must be an integer literal, got $other")
-      }))
+      }),
+    ("simhash_xx64",
+      info("simhash_xx64", "64-bit xxhash64-token SimHash of a string"),
+      (args: Seq[Expression]) => SimHashXx64Words(args(0))),
+    ("simhash_md5",
+      info("simhash_md5",
+        "60-bit md5-token SimHash of a string (oracle-portable)"),
+      (args: Seq[Expression]) => SimHashMd5Words(args(0))))
 
   /** Register the functions + optimizer rules on a live session (test /
     * notebook use — sessions built without `spark.sql.extensions`).

@@ -97,6 +97,33 @@ class DedupSpec extends SparkSpec {
     assert(ham(fps(1L), fps(2L)) < ham(fps(1L), fps(4L)))
   }
 
+  test("native simhash kernels are bit-equal to the Column formulations") {
+    val texts = Seq(
+      "the quick brown fox jumps over the lazy dog",
+      "short one",
+      "", "   ", // blank → the [""] single-token result of split(trim)
+      "tabs\tand\nnewlines   collapse",
+      "unicode tokens naïve café 東京 añejo",
+      "x", "a b c d e f g h i j k l m n o p q r s t u v w x y z"
+    ).toDF("text")
+    val got = texts.select(
+      Dedup.simHash64(col("text")).as("native_xx"),
+      Dedup.simHash(col("text"), xxhash64(_), 64).as("col_xx"),
+      Dedup.simHashMd5(col("text")).as("native_md5"),
+      Dedup.simHashMd5Column(col("text")).as("col_md5"))
+      .as[(Long, Long, Long, Long)].collect()
+    got.foreach { case (nx, cx, nm, cm) =>
+      assert(nx == cx, "xxhash64 simhash diverged from Column baseline")
+      assert(nm == cm, "md5 simhash diverged from Column baseline")
+    }
+    // null text → null fingerprint, same as the Column form
+    val nulls = Seq[Option[String]](None).toDF("text")
+      .select(Dedup.simHash64(col("text")),
+        Dedup.simHashMd5(col("text")))
+      .collect().head
+    assert(nulls.isNullAt(0) && nulls.isNullAt(1))
+  }
+
   test("simhash pairs flags exact dup at distance 0") {
     val got = Dedup.simHashPairs(docs, "doc_id", "text", maxHamming = 0)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
