@@ -199,11 +199,19 @@ object Dedup {
   }
 
   /** Connected components over near-dup pairs: every document gets the
-    * minimum doc id of its duplicate cluster. Iterative label propagation
-    * (each round: take the min label across yourself and your neighbors)
-    * — converges in O(cluster diameter) rounds, which for dedup graphs is
-    * tiny (near-dup clusters are dense). Each round is one broadcast-able
-    * join + a groupBy min; the driver only checks a changed-row count.
+    * minimum doc id of its duplicate cluster. Min-label propagation with a
+    * POINTER JUMP each round: after the neighbor-min step computes
+    * l'(v) = min label over v's closed neighborhood, a self-join shortcuts
+    * l''(v) = l'(l'(v)) — chains halve every round, so convergence is
+    * O(log diameter) rounds instead of O(diameter) (the large-star/
+    * small-star recipe's doubling, applied to the label table: every label
+    * value is itself a node id of the same component, so the composed
+    * label stays in-component and monotone). Labels seed at the 1-hop min
+    * (one groupBy off the raw edges — no join), which is already the
+    * fixpoint for dense quasi-clique dedup graphs, and convergence is
+    * probed before each jump so the final round costs one aggregate. Each
+    * live round is one join + groupBy-min + one id-table self-join; the
+    * driver only reads a one-row aggregate per round.
     */
   def connectedComponents(ids: DataFrame, pairs: DataFrame,
                           maxIter: Int = 20): DataFrame = {
@@ -216,27 +224,64 @@ object Dedup {
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .union(ids.select(col("id").as("src"), col("id").as("dst")))
       .cache()
-    var labels = ids.select(col("id"), col("id").as("label")).cache()
     // labels only ever decrease (min-propagation), so the label sum is a
     // strictly-decreasing convergence measure: fixpoint iff the sum is
-    // unchanged. One tiny agg job per round instead of a join + count.
-    var prevSum = labels.agg(sum(col("label"))).head().getLong(0)
+    // unchanged. Summed as DECIMAL(38,0): a LongType sum would wrap at
+    // billions of rows × 64-bit ids, and a wrapped sum could (however
+    // rarely) collide across rounds and stop iteration early.
+    def labelSum(df: DataFrame): java.math.BigDecimal = {
+      val r = df.agg(sum(col("label").cast("decimal(38,0)"))).head()
+      if (r.isNullAt(0)) java.math.BigDecimal.ZERO else r.getDecimal(0)
+    }
+    // SEED with the 1-hop min: l0(v) = min(N(v) ∪ {v}) straight off the
+    // edge list — identical to one propagation round from identity labels
+    // but needs no join (a single groupBy-min), and dense near-dup
+    // clusters (quasi-cliques) are already at their fixpoint after it.
+    var labels = edges.groupBy(col("src").as("id"))
+      .agg(min(col("dst")).as("label"))
+      .localCheckpoint(true)
+    var prevSum = labelSum(labels)
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
-      val next = edges
+      // neighbor min (self-loops fold each node's own label into the min)
+      val prop = edges
         .join(labels.withColumnRenamed("id", "dst")
           .withColumnRenamed("label", "dst_label"), Seq("dst"))
         .groupBy(col("src").as("id"))
         .agg(min(col("dst_label")).as("label"))
-        .cache()
-      val nextSum = next.agg(sum(col("label"))).head().getLong(0)
-      converged = nextSum == prevSum
-      prevSum = nextSum
-      labels.unpersist()
-      labels = next
+        .cache() // materialized by the probe below; feeds the jump join
+      // convergence probe BEFORE the jump materialization: a propagation
+      // fixpoint (sum unchanged) is constant per component (= the min, by
+      // the symmetric-neighbors argument), so it is also a jump fixpoint —
+      // the final round costs one aggregate, not an aggregate + checkpoint.
+      val propSum = labelSum(prop)
+      if (propSum.compareTo(prevSum) == 0) {
+        converged = true
+        prop.unpersist()
+      } else {
+        // pointer jump: label ← prop(label). prop covers every id (the
+        // self-loops again), so the inner join never drops a node.
+        // localCheckpoint (eager) materializes AND truncates lineage: the
+        // self-join references prop twice, so an uncheckpointed plan would
+        // DOUBLE each round — exponential logical plans OOM the driver by
+        // round ~15. Checkpoint blocks of finished rounds are reaped by
+        // the ContextCleaner once the previous `labels` reference drops.
+        val next = prop
+          .join(prop.select(col("id").as("label"), col("label").as("_jump")),
+            Seq("label"))
+          .select(col("id"), col("_jump").as("label"))
+          .localCheckpoint(true)
+        prevSum = labelSum(next)
+        prop.unpersist()
+        labels = next
+      }
       iter += 1
     }
+    // labels is checkpointed (materialized, lineage-free), so the edge
+    // cache is no longer reachable from any lazy plan — release it here
+    // rather than leaking one edge cache per call
+    edges.unpersist()
     labels
   }
 

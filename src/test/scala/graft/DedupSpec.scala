@@ -139,6 +139,26 @@ class DedupSpec extends SparkSpec {
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 5L))
   }
 
+  test("connected components resolve long chains within the log-round budget") {
+    // a 33-node path has diameter 32: plain min-propagation needs 32
+    // rounds (> default maxIter 20); the pointer-jump variant must close
+    // it in ~log2(32) ≈ 5-6 rounds. Also a descending chain (worst case
+    // for min flow direction), a star, and isolated nodes.
+    val chain = (1L to 33L).sliding(2).map(p => (p(0), p(1))).toSeq
+    val desc = (101L to 120L).sliding(2).map(p => (p(1), p(0))).toSeq
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+    val star = (202L to 210L).map(v => (201L, v))
+    val ids = ((1L to 33L) ++ (101L to 120L) ++ (201L to 210L) :+ 300L)
+      .toDF("id")
+    val pairs = (chain ++ desc ++ star).toDF("id_a", "id_b")
+    val got = Dedup.connectedComponents(ids, pairs)
+      .as[(Long, Long)].collect().toMap
+    (1L to 33L).foreach(v => assert(got(v) == 1L, s"chain node $v"))
+    (101L to 120L).foreach(v => assert(got(v) == 101L, s"desc node $v"))
+    (201L to 210L).foreach(v => assert(got(v) == 201L, s"star node $v"))
+    assert(got(300L) == 300L)
+  }
+
   test("corpus dedup keeps one representative per cluster") {
     val pairs = Dedup.jaccardSimilarityJoin(docs, "doc_id", "text", 3, 0.4)
     val kept = Dedup.dedupCorpus(docs, "doc_id", pairs)
