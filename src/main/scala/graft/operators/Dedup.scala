@@ -285,6 +285,50 @@ object Dedup {
     labels
   }
 
+  /** Maximal cross-document repeated token spans — the exact-substring
+    * dedup modality ("deduplicating training data" recipe): find every
+    * span of >= k consecutive tokens that also occurs in at least
+    * `minDocs - 1` OTHER documents, and emit it as
+    * (id, span_start, span_tokens) with span_start the 1-based token
+    * index. Suffix-array semantics approximated the standard distributed
+    * way: a token position is covered iff its k-gram occurs in >= minDocs
+    * distinct documents, and maximal runs of covered positions merge into
+    * one span (a run of m consecutive duplicated k-grams is a span of
+    * m + k - 1 tokens in which every k-window is non-unique).
+    *
+    * Scale: grams travel as positional 8-byte xxhash64 values (one-pass
+    * native [[graft.plans.PositionalWordShingles]] — document strings
+    * never survive the scan projection). Two bounded-key shuffles (gram
+    * hash groupBy; per-doc window) plus one hash equi-join; the window
+    * partitions by doc id, so its state is one document's covered
+    * positions. Min-length filtering (spans >= some token count) is a
+    * caller-side filter on span_tokens.
+    */
+  def repeatedSpans(df: DataFrame, idCol: String, textCol: String,
+                    k: Int, minDocs: Int = 2): DataFrame = {
+    val grams = widen(df).select(col(idCol).as("id"),
+        posexplode(graft.plans.SetExpressions.positionalWordShingles(
+          col(textCol), k)))
+      .select(col("id"), (col("pos") + 1).cast("long").as("pos"),
+        col("col").as("h"))
+    // grams occurring in >= minDocs distinct docs; data-dependent size,
+    // so no broadcast hint — AQE picks the join strategy
+    val dup = grams.groupBy(col("h"))
+      .agg(countDistinct(col("id")).as("_nd"))
+      .filter(col("_nd") >= minDocs)
+      .select(col("h"))
+    // pos - row_number is constant within a consecutive run of covered
+    // positions — the standard gaps-and-islands grouping
+    val w = Window.partitionBy(col("id")).orderBy(col("pos"))
+    grams.join(dup, Seq("h"))
+      .select(col("id"), col("pos"))
+      .withColumn("_grp", col("pos") - row_number().over(w))
+      .groupBy(col("id"), col("_grp"))
+      .agg(min(col("pos")).as("span_start"),
+        (max(col("pos")) - min(col("pos")) + k).as("span_tokens"))
+      .select(col("id"), col("span_start"), col("span_tokens"))
+  }
+
   /** Corpus-level dedup: given documents and their near-dup pairs, keep
     * exactly one representative (min id) per duplicate cluster.
     */

@@ -66,6 +66,14 @@ object GraftExtensions {
         case other => throw new IllegalArgumentException(
           s"hashed_word_shingles n must be an integer literal, got $other")
       }),
+    ("positional_word_shingles",
+      info("positional_word_shingles",
+        "xxhash64 word-n-gram hashes in document order (n literal)"),
+      (args: Seq[Expression]) => args(1) match {
+        case Literal(n: Int, _) => PositionalWordShingles(args(0), n)
+        case other => throw new IllegalArgumentException(
+          s"positional_word_shingles n must be an integer literal, got $other")
+      }),
     ("simhash_xx64",
       info("simhash_xx64", "64-bit xxhash64-token SimHash of a string"),
       (args: Seq[Expression]) => SimHashXx64Words(args(0))),

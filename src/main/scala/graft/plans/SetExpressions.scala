@@ -65,6 +65,13 @@ object SetExpressions {
   def hashedWordShingles(text: Column, n: Int): Column =
     ColumnBridge.column(HashedWordShingles(
       ColumnBridge.expression(text), n))
+
+  /** xxhash64 word-n-gram hashes IN DOCUMENT ORDER (positional, not a
+    * set) — the array repeated-substring detection posexplodes.
+    */
+  def positionalWordShingles(text: Column, n: Int): Column =
+    ColumnBridge.column(PositionalWordShingles(
+      ColumnBridge.expression(text), n))
 }
 
 import SetExpressions.MinHashP
@@ -351,6 +358,38 @@ case class HashedWordShingles(child: Expression, n: Int)
   override protected def withNewChildInternal(c: Expression): Expression =
     copy(child = c)
   override def prettyName: String = s"hashed_word_shingles$n"
+}
+
+/** Positional twin of [[HashedWordShingles]]: one xxhash64(seed 42) per
+  * word n-gram, in document order, neither sorted nor deduped — position
+  * i of the output is the gram starting at token i. The shape
+  * [[graft.operators.Dedup.repeatedSpans]] posexplodes to find repeated
+  * substrings; same one-pass kernel, same codegen-stability argument.
+  */
+case class PositionalWordShingles(child: Expression, n: Int)
+    extends UnaryExpression with Serializable {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case _ if n < 1 => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires n >= 1, got $n")
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string input")
+  }
+
+  override def nullSafeEval(t: Any): Any =
+    ShingleKernel.positionalWordShingles(t.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.plans.ShingleKernel.positionalWordShingles($c, $n);")
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+  override def prettyName: String = s"positional_word_shingles$n"
 }
 
 /** Binary search over a SORTED ascending long array: 0-based index of the

@@ -34,10 +34,33 @@ object ShingleKernel {
     * mirrors `split(trim(''), "\\s+")`).
     */
   def hashedWordShingles(text: UTF8String, n: Int): ArrayData = {
+    val hs = gramHashes(text, n)
+    val m = hs.length
+    if (m == 0) return new GenericArrayData(hs)
+    java.util.Arrays.sort(hs)
+    // in-place dedup of the sorted hashes
+    var w = 1
+    var i = 1
+    while (i < m) {
+      if (hs(i) != hs(w - 1)) { hs(w) = hs(i); w += 1 }
+      i += 1
+    }
+    new GenericArrayData(if (w == m) hs else java.util.Arrays.copyOf(hs, w))
+  }
+
+  /** xxhash64(seed 42) hashes of the word n-grams of `text`, one per gram
+    * IN DOCUMENT ORDER (no sort, no dedup) — the positional form repeated-
+    * substring detection explodes ([[PositionalWordShingles]]).
+    */
+  def positionalWordShingles(text: UTF8String, n: Int): ArrayData =
+    new GenericArrayData(gramHashes(text, n))
+
+  /** One linear pass: hash every word n-gram of `text` in order. */
+  private def gramHashes(text: UTF8String, n: Int): Array[Long] = {
     // Spark parity: trim() strips ASCII spaces only (StringTrim), then
     // java.util.regex "\s+" with limit -1 (StringSplit)
     val toks = Ws.split(text.trim().toString, -1)
-    if (toks.length < n) return new GenericArrayData(Array.emptyLongArray)
+    if (toks.length < n) return Array.emptyLongArray
     val m = toks.length - n + 1
     val hs = new Array[Long](m)
     val sb = new java.lang.StringBuilder
@@ -55,14 +78,6 @@ object ShingleKernel {
         .hashUnsafeBytes(b, Platform.BYTE_ARRAY_OFFSET, b.length, 42L)
       i += 1
     }
-    java.util.Arrays.sort(hs)
-    // in-place dedup of the sorted hashes
-    var w = 1
-    i = 1
-    while (i < m) {
-      if (hs(i) != hs(w - 1)) { hs(w) = hs(i); w += 1 }
-      i += 1
-    }
-    new GenericArrayData(if (w == m) hs else java.util.Arrays.copyOf(hs, w))
+    hs
   }
 }

@@ -5,13 +5,14 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.TextAnalysis
-import graft.operators.Curation
+import graft.operators.{Curation, Dedup}
 
 /** Corpus-curation operators over `documents`: contamination detection,
   * repetition signals, TF-IDF keywords, incremental dedup, stratified quota
   * sampling, mixture planning/sampling, sequence packing, vocabulary
-  * induction, the end-to-end curation funnel, and the duplicated-span
-  * diagnostic. Every query carries a DuckDB oracle.
+  * induction, the end-to-end curation funnel, the duplicated-span
+  * diagnostic, and exact-substring dedup spans. Every query carries a
+  * DuckDB oracle.
   *
   * Benchmark / batch membership is derived from doc_id arithmetic so the
   * partition is deterministic, engine-independent, and scales with the
@@ -401,6 +402,40 @@ object CurationQueries {
        |ORDER BY doc_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q90
+  // Exact-substring dedup spans: maximal runs of word-5-grams occurring in
+  // >= 2 documents, as (doc_id, span_start, span_tokens). Spark covers
+  // positions with positional xxhash64 gram hashes (native one-pass
+  // kernel); the oracle rebuilds the same spans from the gram strings —
+  // identical modulo 2^-65 collisions. Both sides merge runs with the
+  // pos - row_number gaps-and-islands grouping.
+  private def q90(s: SparkSession, dir: String): DataFrame =
+    Dedup.repeatedSpans(Tables.documents(s, dir), "doc_id", "text",
+        k = 5, minDocs = 2)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy(col("doc_id"), col("span_start"))
+
+  private val q90Sql =
+    s"""WITH toks AS (SELECT doc_id, $toksSql AS t FROM documents),
+       |g AS (
+       |  SELECT doc_id, unnest(generate_series(1, len(t) - 4)) AS pos, t
+       |  FROM toks WHERE len(t) >= 5),
+       |grams AS (
+       |  SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+       |    concat_ws(' ', t[pos], t[pos+1], t[pos+2], t[pos+3], t[pos+4])
+       |      AS gram
+       |  FROM g),
+       |dup AS (SELECT gram FROM grams GROUP BY gram
+       |        HAVING count(DISTINCT doc_id) >= 2),
+       |runs AS (
+       |  SELECT doc_id, pos,
+       |    pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+       |  FROM grams JOIN dup USING (gram))
+       |SELECT doc_id, min(pos) AS span_start,
+       |  max(pos) - min(pos) + 5 AS span_tokens
+       |FROM runs GROUP BY doc_id, grp
+       |ORDER BY doc_id, span_start""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q79_contamination" -> (q79 _),
     "q80_repetition" -> (q80 _),
@@ -412,7 +447,8 @@ object CurationQueries {
     "q86_mixture_sample" -> (q86 _),
     "q87_vocabulary" -> (q87 _),
     "q88_curate_corpus" -> (q88 _),
-    "q89_dup_spans" -> (q89 _))
+    "q89_dup_spans" -> (q89 _),
+    "q90_repeated_spans" -> (q90 _))
 
   val oracleSql: Map[String, String] = Map(
     "q79_contamination" -> q79Sql,
@@ -425,5 +461,6 @@ object CurationQueries {
     "q86_mixture_sample" -> q86Sql,
     "q87_vocabulary" -> q87Sql,
     "q88_curate_corpus" -> q88Sql,
-    "q89_dup_spans" -> q89Sql)
+    "q89_dup_spans" -> q89Sql,
+    "q90_repeated_spans" -> q90Sql)
 }

@@ -167,6 +167,50 @@ class DedupSpec extends SparkSpec {
     assert(kept == Set(1L, 4L, 5L))
   }
 
+  test("positional shingles are the in-order, undeduped gram hashes") {
+    import graft.functions.TextAnalysis
+    val texts = Seq(
+      "a b c a b c a b",        // repeated grams must NOT dedup
+      "one two three", "", "x y").toDF("text")
+    val got = texts.select(
+      graft.plans.SetExpressions.positionalWordShingles(col("text"), 2)
+        .as("native"),
+      transform(TextAnalysis.shingles(col("text"), 2), xxhash64(_))
+        .as("lambda"))
+      .as[(Seq[Long], Seq[Long])].collect()
+    got.foreach { case (n, l) => assert(n == l) }
+    assert(got(0)._1.length == 7)
+    assert(got(0)._1(0) == got(0)._1(3)) // "a b" at positions 0 and 3
+  }
+
+  test("repeatedSpans merges consecutive duplicated k-grams into maximal spans") {
+    // docs 1 and 2 share the 7-token run "alpha beta gamma delta epsilon
+    // zeta eta" at different offsets; doc 3 shares nothing long enough.
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta unique1 tail1 tail2"),
+      (2L, "lead1 lead2 alpha beta gamma delta epsilon zeta eta unique2"),
+      (3L, "totally different words with no shared runs at all here")
+    ).toDF("doc_id", "text")
+    val got = Dedup.repeatedSpans(corpus, "doc_id", "text", k = 3)
+      .orderBy("id", "span_start")
+      .as[(Long, Long, Long)].collect().toSeq
+    // 7 shared tokens → 5 consecutive duplicated 3-grams → one span of 7
+    assert(got == Seq((1L, 1L, 7L), (2L, 3L, 7L)))
+  }
+
+  test("repeatedSpans emits separate spans for discontiguous repeats") {
+    val corpus = Seq(
+      (1L, "shared one two three mid gap word shared four five six end"),
+      (2L, "shared one two three x y z shared four five six q")
+    ).toDF("doc_id", "text")
+    val got = Dedup.repeatedSpans(corpus, "doc_id", "text", k = 4)
+      .orderBy("id", "span_start")
+      .as[(Long, Long, Long)].collect().toSeq
+    // each doc: two disjoint 4-token shared runs → two spans of 4 each
+    assert(got == Seq((1L, 1L, 4L), (1L, 8L, 4L),
+      (2L, 1L, 4L), (2L, 8L, 4L)))
+  }
+
   test("pigeonhole-blocked simhash equals the all-pairs baseline") {
     val corpus = docs.union(Seq(
       (6L, "the quick brown fox jumps over the lazy dog today"),

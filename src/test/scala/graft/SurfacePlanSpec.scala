@@ -191,6 +191,26 @@ class SurfacePlanSpec extends SparkSpec {
       s"limit-after-sort must become partial top-k:\n${plan.take(500)}")
   }
 
+  test("q90 repeated spans: hash equi-join only (no nested loop), grams " +
+    "travel as longs, and the gram rollup partial-aggregates") {
+    val plan = physical(run("q90_repeated_spans"))
+    val s = plan.toString
+    assert(!s.contains("NestedLoop") && !s.contains("Cartesian"),
+      "gram join must be a hash equi-join")
+    // the dup-gram rollup must map-side combine before its exchange
+    assert(s.contains("partial_count(distinct id"),
+      s"gram groupBy lost its partial aggregate:\n${s.take(800)}")
+    // document text must not survive past the gram projection: only the
+    // scan and the widen() round-robin exchange of raw rows may carry it —
+    // never a join, aggregate, or window
+    val leaked = plan.collect {
+      case p if !p.nodeName.contains("Scan") &&
+        !p.nodeName.contains("Exchange") &&
+        p.output.exists(_.name == "text") => p
+    }
+    assert(leaked.isEmpty, "text column leaked past the gram projection")
+  }
+
   test("q51/q52: no nested-loop join in the auto range join; unpivot " +
     "is a zero-shuffle Expand") {
     val rj = physical(run("q51_range_join_auto")).toString
