@@ -1,0 +1,123 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+import graft.multimodal.Multimodal.{Image, ImageCodec, MediaRow}
+import graft.operators.Dedup
+
+/** Perceptual image hashing + Hamming near-dup — the image modality of
+  * the dedup family. A 64-bit dHash/aHash is robust to re-encoding,
+  * resizing, and mild noise (the transformations scraped corpora actually
+  * contain), so near-duplicate images reduce to the SAME blocked Hamming
+  * join the text SimHash path uses: [[nearDuplicates]] feeds fingerprints
+  * straight into [[Dedup.simHashPairsBlocked]] (pigeonhole blocking, exact
+  * verify — never all-pairs).
+  *
+  * Scale: fingerprinting is a partition-streamed decode (mapPartitions,
+  * one pass per payload, no shuffle); only (media_id, fp) 16-byte rows
+  * ever shuffle. Decode cost dominates, and it is embarrassingly parallel.
+  */
+object ImageHash {
+
+  /** Box-averaged grayscale downscale to exactly (w × h) luminance values
+    * in [0, 255]. Area averaging (not nearest-neighbor) is what makes the
+    * hash stable under resizing and noise: every source pixel contributes
+    * to exactly one cell, so a 2× downscale and the original land on
+    * near-identical grids.
+    */
+  private[multimodal] def grayGrid(img: Image, w: Int, h: Int): Array[Float] = {
+    val acc = new Array[Float](w * h)
+    val cnt = new Array[Int](w * h)
+    val px = img.pixels
+    val c = img.channels
+    var y = 0
+    while (y < img.height) {
+      val gy = (y.toLong * h / img.height).toInt.min(h - 1)
+      var x = 0
+      while (x < img.width) {
+        val gx = (x.toLong * w / img.width).toInt.min(w - 1)
+        val o = (y * img.width + x) * c
+        // ITU-R BT.601 luma for RGB(A); channel 0 for grayscale payloads
+        val lum =
+          if (c >= 3)
+            0.299f * (px(o) & 0xff) + 0.587f * (px(o + 1) & 0xff) +
+              0.114f * (px(o + 2) & 0xff)
+          else (px(o) & 0xff).toFloat
+        val cell = gy * w + gx
+        acc(cell) += lum
+        cnt(cell) += 1
+        x += 1
+      }
+      y += 1
+    }
+    var i = 0
+    while (i < acc.length) {
+      if (cnt(i) > 0) acc(i) /= cnt(i)
+      i += 1
+    }
+    acc
+  }
+
+  /** 64-bit difference hash: 9×8 grayscale grid, bit (y·8+x) set iff
+    * cell (x+1, y) is brighter than cell (x, y) — encodes the horizontal
+    * gradient sign field, the classic dHash.
+    */
+  def dHash64(img: Image): Long = {
+    val g = grayGrid(img, 9, 8)
+    var fp = 0L
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 8) {
+        if (g(y * 9 + x + 1) > g(y * 9 + x)) fp |= 1L << (y * 8 + x)
+        x += 1
+      }
+      y += 1
+    }
+    fp
+  }
+
+  /** 64-bit average hash: 8×8 grayscale grid, bit set iff the cell is
+    * brighter than the grid mean.
+    */
+  def aHash64(img: Image): Long = {
+    val g = grayGrid(img, 8, 8)
+    var mean = 0f
+    var i = 0
+    while (i < 64) { mean += g(i); i += 1 }
+    mean /= 64f
+    var fp = 0L
+    i = 0
+    while (i < 64) {
+      if (g(i) > mean) fp |= 1L << i
+      i += 1
+    }
+    fp
+  }
+
+  /** (media_id, fp) fingerprints for every decodable image payload —
+    * partition-streamed, undecodable rows drop (dead-letter them in a
+    * real pipeline). `hash` picks the fingerprint family.
+    */
+  def fingerprints(media: Dataset[MediaRow],
+                   codec: ImageCodec = Codecs.AutoCodec,
+                   hash: Image => Long = dHash64): DataFrame = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.flatMap { m =>
+      codec.decode(m.data).map(img => (m.mediaId, hash(img)))
+    }).toDF("media_id", "fp")
+  }
+
+  /** Near-duplicate image pairs within `maxHamming` perceptual-hash bits:
+    * fingerprint once per payload, then reuse the text path's pigeonhole-
+    * blocked Hamming join unchanged (identity fingerprint column — the
+    * hashing already happened in the decode pass).
+    */
+  def nearDuplicates(media: Dataset[MediaRow], maxHamming: Int,
+                     codec: ImageCodec = Codecs.AutoCodec,
+                     hash: Image => Long = dHash64): DataFrame =
+    Dedup.simHashPairsBlocked(
+      fingerprints(media, codec, hash), "media_id", "fp", maxHamming,
+      fp = identity)
+}

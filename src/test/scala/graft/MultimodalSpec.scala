@@ -51,6 +51,77 @@ class MultimodalSpec extends SparkSpec {
     assert(frames.forall(f => f.image.width == 2 && f.image.height == 2))
   }
 
+  // --------------------------------------------------- perceptual hashing
+
+  /** Smooth synthetic photo: two crossing gradients + a bright blob, so
+    * the dHash gradient field is structured (a flat or pure-noise image
+    * would hash degenerately).
+    */
+  private def scene(w: Int, h: Int, seed: Int = 0): Image = {
+    val px = new Array[Byte](w * h * 3)
+    // the seed must alter the HORIZONTAL structure (dHash encodes the
+    // x-gradient sign field): flip gradient direction and move the blob
+    val (bx, by) = if (seed % 2 == 0) (0.3, 0.4) else (0.7, 0.6)
+    for (y <- 0 until h; x <- 0 until w) {
+      val fx = x.toDouble / w
+      val fy = y.toDouble / h
+      val blob = 90 * math.exp(-((fx - bx) * (fx - bx) +
+        (fy - by) * (fy - by)) * 14)
+      val grad = if (seed % 2 == 0) 120 * fx else 120 * (1 - fx)
+      val wave = if (seed % 2 == 0) math.sin(fy * 6) else math.sin(fx * 5)
+      val base = 60 + grad + 50 * wave + blob
+      val o = (y * w + x) * 3
+      px(o) = math.min(255, math.max(0, base)).toInt.toByte
+      px(o + 1) = math.min(255, math.max(0, base * 0.8)).toInt.toByte
+      px(o + 2) = math.min(255, math.max(0, base * 0.6)).toInt.toByte
+    }
+    Image(-1, w, h, 3, px)
+  }
+
+  /** Deterministic pixel noise (xorshift over the index). */
+  private def noised(img: Image, amp: Int): Image = {
+    val px = img.pixels.clone()
+    var i = 0
+    while (i < px.length) {
+      val r = (i * 2654435761L >>> 16).toInt % (2 * amp + 1) - amp
+      px(i) = math.min(255, math.max(0, (px(i) & 0xff) + r)).toByte
+      i += 1
+    }
+    img.copy(pixels = px)
+  }
+
+  test("perceptual hashes survive resize and noise, separate scenes") {
+    import graft.multimodal.{Codecs, ImageHash}
+    val base = scene(64, 48)
+    val small = scene(32, 24) // same scene rendered at half resolution
+    val noisy = noised(base, amp = 10)
+    val other = scene(64, 48, seed = 3) // different scene
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    for (hash <- Seq(ImageHash.dHash64 _, ImageHash.aHash64 _)) {
+      val (hb, hs, hn, ho) = (hash(base), hash(small), hash(noisy),
+        hash(other))
+      assert(ham(hb, hs) <= 6, s"resize moved the hash ${ham(hb, hs)} bits")
+      assert(ham(hb, hn) <= 6, s"noise moved the hash ${ham(hb, hn)} bits")
+      assert(ham(hb, ho) > 12, s"distinct scenes only ${ham(hb, ho)} apart")
+    }
+  }
+
+  test("blocked Hamming join finds planted BMP near-duplicates") {
+    import graft.multimodal.{Codecs, ImageHash}
+    val rows = Seq(
+      MediaRow(1, "image", Codecs.BmpCodec.encode(scene(64, 48)), "bmp"),
+      MediaRow(2, "image", Codecs.BmpCodec.encode(scene(32, 24)), "bmp"),
+      MediaRow(3, "image",
+        Codecs.BmpCodec.encode(noised(scene(64, 48), 10)), "bmp"),
+      MediaRow(4, "image", Codecs.BmpCodec.encode(scene(64, 48, 3)), "bmp"),
+      MediaRow(5, "image", Array[Byte](9, 9, 9), "junk") // dropped
+    ).toDS().repartition(3)
+    val pairs = ImageHash.nearDuplicates(rows, maxHamming = 6)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L), (1L, 3L), (2L, 3L)),
+      s"expected the planted near-dup cluster, got $pairs")
+  }
+
   test("features are fixed-width float vectors in the ANN input shape") {
     val feats = Multimodal.imageFeatures(media.filter(_.kind == "image"))
     val rows = feats.collect()
