@@ -214,8 +214,18 @@ object Curation {
     */
   def incrementalDedup(batch: DataFrame, snapshot: DataFrame,
                        idCol: String, textCol: String): DataFrame =
+    incrementalDedupDigests(batch,
+      snapshot.select(md5(col(textCol)).as("content_hash")),
+      idCol, textCol)
+
+  /** [[incrementalDedup]] against an already-digested snapshot — the form
+    * a continuously-maintained digest store joins (the snapshot never
+    * re-reads document bodies; its state IS the ~32 B/doc digest column).
+    */
+  def incrementalDedupDigests(batch: DataFrame, digests: DataFrame,
+                              idCol: String, textCol: String): DataFrame =
     batch.select(col(idCol), md5(col(textCol)).as("content_hash"))
-      .join(snapshot.select(md5(col(textCol)).as("content_hash")).distinct(),
+      .join(digests.select("content_hash").distinct(),
         Seq("content_hash"), "left_anti")
       .groupBy("content_hash")
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("batch_dups"))

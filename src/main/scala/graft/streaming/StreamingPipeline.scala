@@ -106,6 +106,56 @@ object StreamingPipeline {
         col("r_ts_utc") <= col("ts_utc") + expr(s"INTERVAL $upperMs MILLISECOND"))
   }
 
+  /** Streaming incremental dedup against a persistent digest store — the
+    * continuous form of `Curation.incrementalDedup` (q82 semantics, batch
+    * after batch). Each micro-batch keeps one (min-id) row per content
+    * hash not yet in the store, hands the survivors to `onBatch`, then
+    * appends the batch's new digests. Unlike
+    * [[streamingExactDedup]] (watermark-bounded state), the store is
+    * UNBOUNDED history at ~32 bytes/doc in parquet — the right trade when
+    * the dedup horizon is "everything ever ingested": 100 TB of documents
+    * is ~tens of GB of digests, and the anti-join reads only the digest
+    * column.
+    */
+  def incrementalDedupStream(docs: DataFrame, idCol: String, textCol: String,
+                             digestDir: String)(
+      onBatch: (DataFrame, Long) => Unit) = {
+    new java.io.File(digestDir).mkdirs()
+    docs.writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val s = batch.sparkSession
+        val seen =
+          if (Option(new java.io.File(digestDir).listFiles())
+            .exists(_.exists(_.getName.endsWith(".parquet"))))
+            s.read.parquet(digestDir)
+          else s.range(0).select(lit("").as("content_hash"))
+        val kept = graft.operators.Curation
+          .incrementalDedupDigests(batch, seen, idCol, textCol)
+          .persist()
+        kept.count() // pin results BEFORE the store grows (self-read safety)
+        onBatch(kept, batchId)
+        kept.select("content_hash").write.mode("append").parquet(digestDir)
+        kept.unpersist()
+        ()
+      }
+  }
+
+  /** Per-micro-batch benchmark contamination (q79 semantics): the
+    * benchmark gram set is static and broadcast, each batch probes it
+    * map-side — stateless, so the streaming report is exactly the batch
+    * report of each micro-batch.
+    */
+  def contaminationStream(docs: DataFrame, bench: DataFrame, idCol: String,
+                          textCol: String, n: Int, flagThreshold: Double)(
+      onBatch: (DataFrame, Long) => Unit) =
+    docs.writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        onBatch(graft.operators.Curation.contaminationReport(
+          batch, bench, idCol, textCol, n, flagThreshold), batchId)
+      }
+
   /** Streaming upsert sink: each micro-batch merges into the latest
     * parquet snapshot via [[graft.operators.Snapshot.mergeSnapshot]]
     * (keep-highest-`versionCol` per key) and writes a NEW snapshot

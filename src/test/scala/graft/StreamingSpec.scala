@@ -130,6 +130,78 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.find(_._1 == 3L).get._3 == 10L)
   }
 
+  test("streaming incremental dedup matches the batch q82 semantics " +
+    "batch after batch") {
+    import graft.operators.Curation
+    implicit val sqlCtx = spark.sqlContext
+    val digestDir = Files.createTempDirectory("graft-digests").toString
+    val chk = Files.createTempDirectory("graft-dedup-chk").toString
+    var perBatch = Map.empty[Long, Set[(String, Long, Long)]]
+    val mem = MemoryStream[(Long, String)]
+    val q = StreamingPipeline.incrementalDedupStream(
+      mem.toDF().toDF("doc_id", "text"), "doc_id", "text", digestDir) {
+      (kept, id) =>
+        perBatch += id -> kept
+          .as[(String, Long, Long)].collect().toSet
+    }.option("checkpointLocation", chk).start()
+    val b1 = Seq((1L, "alpha"), (2L, "beta"), (3L, "alpha")) // 3 dups 1
+    val b2 = Seq((4L, "beta"), (5L, "gamma"), (6L, "gamma")) // 4 seen in b1
+    mem.addData(b1: _*)
+    q.processAllAvailable()
+    mem.addData(b2: _*)
+    q.processAllAvailable()
+    q.stop()
+    // parity: batch 0 vs q82 with an empty snapshot; batch 1 vs q82 with
+    // snapshot = batch-0 corpus
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val want0 = Curation.incrementalDedup(
+      b1.toDF("doc_id", "text"), empty, "doc_id", "text")
+      .as[(String, Long, Long)].collect().toSet
+    val want1 = Curation.incrementalDedup(
+      b2.toDF("doc_id", "text"), b1.toDF("doc_id", "text"),
+      "doc_id", "text")
+      .as[(String, Long, Long)].collect().toSet
+    assert(perBatch(0L) == want0 && perBatch(1L) == want1)
+    assert(perBatch(0L).map(_._2) == Set(1L, 2L)) // min ids, dup folded
+    assert(perBatch(1L).map(_._2) == Set(5L)) // beta already in the store
+    // the store holds digests only (one narrow string column)
+    val store = spark.read.parquet(digestDir)
+    assert(store.columns.toSeq == Seq("content_hash"))
+    assert(store.distinct().count() == 3) // alpha, beta, gamma
+  }
+
+  test("streaming contamination matches the batch q79 report per batch") {
+    import graft.operators.Curation
+    implicit val sqlCtx = spark.sqlContext
+    val chk = Files.createTempDirectory("graft-contam-chk").toString
+    val bench = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text")
+    val rows = Seq(
+      (1L, "the quick brown fox jumps over a different dog"),
+      (2L, "totally unrelated words in this one here now"),
+      (3L, "the quick brown fox jumps over the lazy dog exactly"))
+    var streamed = Set.empty[(Long, Long, Boolean)]
+    val mem = MemoryStream[(Long, String)]
+    val q = StreamingPipeline.contaminationStream(
+      mem.toDF().toDF("doc_id", "text"), bench, "doc_id", "text",
+      n = 4, flagThreshold = 0.5) { (report, _) =>
+      streamed ++= report.select("id", "n_overlap", "contaminated")
+        .as[(Long, Long, Boolean)].collect()
+    }.option("checkpointLocation", chk).start()
+    mem.addData(rows.take(2): _*)
+    q.processAllAvailable()
+    mem.addData(rows.drop(2): _*)
+    q.processAllAvailable()
+    q.stop()
+    val batch = Curation.contaminationReport(
+      rows.toDF("doc_id", "text"), bench, "doc_id", "text", 4, 0.5)
+      .select("id", "n_overlap", "contaminated")
+      .as[(Long, Long, Boolean)].collect().toSet
+    assert(streamed == batch)
+    assert(streamed.exists(r => r._1 == 3L && r._3)) // near-copy flagged
+  }
+
   test("stream-static enrichment join attaches dim attributes per batch") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, Long)]
