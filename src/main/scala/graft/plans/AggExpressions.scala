@@ -35,6 +35,20 @@ object AggExpressions {
       TopKByScore(ColumnBridge.expression(struct(score, id)), k)
         .toAggregateExpression())
   }
+
+  /** Element-wise sum of `array<long>` rows — the mergeable reduction
+    * behind exact vector centroids ([[graft.operators.Vectors]]). Long
+    * addition is associative, so partial/merge order CANNOT change the
+    * result: the aggregate is bit-stable across partitionings, AQE
+    * re-plans, and engines — which is what lets a float-derived centroid
+    * hash-match a DuckDB oracle (floats are quantized to fixed-point
+    * longs first; a double sum would depend on row order). State is one
+    * long per dimension per group — no explode, the vector never unrolls
+    * into dim× rows.
+    */
+  def vecSumLong(arr: Column): Column =
+    ColumnBridge.column(
+      VectorSumLong(ColumnBridge.expression(arr)).toAggregateExpression())
 }
 
 /** Bounded-heap top-k aggregate over struct<score double, id bigint>
@@ -135,4 +149,88 @@ case class TopKByScore(child: Expression, k: Int,
       newChildren: IndexedSeq[Expression]): Expression =
     copy(child = newChildren.head)
   override def prettyName: String = s"topk$k"
+}
+
+/** Element-wise long-array sum aggregate. The buffer grows to the widest
+  * input seen (ragged inputs sum position-wise, missing tail = 0); null
+  * rows are skipped. Output is `array<long>` — empty for all-null groups.
+  */
+case class VectorSumLong(child: Expression,
+                         mutableAggBufferOffset: Int = 0,
+                         inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[mutable.ArrayBuffer[Long]]
+    with Serializable {
+
+  override def children: Seq[Expression] = Seq(child)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<bigint> input, got $other")
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = false
+
+  override def createAggregationBuffer(): mutable.ArrayBuffer[Long] =
+    mutable.ArrayBuffer.empty[Long]
+
+  private def addInto(buf: mutable.ArrayBuffer[Long], i: Int,
+                      v: Long): Unit = {
+    while (buf.size <= i) buf += 0L
+    buf(i) += v
+  }
+
+  override def update(buf: mutable.ArrayBuffer[Long],
+                      input: InternalRow): mutable.ArrayBuffer[Long] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val arr = v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      var i = 0
+      val n = arr.numElements()
+      while (i < n) {
+        if (!arr.isNullAt(i)) addInto(buf, i, arr.getLong(i))
+        i += 1
+      }
+    }
+    buf
+  }
+
+  override def merge(buf: mutable.ArrayBuffer[Long],
+                     other: mutable.ArrayBuffer[Long])
+      : mutable.ArrayBuffer[Long] = {
+    var i = 0
+    while (i < other.size) {
+      addInto(buf, i, other(i))
+      i += 1
+    }
+    buf
+  }
+
+  override def eval(buf: mutable.ArrayBuffer[Long]): Any =
+    new GenericArrayData(buf.toArray)
+
+  override def serialize(buf: mutable.ArrayBuffer[Long]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(4 + buf.size * 8)
+    bb.putInt(buf.size)
+    buf.foreach(bb.putLong)
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): mutable.ArrayBuffer[Long] = {
+    val bb = ByteBuffer.wrap(bytes)
+    val n = bb.getInt
+    val buf = createAggregationBuffer()
+    (0 until n).foreach(_ => buf += bb.getLong)
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): VectorSumLong =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): VectorSumLong =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(child = newChildren.head)
+  override def prettyName: String = "vec_sum_long"
 }

@@ -164,15 +164,100 @@ object VectorQueries {
        |ORDER BY id_a, id_b""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q91
+  // Exact per-group centroids + drift against the global centroid.
+  // Distributed float means are order-dependent, so elements quantize to
+  // fixed-point longs (×2^20 — exact in doubles) and sum with the native
+  // mergeable VectorSumLong: associative longs make the result bit-equal
+  // to DuckDB's no matter how Spark partitions (operators.Vectors).
+  private def q91(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+      .select((col("vec_id") % 4).as("grp"), col("embedding"))
+    val cents = graft.operators.Vectors.centroids(emb, Seq("grp"),
+      "embedding")
+    val global = graft.operators.Vectors.centroids(
+        emb.select(lit(0L).as("g"), col("embedding")), Seq("g"), "embedding")
+      .select(col("centroid").as("_gcent"))
+    cents.crossJoin(broadcast(global))
+      .withColumn("drift", round(
+        graft.operators.Vectors.drift(col("centroid"), col("_gcent")), 6))
+      .select(col("grp"), col("n_vecs"), col("drift"),
+        posexplode(col("centroid")))
+      .select(col("grp"), (col("pos") + 1).cast("long").as("pos"),
+        col("n_vecs"), col("col").as("centroid"), col("drift"))
+      .orderBy(col("grp"), col("pos"))
+  }
+
+  private val q91Sql =
+    """WITH e AS (
+      |  SELECT vec_id % 4 AS grp,
+      |    unnest(generate_series(1, len(embedding))) AS pos,
+      |    unnest(list_transform(CAST(embedding AS DOUBLE[]),
+      |      x -> CAST(round(x * 1048576.0) AS BIGINT))) AS q
+      |  FROM embeddings),
+      |cg AS (SELECT grp, pos, sum(q) AS s, count(*) AS n
+      |       FROM e GROUP BY grp, pos),
+      |cent AS (SELECT grp, CAST(pos AS BIGINT) AS pos, n AS n_vecs,
+      |         round(CAST(s AS DOUBLE) / n / 1048576.0, 6) AS centroid
+      |         FROM cg),
+      |gg AS (SELECT pos,
+      |         round(CAST(sum(q) AS DOUBLE) / count(*) / 1048576.0, 6)
+      |           AS gcent
+      |       FROM e GROUP BY pos),
+      |dl AS (SELECT c.grp, list(c.centroid - g.gcent ORDER BY c.pos) AS d
+      |       FROM cent c JOIN gg g ON c.pos = g.pos GROUP BY c.grp),
+      |dr AS (SELECT grp, round(sqrt(list_inner_product(d, d)), 6) AS drift
+      |       FROM dl)
+      |SELECT c.grp, c.pos, c.n_vecs, c.centroid, dr.drift
+      |FROM cent c JOIN dr USING (grp)
+      |ORDER BY grp, pos""".stripMargin
+
+  // ---------------------------------------------------------------- q92
+  // Per-vector L2 normalization, exploded to rows. The norm is the
+  // sequential fused dot — bit-identical to list_inner_product (the
+  // parity primitive q30 already proves).
+  private def q92(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VectorFunctions
+    Tables.embeddings(s, dir).filter(col("vec_id") < NumQueries)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("_nrm", VectorFunctions.norm(col("v")))
+      .select(col("vec_id"), col("_nrm"), posexplode(col("v")))
+      .select(col("vec_id"), (col("pos") + 1).cast("long").as("pos"),
+        round(when(col("_nrm") === 0.0, 0.0)
+          .otherwise(col("col") / col("_nrm")), 6).as("nval"),
+        round(col("_nrm"), 6).as("norm"))
+      .orderBy(col("vec_id"), col("pos"))
+  }
+
+  private val q92Sql =
+    s"""WITH v AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+       |  WHERE vec_id < $NumQueries),
+       |n AS (SELECT vec_id, v, sqrt(list_inner_product(v, v)) AS nrm
+       |      FROM v),
+       |e AS (SELECT vec_id, nrm, v,
+       |        unnest(generate_series(1, len(v))) AS pos
+       |      FROM n)
+       |SELECT vec_id, CAST(pos AS BIGINT) AS pos,
+       |  round(CASE WHEN nrm = 0 THEN 0.0 ELSE v[pos] / nrm END, 6)
+       |    AS nval,
+       |  round(nrm, 6) AS norm
+       |FROM e
+       |ORDER BY vec_id, pos""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_knn_bruteforce" -> (q30 _),
     "q31_knn_lsh" -> (q31 _),
     "q32_knn_ivf" -> (q32 _),
-    "q33_embedding_neardup" -> (q33 _))
+    "q33_embedding_neardup" -> (q33 _),
+    "q91_vec_centroids" -> (q91 _),
+    "q92_vec_normalize" -> (q92 _))
 
   val oracleSql: Map[String, String] = Map(
     "q30_knn_bruteforce" -> q30Sql,
     "q31_knn_lsh" -> q31Sql,
     "q32_knn_ivf" -> q32Sql,
-    "q33_embedding_neardup" -> q33Sql)
+    "q33_embedding_neardup" -> q33Sql,
+    "q91_vec_centroids" -> q91Sql,
+    "q92_vec_normalize" -> q92Sql)
 }

@@ -123,6 +123,30 @@ class CurationSpec extends SparkSpec {
     assert(got(2L) == "epsilon")
   }
 
+  test("topTfidfTerm honors the caller-chosen tf storage level") {
+    import org.apache.spark.storage.StorageLevel
+    // CacheManager dedups by plan: an entry left by an earlier call wins
+    // over a new storage level, so start from a clean cache
+    spark.catalog.clearCache()
+    // DISK_ONLY: the 100 TB knob — identical output, tf blocks never
+    // claim executor memory
+    val onDisk = Curation.topTfidfTerm(docs, "doc_id", "text",
+        tfStorage = StorageLevel.DISK_ONLY)
+      .orderBy("doc_id")
+      .select("doc_id", "top_term").as[(Long, String)].collect().toSeq
+    val default = Curation.topTfidfTerm(docs, "doc_id", "text")
+      .orderBy("doc_id")
+      .select("doc_id", "top_term").as[(Long, String)].collect().toSeq
+    assert(onDisk == default)
+    // the knob actually reached the cache manager: a DISK_ONLY RDD is
+    // registered (name check avoids pinning exact plan strings)
+    val levels = spark.sparkContext.getPersistentRDDs.values
+      .map(_.getStorageLevel).toSet
+    assert(levels.contains(StorageLevel.DISK_ONLY),
+      s"expected a DISK_ONLY cached frame, levels = $levels")
+    spark.catalog.clearCache() // caller-owned lifetime, as documented
+  }
+
   // --------------------------------------------------- incremental dedup
 
   test("incrementalDedup drops batch docs already in the snapshot") {

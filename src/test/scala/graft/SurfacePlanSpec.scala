@@ -211,6 +211,18 @@ class SurfacePlanSpec extends SparkSpec {
     assert(leaked.isEmpty, "text column leaked past the gram projection")
   }
 
+  test("q91 centroids: native vector-sum partial-aggregates map-side and " +
+    "the input never explodes into dim-times rows") {
+    val qe = run("q91_vec_centroids").queryExecution
+    val s = physical(run("q91_vec_centroids")).toString
+    assert(s.contains("partial_vec_sum_long"),
+      s"vector sum lost its partial aggregate:\n${s.take(800)}")
+    // the ONLY Generates are the output posexplodes of the |groups|-row
+    // centroid frames — the embedding column itself must aggregate whole
+    val gens = qe.optimizedPlan.collect { case g: Generate => g }
+    assert(gens.size <= 2, s"input side exploded: ${gens.size} Generates")
+  }
+
   test("q51/q52: no nested-loop join in the auto range join; unpivot " +
     "is a zero-shuffle Expand") {
     val rj = physical(run("q51_range_join_auto")).toString
