@@ -248,6 +248,32 @@ object Curation {
       .filter(col("sample_rank") <= quota)
   }
 
+  /** Deterministic WEIGHTED sampling (Efraimidis–Spirakis A-ES, the
+    * exponential-race formulation): per stratum, keep the k rows with the
+    * smallest key E = −ln(u)/w, where u ∈ (0,1) derives from md5(id)
+    * (the [[mixtureSample]] construction — reproducible across runs,
+    * partitionings, and engines) and w is the row's weight. E is an
+    * Exp(w) draw, so inclusion probability is proportional to weight —
+    * the size-biased complement to [[quotaSample]]'s uniform draw (sample
+    * long documents more when weighting by token count, or high-quality
+    * ones when weighting by a score). The rank filter plans as the same
+    * two-phase WindowGroupLimit: at most k rows per stratum per input
+    * partition cross the shuffle.
+    */
+  def weightedSample(df: DataFrame, stratumCol: String, idCol: String,
+                     weight: Column, k: Int): DataFrame = {
+    // u in (0,1): 60 md5 bits / 2^60 (u = 0 has probability 2^-60; it
+    // would yield key = +Inf, i.e. sampled last — still deterministic)
+    val u = conv(substring(md5(col(idCol).cast("string")), 1, 15), 16, 10)
+      .cast("double") / lit(1152921504606846976d)
+    val key = -log(u) / weight.cast("double")
+    val w = Window.partitionBy(col(stratumCol))
+      .orderBy(key.asc, col(idCol).asc)
+    df.withColumn("sample_key", round(key, 6))
+      .withColumn("sample_rank", row_number().over(w))
+      .filter(col("sample_rank") <= k)
+  }
+
   // ------------------------------------------------------------------
   // Sequence packing (concatenate-and-split into context windows)
   // ------------------------------------------------------------------

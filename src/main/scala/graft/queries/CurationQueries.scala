@@ -436,6 +436,35 @@ object CurationQueries {
        |FROM runs GROUP BY doc_id, grp
        |ORDER BY doc_id, span_start""".stripMargin
 
+  // ---------------------------------------------------------------- q94
+  // Deterministic WEIGHTED sample: 15 docs per language, inclusion
+  // probability proportional to token count (Efraimidis–Spirakis
+  // exponential race: smallest -ln(u)/w wins; u from md5(doc_id) — the
+  // q86 construction, so the draw replays identically in any engine).
+  private def q94(s: SparkSession, dir: String): DataFrame =
+    Curation.weightedSample(Tables.documents(s, dir), "lang", "doc_id",
+        TextAnalysis.tokenCount(col("text")), k = 15)
+      .select(col("lang"), col("doc_id"), col("sample_rank"),
+        col("sample_key"))
+      .orderBy(col("lang"), col("sample_rank"))
+
+  private val q94Sql =
+    s"""WITH keyed AS (
+       |  SELECT lang, doc_id,
+       |    (-ln(CAST(concat('0x',
+       |        substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+       |      / 1152921504606846976.0))
+       |      / CAST(len($toksSql) AS DOUBLE) AS k
+       |  FROM documents),
+       |rk AS (
+       |  SELECT lang, doc_id, round(k, 6) AS sample_key,
+       |    row_number() OVER (PARTITION BY lang ORDER BY k ASC, doc_id ASC)
+       |      AS sample_rank
+       |  FROM keyed)
+       |SELECT lang, doc_id, sample_rank, sample_key
+       |FROM rk WHERE sample_rank <= 15
+       |ORDER BY lang, sample_rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q79_contamination" -> (q79 _),
     "q80_repetition" -> (q80 _),
@@ -448,7 +477,8 @@ object CurationQueries {
     "q87_vocabulary" -> (q87 _),
     "q88_curate_corpus" -> (q88 _),
     "q89_dup_spans" -> (q89 _),
-    "q90_repeated_spans" -> (q90 _))
+    "q90_repeated_spans" -> (q90 _),
+    "q94_weighted_sample" -> (q94 _))
 
   val oracleSql: Map[String, String] = Map(
     "q79_contamination" -> q79Sql,
@@ -462,5 +492,6 @@ object CurationQueries {
     "q87_vocabulary" -> q87Sql,
     "q88_curate_corpus" -> q88Sql,
     "q89_dup_spans" -> q89Sql,
-    "q90_repeated_spans" -> q90Sql)
+    "q90_repeated_spans" -> q90Sql,
+    "q94_weighted_sample" -> q94Sql)
 }

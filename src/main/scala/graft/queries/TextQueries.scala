@@ -326,7 +326,60 @@ object TextQueries {
       |GROUP BY fold
       |ORDER BY fold""".stripMargin
 
+  // ---------------------------------------------------------------- q93
+  // Okapi BM25 relevance against a literal query-term bag. tf/df/dl are
+  // exact integers; the per-doc sum folds term scores IN TERM ORDER on
+  // both sides (Spark: sorted-array aggregate; DuckDB: ordered list +
+  // list_inner_product with a ones vector), so no float reduction depends
+  // on row order. Constants mirror as the same literal expressions
+  // ((1.2 + 1.0), not 2.2 — double parsing must agree).
+  private val Bm25Terms = Seq("spark", "vector", "hash", "stream")
+  private def q93(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Retrieval.bm25(
+        Tables.documents(s, dir), "doc_id", "text", Bm25Terms)
+      .select(col("id").as("doc_id"), col("n_terms"),
+        round(col("bm25"), 6).as("bm25"))
+      .orderBy(col("bm25").desc, col("doc_id"))
+      .limit(50)
+
+  private val q93Sql = {
+    val termsList = Bm25Terms.map(t => s"'$t'").mkString("[", ", ", "]")
+    s"""WITH toks AS (
+       |  SELECT doc_id, len($toksSql) AS dl,
+       |    unnest(list_filter($toksSql, t -> list_contains($termsList, t)))
+       |      AS term
+       |  FROM documents),
+       |stats AS (
+       |  SELECT count(*) AS n_docs,
+       |    CAST(sum(CAST(len($toksSql) AS BIGINT)) AS DOUBLE) /
+       |      count(*) AS avgdl
+       |  FROM documents),
+       |tf AS (SELECT doc_id, dl, term, count(*) AS tf
+       |       FROM toks GROUP BY doc_id, dl, term),
+       |dft AS (SELECT term, count(*) AS doc_freq FROM tf GROUP BY term),
+       |scored AS (
+       |  SELECT tf.doc_id, tf.term,
+       |    ln((CAST(s.n_docs AS DOUBLE) - dft.doc_freq + 0.5) /
+       |        (CAST(dft.doc_freq AS DOUBLE) + 0.5) + 1.0) *
+       |      (CAST(tf.tf AS DOUBLE) * (1.2 + 1.0)) /
+       |      (CAST(tf.tf AS DOUBLE) +
+       |        (1.2 * ((1.0 - 0.75) +
+       |          (0.75 * CAST(tf.dl AS DOUBLE) / s.avgdl)))) AS ts
+       |  FROM tf JOIN dft USING (term) CROSS JOIN stats s),
+       |agg AS (
+       |  SELECT doc_id, count(*) AS n_terms,
+       |    list(ts ORDER BY term) AS scores
+       |  FROM scored GROUP BY doc_id)
+       |SELECT doc_id, n_terms,
+       |  round(list_inner_product(scores,
+       |    list_transform(scores, x -> 1.0)), 6) AS bm25
+       |FROM agg
+       |ORDER BY bm25 DESC, doc_id
+       |LIMIT 50""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q93_bm25" -> (q93 _),
     "q43_fold_split" -> (q43 _),
     "q44_grouped_split" -> (q44 _),
     "q20_exact_dedup" -> (q20 _),
@@ -340,6 +393,7 @@ object TextQueries {
     "q28_dedup_corpus" -> (q28 _))
 
   val oracleSql: Map[String, String] = Map(
+    "q93_bm25" -> q93Sql,
     "q43_fold_split" -> q43Sql,
     "q44_grouped_split" -> q44Sql,
     "q20_exact_dedup" -> q20Sql,

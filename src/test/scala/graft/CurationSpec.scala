@@ -147,6 +147,23 @@ class CurationSpec extends SparkSpec {
     spark.catalog.clearCache() // caller-owned lifetime, as documented
   }
 
+  test("weightedSample is deterministic, bounded by k, and weight-biased") {
+    import org.apache.spark.sql.DataFrame
+    // one stratum, one extreme weight: doc 3's exponential race key is
+    // ~1e9 times smaller than the rest, so it must rank first
+    val rows = Seq(
+      (1L, 1.0), (2L, 1.0), (3L, 1e9), (4L, 1.0), (5L, 1.0), (6L, 1.0)
+    ).toDF("doc_id", "w").withColumn("s", lit("only"))
+    def run(df: DataFrame) =
+      Curation.weightedSample(df, "s", "doc_id", col("w"), k = 3)
+        .orderBy("sample_rank")
+        .select("doc_id", "sample_rank")
+        .as[(Long, Int)].collect().toSeq
+    val a = run(rows)
+    assert(a.size == 3 && a.head._1 == 3L)
+    assert(a == run(rows.repartition(5))) // reproducible draw
+  }
+
   // --------------------------------------------------- incremental dedup
 
   test("incrementalDedup drops batch docs already in the snapshot") {
