@@ -207,6 +207,61 @@ object Audio {
     })
   }
 
+  /** 64-bit perceptual envelope hash: the clip splits into 65 equal-time
+    * cells, each reduced to its RMS loudness, and bit i is set iff cell
+    * i+1 is louder than cell i — the audio analog of the image dHash
+    * (gradient-sign field over a box-averaged grid). Invariant to sample
+    * rate (cells are fractions of the clip, so resampling preserves them)
+    * and overall gain (RMS ratios survive scaling); robust to mild noise
+    * (box averaging). Channels fold together (loudness is summed across
+    * interleaved samples per cell).
+    */
+  def envelopeHash64(clip: AudioClip): Long = {
+    val cells = 65
+    val acc = new Array[Double](cells)
+    val cnt = new Array[Int](cells)
+    val s = clip.samples
+    var i = 0
+    while (i < s.length) {
+      val c = (i.toLong * cells / s.length).toInt.min(cells - 1)
+      acc(c) += s(i).toDouble * s(i)
+      cnt(c) += 1
+      i += 1
+    }
+    var fp = 0L
+    var b = 0
+    while (b < 64) {
+      val lo = if (cnt(b) > 0) acc(b) / cnt(b) else 0.0
+      val hi = if (cnt(b + 1) > 0) acc(b + 1) / cnt(b + 1) else 0.0
+      if (hi > lo) fp |= 1L << b
+      b += 1
+    }
+    fp
+  }
+
+  /** (media_id, fp) envelope fingerprints for every decodable clip with
+    * at least one sample — partition-streamed like every decode stage.
+    */
+  def fingerprints(media: Dataset[MediaRow],
+                   codec: AudioCodec = WavCodec): DataFrame = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.flatMap { m =>
+      codec.decode(m.data).filter(_.samples.nonEmpty)
+        .map(c => (m.mediaId, envelopeHash64(c)))
+    }).toDF("media_id", "fp")
+  }
+
+  /** Near-duplicate audio pairs within `maxHamming` envelope-hash bits —
+    * the same pigeonhole-blocked Hamming join as text SimHash and image
+    * dHash ([[graft.operators.Dedup.simHashPairsBlocked]] unchanged);
+    * only 16-byte (id, fp) rows ever shuffle.
+    */
+  def nearDuplicates(media: Dataset[MediaRow], maxHamming: Int,
+                     codec: AudioCodec = WavCodec): DataFrame =
+    graft.operators.Dedup.simHashPairsBlocked(
+      fingerprints(media, codec), "media_id", "fp", maxHamming,
+      fp = identity)
+
   /** Fixed-width acoustic features per clip: overall RMS, zero-crossing
     * rate, and `bands` windowed RMS values — the `Array[Float]` shape the
     * ANN operators consume (a real pipeline puts an acoustic model here;

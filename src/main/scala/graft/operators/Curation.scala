@@ -449,15 +449,24 @@ object Curation {
     * reweighting every large-scale pretraining recipe runs).
     */
   def mixturePlan(df: DataFrame, sourceCol: String,
-                  tokenCount: Column): DataFrame = {
-    val perSource = df.groupBy(col(sourceCol))
-      .agg(count(lit(1)).as("n_docs"),
-        sum(tokenCount.cast("long")).as("n_tokens"))
-    // totals via a global window over the |sources|-row rollup — one scan
-    // of the aggregate, so nothing needs caching (an earlier cache-fed
-    // crossJoin leaked a fresh cache per call, and q84/q86/q88 each call
-    // this). A single-partition window over |sources| rows is bounded by
-    // construction.
+                  tokenCount: Column): DataFrame =
+    mixturePlanFromInventory(
+      df.groupBy(col(sourceCol))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(tokenCount.cast("long")).as("n_tokens")),
+      sourceCol)
+
+  /** [[mixturePlan]] over an ALREADY-AGGREGATED per-source inventory
+    * (`sourceCol`, n_docs, n_tokens) — the form a continuously-maintained
+    * inventory store feeds (streaming mixture maintenance). Totals ride a
+    * global window over the |sources|-row rollup — one scan of the
+    * aggregate, so nothing needs caching (an earlier cache-fed crossJoin
+    * leaked a fresh cache per call, and q84/q86/q88 each call this). A
+    * single-partition window over |sources| rows is bounded by
+    * construction.
+    */
+  def mixturePlanFromInventory(perSource: DataFrame,
+                               sourceCol: String): DataFrame = {
     val w = Window.partitionBy()
     val totalTokens = sum(col("n_tokens")).over(w)
     val nSources = count(lit(1)).over(w)

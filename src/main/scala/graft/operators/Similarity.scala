@@ -130,6 +130,54 @@ object Similarity {
       .select(col("id_a"), col("id_b"), col("sim"))
   }
 
+  /** Deterministic distributed k-means for IVF centroid training.
+    *
+    * Two sources of nondeterminism plague distributed k-means, and both
+    * are closed here: (a) INIT — seeds are the k vectors with the
+    * smallest md5(id) (a content-free deterministic "random" draw, the
+    * quota-sample construction), not a random sample; (b) the centroid
+    * UPDATE — means run through [[Vectors.centroids]]' fixed-point
+    * quantization, so every iteration's centroids are bit-identical under
+    * any partitioning. Result: the trained model is a pure function of
+    * (data, k, iters) — refitting on a different cluster layout yields
+    * the same cells, which is what makes an IVF index reproducible.
+    *
+    * Scale: each iteration is one map pass (assign: argmin over a
+    * typedLit centroid array — same codegen-safe shape as [[ivfKnn]])
+    * plus one hash aggregation; only k×dim doubles return to the driver
+    * per iteration (the model parameters — they must reach the driver to
+    * become the next broadcast literal). Empty cells keep their previous
+    * centroid. Runs a FIXED iteration count — no convergence probe, so
+    * the job count is known upfront.
+    */
+  def kmeansFit(df: DataFrame, k: Int, iters: Int = 5,
+                idCol: String = "vec_id",
+                vecCol: String = "embedding"): Seq[Seq[Double]] = {
+    require(k >= 1 && iters >= 0, "k >= 1, iters >= 0")
+    val base = df.select(col(idCol).as("id"),
+      col(vecCol).cast("array<double>").as("v"))
+    var centroids: Seq[Seq[Double]] = base
+      .withColumn("_h", md5(col("id").cast("string")))
+      .orderBy(col("_h").asc, col("id").asc)
+      .limit(k)
+      .select(col("v")).collect().map(_.getSeq[Double](0).toSeq).toSeq
+    var it = 0
+    while (it < iters) {
+      val ctLit = typedLit(centroids.map(_.toSeq))
+      val assigned = base
+        .withColumn("_dists", transform(ctLit, ct => l2sq(col("v"), ct)))
+        .withColumn("cell",
+          array_position(col("_dists"), array_min(col("_dists"))))
+        .select(col("cell"), col("v"))
+      val updated = Vectors.centroids(assigned, Seq("cell"), "v")
+        .select(col("cell"), col("centroid")).collect()
+        .map(r => r.getLong(0).toInt -> r.getSeq[Double](1).toSeq).toMap
+      centroids = (1 to k).map(c => updated.getOrElse(c, centroids(c - 1)))
+      it += 1
+    }
+    centroids
+  }
+
   /** IVF-style ANN: nearest-centroid cell assignment for the corpus;
     * queries probe their `nprobe` nearest cells (multi-probe — recall
     * rises with nprobe at the cost of proportionally more candidates).

@@ -156,6 +156,45 @@ object StreamingPipeline {
           batch, bench, idCol, textCol, n, flagThreshold), batchId)
       }
 
+  /** Streaming mixture maintenance: keep a running per-source (docs,
+    * tokens) inventory across micro-batches and re-emit the mixture plan
+    * (q84 semantics — uniform-share downsampling rates) after each one.
+    * State is the |sources|-row inventory in parquet (constant size
+    * however much streams through); each batch adds its own partial
+    * aggregate — the arithmetic is exact longs, so the running plan is
+    * IDENTICAL to the batch plan over everything seen so far
+    * (StreamingSpec asserts it).
+    */
+  def mixturePlanStream(docs: DataFrame, sourceCol: String,
+                        tokenCount: org.apache.spark.sql.Column,
+                        stateDir: String)(
+      onBatch: (DataFrame, Long) => Unit) = {
+    new java.io.File(stateDir).mkdirs()
+    docs.writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val s = batch.sparkSession
+        val batchAgg = batch.groupBy(col(sourceCol))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(tokenCount.cast("long")).as("n_tokens"))
+        val hasState = Option(new java.io.File(stateDir).listFiles())
+          .exists(_.exists(_.getName.startsWith("v")))
+        val merged = (if (hasState) {
+          val prev = latestSnapshot(s, stateDir).get
+          prev.union(batchAgg)
+            .groupBy(col(sourceCol))
+            .agg(sum(col("n_docs")).as("n_docs"),
+              sum(col("n_tokens")).as("n_tokens"))
+        } else batchAgg).persist()
+        merged.count() // pin before the new version writes
+        merged.write.mode("overwrite").parquet(f"$stateDir/v$batchId%05d")
+        onBatch(graft.operators.Curation
+          .mixturePlanFromInventory(merged, sourceCol), batchId)
+        merged.unpersist()
+        ()
+      }
+  }
+
   /** Streaming upsert sink: each micro-batch merges into the latest
     * parquet snapshot via [[graft.operators.Snapshot.mergeSnapshot]]
     * (keep-highest-`versionCol` per key) and writes a NEW snapshot

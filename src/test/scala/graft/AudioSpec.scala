@@ -181,6 +181,56 @@ class AudioSpec extends SparkSpec {
     assert(out.map(_.mediaId).toSeq == Seq(2L))
   }
 
+  /** Amplitude-modulated tone: the envelope (not the carrier) carries the
+    * perceptual identity — a pure sine would have a flat, degenerate
+    * envelope.
+    */
+  private def modulated(rate: Int, seconds: Double, envHz: Double,
+                        phase: Double = 0.0): Array[Float] = {
+    val n = (rate * seconds).toInt
+    Array.tabulate(n) { i =>
+      val t = i.toDouble / rate
+      val env = 0.5 + 0.45 * math.sin(2 * math.Pi * envHz * t + phase)
+      (env * math.sin(2 * math.Pi * 440 * t)).toFloat
+    }
+  }
+
+  test("envelope hash survives resampling, gain, and noise; separates " +
+    "different envelopes") {
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    val base = AudioClip(1L, 8000, 1, modulated(8000, 1.0, envHz = 3))
+    val resamp = AudioClip(2L, 4000, 1, modulated(4000, 1.0, envHz = 3))
+    val quiet = base.copy(samples = base.samples.map(_ * 0.3f))
+    val r = new scala.util.Random(11)
+    val noisy = base.copy(samples =
+      base.samples.map(s => s + 0.02f * r.nextGaussian().toFloat))
+    val other = AudioClip(3L, 8000, 1,
+      modulated(8000, 1.0, envHz = 7, phase = 1.3))
+    val hb = Audio.envelopeHash64(base)
+    assert(ham(hb, Audio.envelopeHash64(resamp)) <= 6)
+    assert(ham(hb, Audio.envelopeHash64(quiet)) <= 2)
+    assert(ham(hb, Audio.envelopeHash64(noisy)) <= 6)
+    assert(ham(hb, Audio.envelopeHash64(other)) > 12)
+  }
+
+  test("blocked Hamming join finds planted WAV near-duplicates") {
+    val rows = Seq(
+      MediaRow(1L, "audio",
+        WavCodec.encode(AudioClip(1L, 8000, 1, modulated(8000, 1.0, 3))),
+        "wav"),
+      MediaRow(2L, "audio", // same content at half the sample rate
+        WavCodec.encode(AudioClip(2L, 4000, 1, modulated(4000, 1.0, 3))),
+        "wav"),
+      MediaRow(3L, "audio", // different envelope
+        WavCodec.encode(AudioClip(3L, 8000, 1, modulated(8000, 1.0, 7, 1.3))),
+        "wav"),
+      MediaRow(4L, "audio", Array[Byte](1, 2), "junk") // dropped
+    ).toDS().repartition(2)
+    val pairs = Audio.nearDuplicates(rows, maxHamming = 6)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)), s"got $pairs")
+  }
+
   test("segment splits clips and audioMeta/audioFeatures run per partition") {
     val clips = Seq(
       MediaRow(1L, "audio",

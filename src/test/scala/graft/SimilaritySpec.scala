@@ -80,6 +80,42 @@ class SimilaritySpec extends SparkSpec {
     assert(got == Seq(1L)) // 0 and 1 share the x-axis cell
   }
 
+  test("kmeansFit recovers planted cluster centers deterministically") {
+    // 3 well-separated 4-dim clusters, 40 points each, deterministic
+    // jitter from a seeded generator
+    val centers = Seq(Seq(10.0, 0.0, 0.0, 0.0), Seq(0.0, 10.0, 0.0, 0.0),
+      Seq(0.0, 0.0, 10.0, 0.0))
+    val r = new scala.util.Random(5)
+    val pts = for {
+      (c, ci) <- centers.zipWithIndex
+      i <- 0 until 40
+    } yield (ci * 40L + i,
+      c.map(x => (x + 0.3 * r.nextGaussian()).toFloat))
+    val df = pts.toDF("vec_id", "embedding")
+    def fit(d: org.apache.spark.sql.DataFrame) =
+      Similarity.kmeansFit(d, k = 3, iters = 5)
+    val fitted = fit(df)
+    // every true center has a fitted centroid within jitter distance
+    centers.foreach { c =>
+      val best = fitted.map(f =>
+        math.sqrt(c.zip(f).map { case (a, b) => (a - b) * (a - b) }.sum))
+        .min
+      assert(best < 0.5, s"no fitted centroid near $c (best $best)")
+    }
+    // bit-identical refit under a different partitioning (the quantized
+    // update + deterministic init close both nondeterminism sources)
+    assert(fitted == fit(df.repartition(17)))
+    // trained centroids beat the axis-misaligned seed cells for IVF:
+    // nprobe=1 recall@5 against brute force is perfect on separated data
+    val queries = df.filter(col("vec_id") % 40 === 0)
+    val exact = Similarity.bruteForceKnn(queries, df, k = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val ivf = Similarity.ivfKnn(queries, df, k = 5, fitted)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    assert(ivf == exact, "trained IVF at nprobe=1 must match brute force " +
+      "on well-separated clusters")
+  }
+
   test("multi-probe ivf recovers neighbors from adjacent cells") {
     // query sits in cell A; its true 2nd neighbor lands in cell B —
     // nprobe=1 misses it, nprobe=2 probes B and recovers it

@@ -202,6 +202,40 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.exists(r => r._1 == 3L && r._3)) // near-copy flagged
   }
 
+  test("streaming mixture maintenance replays the batch plan over " +
+    "everything seen so far") {
+    import graft.functions.TextAnalysis
+    import graft.operators.Curation
+    implicit val sqlCtx = spark.sqlContext
+    val stateDir = Files.createTempDirectory("graft-mix-state").toString
+    val chk = Files.createTempDirectory("graft-mix-chk").toString
+    var plans =
+      Map.empty[Long, Set[(String, Long, Long, Double, Double, Double, Long)]]
+    val mem = MemoryStream[(Long, String, String)]
+    val q = StreamingPipeline.mixturePlanStream(
+      mem.toDF().toDF("doc_id", "source", "text"), "source",
+      TextAnalysis.tokenCount(col("text")), stateDir) { (plan, id) =>
+      plans += id -> plan
+        .as[(String, Long, Long, Double, Double, Double, Long)]
+        .collect().toSet
+    }.option("checkpointLocation", chk).start()
+    val b1 = Seq((1L, "web", "a b c d"), (2L, "web", "e f"),
+      (3L, "book", "g h i j k l m n"))
+    val b2 = Seq((4L, "book", "o p"), (5L, "code", "q r s t u v"))
+    mem.addData(b1: _*)
+    q.processAllAvailable()
+    mem.addData(b2: _*)
+    q.processAllAvailable()
+    q.stop()
+    def want(rows: Seq[(Long, String, String)]) =
+      Curation.mixturePlan(rows.toDF("doc_id", "source", "text"), "source",
+        TextAnalysis.tokenCount(col("text")))
+        .as[(String, Long, Long, Double, Double, Double, Long)]
+        .collect().toSet
+    assert(plans(0L) == want(b1))
+    assert(plans(1L) == want(b1 ++ b2)) // running inventory, exact longs
+  }
+
   test("stream-static enrichment join attaches dim attributes per batch") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, Long)]
