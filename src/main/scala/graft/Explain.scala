@@ -25,7 +25,8 @@ object Explain {
         "q25_ngram_jaccard", "q30_knn_bruteforce", "q45_window_family",
         "q51_range_join_auto", "q54_exists_subquery", "q60_snapshot_merge",
         "q61_profile", "q79_contamination", "q85_sequence_pack",
-        "q88_curate_corpus")
+        "q88_curate_corpus", "q90_repeated_spans", "q91_vec_centroids",
+        "q93_bm25", "q94_weighted_sample")
     names.foreach { n =>
       println(s"\n========== $n ==========")
       SparkEntry.queries.get(n) match {

@@ -33,6 +33,25 @@ class PlansSpec extends SparkSpec {
     assert(r.getInt(7) == 0)  // fewer than n tokens → empty
   }
 
+  test("simhash and positional-shingle SQL functions match the Scala API") {
+    GraftExtensions.register(spark)
+    val r = spark.sql(
+      """SELECT
+        |  simhash_xx64('a b c') AS sx,
+        |  simhash_md5('a b c') AS sm,
+        |  positional_word_shingles('a b a b', 2) AS ps
+        |""".stripMargin).head()
+    val api = Seq(("a b c", "a b a b")).toDF("t1", "t2").select(
+      graft.operators.Dedup.simHash64(col("t1")),
+      graft.operators.Dedup.simHashMd5(col("t1")),
+      graft.plans.SetExpressions.positionalWordShingles(col("t2"), 2))
+      .head()
+    assert(r.getLong(0) == api.getLong(0))
+    assert(r.getLong(1) == api.getLong(1))
+    assert(r.getSeq[Long](2) == api.getSeq[Long](2))
+    assert(r.getSeq[Long](2).length == 3) // positional: no dedup of "a b"
+  }
+
   test("hashed_word_shingles rejects n < 1 at analysis time") {
     GraftExtensions.register(spark)
     Seq(0, -3).foreach { n =>

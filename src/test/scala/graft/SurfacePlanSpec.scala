@@ -223,6 +223,28 @@ class SurfacePlanSpec extends SparkSpec {
     assert(gens.size <= 2, s"input side exploded: ${gens.size} Generates")
   }
 
+  test("q93 bm25: the term-set probe is map-side (no corpus shuffle " +
+    "before the tf aggregate) and small sides broadcast") {
+    val plan = physical(run("q93_bm25"))
+    val s = plan.toString
+    // the one-row stats crossJoin broadcasts (BroadcastNestedLoopJoin is
+    // the correct plan for a 1-row build side); a non-broadcast cartesian
+    // would be the scale bug
+    assert(!s.contains("CartesianProduct"),
+      "stats side must broadcast, never a shuffled cartesian")
+    assert(s.contains("BroadcastHashJoin"),
+      s"per-term df must broadcast-join:\n${s.take(600)}")
+    assert(s.contains("BroadcastNestedLoopJoin"),
+      s"one-row stats must broadcast:\n${s.take(600)}")
+  }
+
+  test("q94 weighted sample: rank filter plans as two-phase " +
+    "WindowGroupLimit like q83") {
+    val s = physical(run("q94_weighted_sample")).toString
+    assert(s.contains("WindowGroupLimit"),
+      s"rank filter lost its partial top-k:\n${s.take(600)}")
+  }
+
   test("q51/q52: no nested-loop join in the auto range join; unpivot " +
     "is a zero-shuffle Expand") {
     val rj = physical(run("q51_range_join_auto")).toString
