@@ -329,6 +329,51 @@ object Dedup {
       .select(col("id"), col("span_start"), col("span_tokens"))
   }
 
+  /** The repeated-span REMOVAL transform — [[repeatedSpans]]' companion
+    * that actually rewrites the corpus: every token covered by a
+    * cross-document repeated k-gram is dropped, and the survivors rejoin
+    * into the cleaned text (the "deduplicating training data" rewrite;
+    * this variant removes ALL occurrences — pair it with exact/near-dup
+    * keep-one passes for canonical-copy retention). Returns
+    * (id, n_tokens_before, n_tokens_after, clean_text).
+    *
+    * Scale: same two bounded-key shuffles as [[repeatedSpans]] plus one
+    * per-doc coverage aggregation whose state is bounded by the document's
+    * own covered-position set. Strings and integers only — the rewrite is
+    * trivially engine-exact.
+    */
+  def removeRepeatedSpans(df: DataFrame, idCol: String, textCol: String,
+                          k: Int, minDocs: Int = 2): DataFrame = {
+    val base = widen(df).select(col(idCol).as("id"),
+      TextAnalysis.tokens(col(textCol)).as("_toks"),
+      graft.plans.SetExpressions.positionalWordShingles(col(textCol), k)
+        .as("_grams"))
+    val grams = base.select(col("id"), posexplode(col("_grams")))
+      .select(col("id"), (col("pos") + 1).cast("long").as("pos"),
+        col("col").as("h"))
+    val dup = grams.groupBy(col("h"))
+      .agg(countDistinct(col("id")).as("_nd"))
+      .filter(col("_nd") >= minDocs)
+      .select(col("h"))
+    // covered 1-based token indices per doc (a gram at pos covers
+    // pos .. pos+k-1); distinct because overlapping grams share tokens
+    val covered = grams.join(dup, Seq("h"))
+      .select(col("id"),
+        explode(sequence(col("pos"), col("pos") + (k - 1))).as("ti"))
+      .distinct()
+      .groupBy(col("id"))
+      .agg(collect_set(col("ti")).as("_cov"))
+    base.join(covered, Seq("id"), "left")
+      .withColumn("_cov",
+        coalesce(col("_cov"), array().cast("array<bigint>")))
+      .withColumn("_kept", filter(col("_toks"),
+        (t, i) => !array_contains(col("_cov"), (i + 1).cast("long"))))
+      .select(col("id"),
+        size(col("_toks")).as("n_tokens_before"),
+        size(col("_kept")).as("n_tokens_after"),
+        concat_ws(" ", col("_kept")).as("clean_text"))
+  }
+
   /** Corpus-level dedup: given documents and their near-dup pairs, keep
     * exactly one representative (min id) per duplicate cluster.
     */

@@ -465,6 +465,44 @@ object CurationQueries {
        |FROM rk WHERE sample_rank <= 15
        |ORDER BY lang, sample_rank""".stripMargin
 
+  // ---------------------------------------------------------------- q95
+  // Repeated-span REMOVAL (q90's rewrite): drop every token covered by a
+  // cross-document word-5-gram, rejoin the survivors. Strings + ints
+  // only — engine-exact by construction; the oracle rebuilds the same
+  // coverage from gram strings and filters with a 1-based index lambda.
+  private def q95(s: SparkSession, dir: String): DataFrame =
+    Dedup.removeRepeatedSpans(Tables.documents(s, dir), "doc_id", "text",
+        k = 5, minDocs = 2)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy(col("doc_id"))
+
+  private val q95Sql =
+    s"""WITH toks AS (SELECT doc_id, $toksSql AS t FROM documents),
+       |g AS (
+       |  SELECT doc_id, unnest(generate_series(1, len(t) - 4)) AS pos, t
+       |  FROM toks WHERE len(t) >= 5),
+       |grams AS (
+       |  SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+       |    concat_ws(' ', t[pos], t[pos+1], t[pos+2], t[pos+3], t[pos+4])
+       |      AS gram
+       |  FROM g),
+       |dup AS (SELECT gram FROM grams GROUP BY gram
+       |        HAVING count(DISTINCT doc_id) >= 2),
+       |cov AS (
+       |  SELECT DISTINCT doc_id, unnest(generate_series(pos, pos + 4)) AS ti
+       |  FROM grams JOIN dup USING (gram)),
+       |covset AS (SELECT doc_id, list(ti) AS cv FROM cov GROUP BY doc_id)
+       |SELECT tk.doc_id,
+       |  CAST(len(tk.t) AS INTEGER) AS n_tokens_before,
+       |  CAST(len(list_filter(tk.t,
+       |    (x, i) -> NOT list_contains(coalesce(cs.cv, []), CAST(i AS BIGINT))))
+       |    AS INTEGER) AS n_tokens_after,
+       |  coalesce(array_to_string(list_filter(tk.t,
+       |    (x, i) -> NOT list_contains(coalesce(cs.cv, []), CAST(i AS BIGINT))),
+       |    ' '), '') AS clean_text
+       |FROM toks tk LEFT JOIN covset cs ON tk.doc_id = cs.doc_id
+       |ORDER BY tk.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q79_contamination" -> (q79 _),
     "q80_repetition" -> (q80 _),
@@ -478,7 +516,8 @@ object CurationQueries {
     "q88_curate_corpus" -> (q88 _),
     "q89_dup_spans" -> (q89 _),
     "q90_repeated_spans" -> (q90 _),
-    "q94_weighted_sample" -> (q94 _))
+    "q94_weighted_sample" -> (q94 _),
+    "q95_span_removal" -> (q95 _))
 
   val oracleSql: Map[String, String] = Map(
     "q79_contamination" -> q79Sql,
@@ -493,5 +532,6 @@ object CurationQueries {
     "q88_curate_corpus" -> q88Sql,
     "q89_dup_spans" -> q89Sql,
     "q90_repeated_spans" -> q90Sql,
-    "q94_weighted_sample" -> q94Sql)
+    "q94_weighted_sample" -> q94Sql,
+    "q95_span_removal" -> q95Sql)
 }

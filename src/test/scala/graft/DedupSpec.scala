@@ -198,6 +198,23 @@ class DedupSpec extends SparkSpec {
     assert(got == Seq((1L, 1L, 7L), (2L, 3L, 7L)))
   }
 
+  test("removeRepeatedSpans rewrites documents without the shared runs") {
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta unique1 tail1 tail2"),
+      (2L, "lead1 lead2 alpha beta gamma delta epsilon zeta eta unique2"),
+      (3L, "totally different words with no shared runs at all here")
+    ).toDF("doc_id", "text")
+    val got = Dedup.removeRepeatedSpans(corpus, "doc_id", "text", k = 3)
+      .orderBy("id")
+      .select("id", "n_tokens_before", "n_tokens_after", "clean_text")
+      .as[(Long, Int, Int, String)].collect().toSeq
+    assert(got == Seq(
+      (1L, 10, 3, "unique1 tail1 tail2"),
+      (2L, 10, 3, "lead1 lead2 unique2"),
+      (3L, 10, 10,
+        "totally different words with no shared runs at all here")))
+  }
+
   test("repeatedSpans emits separate spans for discontiguous repeats") {
     val corpus = Seq(
       (1L, "shared one two three mid gap word shared four five six end"),
