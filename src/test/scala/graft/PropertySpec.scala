@@ -196,6 +196,61 @@ class PropertySpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("repeated spans: bounds, gram-run separation, and removal " +
+    "consistency on random small-vocab corpora") {
+    import graft.operators.Dedup
+    val k = 3
+    // tiny vocabulary → cross-document k-gram collisions are common
+    val tokGen = Gen.oneOf("aa", "bb", "cc", "dd", "ee", "ff")
+    val textGen = for {
+      n <- Gen.chooseNum(0, 18)
+      toks <- Gen.listOfN(n, tokGen)
+    } yield toks.mkString(" ")
+    val rows = sample(textGen, 120).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }
+    val docs = rows.toDF("doc_id", "text")
+    val nToks = rows.map { case (i, t) =>
+      i -> t.trim.split("\\s+", -1).length
+    }.toMap
+    val spans = Dedup.repeatedSpans(docs, "doc_id", "text", k)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(spans.nonEmpty, "vocab of 6 over 120 docs must collide")
+    spans.foreach { case (id, st, n) =>
+      assert(st >= 1 && n >= k && st + n - 1 <= nToks(id),
+        s"span out of bounds: doc $id start $st len $n of ${nToks(id)}")
+    }
+    // gram runs are maximal: in gram space, consecutive spans of a doc
+    // are separated by at least one non-duplicated gram position
+    spans.groupBy(_._1).values.foreach { ss =>
+      ss.sortBy(_._2).sliding(2).foreach {
+        case Seq((_, s1, n1), (_, s2, _)) =>
+          val gramEnd1 = s1 + (n1 - k) // last gram pos of span 1
+          assert(s2 >= gramEnd1 + 2, s"adjacent runs should have merged")
+        case _ => ()
+      }
+    }
+    // removal drops exactly the union of span token ranges
+    val removed = Dedup.removeRepeatedSpans(docs, "doc_id", "text", k)
+      .select("id", "n_tokens_before", "n_tokens_after")
+      .as[(Long, Int, Int)].collect().toSeq
+    val coveredByDoc = spans.groupBy(_._1).map { case (id, ss) =>
+      id -> ss.flatMap { case (_, st, n) => st until (st + n) }.toSet.size
+    }
+    removed.foreach { case (id, before, after) =>
+      assert(before == nToks(id))
+      assert(after == before - coveredByDoc.getOrElse(id, 0),
+        s"doc $id: removal disagrees with the span union")
+    }
+    // a globally-unique-token corpus has no spans and rewrites to itself
+    val unique = (0L until 30L).map(i =>
+      (i, (0 until 10).map(j => s"t${i}_$j").mkString(" ")))
+      .toDF("doc_id", "text")
+    assert(Dedup.repeatedSpans(unique, "doc_id", "text", k).count() == 0)
+    val id2 = Dedup.removeRepeatedSpans(unique, "doc_id", "text", k)
+      .filter(col("n_tokens_before") =!= col("n_tokens_after")).count()
+    assert(id2 == 0)
+  }
+
   test("native hashed shingles == lambda formulation on adversarial text " +
     "(whitespace runs, unicode, empties, repeats)") {
     import graft.functions.TextAnalysis
