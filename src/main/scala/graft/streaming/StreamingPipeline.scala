@@ -124,22 +124,61 @@ object StreamingPipeline {
     docs.writeStream
       .outputMode(OutputMode.Append)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val s = batch.sparkSession
-        val seen =
-          if (Option(new java.io.File(digestDir).listFiles())
-            .exists(_.exists(_.getName.endsWith(".parquet"))))
-            s.read.parquet(digestDir)
-          else s.range(0).select(lit("").as("content_hash"))
-        val kept = graft.operators.Curation
-          .incrementalDedupDigests(batch, seen, idCol, textCol)
-          .persist()
-        kept.count() // pin results BEFORE the store grows (self-read safety)
-        onBatch(kept, batchId)
-        kept.select("content_hash").write.mode("append").parquet(digestDir)
-        kept.unpersist()
-        ()
+        incrementalDedupBatch(batch, batchId, idCol, textCol, digestDir)(
+          onBatch)
       }
   }
+
+  /** One micro-batch of [[incrementalDedupStream]] — replay-idempotent.
+    *
+    * foreachBatch is at-least-once: after a crash between the digest write
+    * and the checkpoint commit, the batch REPLAYS with the same batchId. A
+    * flat append-mode store would then anti-join the replay against digests
+    * it already appended and silently emit zero survivors. Digests are
+    * therefore keyed by batchId (`b<batchId>` subdir): the replay excludes
+    * its own subdir from `seen` (same anti-join as the first attempt) and
+    * overwrites it (no double-append).
+    */
+  private[graft] def incrementalDedupBatch(
+      batch: DataFrame, batchId: Long, idCol: String, textCol: String,
+      digestDir: String)(onBatch: (DataFrame, Long) => Unit): Unit = {
+    val s = batch.sparkSession
+    val seenDirs = batchDirsBefore(digestDir, "b", Long.MaxValue)
+      .filterNot(_.getName == f"b$batchId%05d")
+    val seen =
+      if (seenDirs.nonEmpty) s.read.parquet(seenDirs.map(_.getPath): _*)
+      else s.range(0).select(lit("").as("content_hash"))
+    val kept = graft.operators.Curation
+      .incrementalDedupDigests(batch, seen, idCol, textCol)
+      .persist()
+    kept.count() // pin results BEFORE the store grows (self-read safety)
+    onBatch(kept, batchId)
+    kept.select("content_hash").write.mode("overwrite")
+      .parquet(f"$digestDir/b$batchId%05d")
+    kept.unpersist()
+    ()
+  }
+
+  /** The full digest store as one DataFrame (union of all batch subdirs). */
+  def digestStore(spark: SparkSession, digestDir: String): DataFrame = {
+    val dirs = batchDirsBefore(digestDir, "b", Long.MaxValue)
+    if (dirs.nonEmpty) spark.read.parquet(dirs.map(_.getPath): _*)
+    else spark.range(0).select(lit("").as("content_hash"))
+  }
+
+  /** Versioned state subdirs `<prefix><paddedId>` with id strictly below
+    * `beforeId`, name-sorted (ids are zero-padded, so name order = id
+    * order up to 99999 batches; the numeric parse keeps it exact beyond).
+    */
+  private def batchDirsBefore(dir: String, prefix: String, beforeId: Long)
+      : Array[java.io.File] =
+    Option(new java.io.File(dir).listFiles())
+      .getOrElse(Array.empty)
+      .filter(f => f.isDirectory &&
+        f.getName.startsWith(prefix) &&
+        f.getName.stripPrefix(prefix).forall(_.isDigit) &&
+        f.getName.stripPrefix(prefix).toLong < beforeId)
+      .sortBy(f => f.getName.stripPrefix(prefix).toLong)
 
   /** Per-micro-batch benchmark contamination (q79 semantics): the
     * benchmark gram set is static and broadcast, each batch probes it
@@ -173,26 +212,46 @@ object StreamingPipeline {
     docs.writeStream
       .outputMode(OutputMode.Append)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val s = batch.sparkSession
-        val batchAgg = batch.groupBy(col(sourceCol))
-          .agg(count(lit(1)).as("n_docs"),
-            sum(tokenCount.cast("long")).as("n_tokens"))
-        val hasState = Option(new java.io.File(stateDir).listFiles())
-          .exists(_.exists(_.getName.startsWith("v")))
-        val merged = (if (hasState) {
-          val prev = latestSnapshot(s, stateDir).get
-          prev.union(batchAgg)
-            .groupBy(col(sourceCol))
-            .agg(sum(col("n_docs")).as("n_docs"),
-              sum(col("n_tokens")).as("n_tokens"))
-        } else batchAgg).persist()
-        merged.count() // pin before the new version writes
-        merged.write.mode("overwrite").parquet(f"$stateDir/v$batchId%05d")
-        onBatch(graft.operators.Curation
-          .mixturePlanFromInventory(merged, sourceCol), batchId)
-        merged.unpersist()
-        ()
+        mixturePlanBatch(batch, batchId, sourceCol, tokenCount, stateDir)(
+          onBatch)
       }
+  }
+
+  /** One micro-batch of [[mixturePlanStream]] — replay-idempotent.
+    *
+    * foreachBatch is at-least-once: a crash between the `v<batchId>` write
+    * and the checkpoint commit replays the batch with the same batchId, and
+    * "read the LATEST version" would then merge the batch into the replay's
+    * own half-committed output — double-counting it in the inventory
+    * forever. The merge therefore reads the latest version STRICTLY BELOW
+    * the current batchId (the last state any previous batch committed) and
+    * overwrites `v<batchId>`, so any number of replays converge to the same
+    * inventory.
+    */
+  private[graft] def mixturePlanBatch(
+      batch: DataFrame, batchId: Long, sourceCol: String,
+      tokenCount: org.apache.spark.sql.Column, stateDir: String)(
+      onBatch: (DataFrame, Long) => Unit): Unit = {
+    val s = batch.sparkSession
+    val batchAgg = batch.groupBy(col(sourceCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(tokenCount.cast("long")).as("n_tokens"))
+    val prevOpt = batchDirsBefore(stateDir, "v", batchId).lastOption
+      .map(f => s.read.parquet(f.getPath))
+    val merged = (prevOpt match {
+      case Some(prev) =>
+        prev.union(batchAgg)
+          .groupBy(col(sourceCol))
+          .agg(sum(col("n_docs")).as("n_docs"),
+            sum(col("n_tokens")).as("n_tokens"))
+      case None => batchAgg
+    }).persist()
+    merged.count() // pin before the new version writes
+    merged.write.mode("overwrite").parquet(f"$stateDir/v$batchId%05d")
+    onBatch(graft.operators.Curation
+      .mixturePlanFromInventory(merged, sourceCol), batchId)
+    merged.unpersist()
+    ()
   }
 
   /** Streaming upsert sink: each micro-batch merges into the latest
@@ -210,11 +269,11 @@ object StreamingPipeline {
       .outputMode(OutputMode.Append)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val s = batch.sparkSession
-        val versions = Option(new java.io.File(snapshotDir).listFiles())
-          .getOrElse(Array.empty)
-          .filter(f => f.isDirectory && f.getName.startsWith("v"))
-          .sortBy(_.getName)
-        val merged = versions.lastOption match {
+        // replay safety: merge against the last version committed by a
+        // PREVIOUS batch, never the replaying batch's own output (see
+        // mixturePlanBatch for the failure mode).
+        val merged = batchDirsBefore(snapshotDir, "v", batchId)
+          .lastOption match {
           case Some(prev) =>
             graft.operators.Snapshot.mergeSnapshot(
               s.read.parquet(prev.getPath), batch, keys, versionCol)

@@ -165,9 +165,63 @@ class StreamingSpec extends SparkSpec {
     assert(perBatch(0L).map(_._2) == Set(1L, 2L)) // min ids, dup folded
     assert(perBatch(1L).map(_._2) == Set(5L)) // beta already in the store
     // the store holds digests only (one narrow string column)
-    val store = spark.read.parquet(digestDir)
+    val store = StreamingPipeline.digestStore(spark, digestDir)
     assert(store.columns.toSeq == Seq("content_hash"))
     assert(store.distinct().count() == 3) // alpha, beta, gamma
+  }
+
+  test("incremental dedup batch is replay-idempotent (at-least-once " +
+    "foreachBatch)") {
+    implicit val sqlCtx = spark.sqlContext
+    val digestDir = Files.createTempDirectory("graft-digests-rp").toString
+    var emitted = List.empty[(Long, Set[(String, Long, Long)])]
+    def run(rows: Seq[(Long, String)], batchId: Long): Unit =
+      StreamingPipeline.incrementalDedupBatch(
+        rows.toDF("doc_id", "text"), batchId, "doc_id", "text", digestDir) {
+        (kept, id) =>
+          emitted ::= id -> kept.as[(String, Long, Long)].collect().toSet
+      }
+    val b0 = Seq((1L, "alpha"), (2L, "beta"))
+    val b1 = Seq((3L, "beta"), (4L, "gamma"))
+    run(b0, 0L)
+    run(b1, 1L)
+    val firstB1 = emitted.head._2
+    // crash-replay of batch 1: digests for b1 are already on disk, but the
+    // replay must re-emit the SAME survivors (not zero) and not duplicate
+    // the store
+    run(b1, 1L)
+    assert(emitted.head._2 == firstB1)
+    assert(firstB1.map(_._2) == Set(4L)) // beta seen in b0; gamma survives
+    val store = StreamingPipeline.digestStore(spark, digestDir)
+    assert(store.count() == 3) // alpha beta gamma — no replay double-append
+  }
+
+  test("mixture plan batch is replay-idempotent (at-least-once " +
+    "foreachBatch)") {
+    import graft.functions.TextAnalysis
+    implicit val sqlCtx = spark.sqlContext
+    val stateDir = Files.createTempDirectory("graft-mix-rp").toString
+    var plans = List.empty[(Long, Set[(String, Long, Long, Double, Double,
+      Double, Long)])]
+    def run(rows: Seq[(Long, String, String)], batchId: Long): Unit =
+      StreamingPipeline.mixturePlanBatch(
+        rows.toDF("doc_id", "source", "text"), batchId, "source",
+        TextAnalysis.tokenCount(col("text")), stateDir) { (plan, id) =>
+        plans ::= id -> plan
+          .as[(String, Long, Long, Double, Double, Double, Long)]
+          .collect().toSet
+      }
+    val b0 = Seq((1L, "web", "a b c d"), (2L, "book", "e f"))
+    val b1 = Seq((3L, "web", "g h"), (4L, "code", "i j k"))
+    run(b0, 0L)
+    run(b1, 1L)
+    val firstB1 = plans.head._2
+    // crash-replay of batch 1: v00001 already exists; merging against it
+    // (the old latest-version read) would double-count b1's docs forever
+    run(b1, 1L)
+    assert(plans.head._2 == firstB1)
+    val webDocs = firstB1.find(_._1 == "web").get._2
+    assert(webDocs == 2L) // 1 from b0 + 1 from b1 — not 3 (double-counted)
   }
 
   test("streaming contamination matches the batch q79 report per batch") {
