@@ -26,7 +26,7 @@ object Explain {
         "q51_range_join_auto", "q54_exists_subquery", "q60_snapshot_merge",
         "q61_profile", "q79_contamination", "q85_sequence_pack",
         "q88_curate_corpus", "q90_repeated_spans", "q91_vec_centroids",
-        "q93_bm25", "q94_weighted_sample")
+        "q93_bm25", "q94_weighted_sample", "q96_span_removal_keepfirst")
     names.foreach { n =>
       println(s"\n========== $n ==========")
       SparkEntry.queries.get(n) match {

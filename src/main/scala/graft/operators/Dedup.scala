@@ -362,16 +362,95 @@ object Dedup {
         explode(sequence(col("pos"), col("pos") + (k - 1))).as("ti"))
       .distinct()
       .groupBy(col("id"))
-      .agg(collect_set(col("ti")).as("_cov"))
+      .agg(array_sort(collect_set(col("ti"))).as("_cov"))
+    rewriteWithoutCovered(base, covered)
+  }
+
+  /** Shared rewrite tail for the span-removal transforms: drop every token
+    * whose 1-based index is in the doc's SORTED covered-position array and
+    * rejoin the survivors. The membership test is the native
+    * [[graft.plans.JoinTokensExceptSorted]] merge walk —
+    * O(tokens + covered) per document and codegen'd, where the previous
+    * `filter(..., array_contains)` higher-order lambda was interpreted
+    * O(tokens × covered) (quadratic on a heavily-duplicated document).
+    * `n_tokens_after` is pure arithmetic: covered indices are distinct and
+    * always in [1, n_tokens] by construction.
+    */
+  private def rewriteWithoutCovered(base: DataFrame,
+                                    covered: DataFrame): DataFrame =
     base.join(covered, Seq("id"), "left")
       .withColumn("_cov",
         coalesce(col("_cov"), array().cast("array<bigint>")))
-      .withColumn("_kept", filter(col("_toks"),
-        (t, i) => !array_contains(col("_cov"), (i + 1).cast("long"))))
       .select(col("id"),
         size(col("_toks")).as("n_tokens_before"),
-        size(col("_kept")).as("n_tokens_after"),
-        concat_ws(" ", col("_kept")).as("clean_text"))
+        (size(col("_toks")) - size(col("_cov"))).as("n_tokens_after"),
+        graft.plans.SetExpressions.joinTokensExceptSorted(
+          col("_toks"), col("_cov")).as("clean_text"))
+
+  /** Suffix-array-grade span removal — [[removeRepeatedSpans]] with the two
+    * refinements the "deduplicating training data" recipe ships:
+    *
+    *   - CANONICAL-COPY RETENTION: each duplicated k-gram keeps its first
+    *     occurrence corpus-wide — min (id, pos) lexicographically, a
+    *     deterministic choice — and only the OTHER occurrences count
+    *     toward removal, so one copy of every duplicated passage survives
+    *     (the reference recipe removes all-but-one, not all);
+    *   - MIN-LENGTH THRESHOLD: only maximal non-canonical runs spanning
+    *     >= `minSpanTokens` tokens are removed (short incidental overlaps
+    *     — stock phrases, common idioms — are left alone).
+    *
+    * Canonicality is per-gram, so when partially-overlapping spans have
+    * their first occurrences in different documents the removal is decided
+    * gram-by-gram — a deterministic approximation of whole-span suffix
+    * array semantics that never deletes a passage everywhere.
+    *
+    * Scale: identical shuffle structure to [[removeRepeatedSpans]] — the
+    * canonical choice rides the existing gram groupBy as a min(struct)
+    * (partial-aggregatable, no extra shuffle), and the min-length filter
+    * runs on the per-doc run aggregate before coverage expansion.
+    */
+  def removeRepeatedSpansKeepFirst(df: DataFrame, idCol: String,
+                                   textCol: String, k: Int,
+                                   minDocs: Int = 2,
+                                   minSpanTokens: Int = 50): DataFrame = {
+    require(minSpanTokens >= k, s"minSpanTokens must be >= k=$k")
+    val base = widen(df).select(col(idCol).as("id"),
+      TextAnalysis.tokens(col(textCol)).as("_toks"),
+      graft.plans.SetExpressions.positionalWordShingles(col(textCol), k)
+        .as("_grams"))
+    val grams = base.select(col("id"), posexplode(col("_grams")))
+      .select(col("id"), (col("pos") + 1).cast("long").as("pos"),
+        col("col").as("h"))
+    // duplicated grams + their canonical (first corpus-wide) occurrence;
+    // min over struct(id, pos) is lexicographic, so this is "min doc id,
+    // then min position within it" — deterministic under any partitioning
+    val dup = grams.groupBy(col("h"))
+      .agg(countDistinct(col("id")).as("_nd"),
+        min(struct(col("id"), col("pos"))).as("_can"))
+      .filter(col("_nd") >= minDocs)
+      .select(col("h"), col("_can.id").as("_can_id"),
+        col("_can.pos").as("_can_pos"))
+    // non-canonical occurrences only: the canonical copy never covers
+    val noncanon = grams.join(dup, Seq("h"))
+      .filter(col("id") =!= col("_can_id") || col("pos") =!= col("_can_pos"))
+      .select(col("id"), col("pos"))
+    // maximal runs of consecutive non-canonical gram positions; a run of
+    // m grams spans m + k - 1 tokens — apply the min-length threshold to
+    // the TOKEN span, then expand to covered token indices
+    val w = Window.partitionBy(col("id")).orderBy(col("pos"))
+    val spans = noncanon
+      .withColumn("_grp", col("pos") - row_number().over(w))
+      .groupBy(col("id"), col("_grp"))
+      .agg(min(col("pos")).as("_s"),
+        (max(col("pos")) - min(col("pos")) + k).as("_len"))
+      .filter(col("_len") >= minSpanTokens)
+    val covered = spans
+      .select(col("id"),
+        explode(sequence(col("_s"), col("_s") + col("_len") - 1)).as("ti"))
+      .distinct()
+      .groupBy(col("id"))
+      .agg(array_sort(collect_set(col("ti"))).as("_cov"))
+    rewriteWithoutCovered(base, covered)
   }
 
   /** Corpus-level dedup: given documents and their near-dup pairs, keep

@@ -12,9 +12,11 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Li
   *   sorted_intersect_count(a, b) |a ∩ b| for sorted distinct array<string>
   *   minhash(arr, k)              k-wide MinHash signature (k literal)
   *   sorted_last_leq(arr, t)      last index with arr[i] <= t (as-of probe)
+  *   join_tokens_except_sorted(t, cov)  span-removal rewrite kernel
   *   hashed_word_shingles(s, n)   sorted distinct xxhash64 word n-grams
   *   simhash_xx64(s)              64-bit xxhash64-token SimHash
   *   simhash_md5(s)               60-bit md5-token SimHash (oracle-portable)
+  *   nfc_normalize(s)             Unicode canonical composition (NFC)
   *
   * Deploy either via `spark.sql.extensions=graft.plans.GraftExtensions`
   * (applies at session build) or [[GraftExtensions.register]] on a live
@@ -58,6 +60,11 @@ object GraftExtensions {
       info("sorted_last_leq",
         "index of last element <= t in a sorted array<bigint>, -1 if none"),
       (args: Seq[Expression]) => SortedLastLeq(args(0), args(1))),
+    ("join_tokens_except_sorted",
+      info("join_tokens_except_sorted",
+        "space-join tokens whose 1-based index is absent from a sorted " +
+          "array<bigint>"),
+      (args: Seq[Expression]) => JoinTokensExceptSorted(args(0), args(1))),
     ("hashed_word_shingles",
       info("hashed_word_shingles",
         "sorted distinct xxhash64 word-n-gram shingles of a string (n literal)"),
@@ -80,7 +87,11 @@ object GraftExtensions {
     ("simhash_md5",
       info("simhash_md5",
         "60-bit md5-token SimHash of a string (oracle-portable)"),
-      (args: Seq[Expression]) => SimHashMd5Words(args(0))))
+      (args: Seq[Expression]) => SimHashMd5Words(args(0))),
+    ("nfc_normalize",
+      info("nfc_normalize",
+        "Unicode canonical composition (NFC) of a string"),
+      (args: Seq[Expression]) => NfcNormalize(args(0))))
 
   /** Register the functions + optimizer rules on a live session (test /
     * notebook use — sessions built without `spark.sql.extensions`).

@@ -58,6 +58,14 @@ object SetExpressions {
     ColumnBridge.column(SortedLastLeq(
       ColumnBridge.expression(arr), ColumnBridge.expression(t)))
 
+  /** Space-join the tokens whose 1-based index is NOT in the sorted
+    * coverage array — the span-removal rewrite kernel (one merge walk,
+    * O(tokens + covered); see [[JoinTokensExceptSorted]]).
+    */
+  def joinTokensExceptSorted(tokens: Column, cov: Column): Column =
+    ColumnBridge.column(JoinTokensExceptSorted(
+      ColumnBridge.expression(tokens), ColumnBridge.expression(cov)))
+
   /** Sorted distinct xxhash64 word-n-gram shingles of a text column —
     * one-pass native form of the transform/xxhash64 lambda pipeline
     * (see [[ShingleKernel]] for the why).
@@ -390,6 +398,76 @@ case class PositionalWordShingles(child: Expression, n: Int)
   override protected def withNewChildInternal(c: Expression): Expression =
     copy(child = c)
   override def prettyName: String = s"positional_word_shingles$n"
+}
+
+/** Span-removal rewrite kernel: space-join the elements of a token array
+  * whose 1-based index does NOT appear in a SORTED ascending long array of
+  * covered positions. One merge walk over (tokens, covered) —
+  * O(tokens + covered) and fully codegen'd, replacing the
+  * `filter(toks, (t, i) => !array_contains(cov, i+1))` higher-order
+  * lambda whose interpreted evaluation was O(tokens × covered) per
+  * document (quadratic on heavily-duplicated documents).
+  */
+case class JoinTokensExceptSorted(left: Expression, right: Expression)
+    extends BinaryExpression with Serializable {
+
+  override def dataType: DataType = StringType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(StringType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (array<string>, array<bigint>)")
+    }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val toks = a.asInstanceOf[ArrayData]
+    val cov = b.asInstanceOf[ArrayData]
+    val n = toks.numElements()
+    val m = cov.numElements()
+    val kept = new Array[UTF8String](n)
+    var kn = 0
+    var ci = 0
+    var i = 0
+    while (i < n) {
+      val p = (i + 1).toLong
+      while (ci < m && cov.getLong(ci) < p) ci += 1
+      if (!(ci < m && cov.getLong(ci) == p)) {
+        kept(kn) = toks.getUTF8String(i)
+        kn += 1
+      }
+      i += 1
+    }
+    UTF8String.concatWs(UTF8String.fromString(" "),
+      java.util.Arrays.copyOf(kept, kn): _*)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (toks, cov) => {
+      val u = "org.apache.spark.unsafe.types.UTF8String"
+      s"""
+         |int n = $toks.numElements();
+         |int m = $cov.numElements();
+         |$u[] kept = new $u[n];
+         |int kn = 0, ci = 0;
+         |for (int i = 0; i < n; i++) {
+         |  long p = (long) (i + 1);
+         |  while (ci < m && $cov.getLong(ci) < p) { ci++; }
+         |  if (!(ci < m && $cov.getLong(ci) == p)) {
+         |    kept[kn++] = $toks.getUTF8String(i);
+         |  }
+         |}
+         |${ev.value} = $u.concatWs($u.fromString(" "),
+         |  java.util.Arrays.copyOf(kept, kn));
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "join_tokens_except_sorted"
 }
 
 /** Binary search over a SORTED ascending long array: 0-based index of the

@@ -455,7 +455,7 @@ object CurationQueries {
        |        substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
        |      / 1152921504606846976.0))
        |      / CAST(len($toksSql) AS DOUBLE) AS k
-       |  FROM documents),
+       |  FROM documents WHERE len($toksSql) > 0),
        |rk AS (
        |  SELECT lang, doc_id, round(k, 6) AS sample_key,
        |    row_number() OVER (PARTITION BY lang ORDER BY k ASC, doc_id ASC)
@@ -503,6 +503,58 @@ object CurationQueries {
        |FROM toks tk LEFT JOIN covset cs ON tk.doc_id = cs.doc_id
        |ORDER BY tk.doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q96
+  // Suffix-array-grade span removal (q95 + the two refinements the
+  // exact-substring dedup recipe ships): each duplicated 5-gram keeps its
+  // FIRST corpus-wide occurrence (min doc_id, then min pos — canonical
+  // copy retention), and only maximal non-canonical runs spanning >= 50
+  // tokens are removed. The oracle marks canonical occurrences with a
+  // row_number over (gram ORDER BY doc_id, pos) — the same lexicographic
+  // first that Spark's min(struct(id, pos)) aggregate picks.
+  private def q96(s: SparkSession, dir: String): DataFrame =
+    Dedup.removeRepeatedSpansKeepFirst(Tables.documents(s, dir), "doc_id",
+        "text", k = 5, minDocs = 2, minSpanTokens = 50)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy(col("doc_id"))
+
+  private val q96Sql =
+    s"""WITH toks AS (SELECT doc_id, $toksSql AS t FROM documents),
+       |g AS (
+       |  SELECT doc_id, unnest(generate_series(1, len(t) - 4)) AS pos, t
+       |  FROM toks WHERE len(t) >= 5),
+       |grams AS (
+       |  SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+       |    concat_ws(' ', t[pos], t[pos+1], t[pos+2], t[pos+3], t[pos+4])
+       |      AS gram
+       |  FROM g),
+       |dup AS (SELECT gram FROM grams GROUP BY gram
+       |        HAVING count(DISTINCT doc_id) >= 2),
+       |occ AS (
+       |  SELECT doc_id, pos,
+       |    row_number() OVER (PARTITION BY gram ORDER BY doc_id, pos) AS rn
+       |  FROM grams JOIN dup USING (gram)),
+       |runs AS (
+       |  SELECT doc_id, pos,
+       |    pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+       |  FROM occ WHERE rn > 1),
+       |spans AS (
+       |  SELECT doc_id, min(pos) AS s, max(pos) - min(pos) + 5 AS len
+       |  FROM runs GROUP BY doc_id, grp
+       |  HAVING max(pos) - min(pos) + 5 >= 50),
+       |cov AS (
+       |  SELECT DISTINCT doc_id, unnest(generate_series(s, s + len - 1)) AS ti
+       |  FROM spans),
+       |covset AS (SELECT doc_id, list(ti) AS cv FROM cov GROUP BY doc_id)
+       |SELECT tk.doc_id,
+       |  CAST(len(tk.t) AS INTEGER) AS n_tokens_before,
+       |  CAST(len(tk.t) - coalesce(len(cs.cv), 0) AS INTEGER)
+       |    AS n_tokens_after,
+       |  coalesce(array_to_string(list_filter(tk.t,
+       |    (x, i) -> NOT list_contains(coalesce(cs.cv, []), CAST(i AS BIGINT))),
+       |    ' '), '') AS clean_text
+       |FROM toks tk LEFT JOIN covset cs ON tk.doc_id = cs.doc_id
+       |ORDER BY tk.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q79_contamination" -> (q79 _),
     "q80_repetition" -> (q80 _),
@@ -517,7 +569,8 @@ object CurationQueries {
     "q89_dup_spans" -> (q89 _),
     "q90_repeated_spans" -> (q90 _),
     "q94_weighted_sample" -> (q94 _),
-    "q95_span_removal" -> (q95 _))
+    "q95_span_removal" -> (q95 _),
+    "q96_span_removal_keepfirst" -> (q96 _))
 
   val oracleSql: Map[String, String] = Map(
     "q79_contamination" -> q79Sql,
@@ -533,5 +586,6 @@ object CurationQueries {
     "q89_dup_spans" -> q89Sql,
     "q90_repeated_spans" -> q90Sql,
     "q94_weighted_sample" -> q94Sql,
-    "q95_span_removal" -> q95Sql)
+    "q95_span_removal" -> q95Sql,
+    "q96_span_removal_keepfirst" -> q96Sql)
 }

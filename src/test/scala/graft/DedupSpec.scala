@@ -215,6 +215,80 @@ class DedupSpec extends SparkSpec {
         "totally different words with no shared runs at all here")))
   }
 
+  test("removeRepeatedSpansKeepFirst keeps the canonical (min doc id) " +
+    "copy and removes the rest") {
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta unique1 tail1 tail2"),
+      (2L, "lead1 lead2 alpha beta gamma delta epsilon zeta eta unique2"),
+      (3L, "alpha beta gamma delta epsilon zeta eta other3 x3 y3")
+    ).toDF("doc_id", "text")
+    val got = Dedup.removeRepeatedSpansKeepFirst(corpus, "doc_id", "text",
+        k = 3, minDocs = 2, minSpanTokens = 3)
+      .orderBy("id")
+      .select("id", "n_tokens_before", "n_tokens_after", "clean_text")
+      .as[(Long, Int, Int, String)].collect().toSeq
+    // doc 1 holds every gram's first occurrence — untouched; docs 2 and 3
+    // lose the shared 7-token run but keep their unique context
+    assert(got == Seq(
+      (1L, 10, 10,
+        "alpha beta gamma delta epsilon zeta eta unique1 tail1 tail2"),
+      (2L, 10, 3, "lead1 lead2 unique2"),
+      (3L, 10, 3, "other3 x3 y3")))
+  }
+
+  test("removeRepeatedSpansKeepFirst keeps first occurrence WITHIN the " +
+    "min-id doc when it repeats there too") {
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta mid1 mid2 alpha beta gamma delta"),
+      (2L, "alpha beta gamma delta trailing words here")
+    ).toDF("doc_id", "text")
+    val got = Dedup.removeRepeatedSpansKeepFirst(corpus, "doc_id", "text",
+        k = 4, minDocs = 2, minSpanTokens = 4)
+      .orderBy("id")
+      .select("id", "n_tokens_after", "clean_text")
+      .as[(Long, Int, String)].collect().toSeq
+    // canonical = (doc 1, pos 1); doc 1's SECOND copy and doc 2's copy
+    // are both non-canonical
+    assert(got == Seq(
+      (1L, 6, "alpha beta gamma delta mid1 mid2"),
+      (2L, 3, "trailing words here")))
+  }
+
+  test("removeRepeatedSpansKeepFirst leaves runs below the min-span " +
+    "threshold alone") {
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta unique1 tail1 tail2"),
+      (2L, "lead1 lead2 alpha beta gamma delta epsilon zeta eta unique2")
+    ).toDF("doc_id", "text")
+    // the shared run spans 7 tokens; a threshold of 8 must keep everything
+    val got = Dedup.removeRepeatedSpansKeepFirst(corpus, "doc_id", "text",
+        k = 3, minDocs = 2, minSpanTokens = 8)
+      .orderBy("id")
+      .select("id", "n_tokens_before", "n_tokens_after")
+      .as[(Long, Int, Int)].collect().toSeq
+    assert(got == Seq((1L, 10, 10), (2L, 10, 10)))
+  }
+
+  test("span removal is linear-safe on a heavily-duplicated document " +
+    "(sorted-coverage kernel)") {
+    // one long doc that is ~99% covered: the old array_contains lambda was
+    // O(tokens × covered) here; the merge-walk kernel is O(tokens). This
+    // pins CORRECTNESS of the kernel on a full-coverage + partial-coverage
+    // mix; the complexity claim is structural (single codegen'd pass).
+    val run = (0 until 600).map(i => s"w${i % 199}").mkString(" ")
+    val corpus = Seq(
+      (1L, run + " uniqA uniqB uniqC"),
+      (2L, run + " uniqD uniqE uniqF")
+    ).toDF("doc_id", "text")
+    val got = Dedup.removeRepeatedSpans(corpus, "doc_id", "text", k = 5)
+      .orderBy("id")
+      .select("id", "n_tokens_before", "n_tokens_after", "clean_text")
+      .as[(Long, Int, Int, String)].collect().toSeq
+    assert(got.map(_._2) == Seq(603, 603))
+    assert(got(0)._3 == 3 && got(0)._4 == "uniqA uniqB uniqC")
+    assert(got(1)._3 == 3 && got(1)._4 == "uniqD uniqE uniqF")
+  }
+
   test("repeatedSpans emits separate spans for discontiguous repeats") {
     val corpus = Seq(
       (1L, "shared one two three mid gap word shared four five six end"),
@@ -226,6 +300,34 @@ class DedupSpec extends SparkSpec {
     // each doc: two disjoint 4-token shared runs → two spans of 4 each
     assert(got == Seq((1L, 1L, 4L), (1L, 8L, 4L),
       (2L, 1L, 4L), (2L, 8L, 4L)))
+  }
+
+  test("NFC normalization makes NFD/NFC twins dedupe (and near-dup)") {
+    import graft.functions.TextAnalysis
+    // same visible text, different byte forms: doc 1 precomposed (NFC),
+    // doc 2 decomposed (NFD) — raw md5 sees two distinct documents
+    val nfc = "café au lait est très bon ce matin mes amis"
+    val nfd = java.text.Normalizer.normalize(nfc,
+      java.text.Normalizer.Form.NFD)
+    assert(nfc != nfd)
+    val corpus = Seq((1L, nfc), (2L, nfd), (3L, "unrelated words here"))
+      .toDF("doc_id", "text")
+    val raw = Dedup.exact(corpus, "doc_id", "text")
+    assert(raw.count() == 3) // byte-different → no dedup without NFC
+    val norm = corpus.withColumn("text",
+      TextAnalysis.nfcNormalize(col("text")))
+    val got = Dedup.exact(norm, "doc_id", "text")
+      .orderBy("keep_id")
+      .select("keep_id", "dup_count").as[(Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 2L), (3L, 1L))) // twins folded, min id kept
+    // the shingle path heals the same way (near-dup operators inherit it)
+    val pairs = Dedup.jaccardPairs(norm, "doc_id", "text", n = 3,
+      threshold = 0.9).select("id_a", "id_b").as[(Long, Long)].collect()
+    assert(pairs.toSeq == Seq((1L, 2L)))
+    // already-normalized text passes through byte-identical
+    val same = norm.filter(col("doc_id") === 1L)
+      .select(col("text")).as[String].head()
+    assert(same == nfc)
   }
 
   test("pigeonhole-blocked simhash equals the all-pairs baseline") {

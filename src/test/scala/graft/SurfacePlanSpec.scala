@@ -211,6 +211,23 @@ class SurfacePlanSpec extends SparkSpec {
     assert(leaked.isEmpty, "text column leaked past the gram projection")
   }
 
+  test("q96 keep-first span removal: hash equi-joins only, the canonical " +
+    "pick rides the gram rollup, and the rewrite kernel is codegen'd") {
+    val plan = physical(run("q96_span_removal_keepfirst"))
+    val s = plan.toString
+    assert(!s.contains("NestedLoop") && !s.contains("Cartesian"),
+      "gram join must be a hash equi-join")
+    // canonical-occurrence choice must NOT add a shuffle: it partial-
+    // aggregates inside the same dup-gram rollup as the distinct-doc count
+    assert(s.contains("partial_min(struct(id"),
+      s"canonical pick lost its partial aggregate:\n${s.take(800)}")
+    // the rewrite is the native merge-walk kernel, not an interpreted HOF
+    assert(s.contains("join_tokens_except_sorted"),
+      "span rewrite must use the native sorted-coverage kernel")
+    assert(!s.contains("array_contains"),
+      "quadratic array_contains membership crept back in")
+  }
+
   test("q91 centroids: native vector-sum partial-aggregates map-side and " +
     "the input never explodes into dim-times rows") {
     val qe = run("q91_vec_centroids").queryExecution
