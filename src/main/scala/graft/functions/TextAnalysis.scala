@@ -13,6 +13,15 @@ import org.apache.spark.sql.functions._
   */
 object TextAnalysis {
 
+  /** Unicode NFC normalization (native codegen'd expression). Apply ONCE
+    * at ingest so every downstream hash-based operator (exact dedup,
+    * shingles, MinHash, SimHash, contamination) sees one byte form per
+    * canonically-equal string — mixed NFC/NFD corpora otherwise hash
+    * equal-looking text differently and dedup silently weakens.
+    */
+  def nfcNormalize(text: Column): Column =
+    graft.plans.TextExpressions.nfcNormalize(text)
+
   /** Whitespace tokenization (the baseline tokenizer). */
   def tokens(text: Column): Column = split(trim(text), "\\s+")
 

@@ -269,7 +269,12 @@ object Curation {
     val key = -log(u) / weight.cast("double")
     val w = Window.partitionBy(col(stratumCol))
       .orderBy(key.asc, col(idCol).asc)
-    df.withColumn("sample_key", round(key, 6))
+    // A-ES semantics require strictly positive weights: w < 0 would flip
+    // the race (negative keys always win) and w = 0 yields ±Inf/NaN keys —
+    // both silently corrupt inclusion probabilities, so non-positive
+    // weights are excluded from the draw rather than mis-sampled
+    df.filter(weight.cast("double") > 0d)
+      .withColumn("sample_key", round(key, 6))
       .withColumn("sample_rank", row_number().over(w))
       .filter(col("sample_rank") <= k)
   }

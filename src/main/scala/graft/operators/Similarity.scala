@@ -133,9 +133,9 @@ object Similarity {
   /** Deterministic distributed k-means for IVF centroid training.
     *
     * Two sources of nondeterminism plague distributed k-means, and both
-    * are closed here: (a) INIT — seeds are the k vectors with the
-    * smallest md5(id) (a content-free deterministic "random" draw, the
-    * quota-sample construction), not a random sample; (b) the centroid
+    * are closed here: (a) INIT — [[kmeansParallelSeeds]] (deterministic
+    * md5-keyed k-means||) by default, or caller-supplied `seeds`; (b) the
+    * centroid
     * UPDATE — means run through [[Vectors.centroids]]' fixed-point
     * quantization, so every iteration's centroids are bit-identical under
     * any partitioning. Result: the trained model is a pure function of
@@ -150,17 +150,120 @@ object Similarity {
     * centroid. Runs a FIXED iteration count — no convergence probe, so
     * the job count is known upfront.
     */
+  /** md5-uniform draw in [0, 1): first 60 bits of md5(id + ":" + round) as
+    * a fraction — the q94/q86 construction, so the "random" inclusion test
+    * replays identically on any engine and any partitioning.
+    */
+  private def md5Uniform(id: org.apache.spark.sql.Column, round: Int) =
+    conv(substring(md5(concat(id.cast("string"), lit(s":$round"))), 1, 15),
+      16, 10).cast("double") / lit(1.152921504606846976e18)
+
+  /** Deterministic k-means|| seeding (the scalable k-means++ init —
+    * Bahmani et al., VLDB 2012 — with every random draw replaced by an
+    * md5-keyed deterministic one).
+    *
+    * Why not plain min-md5 seeds: a content-free draw is quality-blind —
+    * on skewed data most seeds land in the dominant mode, cells start
+    * unbalanced, and IVF probe fan-out at query time pays for it forever.
+    * k-means|| oversamples candidates proportional to their CURRENT
+    * squared distance from the chosen set (far regions get seeds), which
+    * is what bounds cell imbalance at 100 TB.
+    *
+    * Determinism: the per-point inclusion test compares the Bahmani
+    * probability l·d²(x,C)/φ against an md5(id:round) uniform — a pure
+    * function of (data, k, l, rounds) under any partitioning. The final
+    * reduction of the ~l·rounds candidates to k seeds is the GREEDY
+    * weighted k-means++ (argmax of weight·d² instead of sampling by it) —
+    * deterministic, and the candidate table is k-scale so it runs on the
+    * driver.
+    *
+    * Scale: each round is one map pass (distances against a broadcast
+    * candidate literal) + a one-row cost aggregate + a filtered collect of
+    * ~l new candidates (k-scale, never data-scale). The weighting pass is
+    * one more map + groupBy-count.
+    */
+  def kmeansParallelSeeds(df: DataFrame, k: Int, iters: Int = 3,
+                          oversample: Int = -1,
+                          idCol: String = "vec_id",
+                          vecCol: String = "embedding"): Seq[Seq[Double]] = {
+    require(k >= 1 && iters >= 1, "k >= 1, iters >= 1")
+    val l = if (oversample > 0) oversample else 2 * k
+    val base = df.select(col(idCol).as("id"),
+      col(vecCol).cast("array<double>").as("v"))
+    // first seed: the min-md5(id) point (deterministic "uniform" pick)
+    val first = base
+      .withColumn("_h", md5(col("id").cast("string")))
+      .orderBy(col("_h").asc, col("id").asc)
+      .limit(1)
+      .select(col("v")).collect().map(_.getSeq[Double](0).toSeq).toSeq
+    if (first.isEmpty) return Seq.empty
+    var cand: Seq[Seq[Double]] = first
+    var r = 0
+    var exhausted = false
+    while (r < iters && !exhausted) {
+      val ctLit = typedLit(cand.map(_.toSeq))
+      val d2 = base
+        .withColumn("_d2", array_min(transform(ctLit, ct => l2sq(col("v"), ct))))
+      val costRow = d2.agg(sum(col("_d2"))).head()
+      val cost = if (costRow.isNullAt(0)) 0.0 else costRow.getDouble(0)
+      if (cost <= 0.0) exhausted = true // every point already a candidate
+      else {
+        val newSeeds = d2
+          .filter(md5Uniform(col("id"), r) <
+            least(lit(1.0), lit(l.toDouble) * col("_d2") / lit(cost)))
+          .select(col("v")).collect().map(_.getSeq[Double](0).toSeq).toSeq
+        cand = (cand ++ newSeeds).distinct
+      }
+      r += 1
+    }
+    if (cand.size <= k) return cand
+    // weight candidates by their attracted point count (one map pass)
+    val ctLit = typedLit(cand.map(_.toSeq))
+    val weights = base
+      .withColumn("_dists", transform(ctLit, ct => l2sq(col("v"), ct)))
+      .withColumn("cell",
+        array_position(col("_dists"), array_min(col("_dists"))))
+      .groupBy(col("cell")).agg(count(lit(1)).as("w"))
+      .collect().map(row => row.getLong(0).toInt - 1 -> row.getLong(1)).toMap
+    val w = cand.indices.map(i => weights.getOrElse(i, 0L).toDouble)
+    // greedy weighted k-means++ down to k (driver-side, candidates are
+    // k-scale): start from the heaviest candidate, then repeatedly take
+    // the candidate maximizing weight × d²(candidate, chosen) — ties
+    // break on the lower index, so the reduction is deterministic
+    def l2sqLocal(a: Seq[Double], b: Seq[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+      s
+    }
+    val chosen = scala.collection.mutable.ArrayBuffer(
+      w.indices.maxBy(i => (w(i), -i.toDouble)))
+    val minD2 = scala.collection.mutable.ArrayBuffer.tabulate(cand.size)(
+      i => l2sqLocal(cand(i), cand(chosen.head)))
+    while (chosen.size < k) {
+      val next = cand.indices.maxBy(i => (w(i) * minD2(i), -i.toDouble))
+      chosen += next
+      cand.indices.foreach { i =>
+        minD2(i) = math.min(minD2(i), l2sqLocal(cand(i), cand(next)))
+      }
+    }
+    chosen.map(cand).toSeq
+  }
+
   def kmeansFit(df: DataFrame, k: Int, iters: Int = 5,
                 idCol: String = "vec_id",
-                vecCol: String = "embedding"): Seq[Seq[Double]] = {
+                vecCol: String = "embedding",
+                seeds: Option[Seq[Seq[Double]]] = None): Seq[Seq[Double]] = {
     require(k >= 1 && iters >= 0, "k >= 1, iters >= 0")
     val base = df.select(col(idCol).as("id"),
       col(vecCol).cast("array<double>").as("v"))
-    var centroids: Seq[Seq[Double]] = base
-      .withColumn("_h", md5(col("id").cast("string")))
-      .orderBy(col("_h").asc, col("id").asc)
-      .limit(k)
-      .select(col("v")).collect().map(_.getSeq[Double](0).toSeq).toSeq
+    var centroids: Seq[Seq[Double]] =
+      seeds.getOrElse(kmeansParallelSeeds(df, k, idCol = idCol,
+        vecCol = vecCol))
+    // fewer input vectors than k: clamp and return the shorter model
+    // rather than indexing past the seed list in the empty-cell fallback
+    val kEff = math.min(k, centroids.size)
+    if (kEff == 0) return Seq.empty
+    centroids = centroids.take(kEff)
     var it = 0
     while (it < iters) {
       val ctLit = typedLit(centroids.map(_.toSeq))
@@ -172,7 +275,7 @@ object Similarity {
       val updated = Vectors.centroids(assigned, Seq("cell"), "v")
         .select(col("cell"), col("centroid")).collect()
         .map(r => r.getLong(0).toInt -> r.getSeq[Double](1).toSeq).toMap
-      centroids = (1 to k).map(c => updated.getOrElse(c, centroids(c - 1)))
+      centroids = (1 to kEff).map(c => updated.getOrElse(c, centroids(c - 1)))
       it += 1
     }
     centroids

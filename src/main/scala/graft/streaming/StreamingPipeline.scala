@@ -294,6 +294,120 @@ object StreamingPipeline {
       .sortBy(_.getName).lastOption
       .map(f => spark.read.parquet(f.getPath))
 
+  /** Input row for the streaming samplers: a document's stratum, id, and
+    * (for the weighted variant) sampling weight.
+    */
+  final case class SampleIn(stratum: String, docId: Long, weight: Double)
+
+  /** Running weighted-sample membership emitted by
+    * [[weightedSampleStream]] after each micro-batch that touches the
+    * stratum; `version` increments per emission, so the CURRENT sample is
+    * the max-version row set per stratum.
+    */
+  final case class WeightedSampleOut(stratum: String, doc_id: Long,
+      sample_rank: Int, sample_key: Double, version: Long)
+
+  /** Running quota-sample membership emitted by [[quotaSampleStream]]. */
+  final case class QuotaSampleOut(stratum: String, doc_id: Long,
+      sample_rank: Int, version: Long)
+
+  /** Reservoir state: the per-stratum top-k race entries (key, id),
+    * sorted. Public — the state encoder codegen needs accessible
+    * accessors. `skey` is the numeric race key for the weighted sampler
+    * and NaN for the quota sampler (which races on the md5 hex string in
+    * `hkey`).
+    */
+  final case class ReservoirState(entries: List[(Double, String, Long)],
+      version: Long)
+
+  private def md5HexLocal(s: String): String = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val sb = new StringBuilder(32)
+    d.foreach(b => sb.append(f"${b & 0xff}%02x"))
+    sb.toString
+  }
+
+  /** The batch [[graft.operators.Curation.weightedSample]] race key for a
+    * doc id: E = −ln(u)/w with u = first 60 md5 bits of the id string as a
+    * fraction. Arithmetic mirrors the Column form operation-for-operation
+    * (parseLong→toDouble = conv(...).cast per IEEE round-to-nearest), so
+    * the streaming race replays the batch draw bit-exactly.
+    */
+  private[graft] def weightedKey(docId: Long, weight: Double): Double = {
+    val u = java.lang.Long.parseLong(
+      md5HexLocal(docId.toString).substring(0, 15), 16)
+      .toDouble / 1.152921504606846976e18
+    -math.log(u) / weight
+  }
+
+  /** Streaming Efraimidis–Spirakis weighted sampling — the continuous twin
+    * of the batch `weightedSample` (q94 semantics). A-ES is reservoir-
+    * friendly BY CONSTRUCTION: membership is "the k smallest race keys
+    * seen so far", and each doc's key is a pure function of (id, weight) —
+    * so per-stratum state is just the current top-k (k entries, never the
+    * stream), and the running sample over everything seen equals the batch
+    * sample over the same rows (StreamingSpec asserts the replay).
+    * Non-positive weights are excluded exactly as in batch. Emits the full
+    * membership per touched stratum per micro-batch in Update mode.
+    */
+  def weightedSampleStream(docs: Dataset[SampleIn], k: Int)
+      : Dataset[WeightedSampleOut] = {
+    import docs.sparkSession.implicits._
+    docs.filter(_.weight > 0d)
+      .groupByKey(_.stratum)
+      .flatMapGroupsWithState[ReservoirState, WeightedSampleOut](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (stratum: String, rows: Iterator[SampleIn],
+         state: GroupState[ReservoirState]) =>
+          val prev = state.getOption.getOrElse(ReservoirState(Nil, 0L))
+          val merged = (prev.entries.iterator ++ rows.map(r =>
+              (weightedKey(r.docId, r.weight), "", r.docId)))
+            .toList.distinct
+            .sortBy { case (key, _, id) => (key, id) }
+            .take(k)
+          val version = prev.version + 1
+          state.update(ReservoirState(merged, version))
+          merged.iterator.zipWithIndex.map { case ((key, _, id), i) =>
+            // HALF_UP to 6 places — the same rounding Spark's round() uses,
+            // so emitted keys compare equal to the batch q94 column
+            WeightedSampleOut(stratum, id, i + 1,
+              BigDecimal(key).setScale(6,
+                scala.math.BigDecimal.RoundingMode.HALF_UP).toDouble,
+              version)
+          }
+      }
+  }
+
+  /** Streaming deterministic quota sampling — the continuous twin of the
+    * batch `quotaSample` (q83 semantics): per stratum, the `quota` docs
+    * with the smallest md5(id) hex (full 32-char lexicographic compare,
+    * matching the batch window's string ordering), maintained as a
+    * constant-size reservoir.
+    */
+  def quotaSampleStream(docs: Dataset[SampleIn], quota: Int)
+      : Dataset[QuotaSampleOut] = {
+    import docs.sparkSession.implicits._
+    docs
+      .groupByKey(_.stratum)
+      .flatMapGroupsWithState[ReservoirState, QuotaSampleOut](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (stratum: String, rows: Iterator[SampleIn],
+         state: GroupState[ReservoirState]) =>
+          val prev = state.getOption.getOrElse(ReservoirState(Nil, 0L))
+          val merged = (prev.entries.iterator ++ rows.map(r =>
+              (Double.NaN, md5HexLocal(r.docId.toString), r.docId)))
+            .toList.distinct
+            .sortBy { case (_, hex, id) => (hex, id) }
+            .take(quota)
+          val version = prev.version + 1
+          state.update(ReservoirState(merged, version))
+          merged.iterator.zipWithIndex.map { case ((_, _, id), i) =>
+            QuotaSampleOut(stratum, id, i + 1, version)
+          }
+      }
+  }
+
   /** Session record emitted by [[sessionize]]. */
   final case class Session(
       userId: Long, sessionStart: Long, sessionEnd: Long, nEvents: Long)

@@ -116,6 +116,46 @@ class SimilaritySpec extends SparkSpec {
       "on well-separated clusters")
   }
 
+  test("kmeansFit clamps k to the input size instead of failing") {
+    // ADVICE r4: k > |input| used to throw IndexOutOfBounds via the
+    // empty-cell fallback; now the model clamps to the available vectors
+    val tiny = Seq(
+      (1L, Seq(1.0f, 0.0f)), (2L, Seq(0.0f, 1.0f))).toDF("vec_id", "embedding")
+    val m = Similarity.kmeansFit(tiny, k = 5, iters = 3)
+    assert(m.size == 2)
+    assert(Similarity.kmeansFit(tiny.limit(0), k = 3, iters = 2).isEmpty)
+  }
+
+  test("kmeans|| seeds are deterministic, spread across modes on skewed " +
+    "data, and IVF recall does not regress") {
+    // skew: 140 points in one dense mode, 8 + 8 in two far small modes —
+    // a content-blind draw puts ~all seeds in the dense mode
+    val r = new scala.util.Random(11)
+    val dense = (0 until 140).map(i =>
+      (i.toLong, Seq(0.0, 0.0, 0.0, 0.0).map(x =>
+        (x + 0.2 * r.nextGaussian()).toFloat)))
+    val farA = (0 until 8).map(i =>
+      (1000L + i, Seq(50.0, 0.0, 0.0, 0.0).map(x =>
+        (x + 0.2 * r.nextGaussian()).toFloat)))
+    val farB = (0 until 8).map(i =>
+      (2000L + i, Seq(0.0, 50.0, 0.0, 0.0).map(x =>
+        (x + 0.2 * r.nextGaussian()).toFloat)))
+    val df = (dense ++ farA ++ farB).toDF("vec_id", "embedding")
+    val seeds = Similarity.kmeansParallelSeeds(df, k = 3)
+    assert(seeds.size == 3)
+    // deterministic under a different partitioning
+    assert(seeds == Similarity.kmeansParallelSeeds(df.repartition(13), k = 3))
+    // each mode attracts at least one seed (the balance property min-md5
+    // seeding lacks: P(all-md5-seeds in dense mode) = (140/156)^3 ≈ 72%)
+    val modes = Seq(Seq(0.0, 0.0, 0.0, 0.0), Seq(50.0, 0.0, 0.0, 0.0),
+      Seq(0.0, 50.0, 0.0, 0.0))
+    modes.foreach { m =>
+      val best = seeds.map(s =>
+        math.sqrt(m.zip(s).map { case (a, b) => (a - b) * (a - b) }.sum)).min
+      assert(best < 5.0, s"no seed near mode $m (best $best)")
+    }
+  }
+
   test("multi-probe ivf recovers neighbors from adjacent cells") {
     // query sits in cell A; its true 2nd neighbor lands in cell B —
     // nprobe=1 misses it, nprobe=2 probes B and recovers it

@@ -290,6 +290,72 @@ class StreamingSpec extends SparkSpec {
     assert(plans(1L) == want(b1 ++ b2)) // running inventory, exact longs
   }
 
+  test("streaming weighted sampling replays the batch q94 draw over " +
+    "everything seen so far") {
+    import graft.operators.Curation
+    import graft.streaming.StreamingPipeline.{SampleIn, WeightedSampleOut}
+    implicit val sqlCtx = spark.sqlContext
+    val chk = Files.createTempDirectory("graft-ws-chk").toString
+    val mem = MemoryStream[SampleIn]
+    val q = StreamingPipeline.weightedSampleStream(mem.toDS(), k = 2)
+      .writeStream.format("memory").queryName("wsample")
+      .outputMode("update").option("checkpointLocation", chk).start()
+    val b1 = Seq(SampleIn("en", 1L, 4.0), SampleIn("en", 2L, 9.0),
+      SampleIn("de", 10L, 3.0), SampleIn("en", 3L, 0.0)) // w=0 excluded
+    val b2 = Seq(SampleIn("en", 4L, 50.0), SampleIn("de", 11L, 7.0),
+      SampleIn("de", 12L, -2.0)) // negative weight excluded
+    mem.addData(b1: _*)
+    q.processAllAvailable()
+    mem.addData(b2: _*)
+    q.processAllAvailable()
+    q.stop()
+    val emitted = spark.table("wsample").as[WeightedSampleOut].collect()
+    // current membership = the max-version emission per stratum
+    val latest = emitted.groupBy(_.stratum).values.flatMap { rows =>
+      val v = rows.map(_.version).max
+      rows.filter(_.version == v)
+    }.map(r => (r.stratum, r.doc_id, r.sample_rank, r.sample_key)).toSet
+    val batch = Curation.weightedSample(
+      (b1 ++ b2).map(r => (r.stratum, r.docId, r.weight))
+        .toDF("lang", "doc_id", "w"),
+      "lang", "doc_id", col("w"), k = 2)
+      .select(col("lang"), col("doc_id"), col("sample_rank"),
+        col("sample_key"))
+      .as[(String, Long, Int, Double)].collect().toSet
+    assert(latest == batch)
+    assert(latest.map(_._2).intersect(Set(3L, 12L)).isEmpty)
+  }
+
+  test("streaming quota sampling replays the batch q83 draw over " +
+    "everything seen so far") {
+    import graft.operators.Curation
+    import graft.streaming.StreamingPipeline.{QuotaSampleOut, SampleIn}
+    implicit val sqlCtx = spark.sqlContext
+    val chk = Files.createTempDirectory("graft-qs-chk").toString
+    val mem = MemoryStream[SampleIn]
+    val q = StreamingPipeline.quotaSampleStream(mem.toDS(), quota = 2)
+      .writeStream.format("memory").queryName("qsample")
+      .outputMode("update").option("checkpointLocation", chk).start()
+    val rows = (1L to 9L).map(i =>
+      SampleIn(if (i % 2 == 0) "even" else "odd", i, 1.0))
+    mem.addData(rows.take(5): _*)
+    q.processAllAvailable()
+    mem.addData(rows.drop(5): _*)
+    q.processAllAvailable()
+    q.stop()
+    val emitted = spark.table("qsample").as[QuotaSampleOut].collect()
+    val latest = emitted.groupBy(_.stratum).values.flatMap { rs =>
+      val v = rs.map(_.version).max
+      rs.filter(_.version == v)
+    }.map(r => (r.stratum, r.doc_id, r.sample_rank)).toSet
+    val batch = Curation.quotaSample(
+      rows.map(r => (r.stratum, r.docId)).toDF("stratum", "doc_id"),
+      "stratum", "doc_id", quota = 2)
+      .select(col("stratum"), col("doc_id"), col("sample_rank"))
+      .as[(String, Long, Int)].collect().toSet
+    assert(latest == batch)
+  }
+
   test("stream-static enrichment join attaches dim attributes per batch") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, Long)]
