@@ -47,10 +47,17 @@ object Extract {
     val isThree = s.rlike("^\\d{4}[/-]\\d{1,2}[/-]\\d{1,2}$")
     val m = parts.getItem(0)
     val d = parts.getItem(1)
-    val year =
-      when(lit(billMonth) === 1 && m.cast("int") === 12, lit(baseYear - 1))
-        .when(lit(billMonth) === 12 && m.cast("int") === 1, lit(baseYear + 1))
-        .otherwise(lit(baseYear))
+    // billMonth is a plan-time constant: branch in Scala rather than
+    // building `lit(billMonth) === 1` (a trivially-true/false Column
+    // predicate that fires Spark's "trivially true equals" warning and
+    // noises over real instances of that bug class)
+    val year = billMonth match {
+      case 1 =>
+        when(m.cast("int") === 12, lit(baseYear - 1)).otherwise(lit(baseYear))
+      case 12 =>
+        when(m.cast("int") === 1, lit(baseYear + 1)).otherwise(lit(baseYear))
+      case _ => lit(baseYear)
+    }
     when(isTwo,
         try_to_date(concat_ws("-", year, m, d), "yyyy-M-d"))
       .when(isThree,

@@ -46,8 +46,29 @@ object Xlsx {
 
   // ------------------------------------------------------------ read
 
+  /** OLE2 compound-file magic (D0 CF 11 E0 A1 B1 1A E1) — the container
+    * of legacy BIFF `.xls`. The reference's routing accepts `.xls`
+    * (etl.py:463-482) and pandas would parse it via xlrd; this engine
+    * reads only ZIP/OOXML, so a BIFF drop must fail with an actionable
+    * message instead of an opaque "not a ZIP" exception deep in the scan.
+    */
+  private val Ole2Magic =
+    Array(0xd0, 0xcf, 0x11, 0xe0, 0xa1, 0xb1, 0x1a, 0xe1).map(_.toByte)
+
+  private def sniffBiff(path: String): Unit = {
+    val head = {
+      val in = Files.newInputStream(Paths.get(path))
+      try in.readNBytes(8) finally in.close()
+    }
+    if (head.length == 8 && java.util.Arrays.equals(head, Ole2Magic))
+      throw new IllegalArgumentException(
+        s"$path: legacy BIFF .xls (OLE2 compound file) is not supported — " +
+          "re-export the workbook as .xlsx")
+  }
+
   /** All worksheets of an .xlsx, in workbook order, as strings. */
   def readSheets(path: String): Seq[Sheet] = {
+    sniffBiff(path)
     val zip = new ZipFile(path)
     try {
       def bytes(name: String): Option[Array[Byte]] =

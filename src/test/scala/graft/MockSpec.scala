@@ -60,6 +60,28 @@ class MockSpec extends SparkSpec {
     assert(got.head.cardType == "卡A") // other fields untouched
   }
 
+  test("readme comparison table renders the raw-vs-refined markdown " +
+    "preview") {
+    val raw = Seq(
+      ("LinePay－全家便利商店超長店名", "旅遊", 120.0),
+      ("NETFLIX.COM AMSTERDAM", "訂閱", 390.0)
+    ).toDF(Schema.Merchant, Schema.TxnType, Schema.PayAmount)
+    val refined = Seq(
+      ("全家便利商店", "超商", 120.0),
+      ("NETFLIX", "訂閱", 390.0)
+    ).toDF(Schema.Merchant, Schema.TxnType, Schema.PayAmount)
+    val md = Mock.readmeComparisonTable(raw, refined, n = 5)
+    val lines = md.split("\n").toSeq
+    // generate_mock.py:342-343 header + alignment row
+    assert(lines.head == "| 原始商家 (Raw) | 清洗後 (Refined) | 交易類型 | 金額 |")
+    assert(lines(1) == "| :--- | :--- | :--- | ---: |")
+    assert(lines.size == 4)
+    // raw merchant truncated to 15 chars + "..."; refined fields verbatim
+    assert(lines(2).startsWith(
+      s"| `${"LinePay－全家便利商店超長店名".take(15)}...` | `全家便利商店` | 超商 | "))
+    assert(lines(3).contains("`NETFLIX`") && lines(3).contains("390"))
+  }
+
   test("card masking is total, format-shaped, and reports its map") {
     val (masked, fakeMap) = Mock.maskCards(df,
       customMap = Map("1111" -> "4444"))

@@ -96,6 +96,18 @@ class XlsxSpec extends SparkSpec {
     assert(text.contains("玉山Unicard,4444")) // real data, not template
   }
 
+  test("legacy BIFF .xls is rejected with an actionable message") {
+    val f = tmp(".xls")
+    // OLE2 compound-file magic + filler — what a real legacy .xls starts
+    // with; without the sniff this dies as an opaque ZIP parse error
+    val bytes = Array(0xd0, 0xcf, 0x11, 0xe0, 0xa1, 0xb1, 0x1a, 0xe1)
+      .map(_.toByte) ++ Array.fill(64)(0.toByte)
+    java.nio.file.Files.write(java.nio.file.Paths.get(f), bytes)
+    val e = intercept[IllegalArgumentException](Xlsx.readSheets(f))
+    assert(e.getMessage.contains("BIFF"))
+    assert(e.getMessage.contains(".xlsx")) // tells the user the fix
+  }
+
   test("multi-sheet workbooks keep workbook order") {
     val f = tmp(".xlsx")
     Xlsx.writeSheets(f, Seq(
