@@ -249,7 +249,20 @@ object Extract {
   def extractAll(spark: SparkSession, dataDir: String,
                  configs: Map[String, BankConfig]): DataFrame = {
     val frames = Ingest.routeFiles(dataDir).flatMap { case (path, bankId) =>
-      configs.get(bankId).map(processBankFile(spark, path, bankId, _))
+      configs.get(bankId).flatMap { cfg =>
+        // dead-letter semantics (etl.py:291-315): an unreadable statement
+        // file — corrupt CSV, legacy BIFF .xls, broken HTML — is skipped
+        // with a warning and the rest of the batch proceeds; the reference
+        // returns None per failed file rather than aborting the month.
+        // Ingest is the driver-side decode step, so failures surface here
+        // eagerly, never later inside a distributed job.
+        try Some(processBankFile(spark, path, bankId, cfg))
+        catch {
+          case scala.util.control.NonFatal(e) =>
+            System.err.println(s"[extract] skipping $path: ${e.getMessage}")
+            None
+        }
+      }
     }
     require(frames.nonEmpty, s"no bank statements found in $dataDir")
     frames

@@ -402,7 +402,11 @@ object Dedup {
     * Canonicality is per-gram, so when partially-overlapping spans have
     * their first occurrences in different documents the removal is decided
     * gram-by-gram — a deterministic approximation of whole-span suffix
-    * array semantics that never deletes a passage everywhere.
+    * array semantics. For straight duplicate passages (the dominant real
+    * case) exactly the min-id copy survives; when DIFFERENT duplicated
+    * passages overlap inside the canonical document, their non-canonical
+    * runs can clip that canonical copy too — the same boundary
+    * approximation the ExactSubstr recipe accepts.
     *
     * Scale: identical shuffle structure to [[removeRepeatedSpans]] — the
     * canonical choice rides the existing gram groupBy as a min(struct)

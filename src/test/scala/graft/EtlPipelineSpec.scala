@@ -39,6 +39,22 @@ class EtlPipelineSpec extends SparkSpec {
     assert(extracted.count() == 4 + 3 + 2 + 2 + 2)
   }
 
+  test("extract: an unreadable statement file dead-letters (skip + warn), " +
+    "the rest of the batch survives") {
+    // fresh fixture dir + one BIFF .xls routed to the xlsx bank: the
+    // reference returns None for the failed file and continues
+    // (etl.py:311-315); extractAll must match, not abort the month
+    val d2 = Files.createTempDirectory("graft-etl-dl").toString
+    ExampleData.write(d2)
+    val biff = Array(0xd0, 0xcf, 0x11, 0xe0, 0xa1, 0xb1, 0x1a, 0xe1)
+      .map(_.toByte) ++ Array.fill(64)(0.toByte)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$d2/data/永豐銀行_legacy_202401.xls"), biff)
+    val cfg2 = Pipeline.loadConfigs(spark, s"$d2/configs")
+    val got = Extract.extractAll(spark, s"$d2/data", cfg2.banks)
+    assert(got.count() == extracted.count()) // good files all intact
+  }
+
   test("extract: sinopac xlsx ingest (S5) — date serials + shared strings") {
     val sp = rows(extracted.filter(col("Bank_Name") === "sinopac_bank"))
     assert(sp.size == 2)

@@ -251,6 +251,54 @@ class PropertySpec extends SparkSpec {
     assert(id2 == 0)
   }
 
+  test("keep-first span removal: containment, threshold monotonicity, " +
+    "and exact-copy canonicality on random small-vocab corpora") {
+    import graft.operators.Dedup
+    val k = 3
+    val tokGen = Gen.oneOf("aa", "bb", "cc", "dd", "ee", "ff")
+    val textGen = for {
+      n <- Gen.chooseNum(0, 18)
+      toks <- Gen.listOfN(n, tokGen)
+    } yield toks.mkString(" ")
+    val rows = sample(textGen, 120).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }
+    val docs = rows.toDF("doc_id", "text")
+    def afterOf(df: org.apache.spark.sql.DataFrame): Map[Long, Int] =
+      df.select("id", "n_tokens_after").as[(Long, Int)].collect().toMap
+    val removeAll = afterOf(
+      Dedup.removeRepeatedSpans(docs, "doc_id", "text", k))
+    val keepFirst = afterOf(Dedup.removeRepeatedSpansKeepFirst(
+      docs, "doc_id", "text", k, minSpanTokens = k))
+    val keepFirstLong = afterOf(Dedup.removeRepeatedSpansKeepFirst(
+      docs, "doc_id", "text", k, minSpanTokens = k + 3))
+    removeAll.keySet.foreach { id =>
+      // keep-first coverage ⊆ remove-all coverage (non-canonical dup
+      // positions are a subset of all dup positions)
+      assert(keepFirst(id) >= removeAll(id),
+        s"doc $id: keep-first removed more than remove-all")
+      // raising the min-span threshold only ever preserves more
+      assert(keepFirstLong(id) >= keepFirst(id),
+        s"doc $id: longer threshold removed more")
+    }
+    // canonical-copy retention is EXACT for straight duplicate documents:
+    // min id survives untouched, every other copy is fully scrubbed
+    val copies = (0L until 20L).map(i => (i, "pp qq rr ss tt uu vv ww"))
+      .toDF("doc_id", "text")
+    val scrubbed = Dedup.removeRepeatedSpansKeepFirst(
+        copies, "doc_id", "text", k, minSpanTokens = k)
+      .select("id", "n_tokens_after", "clean_text")
+      .as[(Long, Int, String)].collect().toSeq.sortBy(_._1)
+    assert(scrubbed.head == ((0L, 8, "pp qq rr ss tt uu vv ww")))
+    scrubbed.tail.foreach { case (id, after, text) =>
+      assert(after == 0 && text.isEmpty, s"copy $id not fully scrubbed")
+    }
+    // deterministic under repartitioning (the min(struct) canonical pick
+    // and md5-free pipeline have no partition-order dependence)
+    val repartitioned = afterOf(Dedup.removeRepeatedSpansKeepFirst(
+      docs.repartition(17), "doc_id", "text", k, minSpanTokens = k))
+    assert(repartitioned == keepFirst)
+  }
+
   test("native hashed shingles == lambda formulation on adversarial text " +
     "(whitespace runs, unicode, empties, repeats)") {
     import graft.functions.TextAnalysis
