@@ -203,6 +203,55 @@ object Curation {
         round(col("score"), 6).as("tfidf"))
   }
 
+  /** Per-document unigram cross-entropy against the corpus's own
+    * unigram distribution — the perplexity-style quality signal (the
+    * CCNet/KenLM filter family, with the corpus itself as the LM):
+    * ce(doc) = -(1/dl) Σ_t tf_t · ln(cf_t / T), where cf_t is the
+    * corpus frequency of term t and T the corpus token count. Low ce =
+    * stereotypical/repetitive text, high ce = rare-token-heavy text;
+    * both tails are the usual filter targets.
+    *
+    * Scale: two bounded-key shuffles — (doc, term) tf with map-side
+    * combine, then an equi-join on term against the corpus-frequency
+    * table (vocabulary-sized, NOT broadcast — vocab grows with the
+    * corpus). Corpus total rides a one-row broadcast. No smoothing
+    * needed: every scored term exists in the corpus by construction.
+    *
+    * Determinism (oracle parity): tf/cf/T are exact longs; ln on a
+    * double ratio matches the oracle bit-for-bit (the q93 primitive);
+    * and the per-doc sum folds term contributions IN TERM ORDER
+    * (sorted-array sequential fold), so no float reduction depends on
+    * row order or partitioning.
+    */
+  def unigramCrossEntropy(df: DataFrame, idCol: String, textCol: String,
+                          tfStorage: org.apache.spark.storage.StorageLevel =
+                            org.apache.spark.storage.StorageLevel
+                              .MEMORY_AND_DISK): DataFrame = {
+    // PERSISTED: tf feeds the scored join, the corpus-frequency rollup,
+    // and (through cf) the corpus total — uncached, the corpus would
+    // tokenize three times. Cache-lifetime contract as [[topTfidfTerm]].
+    val tf = df.select(col(idCol).as("id"),
+        TextAnalysis.tokens(col(textCol)).as("_toks"))
+      .select(col("id"), size(col("_toks")).as("dl"),
+        explode(col("_toks")).as("term"))
+      .groupBy(col("id"), col("dl"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+      .persist(tfStorage)
+    val cf = tf.groupBy(col("term")).agg(sum(col("tf")).as("cf"))
+    val total = cf.agg(sum(col("cf")).as("t_total"))
+    val scored = tf.join(cf, "term")
+      .crossJoin(broadcast(total))
+      .withColumn("_nll", col("tf").cast("double") *
+        -log(col("cf").cast("double") / col("t_total").cast("double")))
+    scored.groupBy(col("id"), col("dl"))
+      .agg(count(lit(1)).as("n_terms"),
+        aggregate(
+          array_sort(collect_list(struct(col("term"), col("_nll")))),
+          lit(0.0), (acc, s) => acc + s.getField("_nll")).as("_sum"))
+      .select(col("id"), col("dl").as("n_tokens"), col("n_terms"),
+        round(col("_sum") / col("dl"), 6).as("ce"))
+  }
+
   // ------------------------------------------------------------------
   // Incremental dedup against a corpus snapshot
   // ------------------------------------------------------------------

@@ -130,6 +130,96 @@ object Similarity {
       .select(col("id_a"), col("id_b"), col("sim"))
   }
 
+  /** Semantic (embedding-space) dedup — the SemDeDup recipe (Abbas et
+    * al., 2023): coarse-cluster the corpus, then search for near-
+    * duplicates ONLY within each cluster, keeping one canonical copy per
+    * duplicate relation. Returns every vector with its cell, the id of
+    * the canonical copy it duplicates (`dup_of`, null for survivors) and
+    * a `kept` flag.
+    *
+    * Semantics: x is a duplicate iff some SAME-CELL y with a smaller id
+    * has cosine(x, y) >= threshold; `dup_of` is the smallest such y —
+    * a deterministic, iteration-free canonical choice (the published
+    * recipe keeps one arbitrary member per group; min-id makes that
+    * reproducible).
+    *
+    * Scale: the quadratic candidate step is confined to a cell — exactly
+    * the published design, where cluster count grows with the corpus so
+    * the expected cell size (and the per-cell pair count) stays bounded.
+    * The join is an equi-join on cell id: the shuffle carries (cell, id,
+    * vector), never cross-cell pairs, and the dup rollup is a partial-
+    * aggregatable groupBy-min.
+    */
+  def semDedup(df: DataFrame, centroids: Seq[Seq[Double]],
+               threshold: Double,
+               idCol: String = "vec_id",
+               vecCol: String = "embedding",
+               assignStorage: org.apache.spark.storage.StorageLevel =
+                 org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      : DataFrame = {
+    require(centroids.nonEmpty, "centroids must be non-empty")
+    val ctLit = typedLit(centroids.map(_.toSeq))
+    // PERSISTED: the assignment feeds both sides of the cell join AND the
+    // final survivor join — without it the corpus scans (and the k×dim
+    // distance transform runs) three times. Same cache-lifetime contract
+    // as Curation.topTfidfTerm: blocks live until session LRU eviction;
+    // long-lived callers own the cleanup or pass DISK_ONLY.
+    val assigned = Partitioning.widen(df)
+      .select(col(idCol).as("vec_id"), col(vecCol).as("v"))
+      .withColumn("_dists", transform(ctLit, ct => l2sq(col("v"), ct)))
+      .withColumn("cell",
+        array_position(col("_dists"), array_min(col("_dists"))))
+      .drop("_dists")
+      .persist(assignStorage)
+    val a = assigned.select(col("cell"), col("vec_id").as("id_a"),
+      col("v").as("va"))
+    val b = assigned.select(col("cell"), col("vec_id").as("id_b"),
+      col("v").as("vb"))
+    val dups = a.join(b, Seq("cell"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("sim", round(cosine(col("va"), col("vb")), 6))
+      .filter(col("sim") >= threshold)
+      .groupBy(col("id_b"))
+      .agg(min(col("id_a")).as("dup_of"))
+      .select(col("id_b").as("vec_id"), col("dup_of"))
+    assigned.join(dups, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"), col("dup_of"),
+        col("dup_of").isNull.as("kept"))
+  }
+
+  /** IVF cell-balance diagnostic: per-cell population and distance
+    * spread for a centroid model. The operational complement to
+    * [[kmeansParallelSeeds]] — imbalanced cells mean unbounded probe
+    * fan-out at query time, and this is the query that shows it.
+    *
+    * Determinism: n_vecs is exact; min/max of doubles pick an existing
+    * value (no accumulation); the MEAN of squared distances sums
+    * fixed-point longs (×2^20 — the q91 quantization), so the result is
+    * bit-identical under any partitioning. One map pass + one hash
+    * aggregation; only k rows come back.
+    */
+  def ivfCellStats(df: DataFrame, centroids: Seq[Seq[Double]],
+                   idCol: String = "vec_id",
+                   vecCol: String = "embedding"): DataFrame = {
+    require(centroids.nonEmpty, "centroids must be non-empty")
+    val ctLit = typedLit(centroids.map(_.toSeq))
+    Partitioning.widen(df)
+      .select(col(idCol).as("vec_id"), col(vecCol).as("v"))
+      .withColumn("_dists", transform(ctLit, ct => l2sq(col("v"), ct)))
+      .withColumn("_d2", array_min(col("_dists")))
+      .withColumn("cell",
+        array_position(col("_dists"), array_min(col("_dists"))))
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(round(col("_d2") * lit(1048576.0)).cast("long")).as("_qs"),
+        round(min(col("_d2")), 6).as("min_d2"),
+        round(max(col("_d2")), 6).as("max_d2"))
+      .withColumn("mean_d2", round(
+        col("_qs").cast("double") / col("n_vecs") / lit(1048576.0), 6))
+      .select(col("cell"), col("n_vecs"), col("mean_d2"),
+        col("min_d2"), col("max_d2"))
+  }
+
   /** Deterministic distributed k-means for IVF centroid training.
     *
     * Two sources of nondeterminism plague distributed k-means, and both

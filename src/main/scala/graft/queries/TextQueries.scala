@@ -378,7 +378,44 @@ object TextQueries {
        |LIMIT 50""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q98
+  // Per-doc unigram cross-entropy vs the corpus's own unigram LM — the
+  // perplexity-filter family (CCNet-style quality signal) with the
+  // corpus as its own model. Same determinism recipe as q93: exact
+  // integer tf/cf/T, ln on a double ratio, per-doc sum folded IN TERM
+  // ORDER on both engines.
+  private def q98(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Curation.unigramCrossEntropy(
+        Tables.documents(s, dir), "doc_id", "text")
+      .select(col("id").as("doc_id"), col("n_tokens"), col("n_terms"),
+        col("ce"))
+      .orderBy(col("doc_id"))
+
+  private val q98Sql =
+    s"""WITH toks AS (
+       |  SELECT doc_id, len(toks) AS dl, unnest(toks) AS term
+       |  FROM (SELECT doc_id, $toksSql AS toks FROM documents)),
+       |tf AS (SELECT doc_id, dl, term, count(*) AS tf
+       |       FROM toks GROUP BY doc_id, dl, term),
+       |cf AS (SELECT term, sum(tf) AS cf FROM tf GROUP BY term),
+       |tot AS (SELECT CAST(sum(cf) AS DOUBLE) AS t_total FROM cf),
+       |scored AS (
+       |  SELECT tf.doc_id, tf.dl,tf.term,
+       |    CAST(tf.tf AS DOUBLE) *
+       |      -ln(CAST(cf.cf AS DOUBLE) / t.t_total) AS nll
+       |  FROM tf JOIN cf USING (term) CROSS JOIN tot t),
+       |agg AS (
+       |  SELECT doc_id, dl, count(*) AS n_terms,
+       |    list(nll ORDER BY term) AS ls
+       |  FROM scored GROUP BY doc_id, dl)
+       |SELECT doc_id, dl AS n_tokens, n_terms,
+       |  round(list_inner_product(ls, list_transform(ls, x -> 1.0))
+       |    / dl, 6) AS ce
+       |FROM agg
+       |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q98_unigram_ce" -> (q98 _),
     "q93_bm25" -> (q93 _),
     "q43_fold_split" -> (q43 _),
     "q44_grouped_split" -> (q44 _),
@@ -393,6 +430,7 @@ object TextQueries {
     "q28_dedup_corpus" -> (q28 _))
 
   val oracleSql: Map[String, String] = Map(
+    "q98_unigram_ce" -> q98Sql,
     "q93_bm25" -> q93Sql,
     "q43_fold_split" -> q43Sql,
     "q44_grouped_split" -> q44Sql,

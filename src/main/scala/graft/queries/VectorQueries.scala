@@ -114,12 +114,19 @@ object VectorQueries {
       .orderBy(col("query_id"), col("rank"))
   }
 
-  private val q32Sql = {
+  // Oracle-side replay of the l2sq distance list against the constant
+  // centroids: each distance is an explicit left-associated sum of
+  // (v[i]-c_i)^2, matching the native loop's accumulation order exactly.
+  private def distsSqlFor(centroids: Seq[Seq[Double]]): String = {
     def l2sq(c: Seq[Double]): String =
       c.zipWithIndex.map { case (x, i) =>
         s"(v[${i + 1}]-($x))*(v[${i + 1}]-($x))"
       }.mkString("(", " + ", ")")
-    val dists = q32Centroids.map(l2sq).mkString("[", ",", "]")
+    centroids.map(l2sq).mkString("[", ",", "]")
+  }
+
+  private val q32Sql = {
+    val dists = distsSqlFor(q32Centroids)
     s"""WITH vecs AS (
        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
        |b AS (SELECT vec_id, v, list_position(dists, list_min(dists)) AS cell
@@ -245,13 +252,73 @@ object VectorQueries {
        |FROM e
        |ORDER BY vec_id, pos""".stripMargin
 
+  // ---------------------------------------------------------------- q97
+  // SemDeDup (Abbas et al., 2023): coarse cells (the q32 constant
+  // centroids, so the oracle replays the identical assignment), then
+  // within-cell cosine near-dup with min-id canonical retention. dup_of
+  // coalesces to -1: the cross-engine hash compare is only byte-stable
+  // without NULLs (see RelationalQueries q48 note).
+  private val SemDedupThreshold = 0.4
+  private def q97(s: SparkSession, dir: String): DataFrame =
+    Similarity.semDedup(Tables.embeddings(s, dir), q32Centroids,
+        SemDedupThreshold)
+      .withColumn("dup_of", coalesce(col("dup_of"), lit(-1L)))
+      .orderBy(col("vec_id"))
+
+  private val q97Sql = {
+    val dists = distsSqlFor(q32Centroids)
+    val sim = "round(list_inner_product(x.v, y.v) / " +
+      "(sqrt(list_inner_product(x.v, x.v)) * " +
+      "sqrt(list_inner_product(y.v, y.v))), 6)"
+    s"""WITH vecs AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |b AS (SELECT vec_id, v, list_position(dists, list_min(dists)) AS cell
+       |      FROM (SELECT vec_id, v, $dists AS dists FROM vecs)),
+       |dups AS (
+       |  SELECT y.vec_id AS vec_id, MIN(x.vec_id) AS dup_of
+       |  FROM b x JOIN b y ON x.cell = y.cell AND x.vec_id < y.vec_id
+       |  WHERE $sim >= $SemDedupThreshold
+       |  GROUP BY y.vec_id)
+       |SELECT b.vec_id, CAST(b.cell AS BIGINT) AS cell,
+       |  coalesce(d.dup_of, -1) AS dup_of, d.dup_of IS NULL AS kept
+       |FROM b LEFT JOIN dups d ON b.vec_id = d.vec_id
+       |ORDER BY b.vec_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q99
+  // IVF cell-balance diagnostic over the same constant-centroid model.
+  // Mean d2 sums fixed-point longs (×2^20, the q91 quantization) so the
+  // distributed mean is bit-equal to DuckDB's regardless of partitioning;
+  // min/max pick existing doubles (no accumulation).
+  private def q99(s: SparkSession, dir: String): DataFrame =
+    Similarity.ivfCellStats(Tables.embeddings(s, dir), q32Centroids)
+      .orderBy(col("cell"))
+
+  private val q99Sql = {
+    val dists = distsSqlFor(q32Centroids)
+    s"""WITH vecs AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |b AS (SELECT list_position(dists, list_min(dists)) AS cell,
+       |        list_min(dists) AS d2
+       |      FROM (SELECT vec_id, v, $dists AS dists FROM vecs))
+       |SELECT CAST(cell AS BIGINT) AS cell, count(*) AS n_vecs,
+       |  round(CAST(sum(CAST(round(d2 * 1048576.0) AS BIGINT)) AS DOUBLE)
+       |    / count(*) / 1048576.0, 6) AS mean_d2,
+       |  round(min(d2), 6) AS min_d2,
+       |  round(max(d2), 6) AS max_d2
+       |FROM b GROUP BY cell
+       |ORDER BY cell""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_knn_bruteforce" -> (q30 _),
     "q31_knn_lsh" -> (q31 _),
     "q32_knn_ivf" -> (q32 _),
     "q33_embedding_neardup" -> (q33 _),
     "q91_vec_centroids" -> (q91 _),
-    "q92_vec_normalize" -> (q92 _))
+    "q92_vec_normalize" -> (q92 _),
+    "q97_semantic_dedup" -> (q97 _),
+    "q99_ivf_cell_stats" -> (q99 _))
 
   val oracleSql: Map[String, String] = Map(
     "q30_knn_bruteforce" -> q30Sql,
@@ -259,5 +326,7 @@ object VectorQueries {
     "q32_knn_ivf" -> q32Sql,
     "q33_embedding_neardup" -> q33Sql,
     "q91_vec_centroids" -> q91Sql,
-    "q92_vec_normalize" -> q92Sql)
+    "q92_vec_normalize" -> q92Sql,
+    "q97_semantic_dedup" -> q97Sql,
+    "q99_ivf_cell_stats" -> q99Sql)
 }

@@ -307,4 +307,32 @@ class CurationSpec extends SparkSpec {
     assert(math.abs(b._5 - math.rint(21.0 / 26 * 1e6) / 1e6) < 1e-12)
     assert(b._6 == math.floor(26.0 * (0.5 / (26.0 / 42))).toLong)
   }
+
+  test("unigramCrossEntropy matches the hand-computed corpus LM") {
+    val tiny = Seq((1L, "a a b"), (2L, "b c")).toDF("doc_id", "text")
+    val got = Curation.unigramCrossEntropy(tiny, "doc_id", "text")
+      .orderBy("id")
+      .select("id", "n_tokens", "n_terms", "ce")
+      .as[(Long, Int, Long, Double)].collect().toSeq
+    // corpus: a→2, b→2, c→1, T=5
+    // doc1: (2·-ln(2/5) + 1·-ln(2/5)) / 3 = -ln(0.4)
+    // doc2: (-ln(2/5) + -ln(1/5)) / 2
+    val ce1 = math.rint(-math.log(0.4) * 1e6) / 1e6
+    val ce2 = math.rint((-math.log(0.4) - math.log(0.2)) / 2 * 1e6) / 1e6
+    assert(got == Seq((1L, 3, 2L, ce1), (2L, 2, 2L, ce2)))
+  }
+
+  test("unigramCrossEntropy is invariant to partitioning (sorted fold)") {
+    val a = Curation.unigramCrossEntropy(docs, "doc_id", "text")
+      .orderBy("id").collect().toSeq
+    val b = Curation.unigramCrossEntropy(docs.repartition(7), "doc_id",
+        "text")
+      .orderBy("id").collect().toSeq
+    assert(a == b)
+    // identical docs (1 and 5) score identically; the all-repeated doc 3
+    // is the lowest-entropy doc in the fixture
+    val byId = a.map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(byId(1L) == byId(5L))
+    assert(byId(3L) == byId.values.min)
+  }
 }

@@ -172,4 +172,52 @@ class SimilaritySpec extends SparkSpec {
     assert(neighbors(1) == Set(1L))
     assert(neighbors(2) == Set(1L, 2L))
   }
+
+  test("semDedup flags within-cell near-dups with min-id canonical") {
+    val centroids = Seq(Seq(1.0, 0.0, 0.0), Seq(0.0, 1.0, 1.0))
+    // cell 1: {0, 1} with cos(0,1) ≈ 0.994; cell 2: {2, 3, 4} mutually
+    // orthogonal — no dup relation clears the threshold there
+    val got = Similarity.semDedup(vecs, centroids, threshold = 0.9)
+      .orderBy("vec_id")
+      .select("vec_id", "cell", "dup_of", "kept")
+      .as[(Long, Long, Option[Long], Boolean)].collect().toSeq
+    assert(got.map(_._1) == Seq(0L, 1L, 2L, 3L, 4L))
+    assert(got.filter(_._4).map(_._1) == Seq(0L, 2L, 3L, 4L))
+    assert(got(1)._3.contains(0L)) // 1 duplicates 0 (the min-id copy)
+    assert(got(0)._2 == got(1)._2) // dup pair shares a cell
+  }
+
+  test("semDedup keeps exactly one copy of a mutual-dup group") {
+    val trio = Seq(
+      (7L, Seq(1.0f, 0.0f, 0.0f)),
+      (8L, Seq(0.99f, 0.01f, 0.0f)),
+      (9L, Seq(0.98f, 0.02f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.semDedup(trio,
+        Seq(Seq(1.0, 0.0, 0.0)), threshold = 0.99)
+      .orderBy("vec_id")
+      .select("vec_id", "dup_of", "kept")
+      .as[(Long, Option[Long], Boolean)].collect().toSeq
+    // all three mutually clear 0.99 → 7 survives; 8 and 9 both point at 7
+    assert(got == Seq((7L, None, true), (8L, Some(7L), false),
+      (9L, Some(7L), false)))
+  }
+
+  test("ivfCellStats reports exact counts and quantized-mean distances") {
+    val centroids = Seq(Seq(1.0, 0.0, 0.0), Seq(0.0, 1.0, 1.0))
+    val got = Similarity.ivfCellStats(vecs, centroids)
+      .orderBy("cell")
+      .select("cell", "n_vecs", "mean_d2", "min_d2", "max_d2")
+      .as[(Long, Long, Double, Double, Double)].collect().toSeq
+    assert(got.map(g => (g._1, g._2)) == Seq((1L, 2L), (2L, 3L)))
+    // cell 1: d2 ∈ {0, 0.02} → mean 0.01; quantization error < 2^-20
+    assert(math.abs(got.head._3 - 0.01) < 1e-5)
+    assert(got.head._4 == 0.0 && math.abs(got.head._5 - 0.02) < 1e-9)
+    // partitioning-invariant: same result from a different layout
+    val re = Similarity.ivfCellStats(vecs.repartition(7), centroids)
+      .orderBy("cell")
+      .select("cell", "n_vecs", "mean_d2", "min_d2", "max_d2")
+      .as[(Long, Long, Double, Double, Double)].collect().toSeq
+    assert(re == got)
+  }
 }

@@ -262,6 +262,47 @@ class SurfacePlanSpec extends SparkSpec {
       s"rank filter lost its partial top-k:\n${s.take(600)}")
   }
 
+  test("q97 semDedup: cell join is a hash equi-join over the CACHED " +
+    "assignment (one corpus scan), dup rollup partial-aggregates") {
+    val plan = physical(run("q97_semantic_dedup"))
+    val s = plan.toString
+    assert(!s.contains("CartesianProduct") && !s.contains("NestedLoop"),
+      "within-cell candidates must come from a hash equi-join on cell")
+    // the min-id canonical pick must map-side combine before its exchange
+    assert(s.contains("partial_min"),
+      s"dup rollup lost its partial aggregate:\n${s.take(800)}")
+    // the assignment (scan + k×dim distance transform) computes ONCE and
+    // feeds all three consumers from cache
+    assert(s.contains("InMemoryTableScan"),
+      "cell assignment must be persisted, not recomputed per consumer")
+  }
+
+  test("q98 unigram CE: one-row corpus total broadcasts, the per-doc sum " +
+    "is a sorted fold (no window pass), tf computes once from cache") {
+    val plan = physical(run("q98_unigram_ce"))
+    val s = plan.toString
+    assert(!s.contains("CartesianProduct"),
+      "corpus-total side must broadcast, never a shuffled cartesian")
+    assert(s.contains("BroadcastNestedLoopJoin"),
+      s"one-row total must broadcast:\n${s.take(600)}")
+    assert(plan.collect { case w: WindowExec => w }.isEmpty,
+      "per-doc fold must not plan as a window pass")
+    assert(s.contains("InMemoryTableScan"),
+      "tf must be persisted, not re-tokenized per consumer")
+  }
+
+  test("q99 ivf cell stats: join-free single-scan aggregation with " +
+    "map-side partials") {
+    val qe = run("q99_ivf_cell_stats").queryExecution
+    assert(qe.optimizedPlan.collect { case j: Join => j }.isEmpty,
+      "cell stats must not join anything")
+    val s = physical(run("q99_ivf_cell_stats")).toString
+    assert(s.contains("partial_count") || s.contains("count#"),
+      s"aggregation lost its partial phase:\n${s.take(600)}")
+    assert(qe.optimizedPlan.collectLeaves().size == 1,
+      "cell stats must read the corpus exactly once")
+  }
+
   test("q51/q52: no nested-loop join in the auto range join; unpivot " +
     "is a zero-shuffle Expand") {
     val rj = physical(run("q51_range_join_auto")).toString
