@@ -535,4 +535,61 @@ object Curation {
         floor(col("n_tokens").cast("double") * rate).cast("long")
           .as("expected_tokens"))
   }
+
+  /** Temperature-based mixture plan — the multilingual/multi-domain
+    * sampling recipe (mBERT/XLM-R exponential smoothing): tempered
+    * target shares q_i = p_i^α / Σ_j p_j^α, downsampling rate
+    * min(1, q_i/p_i). α = 1 keeps natural shares (all rates 1); α = 0
+    * flattens to uniform and reduces EXACTLY to [[mixturePlan]] (same
+    * float shapes — spec-pinned); α = 0.5 is the standard
+    * square-root-sampling middle ground.
+    *
+    * Scale/determinism: same single bounded window pass over the
+    * |sources|-row rollup as [[mixturePlanFromInventory]] — but the
+    * normalizer Σ p^α sums DOUBLES, whose accumulation order a plain
+    * window sum doesn't fix, so each p^α quantizes to a fixed-point
+    * long (×2^40 — shares are ≤ 1, and ≤ ~10^6 sources stay far from
+    * long overflow) and the order-free long sum becomes the
+    * denominator. α = 0.5 uses sqrt (IEEE-correctly-rounded in every
+    * engine — the oracle-parity path); other α go through pow, which
+    * is deterministic within Spark but only ~1-ulp reproducible across
+    * engines.
+    */
+  def mixturePlanTemperature(df: DataFrame, sourceCol: String,
+                             tokenCount: Column,
+                             alpha: Double = 0.5): DataFrame =
+    mixturePlanTemperatureFromInventory(
+      df.groupBy(col(sourceCol))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(tokenCount.cast("long")).as("n_tokens")),
+      sourceCol, alpha)
+
+  /** [[mixturePlanTemperature]] over an already-aggregated per-source
+    * inventory (`sourceCol`, n_docs, n_tokens). */
+  def mixturePlanTemperatureFromInventory(perSource: DataFrame,
+                                          sourceCol: String,
+                                          alpha: Double = 0.5): DataFrame = {
+    require(alpha >= 0.0 && alpha <= 1.0, "alpha in [0, 1]")
+    val w = Window.partitionBy()
+    val totalTokens = sum(col("n_tokens")).over(w)
+    val p = col("n_tokens").cast("double") / totalTokens.cast("double")
+    val pa = alpha match {
+      case 0.0 => lit(1.0)
+      case 0.5 => sqrt(p)
+      case 1.0 => p
+      case a => pow(p, lit(a))
+    }
+    val quant = lit(1099511627776.0) // 2^40
+    val denom =
+      sum(round(pa * quant).cast("long")).over(w).cast("double") / quant
+    val q = pa / denom
+    val rate = least(lit(1d), q / p)
+    perSource
+      .select(col(sourceCol), col("n_docs"), col("n_tokens"),
+        round(p, 6).as("actual_share"),
+        round(q, 6).as("target_share"),
+        round(rate, 6).as("sample_rate"),
+        floor(col("n_tokens").cast("double") * rate).cast("long")
+          .as("expected_tokens"))
+  }
 }

@@ -187,6 +187,40 @@ object CurationQueries {
        |ORDER BY source""".stripMargin
   }
 
+  // --------------------------------------------------------------- q100
+  // Temperature mixture plan (α = 0.5 square-root sampling — the
+  // mBERT/XLM-R recipe). sqrt is IEEE-correctly-rounded in both engines
+  // (unlike pow), and the Σ p^α normalizer sums ×2^40 fixed-point longs
+  // so the window accumulation order cannot perturb the result.
+  private def q100(s: SparkSession, dir: String): DataFrame =
+    Curation.mixturePlanTemperature(Tables.documents(s, dir), "source",
+        TextAnalysis.tokenCount(col("text")), alpha = 0.5)
+      .orderBy(col("source"))
+
+  private val q100Sql = {
+    val p = "CAST(n_tokens AS DOUBLE) / CAST(total_tokens AS DOUBLE)"
+    val q = s"(sqrt($p) / denom)"
+    val rate = s"least(1.0, $q / ($p))"
+    s"""WITH per AS (
+       |  SELECT source, count(*) AS n_docs,
+       |    sum(len($toksSql)) AS n_tokens
+       |  FROM documents GROUP BY 1),
+       |tot AS (SELECT sum(n_tokens) AS total_tokens FROM per),
+       |d AS (
+       |  SELECT per.*, total_tokens,
+       |    CAST(sum(CAST(round(sqrt($p) * 1099511627776.0) AS BIGINT))
+       |        OVER () AS DOUBLE) / 1099511627776.0 AS denom
+       |  FROM per CROSS JOIN tot)
+       |SELECT source, n_docs, CAST(n_tokens AS BIGINT) AS n_tokens,
+       |  round($p, 6) AS actual_share,
+       |  round($q, 6) AS target_share,
+       |  round($rate, 6) AS sample_rate,
+       |  CAST(floor(CAST(n_tokens AS DOUBLE) * ($rate)) AS BIGINT)
+       |    AS expected_tokens
+       |FROM d
+       |ORDER BY source""".stripMargin
+  }
+
   // ---------------------------------------------------------------- q85
   // Sequence packing: concatenate docs in md5 order within 16 hash
   // groups, split at 512-token context boundaries; each doc reports its
@@ -562,6 +596,7 @@ object CurationQueries {
     "q82_incremental_dedup" -> (q82 _),
     "q83_quota_sample" -> (q83 _),
     "q84_mixture_plan" -> (q84 _),
+    "q100_mixture_temperature" -> (q100 _),
     "q85_sequence_pack" -> (q85 _),
     "q86_mixture_sample" -> (q86 _),
     "q87_vocabulary" -> (q87 _),
@@ -579,6 +614,7 @@ object CurationQueries {
     "q82_incremental_dedup" -> q82Sql,
     "q83_quota_sample" -> q83Sql,
     "q84_mixture_plan" -> q84Sql,
+    "q100_mixture_temperature" -> q100Sql,
     "q85_sequence_pack" -> q85Sql,
     "q86_mixture_sample" -> q86Sql,
     "q87_vocabulary" -> q87Sql,

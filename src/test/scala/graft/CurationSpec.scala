@@ -308,6 +308,32 @@ class CurationSpec extends SparkSpec {
     assert(b._6 == math.floor(26.0 * (0.5 / (26.0 / 42))).toLong)
   }
 
+  test("mixturePlanTemperature: α=0 reduces exactly to mixturePlan, " +
+    "α=1 keeps natural shares, α=0.5 lands between") {
+    val tc = TextAnalysis.tokenCount(col("text"))
+    def plan(alpha: Double) =
+      Curation.mixturePlanTemperature(docs, "source", tc, alpha)
+        .orderBy("source").collect().toSeq
+    // α = 0 → uniform targets, bit-identical to the q84 plan
+    assert(plan(0.0) ==
+      Curation.mixturePlan(docs, "source", tc).orderBy("source")
+        .collect().toSeq)
+    // α = 1 → natural shares: every rate is 1, target == actual
+    val nat = plan(1.0)
+    assert(nat.forall(r => r.getDouble(5) == 1.0))
+    assert(nat.forall(r => r.getDouble(3) == r.getDouble(4)))
+    // α = 0.5: over-represented sources keep MORE than under uniform
+    // (temperature softens, never inverts, the ordering), rates ≤ 1
+    val half = plan(0.5); val flat = plan(0.0)
+    assert(half.forall(r => r.getDouble(5) <= 1.0))
+    val overRep = half.zip(flat).filter(_._2.getDouble(5) < 1.0)
+    assert(overRep.nonEmpty)
+    overRep.foreach { case (h, f) =>
+      assert(h.getDouble(5) >= f.getDouble(5),
+        s"α=0.5 rate below uniform rate for ${h.getString(0)}")
+    }
+  }
+
   test("unigramCrossEntropy matches the hand-computed corpus LM") {
     val tiny = Seq((1L, "a a b"), (2L, "b c")).toDF("doc_id", "text")
     val got = Curation.unigramCrossEntropy(tiny, "doc_id", "text")

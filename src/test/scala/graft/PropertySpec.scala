@@ -329,4 +329,80 @@ class PropertySpec extends SparkSpec {
       assert(native == lambda, s"n=$n")
     }
   }
+
+  test("semDedup invariants on random vectors: totality, canonical " +
+    "order, survivor separation, chain termination, determinism") {
+    val vecGen = Gen.listOfN(4, Gen.chooseNum(-10.0, 10.0).map(_.toFloat))
+    val vecs = sample(vecGen, 80).zipWithIndex
+      .map { case (v, i) => (i.toLong, v) }
+    val df = vecs.toDF("vec_id", "embedding")
+    val centroids = Seq(Seq(5.0, 0.0, 0.0, 0.0), Seq(-5.0, 5.0, 0.0, 0.0),
+      Seq(0.0, -5.0, 5.0, 0.0))
+    val tau = 0.8
+    val out = graft.operators.Similarity.semDedup(df, centroids, tau)
+      .select("vec_id", "cell", "dup_of", "kept")
+      .as[(Long, Long, Option[Long], Boolean)].collect().toSeq
+    // totality: one verdict per input; kept ⟺ no canonical pointer
+    assert(out.map(_._1).sorted == vecs.map(_._1))
+    assert(out.forall(r => r._4 == r._3.isEmpty))
+    // the canonical pointer always goes DOWN in id (well-founded chains)
+    assert(out.forall(r => r._3.forall(_ < r._1)))
+    val byId = out.map(r => r._1 -> r).toMap
+    // following dup_of pointers terminates at a kept representative
+    out.filter(!_._4).foreach { r =>
+      var cur = r
+      while (cur._3.isDefined) cur = byId(cur._3.get)
+      assert(cur._4, s"chain from ${r._1} ended unkept at ${cur._1}")
+    }
+    // two survivors in the same cell never clear the threshold — else
+    // the higher id would have been flagged
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      val ad = a.map(_.toDouble); val bd = b.map(_.toDouble)
+      val dot = ad.zip(bd).map { case (x, y) => x * y }.sum
+      dot / (math.sqrt(ad.map(x => x * x).sum) *
+        math.sqrt(bd.map(x => x * x).sum))
+    }
+    val vecById = vecs.toMap
+    val kept = out.filter(_._4)
+    for {
+      Seq(a, b) <- kept.groupBy(_._2).values.flatMap(_.combinations(2))
+    } assert(math.rint(cos(vecById(a._1), vecById(b._1)) * 1e6) / 1e6 < tau,
+      s"survivors ${a._1},${b._1} in cell ${a._2} are near-dups")
+    // deterministic under a different partitioning
+    val re = graft.operators.Similarity
+      .semDedup(df.repartition(11), centroids, tau)
+      .select("vec_id", "cell", "dup_of", "kept")
+      .as[(Long, Long, Option[Long], Boolean)].collect().toSeq
+    assert(re.sortBy(_._1) == out.sortBy(_._1))
+  }
+
+  test("unigram cross-entropy invariants: bounds and the exact corpus-" +
+    "entropy decomposition") {
+    val wordGen = Gen.oneOf("aa", "bb", "cc", "dd", "ee", "ff", "gg", "hh")
+    val textGen = Gen.chooseNum(1, 12).flatMap(n =>
+      Gen.listOfN(n, wordGen).map(_.mkString(" ")))
+    val docs = sample(textGen, 200).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val out = graft.operators.Curation
+      .unigramCrossEntropy(docs, "doc_id", "text")
+      .select("id", "n_tokens", "n_terms", "ce")
+      .as[(Long, Int, Long, Double)].collect().toSeq
+    assert(out.size == 200)
+    // distinct terms never exceed tokens; ce ∈ [0, ln T] (p ∈ [1/T, 1])
+    val bigT = out.map(_._2.toLong).sum
+    assert(out.forall(r => r._3 <= r._2))
+    assert(out.forall(r => r._4 >= 0.0 && r._4 <= math.log(bigT.toDouble)))
+    // token-weighted mean of per-doc ce decomposes to the corpus
+    // unigram entropy: Σ dl·ce / T = -Σ_t (cf/T)·ln(cf/T)
+    val counts = docs.select(explode(
+        graft.functions.TextAnalysis.tokens(col("text"))))
+      .as[String].collect().groupBy(w => w).map(_._2.length.toLong)
+    val corpusH = -counts.map { c =>
+      val p = c.toDouble / bigT; p * math.log(p)
+    }.sum
+    val weighted = out.map(r => r._2.toDouble * r._4).sum / bigT
+    // per-doc ce is rounded to 1e-6, so the identity holds to ~1e-6
+    assert(math.abs(weighted - corpusH) < 1e-5,
+      s"decomposition off: $weighted vs $corpusH")
+  }
 }
