@@ -119,15 +119,23 @@ case class SortedIntersectCount(left: Expression, right: Expression)
   override protected def doGenCode(ctx: CodegenContext,
                                    ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (x, y) => {
+      // Every local must go through ctx.freshName: nullSafeCodeGen splices
+      // this body into the enclosing whole-stage-codegen method scope when
+      // inputs are non-nullable, and Java forbids redeclaring a method
+      // local — two kernels in one collapsed projection would otherwise
+      // Janino-fail the stage into interpreted mode.
+      val i = ctx.freshName("i"); val j = ctx.freshName("j")
+      val c = ctx.freshName("c"); val nx = ctx.freshName("nx")
+      val ny = ctx.freshName("ny"); val cmp = ctx.freshName("cmp")
       s"""
-         |int i = 0, j = 0, c = 0;
-         |int nx = $x.numElements(), ny = $y.numElements();
-         |while (i < nx && j < ny) {
-         |  int cmp = $x.getUTF8String(i).compareTo($y.getUTF8String(j));
-         |  if (cmp == 0) { c++; i++; j++; }
-         |  else if (cmp < 0) { i++; } else { j++; }
+         |int $i = 0, $j = 0, $c = 0;
+         |int $nx = $x.numElements(), $ny = $y.numElements();
+         |while ($i < $nx && $j < $ny) {
+         |  int $cmp = $x.getUTF8String($i).compareTo($y.getUTF8String($j));
+         |  if ($cmp == 0) { $c++; $i++; $j++; }
+         |  else if ($cmp < 0) { $i++; } else { $j++; }
          |}
-         |${ev.value} = c;
+         |${ev.value} = $c;
        """.stripMargin
     })
 
@@ -185,22 +193,26 @@ case class MinHashArray(child: Expression, k: Int)
   override protected def doGenCode(ctx: CodegenContext,
                                    ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c => {
-      val mins = ctx.freshName("mins")
+      // freshName every local (incl. loop headers) — see SortedIntersectCount.
+      val mins = ctx.freshName("mins"); val n = ctx.freshName("n")
+      val e = ctx.freshName("e"); val s = ctx.freshName("s")
+      val h1 = ctx.freshName("h1"); val h2 = ctx.freshName("h2")
+      val i = ctx.freshName("i"); val h = ctx.freshName("h")
       s"""
          |long[] $mins = new long[$k];
          |java.util.Arrays.fill($mins, Long.MAX_VALUE);
-         |int n = $c.numElements();
-         |for (int e = 0; e < n; e++) {
-         |  org.apache.spark.unsafe.types.UTF8String s = $c.getUTF8String(e);
-         |  long h1 = org.apache.spark.unsafe.hash.Murmur3_x86_32
-         |    .hashUnsafeBytes(s.getBaseObject(), s.getBaseOffset(),
-         |      s.numBytes(), 42) & 0xffffffffL;
-         |  long h2 = org.apache.spark.unsafe.hash.Murmur3_x86_32
-         |    .hashUnsafeBytes(s.getBaseObject(), s.getBaseOffset(),
-         |      s.numBytes(), 1337) & 0xffffffffL;
-         |  for (int i = 0; i < $k; i++) {
-         |    long h = (h1 + i * h2) % ${MinHashP}L;
-         |    if (h < $mins[i]) $mins[i] = h;
+         |int $n = $c.numElements();
+         |for (int $e = 0; $e < $n; $e++) {
+         |  org.apache.spark.unsafe.types.UTF8String $s = $c.getUTF8String($e);
+         |  long $h1 = org.apache.spark.unsafe.hash.Murmur3_x86_32
+         |    .hashUnsafeBytes($s.getBaseObject(), $s.getBaseOffset(),
+         |      $s.numBytes(), 42) & 0xffffffffL;
+         |  long $h2 = org.apache.spark.unsafe.hash.Murmur3_x86_32
+         |    .hashUnsafeBytes($s.getBaseObject(), $s.getBaseOffset(),
+         |      $s.numBytes(), 1337) & 0xffffffffL;
+         |  for (int $i = 0; $i < $k; $i++) {
+         |    long $h = ($h1 + $i * $h2) % ${MinHashP}L;
+         |    if ($h < $mins[$i]) $mins[$i] = $h;
          |  }
          |}
          |${ev.value} =
@@ -252,16 +264,21 @@ case class SortedLongIntersectCount(left: Expression, right: Expression)
   override protected def doGenCode(ctx: CodegenContext,
                                    ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (x, y) => {
+      // freshName every local — see SortedIntersectCount.
+      val i = ctx.freshName("i"); val j = ctx.freshName("j")
+      val c = ctx.freshName("c"); val nx = ctx.freshName("nx")
+      val ny = ctx.freshName("ny"); val xv = ctx.freshName("xv")
+      val yv = ctx.freshName("yv")
       s"""
-         |int i = 0, j = 0, c = 0;
-         |int nx = $x.numElements(), ny = $y.numElements();
-         |while (i < nx && j < ny) {
-         |  long xv = $x.getLong(i);
-         |  long yv = $y.getLong(j);
-         |  if (xv == yv) { c++; i++; j++; }
-         |  else if (xv < yv) { i++; } else { j++; }
+         |int $i = 0, $j = 0, $c = 0;
+         |int $nx = $x.numElements(), $ny = $y.numElements();
+         |while ($i < $nx && $j < $ny) {
+         |  long $xv = $x.getLong($i);
+         |  long $yv = $y.getLong($j);
+         |  if ($xv == $yv) { $c++; $i++; $j++; }
+         |  else if ($xv < $yv) { $i++; } else { $j++; }
          |}
-         |${ev.value} = c;
+         |${ev.value} = $c;
        """.stripMargin
     })
 
@@ -308,20 +325,24 @@ case class MinHashLongArray(child: Expression, k: Int)
   override protected def doGenCode(ctx: CodegenContext,
                                    ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c => {
-      val mins = ctx.freshName("mins")
+      // freshName every local — see SortedIntersectCount.
+      val mins = ctx.freshName("mins"); val n = ctx.freshName("n")
+      val e = ctx.freshName("e"); val v = ctx.freshName("v")
+      val h1 = ctx.freshName("h1"); val h2 = ctx.freshName("h2")
+      val i = ctx.freshName("i"); val h = ctx.freshName("h")
       s"""
          |long[] $mins = new long[$k];
          |java.util.Arrays.fill($mins, Long.MAX_VALUE);
-         |int n = $c.numElements();
-         |for (int e = 0; e < n; e++) {
-         |  long v = $c.getLong(e);
-         |  long h1 = org.apache.spark.unsafe.hash.Murmur3_x86_32
-         |    .hashLong(v, 42) & 0xffffffffL;
-         |  long h2 = org.apache.spark.unsafe.hash.Murmur3_x86_32
-         |    .hashLong(v, 1337) & 0xffffffffL;
-         |  for (int i = 0; i < $k; i++) {
-         |    long h = (h1 + i * h2) % ${MinHashP}L;
-         |    if (h < $mins[i]) $mins[i] = h;
+         |int $n = $c.numElements();
+         |for (int $e = 0; $e < $n; $e++) {
+         |  long $v = $c.getLong($e);
+         |  long $h1 = org.apache.spark.unsafe.hash.Murmur3_x86_32
+         |    .hashLong($v, 42) & 0xffffffffL;
+         |  long $h2 = org.apache.spark.unsafe.hash.Murmur3_x86_32
+         |    .hashLong($v, 1337) & 0xffffffffL;
+         |  for (int $i = 0; $i < $k; $i++) {
+         |    long $h = ($h1 + $i * $h2) % ${MinHashP}L;
+         |    if ($h < $mins[$i]) $mins[$i] = $h;
          |  }
          |}
          |${ev.value} =
@@ -447,20 +468,25 @@ case class JoinTokensExceptSorted(left: Expression, right: Expression)
                                    ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (toks, cov) => {
       val u = "org.apache.spark.unsafe.types.UTF8String"
+      // freshName every local — see SortedIntersectCount.
+      val n = ctx.freshName("n"); val m = ctx.freshName("m")
+      val kept = ctx.freshName("kept"); val kn = ctx.freshName("kn")
+      val ci = ctx.freshName("ci"); val i = ctx.freshName("i")
+      val p = ctx.freshName("p")
       s"""
-         |int n = $toks.numElements();
-         |int m = $cov.numElements();
-         |$u[] kept = new $u[n];
-         |int kn = 0, ci = 0;
-         |for (int i = 0; i < n; i++) {
-         |  long p = (long) (i + 1);
-         |  while (ci < m && $cov.getLong(ci) < p) { ci++; }
-         |  if (!(ci < m && $cov.getLong(ci) == p)) {
-         |    kept[kn++] = $toks.getUTF8String(i);
+         |int $n = $toks.numElements();
+         |int $m = $cov.numElements();
+         |$u[] $kept = new $u[$n];
+         |int $kn = 0, $ci = 0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  long $p = (long) ($i + 1);
+         |  while ($ci < $m && $cov.getLong($ci) < $p) { $ci++; }
+         |  if (!($ci < $m && $cov.getLong($ci) == $p)) {
+         |    $kept[$kn++] = $toks.getUTF8String($i);
          |  }
          |}
          |${ev.value} = $u.concatWs($u.fromString(" "),
-         |  java.util.Arrays.copyOf(kept, kn));
+         |  java.util.Arrays.copyOf($kept, $kn));
        """.stripMargin
     })
 
@@ -505,14 +531,17 @@ case class SortedLastLeq(left: Expression, right: Expression)
   override protected def doGenCode(ctx: CodegenContext,
                                    ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, t) => {
+      // freshName every local — see SortedIntersectCount.
+      val lo = ctx.freshName("lo"); val hi = ctx.freshName("hi")
+      val ans = ctx.freshName("ans"); val mid = ctx.freshName("mid")
       s"""
-         |int lo = 0, hi = $a.numElements() - 1, ans = -1;
-         |while (lo <= hi) {
-         |  int mid = (lo + hi) >>> 1;
-         |  if ($a.getLong(mid) <= $t) { ans = mid; lo = mid + 1; }
-         |  else { hi = mid - 1; }
+         |int $lo = 0, $hi = $a.numElements() - 1, $ans = -1;
+         |while ($lo <= $hi) {
+         |  int $mid = ($lo + $hi) >>> 1;
+         |  if ($a.getLong($mid) <= $t) { $ans = $mid; $lo = $mid + 1; }
+         |  else { $hi = $mid - 1; }
          |}
-         |${ev.value} = ans;
+         |${ev.value} = $ans;
        """.stripMargin
     })
 

@@ -53,8 +53,8 @@ abstract class VectorFoldExpression extends BinaryExpression
 
   /** Scalar combine step (interpreted path). */
   protected def combine(x: Double, y: Double): Double
-  /** Java source for the combine step over variables `xi`, `yi`. */
-  protected def combineCode: String
+  /** Java source for the combine step over the given element variables. */
+  protected def combineCode(xi: String, yi: String): String
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
@@ -72,15 +72,22 @@ abstract class VectorFoldExpression extends BinaryExpression
   override protected def doGenCode(ctx: CodegenContext,
                                    ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (x, y) => {
+      // freshName every local: when inputs are non-nullable this body is
+      // spliced into the enclosing method scope, and raw `n`/`i` collide
+      // with a sibling kernel's locals (Janino redefinition → the whole
+      // stage silently falls back to interpreted eval).
+      val n = ctx.freshName("n"); val acc = ctx.freshName("acc")
+      val i = ctx.freshName("i"); val xi = ctx.freshName("xi")
+      val yi = ctx.freshName("yi")
       s"""
-         |int n = java.lang.Math.min($x.numElements(), $y.numElements());
-         |double acc = 0.0;
-         |for (int i = 0; i < n; i++) {
-         |  double xi = $x.getDouble(i);
-         |  double yi = $y.getDouble(i);
-         |  acc += $combineCode;
+         |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $xi = $x.getDouble($i);
+         |  double $yi = $y.getDouble($i);
+         |  $acc += ${combineCode(xi, yi)};
          |}
-         |${ev.value} = acc;
+         |${ev.value} = $acc;
        """.stripMargin
     })
 }
@@ -91,7 +98,8 @@ abstract class VectorFoldExpression extends BinaryExpression
 case class DotProduct(left: Expression, right: Expression)
     extends VectorFoldExpression {
   override protected def combine(x: Double, y: Double): Double = x * y
-  override protected def combineCode: String = "xi * yi"
+  override protected def combineCode(xi: String, yi: String): String =
+    s"$xi * $yi"
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)
@@ -103,7 +111,8 @@ case class L2SquaredDistance(left: Expression, right: Expression)
     extends VectorFoldExpression {
   override protected def combine(x: Double, y: Double): Double =
     (x - y) * (x - y)
-  override protected def combineCode: String = "(xi - yi) * (xi - yi)"
+  override protected def combineCode(xi: String, yi: String): String =
+    s"($xi - $yi) * ($xi - $yi)"
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)
