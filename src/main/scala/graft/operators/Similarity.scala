@@ -210,8 +210,12 @@ object Similarity {
       .withColumn("cell",
         array_position(col("_dists"), array_min(col("_dists"))))
       .groupBy(col("cell"))
+      // decimal(38,0) accumulator: the per-row quantized d2 can reach
+      // ~1e18 (d2 ~1e12 × 2^20), so a long sum would wrap silently after
+      // ~10 rows at that magnitude; 38 digits cover ~1e19 rows of it
       .agg(count(lit(1)).as("n_vecs"),
-        sum(round(col("_d2") * lit(1048576.0)).cast("long")).as("_qs"),
+        sum(round(col("_d2") * lit(1048576.0)).cast("decimal(38,0)"))
+          .as("_qs"),
         round(min(col("_d2")), 6).as("min_d2"),
         round(max(col("_d2")), 6).as("max_d2"))
       .withColumn("mean_d2", round(
@@ -327,11 +331,17 @@ object Similarity {
     }
     val chosen = scala.collection.mutable.ArrayBuffer(
       w.indices.maxBy(i => (w(i), -i.toDouble)))
+    val chosenSet = scala.collection.mutable.BitSet(chosen.head)
     val minD2 = scala.collection.mutable.ArrayBuffer.tabulate(cand.size)(
       i => l2sqLocal(cand(i), cand(chosen.head)))
     while (chosen.size < k) {
-      val next = cand.indices.maxBy(i => (w(i) * minD2(i), -i.toDouble))
+      // only unchosen candidates are eligible: when every remaining
+      // product w·d² is 0 (e.g. zero-weight candidates), an unrestricted
+      // argmax would re-select index 0 and emit duplicate centroids
+      val next = cand.indices.filterNot(chosenSet)
+        .maxBy(i => (w(i) * minD2(i), w(i), -i.toDouble))
       chosen += next
+      chosenSet += next
       cand.indices.foreach { i =>
         minD2(i) = math.min(minD2(i), l2sqLocal(cand(i), cand(next)))
       }

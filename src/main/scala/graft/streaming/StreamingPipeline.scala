@@ -361,9 +361,16 @@ object StreamingPipeline {
         (stratum: String, rows: Iterator[SampleIn],
          state: GroupState[ReservoirState]) =>
           val prev = state.getOption.getOrElse(ReservoirState(Nil, 0L))
+          // one entry per docId: a re-delivery with a DIFFERENT weight
+          // yields a different race key, and a tuple-level distinct would
+          // keep both (the same doc twice in the top-k). Keep the
+          // smallest key per doc — the doc's best draw ever seen.
           val merged = (prev.entries.iterator ++ rows.map(r =>
               (weightedKey(r.docId, r.weight), "", r.docId)))
-            .toList.distinct
+            .toList
+            .groupBy { case (_, _, id) => id }
+            .valuesIterator.map(_.minBy { case (key, _, _) => key })
+            .toList
             .sortBy { case (key, _, id) => (key, id) }
             .take(k)
           val version = prev.version + 1

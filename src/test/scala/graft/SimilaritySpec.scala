@@ -220,4 +220,31 @@ class SimilaritySpec extends SparkSpec {
       .as[(Long, Long, Double, Double, Double)].collect().toSeq
     assert(re == got)
   }
+
+  test("ivfCellStats mean survives huge distances (no long wrap)") {
+    // d2 = (1e6)² = 1e12 per row → quantized ≈ 1.05e18; 20 rows sum to
+    // ~2.1e19 > Long.MaxValue — a long accumulator wraps negative
+    val big = (0 until 20).map(i => (i.toLong, Seq(1e6.toFloat, 0f)))
+      .toDF("vec_id", "embedding")
+    val (n, mean) = Similarity.ivfCellStats(big, Seq(Seq(0.0, 0.0)))
+      .select("n_vecs", "mean_d2").as[(Long, Double)].head()
+    assert(n == 20L)
+    assert(mean > 0.0 && math.abs(mean / 1e12 - 1.0) < 1e-6,
+      s"mean_d2 wrapped or drifted: $mean")
+  }
+
+  test("kmeans|| never returns duplicate seeds") {
+    // zero-weight candidates make the greedy products w·d² vanish; the
+    // argmax must then still pick among UNCHOSEN candidates only
+    val r = new scala.util.Random(7)
+    val dense = (0 until 60).map(i =>
+      (i.toLong, Seq(0.0, 0.0).map(x => (x + 0.05 * r.nextGaussian()).toFloat)))
+    val far = (0 until 3).map(i => (500L + i, Seq(40.0f + i, 40.0f)))
+    val df = (dense ++ far).toDF("vec_id", "embedding")
+    for (k <- Seq(2, 4, 6, 8)) {
+      val seeds = Similarity.kmeansParallelSeeds(df, k = k, iters = 4)
+      assert(seeds.size == seeds.distinct.size,
+        s"k=$k returned duplicate centroids")
+    }
+  }
 }

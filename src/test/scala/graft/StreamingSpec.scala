@@ -326,6 +326,34 @@ class StreamingSpec extends SparkSpec {
     assert(latest.map(_._2).intersect(Set(3L, 12L)).isEmpty)
   }
 
+  test("weighted sampling keeps one entry per doc on re-delivery with a " +
+    "different weight") {
+    import graft.streaming.StreamingPipeline.{SampleIn, WeightedSampleOut}
+    implicit val sqlCtx = spark.sqlContext
+    val chk = Files.createTempDirectory("graft-wsdup-chk").toString
+    val mem = MemoryStream[SampleIn]
+    val q = StreamingPipeline.weightedSampleStream(mem.toDS(), k = 2)
+      .writeStream.format("memory").queryName("wsdup")
+      .outputMode("update").option("checkpointLocation", chk).start()
+    // doc 1 arrives twice with different weights — its two race keys both
+    // beat doc 2's (weight 0.01 → huge key), so a tuple-level distinct
+    // would fill the whole top-2 with doc 1
+    mem.addData(SampleIn("en", 1L, 4.0), SampleIn("en", 2L, 0.01))
+    q.processAllAvailable()
+    mem.addData(SampleIn("en", 1L, 100.0))
+    q.processAllAvailable()
+    q.stop()
+    val emitted = spark.table("wsdup").as[WeightedSampleOut].collect()
+    val v = emitted.map(_.version).max
+    val latest = emitted.filter(_.version == v)
+    assert(latest.map(_.doc_id).sorted.toSeq == Seq(1L, 2L))
+    // doc 1 carries its SMALLEST key — the weight-100 draw
+    val k1 = latest.find(_.doc_id == 1L).get.sample_key
+    val want = BigDecimal(StreamingPipeline.weightedKey(1L, 100.0))
+      .setScale(6, scala.math.BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(k1 == want)
+  }
+
   test("streaming quota sampling replays the batch q83 draw over " +
     "everything seen so far") {
     import graft.operators.Curation
