@@ -52,8 +52,38 @@ object Bench {
     try new String(Files.readAllBytes(Paths.get(path)), StandardCharsets.UTF_8).trim
     catch { case _: Throwable => "" }
 
+  /** Pre-flight co-tenant gate: the r5 round artifact started at 1-min
+    * load 3.78 and self-flagged 8 suspects — numbers the retry machinery
+    * could only LABEL as noise, not avoid. This waits (bounded) for the
+    * box to go quiet BEFORE any timing, so driver artifacts are clean by
+    * construction. Returns the JSON fragment recorded as "preflight".
+    */
+  private def preflightGate(): String = {
+    val threshold = sys.env.getOrElse("SPARK_GRAFT_PREFLIGHT_LOAD", "2.0").toDouble
+    val maxWaitSec = sys.env.getOrElse("SPARK_GRAFT_PREFLIGHT_WAIT", "300").toInt
+    def load1: Double =
+      proc1("/proc/loadavg").split("\\s+").headOption
+        .flatMap(s => scala.util.Try(s.toDouble).toOption).getOrElse(0.0)
+    val startLoad = load1
+    var waited = 0
+    if (threshold > 0) {
+      while (load1 > threshold && waited < maxWaitSec) {
+        if (waited == 0) System.err.println(
+          f"[bench] preflight: 1-min load $startLoad%.2f > $threshold%.1f — waiting (max ${maxWaitSec}s)")
+        Thread.sleep(5000)
+        waited += 5
+      }
+    }
+    val endLoad = load1
+    val clean = threshold <= 0 || endLoad <= threshold
+    if (!clean) System.err.println(
+      f"[bench] preflight: still loaded ($endLoad%.2f) after ${waited}s — proceeding, numbers may be noisy")
+    s"""{"threshold":$threshold,"load_initial":$startLoad,"load_after_wait":$endLoad,"waited_sec":$waited,"clean":$clean}"""
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val preflight = preflightGate()
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -146,7 +176,7 @@ object Bench {
     val total = if (results.nonEmpty) results.map(_._2).filterNot(_.isNaN).sum else 0.0
     val retriedJson = retried.reverse.map(jstr).mkString("[", ",", "]")
     val suspectJson = suspect.reverse.map(jstr).mkString("[", ",", "]")
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir","loadavg_start":${jstr(loadStart)},"loadavg_end":${jstr(loadEnd)},"uptime":${jstr(uptime)},"retried":$retriedJson,"suspect":$suspectJson}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir","loadavg_start":${jstr(loadStart)},"loadavg_end":${jstr(loadEnd)},"uptime":${jstr(uptime)},"preflight":$preflight,"retried":$retriedJson,"suspect":$suspectJson}"""
     println(line)
     // self-contained artifact: the driver's tail-capture truncated r2's JSON;
     // this file always holds the complete line.

@@ -106,11 +106,19 @@ object TextAnalysis {
 
   /** [[shingles]] over an existing token-array column (or expression —
     * prefer projecting the tokens into a column first, see above).
+    *
+    * Built as array_join(slice(...)) rather than
+    * concat_ws(element_at...): Spark's ConcatWs codegen miscompiles
+    * inside a higher-order-function lambda (the generated call passes
+    * `Object[]` where `UTF8String.concatWs` wants `UTF8String[]`),
+    * and the whole projection silently falls back to interpreted eval —
+    * observed on every span-removal query before the rewrite. The two
+    * forms produce identical strings on non-null tokens.
     */
   def shinglesOfTokens(toks: Column, n: Int): Column =
     when(size(toks) < n, array().cast("array<string>")).otherwise(
       transform(sequence(lit(0), size(toks) - n),
-        i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + j + 1)): _*)))
+        i => array_join(slice(toks, i + 1, lit(n)), " ")))
 
   /** PII masking patterns, applied in order (emails first so their digit
     * runs can't be half-eaten by the numeric patterns; SSN before card

@@ -177,7 +177,29 @@ object Curation {
   def topTfidfTerm(df: DataFrame, idCol: String, textCol: String,
                    tfStorage: org.apache.spark.storage.StorageLevel =
                      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      : DataFrame = {
+      : DataFrame =
+    topTfidfTermBuild(df, idCol, textCol, tfStorage)._1
+
+  /** [[topTfidfTerm]] with a SELF-ENFORCING cache lifetime: runs
+    * `action` on the result, then unpersists the internal tf cache
+    * before returning (even when the action throws). The long-lived-
+    * service form of the session-LRU contract documented on
+    * [[topTfidfTerm]].
+    */
+  def topTfidfTermScoped[T](df: DataFrame, idCol: String, textCol: String,
+                            tfStorage: org.apache.spark.storage.StorageLevel =
+                              org.apache.spark.storage.StorageLevel
+                                .MEMORY_AND_DISK)
+                           (action: DataFrame => T): T = {
+    val (result, cached) = topTfidfTermBuild(df, idCol, textCol, tfStorage)
+    try action(result)
+    finally cached.unpersist(blocking = true)
+  }
+
+  private def topTfidfTermBuild(df: DataFrame, idCol: String,
+                                textCol: String,
+                                tfStorage: org.apache.spark.storage
+                                  .StorageLevel): (DataFrame, DataFrame) = {
     val terms = df.select(col(idCol),
         explode(TextAnalysis.tokens(col(textCol))).as("term"))
     // persisted: tf feeds BOTH branches; a window-by-term alternative
@@ -197,10 +219,11 @@ object Curation {
             (col("doc_freq").cast("double") + 1d)) + 1d))
     val w = Window.partitionBy(col(idCol))
       .orderBy(col("score").desc, col("term").asc)
-    scored.withColumn("_rk", row_number().over(w))
+    val result = scored.withColumn("_rk", row_number().over(w))
       .filter(col("_rk") === 1)
       .select(col(idCol), col("term").as("top_term"), col("tf"),
         round(col("score"), 6).as("tfidf"))
+    (result, tf)
   }
 
   /** Per-document unigram cross-entropy against the corpus's own
@@ -226,7 +249,31 @@ object Curation {
   def unigramCrossEntropy(df: DataFrame, idCol: String, textCol: String,
                           tfStorage: org.apache.spark.storage.StorageLevel =
                             org.apache.spark.storage.StorageLevel
-                              .MEMORY_AND_DISK): DataFrame = {
+                              .MEMORY_AND_DISK): DataFrame =
+    unigramCrossEntropyBuild(df, idCol, textCol, tfStorage)._1
+
+  /** [[unigramCrossEntropy]] with a SELF-ENFORCING cache lifetime: runs
+    * `action` on the result, then unpersists the internal tf cache
+    * before returning (even when the action throws).
+    */
+  def unigramCrossEntropyScoped[T](df: DataFrame, idCol: String,
+                                   textCol: String,
+                                   tfStorage: org.apache.spark.storage
+                                     .StorageLevel =
+                                     org.apache.spark.storage.StorageLevel
+                                       .MEMORY_AND_DISK)
+                                  (action: DataFrame => T): T = {
+    val (result, cached) =
+      unigramCrossEntropyBuild(df, idCol, textCol, tfStorage)
+    try action(result)
+    finally cached.unpersist(blocking = true)
+  }
+
+  private def unigramCrossEntropyBuild(df: DataFrame, idCol: String,
+                                       textCol: String,
+                                       tfStorage: org.apache.spark.storage
+                                         .StorageLevel)
+      : (DataFrame, DataFrame) = {
     // PERSISTED: tf feeds the scored join, the corpus-frequency rollup,
     // and (through cf) the corpus total — uncached, the corpus would
     // tokenize three times. Cache-lifetime contract as [[topTfidfTerm]].
@@ -243,12 +290,90 @@ object Curation {
       .crossJoin(broadcast(total))
       .withColumn("_nll", col("tf").cast("double") *
         -log(col("cf").cast("double") / col("t_total").cast("double")))
-    scored.groupBy(col("id"), col("dl"))
+    val result = scored.groupBy(col("id"), col("dl"))
       .agg(count(lit(1)).as("n_terms"),
         aggregate(
           array_sort(collect_list(struct(col("term"), col("_nll")))),
           lit(0.0), (acc, s) => acc + s.getField("_nll")).as("_sum"))
       .select(col("id"), col("dl").as("n_tokens"), col("n_terms"),
+        round(col("_sum") / col("dl"), 6).as("ce"))
+    (result, tf)
+  }
+
+  /** Builds a frozen unigram LM snapshot from a corpus: one row per
+    * term with its corpus frequency. Write this table out (parquet) and
+    * score future batches against it with
+    * [[unigramCrossEntropyAgainst]] — the deployment shape of the
+    * CCNet/KenLM perplexity filter, where the reference model is
+    * trained once on a trusted corpus and incoming crawls are scored
+    * against it for months.
+    *
+    * Scale: one bounded-key shuffle (term) with map-side combine; the
+    * result is vocabulary-sized, not corpus-sized.
+    */
+  def unigramLm(df: DataFrame, textCol: String): DataFrame =
+    df.select(explode(TextAnalysis.tokens(col(textCol))).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("cf"))
+
+  /** Scores a batch against a FROZEN unigram LM (a `(term, cf)` table
+    * from [[unigramLm]]) rather than against the batch's own
+    * distribution ([[unigramCrossEntropy]]). The two differ exactly
+    * when it matters: an incoming batch contains terms the LM has never
+    * seen, where the unsmoothed ln(cf/T) is undefined. Smoothing is
+    * add-k over V+1 classes (the LM vocabulary plus one shared
+    * out-of-vocabulary class):
+    *
+    *   P(t) = (cf_t + k) / (T + k·(V+1)),  cf_t = 0 for unseen t
+    *
+    * so every unseen term gets the same small probability
+    * k / (T + k·(V+1)), and the distribution still sums to ≤ 1 over
+    * the V seen classes plus the pooled OOV class. ce(doc) =
+    * -(1/dl) Σ_t tf_t · ln P(t); `oov_terms`/`oov_tokens` report how
+    * much of the document the OOV class absorbed (a high-OOV doc's ce
+    * is mostly the smoothing floor — filter pipelines typically gate on
+    * both).
+    *
+    * Scale: the batch tokenizes once ((id, term) tf with map-side
+    * combine); the LM is equi-JOINED on term, not broadcast — a frozen
+    * LM over a web-scale corpus is itself millions of rows and grows
+    * with its training corpus. T and V ride a one-row broadcast.
+    * Determinism: tf/cf/T/V are exact longs, k is a caller constant;
+    * the per-doc sum folds IN TERM ORDER (the [[unigramCrossEntropy]]
+    * recipe), so results are partitioning-invariant.
+    */
+  def unigramCrossEntropyAgainst(batch: DataFrame, lm: DataFrame,
+                                 idCol: String, textCol: String,
+                                 addK: Double = 1.0): DataFrame = {
+    require(addK > 0.0, s"addK must be > 0 (got $addK): unseen terms " +
+      "need nonzero probability mass")
+    val stats = lm.agg(sum(col("cf")).as("t_total"),
+      count(lit(1)).as("v_size"))
+    val tf = batch.select(col(idCol).as("id"),
+        TextAnalysis.tokens(col(textCol)).as("_toks"))
+      .select(col("id"), size(col("_toks")).as("dl"),
+        explode(col("_toks")).as("term"))
+      .groupBy(col("id"), col("dl"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val denom = col("t_total").cast("double") +
+      lit(addK) * (col("v_size").cast("double") + lit(1.0))
+    val scored = tf.join(lm.select(col("term"), col("cf")), Seq("term"),
+        "left")
+      .crossJoin(broadcast(stats))
+      .withColumn("_oov", col("cf").isNull)
+      .withColumn("_p",
+        (coalesce(col("cf"), lit(0L)).cast("double") + lit(addK)) / denom)
+      .withColumn("_nll", col("tf").cast("double") * -log(col("_p")))
+    scored.groupBy(col("id"), col("dl"))
+      .agg(count(lit(1)).as("n_terms"),
+        sum(when(col("_oov"), lit(1L)).otherwise(lit(0L)))
+          .as("oov_terms"),
+        sum(when(col("_oov"), col("tf")).otherwise(lit(0L)))
+          .as("oov_tokens"),
+        aggregate(
+          array_sort(collect_list(struct(col("term"), col("_nll")))),
+          lit(0.0), (acc, s) => acc + s.getField("_nll")).as("_sum"))
+      .select(col("id"), col("dl").as("n_tokens"), col("n_terms"),
+        col("oov_terms"), col("oov_tokens"),
         round(col("_sum") / col("dl"), 6).as("ce"))
   }
 

@@ -156,7 +156,35 @@ object Similarity {
                vecCol: String = "embedding",
                assignStorage: org.apache.spark.storage.StorageLevel =
                  org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      : DataFrame = {
+      : DataFrame =
+    semDedupBuild(df, centroids, threshold, idCol, vecCol, assignStorage)._1
+
+  /** [[semDedup]] with a SELF-ENFORCING cache lifetime: runs `action`
+    * on the result and unpersists the internal cell-assignment cache
+    * before returning, whatever the action did (including throw). Use
+    * this from long-lived services where the plain [[semDedup]]
+    * session-LRU contract would leak blocks between calls:
+    * {{{ semDedupScoped(df, cts, 0.9) { _.write.parquet(out) } }}}
+    */
+  def semDedupScoped[T](df: DataFrame, centroids: Seq[Seq[Double]],
+                        threshold: Double,
+                        idCol: String = "vec_id",
+                        vecCol: String = "embedding",
+                        assignStorage: org.apache.spark.storage.StorageLevel =
+                          org.apache.spark.storage.StorageLevel
+                            .MEMORY_AND_DISK)
+                       (action: DataFrame => T): T = {
+    val (result, cached) =
+      semDedupBuild(df, centroids, threshold, idCol, vecCol, assignStorage)
+    try action(result)
+    finally cached.unpersist(blocking = true)
+  }
+
+  private def semDedupBuild(df: DataFrame, centroids: Seq[Seq[Double]],
+                            threshold: Double, idCol: String,
+                            vecCol: String,
+                            assignStorage: org.apache.spark.storage
+                              .StorageLevel): (DataFrame, DataFrame) = {
     require(centroids.nonEmpty, "centroids must be non-empty")
     val ctLit = typedLit(centroids.map(_.toSeq))
     // PERSISTED: the assignment feeds both sides of the cell join AND the
@@ -182,9 +210,10 @@ object Similarity {
       .groupBy(col("id_b"))
       .agg(min(col("id_a")).as("dup_of"))
       .select(col("id_b").as("vec_id"), col("dup_of"))
-    assigned.join(dups, Seq("vec_id"), "left")
+    val result = assigned.join(dups, Seq("vec_id"), "left")
       .select(col("vec_id"), col("cell"), col("dup_of"),
         col("dup_of").isNull.as("kept"))
+    (result, assigned)
   }
 
   /** IVF cell-balance diagnostic: per-cell population and distance

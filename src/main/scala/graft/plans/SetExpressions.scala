@@ -473,6 +473,12 @@ case class JoinTokensExceptSorted(left: Expression, right: Expression)
       val kept = ctx.freshName("kept"); val kn = ctx.freshName("kn")
       val ci = ctx.freshName("ci"); val i = ctx.freshName("i")
       val p = ctx.freshName("p")
+      val out = ctx.freshName("out")
+      // NOT Arrays.copyOf: it's generic, and Janino compiles generics
+      // raw — the call site types as (Object[], int) → Object[], which
+      // fails overload resolution against concatWs(UTF8String,
+      // UTF8String[]) and silently drops the projection to interpreted
+      // eval. System.arraycopy into an exactly-typed array instead.
       s"""
          |int $n = $toks.numElements();
          |int $m = $cov.numElements();
@@ -485,8 +491,9 @@ case class JoinTokensExceptSorted(left: Expression, right: Expression)
          |    $kept[$kn++] = $toks.getUTF8String($i);
          |  }
          |}
-         |${ev.value} = $u.concatWs($u.fromString(" "),
-         |  java.util.Arrays.copyOf($kept, $kn));
+         |$u[] $out = new $u[$kn];
+         |System.arraycopy($kept, 0, $out, 0, $kn);
+         |${ev.value} = $u.concatWs($u.fromString(" "), $out);
        """.stripMargin
     })
 

@@ -414,8 +414,61 @@ object TextQueries {
        |FROM agg
        |ORDER BY doc_id""".stripMargin
 
+  // --------------------------------------------------------------- q101
+  // Frozen-LM cross-entropy: the LM is trained on half the corpus (even
+  // doc_ids) and the OTHER half is scored against it — the deployment
+  // shape of the perplexity filter, where incoming batches contain terms
+  // the frozen model never saw. Add-1 smoothing over V+1 classes; the
+  // odd half's novel terms land in the pooled OOV class and the output
+  // reports how much of each doc that class absorbed.
+  private def q101(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val lm = graft.operators.Curation.unigramLm(
+      docs.filter(col("doc_id") % 2 === 0), "text")
+    graft.operators.Curation.unigramCrossEntropyAgainst(
+        docs.filter(col("doc_id") % 2 === 1), lm, "doc_id", "text")
+      .select(col("id").as("doc_id"), col("n_tokens"), col("n_terms"),
+        col("oov_terms"), col("oov_tokens"), col("ce"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val q101Sql =
+    s"""WITH lmtoks AS (
+       |  SELECT unnest($toksSql) AS term FROM documents
+       |  WHERE doc_id % 2 = 0),
+       |lm AS (SELECT term, count(*) AS cf FROM lmtoks GROUP BY term),
+       |stats AS (SELECT CAST(sum(cf) AS DOUBLE) AS t_total,
+       |                 CAST(count(*) AS DOUBLE) AS v_size FROM lm),
+       |toks AS (
+       |  SELECT doc_id, len(toks) AS dl, unnest(toks) AS term
+       |  FROM (SELECT doc_id, $toksSql AS toks FROM documents
+       |        WHERE doc_id % 2 = 1)),
+       |tf AS (SELECT doc_id, dl, term, count(*) AS tf
+       |       FROM toks GROUP BY doc_id, dl, term),
+       |scored AS (
+       |  SELECT tf.doc_id, tf.dl, tf.term, tf.tf,
+       |    lm.cf IS NULL AS oov,
+       |    CAST(tf.tf AS DOUBLE) *
+       |      -ln((CAST(coalesce(lm.cf, 0) AS DOUBLE) + 1.0)
+       |          / (s.t_total + 1.0 * (s.v_size + 1.0))) AS nll
+       |  FROM tf LEFT JOIN lm USING (term) CROSS JOIN stats s),
+       |agg AS (
+       |  SELECT doc_id, dl, count(*) AS n_terms,
+       |    CAST(sum(CASE WHEN oov THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS oov_terms,
+       |    CAST(sum(CASE WHEN oov THEN tf ELSE 0 END) AS BIGINT)
+       |      AS oov_tokens,
+       |    list(nll ORDER BY term) AS ls
+       |  FROM scored GROUP BY doc_id, dl)
+       |SELECT doc_id, dl AS n_tokens, n_terms, oov_terms, oov_tokens,
+       |  round(list_inner_product(ls, list_transform(ls, x -> 1.0))
+       |    / dl, 6) AS ce
+       |FROM agg
+       |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q98_unigram_ce" -> (q98 _),
+    "q101_unigram_ce_frozen" -> (q101 _),
     "q93_bm25" -> (q93 _),
     "q43_fold_split" -> (q43 _),
     "q44_grouped_split" -> (q44 _),
@@ -431,6 +484,7 @@ object TextQueries {
 
   val oracleSql: Map[String, String] = Map(
     "q98_unigram_ce" -> q98Sql,
+    "q101_unigram_ce_frozen" -> q101Sql,
     "q93_bm25" -> q93Sql,
     "q43_fold_split" -> q43Sql,
     "q44_grouped_split" -> q44Sql,

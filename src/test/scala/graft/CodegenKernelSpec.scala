@@ -94,6 +94,25 @@ class CodegenKernelSpec extends SparkSpec {
     assert(gen == interp)
   }
 
+  test("kernels compile in the UnsafeProjection context too " +
+    "(whole-stage disabled)") {
+    // The Arrays.copyOf/Janino-generics failure only surfaced in
+    // GenerateUnsafeProjection (a ProjectExec outside whole-stage —
+    // the shape every post-aggregate projection takes), which the
+    // whole-stage tests above never compile. Force that context.
+    val prev = spark.conf.get("spark.sql.codegen.wholeStage")
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    try {
+      val rows = withFactoryMode("CODEGEN_ONLY") {
+        allKernels(inputs).orderBy("id").collect().toSeq
+      }
+      val interp = withFactoryMode("NO_CODEGEN") {
+        allKernels(inputs).orderBy("id").collect().toSeq
+      }
+      assert(rows == interp && rows.length == 40)
+    } finally spark.conf.set("spark.sql.codegen.wholeStage", prev)
+  }
+
   test("kernel pairs survive CODEGEN_ONLY in every 2-combination") {
     // The round-5 failure needed just two kernels sharing a scope; cover
     // each pair so a future raw local in any ONE kernel fails loudly.

@@ -348,6 +348,66 @@ class CurationSpec extends SparkSpec {
     assert(got == Seq((1L, 3, 2L, ce1), (2L, 2, 2L, ce2)))
   }
 
+  test("scoped tf-cache operators leave no cached RDDs behind") {
+    spark.catalog.clearCache()
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val top = Curation.topTfidfTermScoped(docs, "doc_id", "text") {
+      _.orderBy("doc_id").collect().toSeq
+    }
+    val ce = Curation.unigramCrossEntropyScoped(docs, "doc_id", "text") {
+      _.orderBy("id").collect().toSeq
+    }
+    intercept[RuntimeException] {
+      Curation.topTfidfTermScoped(docs, "doc_id", "text") { r =>
+        r.count(); throw new RuntimeException("boom")
+      }
+    }
+    assert(spark.sparkContext.getPersistentRDDs.keySet == before,
+      "scoped operators leaked cached RDDs")
+    // results match the plain APIs
+    val topPlain = Curation.topTfidfTerm(docs, "doc_id", "text")
+      .orderBy("doc_id").collect().toSeq
+    val cePlain = Curation.unigramCrossEntropy(docs, "doc_id", "text")
+      .orderBy("id").collect().toSeq
+    spark.catalog.clearCache()
+    assert(top == topPlain && ce == cePlain)
+  }
+
+  test("unigramCrossEntropyAgainst smooths unseen terms and reports OOV") {
+    // LM corpus: a→2, b→2, c→1, T=5, V=3 → denom = 5 + 1·(3+1) = 9
+    val lmCorpus = Seq((1L, "a a b"), (2L, "b c")).toDF("doc_id", "text")
+    val lm = Curation.unigramLm(lmCorpus, "text")
+    // batch doc 10: 'a' seen (cf=2), 'zz' NEVER seen (cf=0 → add-1 floor)
+    val batch = Seq((10L, "a zz zz"), (11L, "b b")).toDF("doc_id", "text")
+    val got = Curation.unigramCrossEntropyAgainst(batch, lm, "doc_id",
+        "text")
+      .orderBy("id")
+      .select("id", "n_tokens", "n_terms", "oov_terms", "oov_tokens", "ce")
+      .as[(Long, Int, Long, Long, Long, Double)].collect().toSeq
+    // doc10: (1·-ln(3/9) + 2·-ln(1/9)) / 3; doc11: 2·-ln(3/9) / 2
+    val ce10 = math.rint(
+      (-math.log(3.0 / 9) - 2 * math.log(1.0 / 9)) / 3 * 1e6) / 1e6
+    val ce11 = math.rint(-math.log(3.0 / 9) * 1e6) / 1e6
+    assert(got == Seq((10L, 3, 2L, 1L, 2L, ce10), (11L, 2, 1L, 0L, 0L, ce11)))
+  }
+
+  test("unigramCrossEntropyAgainst equals self-corpus ordering when the " +
+    "LM is the batch itself (smoothing shifts, ranking holds)") {
+    val lm = Curation.unigramLm(docs, "text")
+    val frozen = Curation.unigramCrossEntropyAgainst(docs, lm, "doc_id",
+        "text")
+      .orderBy("id").collect().toSeq
+    // every term is in the LM → zero OOV everywhere
+    assert(frozen.forall(r => r.getLong(3) == 0L && r.getLong(4) == 0L))
+    // partitioning-invariant like the self-corpus form
+    val re = Curation.unigramCrossEntropyAgainst(docs.repartition(7), lm,
+        "doc_id", "text").orderBy("id").collect().toSeq
+    assert(frozen == re)
+    // identical docs score identically under the frozen LM too
+    val byId = frozen.map(r => r.getLong(0) -> r.getDouble(5)).toMap
+    assert(byId(1L) == byId(5L))
+  }
+
   test("unigramCrossEntropy is invariant to partitioning (sorted fold)") {
     val a = Curation.unigramCrossEntropy(docs, "doc_id", "text")
       .orderBy("id").collect().toSeq
