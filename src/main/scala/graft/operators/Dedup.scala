@@ -406,7 +406,11 @@ object Dedup {
     * case) exactly the min-id copy survives; when DIFFERENT duplicated
     * passages overlap inside the canonical document, their non-canonical
     * runs can clip that canonical copy too — the same boundary
-    * approximation the ExactSubstr recipe accepts.
+    * approximation the ExactSubstr recipe accepts. `runVote = true`
+    * switches to RUN-level canonicality (each maximal duplicated run is
+    * removed only on a majority non-canonical gram vote), which keeps
+    * the canonical copy verbatim under overlapping duplicates at the
+    * cost of coarser-grained removal.
     *
     * Scale: identical shuffle structure to [[removeRepeatedSpans]] — the
     * canonical choice rides the existing gram groupBy as a min(struct)
@@ -416,7 +420,8 @@ object Dedup {
   def removeRepeatedSpansKeepFirst(df: DataFrame, idCol: String,
                                    textCol: String, k: Int,
                                    minDocs: Int = 2,
-                                   minSpanTokens: Int = 50): DataFrame = {
+                                   minSpanTokens: Int = 50,
+                                   runVote: Boolean = false): DataFrame = {
     require(minSpanTokens >= k, s"minSpanTokens must be >= k=$k")
     val base = widen(df).select(col(idCol).as("id"),
       TextAnalysis.tokens(col(textCol)).as("_toks"),
@@ -434,20 +439,45 @@ object Dedup {
       .filter(col("_nd") >= minDocs)
       .select(col("h"), col("_can.id").as("_can_id"),
         col("_can.pos").as("_can_pos"))
-    // non-canonical occurrences only: the canonical copy never covers
-    val noncanon = grams.join(dup, Seq("h"))
-      .filter(col("id") =!= col("_can_id") || col("pos") =!= col("_can_pos"))
-      .select(col("id"), col("pos"))
-    // maximal runs of consecutive non-canonical gram positions; a run of
-    // m grams spans m + k - 1 tokens — apply the min-length threshold to
-    // the TOKEN span, then expand to covered token indices
+    val occ = grams.join(dup, Seq("h"))
+      .withColumn("_isCan", col("id") === col("_can_id") &&
+        col("pos") === col("_can_pos"))
     val w = Window.partitionBy(col("id")).orderBy(col("pos"))
-    val spans = noncanon
-      .withColumn("_grp", col("pos") - row_number().over(w))
-      .groupBy(col("id"), col("_grp"))
-      .agg(min(col("pos")).as("_s"),
-        (max(col("pos")) - min(col("pos")) + k).as("_len"))
-      .filter(col("_len") >= minSpanTokens)
+    // maximal runs of consecutive gram positions (gaps-and-islands); a
+    // run of m grams spans m + k - 1 tokens — the min-length threshold
+    // applies to the TOKEN span
+    val spans =
+      if (!runVote) {
+        // gram-level canonicality: runs over NON-canonical occurrences
+        // only — the canonical copy never covers, but when different
+        // duplicated passages overlap inside the canonical document its
+        // overlap grams (canonical home elsewhere) can clip it
+        occ.filter(!col("_isCan"))
+          .select(col("id"), col("pos"))
+          .withColumn("_grp", col("pos") - row_number().over(w))
+          .groupBy(col("id"), col("_grp"))
+          .agg(min(col("pos")).as("_s"),
+            (max(col("pos")) - min(col("pos")) + k).as("_len"))
+          .filter(col("_len") >= minSpanTokens)
+      } else {
+        // RUN-level canonicality: runs over ALL duplicated occurrences,
+        // each maximal run removed only when its grams vote MAJORITY
+        // non-canonical (ties keep — prefer retaining text). A canonical
+        // passage overlapped by another duplicated passage keeps its
+        // exclusive-gram majority and survives VERBATIM (DedupSpec
+        // property test); the trade is coarser granularity — a run that
+        // merges a copied passage with mostly-canonical text can
+        // out-vote the copy and keep it.
+        occ.select(col("id"), col("pos"), col("_isCan"))
+          .withColumn("_grp", col("pos") - row_number().over(w))
+          .groupBy(col("id"), col("_grp"))
+          .agg(min(col("pos")).as("_s"),
+            (max(col("pos")) - min(col("pos")) + k).as("_len"),
+            sum(when(col("_isCan"), 1L).otherwise(0L)).as("_canVotes"),
+            count(lit(1)).as("_n"))
+          .filter(col("_len") >= minSpanTokens &&
+            col("_canVotes") * 2 < col("_n"))
+      }
     val covered = spans
       .select(col("id"),
         explode(sequence(col("_s"), col("_s") + col("_len") - 1)).as("ti"))

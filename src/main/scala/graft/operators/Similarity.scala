@@ -185,35 +185,91 @@ object Similarity {
                             vecCol: String,
                             assignStorage: org.apache.spark.storage
                               .StorageLevel): (DataFrame, DataFrame) = {
-    require(centroids.nonEmpty, "centroids must be non-empty")
-    val ctLit = typedLit(centroids.map(_.toSeq))
     // PERSISTED: the assignment feeds both sides of the cell join AND the
     // final survivor join — without it the corpus scans (and the k×dim
     // distance transform runs) three times. Same cache-lifetime contract
     // as Curation.topTfidfTerm: blocks live until session LRU eviction;
-    // long-lived callers own the cleanup or pass DISK_ONLY.
-    val assigned = Partitioning.widen(df)
+    // long-lived callers own the cleanup or pass DISK_ONLY (or use
+    // [[semDedupScoped]], which owns it for you).
+    val assigned = assignCells(df, centroids, idCol, vecCol)
+      .persist(assignStorage)
+    val result =
+      semDedupAgainst(assigned.limit(0), assigned, threshold)
+    (result, assigned)
+  }
+
+  /** Nearest-centroid cell assignment — the shared first stage of
+    * [[semDedup]], [[semDedupIncrement]], and the streaming twin's state
+    * store: one row (vec_id, v, cell) per input vector. One map pass;
+    * the argmin runs over a typedLit centroid array (codegen-safe, the
+    * q32 shape).
+    */
+  private[graft] def assignCells(df: DataFrame,
+                                 centroids: Seq[Seq[Double]],
+                                 idCol: String,
+                                 vecCol: String): DataFrame = {
+    require(centroids.nonEmpty, "centroids must be non-empty")
+    val ctLit = typedLit(centroids.map(_.toSeq))
+    Partitioning.widen(df)
       .select(col(idCol).as("vec_id"), col(vecCol).as("v"))
       .withColumn("_dists", transform(ctLit, ct => l2sq(col("v"), ct)))
       .withColumn("cell",
         array_position(col("_dists"), array_min(col("_dists"))))
       .drop("_dists")
-      .persist(assignStorage)
-    val a = assigned.select(col("cell"), col("vec_id").as("id_a"),
-      col("v").as("va"))
-    val b = assigned.select(col("cell"), col("vec_id").as("id_b"),
-      col("v").as("vb"))
-    val dups = a.join(b, Seq("cell"))
+  }
+
+  /** SemDeDup for an INCREMENT: scores `batch` against an accumulated
+    * assignment snapshot `prior` (rows of (vec_id, v, cell) as produced
+    * by earlier assignments — the state a continuously-maintained dedup
+    * store holds) plus the batch itself. Batch row x is a duplicate iff
+    * some same-cell y — already in the snapshot, or in the batch with a
+    * smaller id — has cosine >= threshold; `dup_of` is the smallest such
+    * id. The daily-increment form of [[semDedup]], and the per-batch
+    * body of [[graft.streaming.StreamingPipeline.semDedupStream]].
+    *
+    * PARITY CONTRACT: when ids are non-decreasing across increments
+    * (arrival order IS canonicality — the natural ingest-sequence id),
+    * the union of increment outputs is EXACTLY the batch [[semDedup]]
+    * over the full corpus: every smaller id a later duplicate could
+    * point at has, by monotonicity, already arrived. With out-of-order
+    * ids the increment still dedups against everything seen so far, but
+    * an early row can't be re-marked when a smaller near-identical id
+    * arrives later (first-seen wins — the streaming trade).
+    *
+    * Scale: the snapshot side should be PARTITIONED BY CELL (the
+    * streaming shell's store is); then a micro-batch touching c cells
+    * reads only those partitions, and the equi-join on cell shuffles
+    * the batch, not the corpus.
+    */
+  def semDedupIncrement(prior: DataFrame, batch: DataFrame,
+                        centroids: Seq[Seq[Double]], threshold: Double,
+                        idCol: String = "vec_id",
+                        vecCol: String = "embedding"): DataFrame =
+    semDedupAgainst(prior, assignCells(batch, centroids, idCol, vecCol),
+      threshold)
+
+  /** Shared dedup tail: `assigned` (the batch, already cell-assigned)
+    * against `prior` ∪ `assigned` with the id_a < id_b guard and min-id
+    * canonical rollup. `prior` columns may arrive in any order/width
+    * (parquet partition discovery reads `cell` back as int, last).
+    */
+  private[graft] def semDedupAgainst(prior: DataFrame, assigned: DataFrame,
+                                     threshold: Double): DataFrame = {
+    def sideA(df: DataFrame) = df.select(col("cell").cast("long"),
+      col("vec_id").as("id_a"), col("v").as("va"))
+    val cand = sideA(prior).union(sideA(assigned))
+    val b = assigned.select(col("cell").cast("long"),
+      col("vec_id").as("id_b"), col("v").as("vb"))
+    val dups = b.join(cand, Seq("cell"))
       .filter(col("id_a") < col("id_b"))
       .withColumn("sim", round(cosine(col("va"), col("vb")), 6))
       .filter(col("sim") >= threshold)
       .groupBy(col("id_b"))
       .agg(min(col("id_a")).as("dup_of"))
       .select(col("id_b").as("vec_id"), col("dup_of"))
-    val result = assigned.join(dups, Seq("vec_id"), "left")
-      .select(col("vec_id"), col("cell"), col("dup_of"),
-        col("dup_of").isNull.as("kept"))
-    (result, assigned)
+    assigned.join(dups, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell").cast("long").as("cell"),
+        col("dup_of"), col("dup_of").isNull.as("kept"))
   }
 
   /** IVF cell-balance diagnostic: per-cell population and distance
@@ -448,6 +504,76 @@ object Similarity {
             i => struct(element_at(col("_dists"), i).as("dist"),
               i.as("idx")))), 1, nprobe),
           s => s.getField("idx").cast("long"))))
+      .drop("_dists")
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    q.join(c, Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim", round(cosine(col("qv"), col("cv")), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("sim"))
+  }
+
+  /** IVF top-k with ADAPTIVE per-query probing: instead of a fixed
+    * nprobe, each query probes its distance-ordered cells until the
+    * CUMULATIVE CELL POPULATION clears `candidateBudget` (the first cell
+    * is always probed). This is what [[ivfCellStats]] (q99) is for:
+    * under cell imbalance a fixed nprobe spends the candidate budget
+    * where the index is dense, not where the query needs it — a query
+    * whose nearest cells are small examines almost nothing (recall
+    * floor), one that lands in a hot cell drags the whole fleet's cost
+    * up (latency ceiling). Probing to constant MASS equalizes per-query
+    * cost and lifts recall exactly where fixed-nprobe starves
+    * (SimilaritySpec: recall ≥ fixed-nprobe at equal total candidates).
+    *
+    * `cellCounts` is the (cell → n_vecs) map from [[ivfCellStats]] —
+    * k rows, model-scale, a driver-side constant riding into the plan
+    * as one literal array (the centroid-literal rule: one typedLit, not
+    * k inlined leaves).
+    *
+    * Scale: identical shuffle structure to [[ivfKnn]] — the probe-set
+    * choice is per-row Column arithmetic over a k-length array; the
+    * join stays an equi-join on cell.
+    */
+  def ivfKnnAdaptive(queries: DataFrame, corpus: DataFrame, k: Int,
+                     centroids: Seq[Seq[Double]],
+                     cellCounts: Map[Long, Long],
+                     candidateBudget: Long,
+                     maxProbe: Int = Int.MaxValue,
+                     idCol: String = "vec_id",
+                     vecCol: String = "embedding"): DataFrame = {
+    require(candidateBudget >= 1, "candidateBudget must be >= 1")
+    val probeCap = math.min(maxProbe.toLong, centroids.size.toLong).toInt
+    require(probeCap >= 1, "maxProbe must be >= 1")
+    val ctLit = typedLit(centroids.map(_.toSeq))
+    val counts = typedLit(
+      (1 to centroids.size).map(i => cellCounts.getOrElse(i.toLong, 0L)))
+    def withDists(df: DataFrame, vec: String): DataFrame =
+      df.withColumn("_dists", transform(ctLit, ct => l2sq(col(vec), ct)))
+    val c = withDists(Partitioning.widen(corpus)
+        .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv")), "cv")
+      .withColumn("cell",
+        array_position(col("_dists"), array_min(col("_dists"))))
+      .drop("_dists")
+    // distance-ordered cells, folded left-to-right: take while the
+    // running population is still under budget (first cell always in)
+    val sortedCells = slice(array_sort(transform(
+      sequence(lit(1), lit(centroids.size)),
+      i => struct(element_at(col("_dists"), i).as("dist"),
+        i.as("idx")))), 1, probeCap)
+    val probed = aggregate(sortedCells,
+      struct(lit(0L).as("cnt"), array().cast("array<long>").as("cells")),
+      (acc, s) => when(acc.getField("cnt") < candidateBudget,
+        struct(
+          (acc.getField("cnt") +
+            element_at(counts, s.getField("idx"))).as("cnt"),
+          concat(acc.getField("cells"),
+            array(s.getField("idx").cast("long"))).as("cells")))
+        .otherwise(acc))
+    val q = withDists(queries.select(col(idCol).as("query_id"),
+        col(vecCol).as("qv")), "qv")
+      .withColumn("cell", explode(probed.getField("cells")))
       .drop("_dists")
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("neighbor_id").asc)

@@ -159,6 +159,90 @@ object StreamingPipeline {
     ()
   }
 
+  /** Streaming SemDeDup: each micro-batch is cell-assigned, scored
+    * against the accumulated assignment store (q97 semantics via
+    * [[graft.operators.Similarity.semDedupIncrement]]), emitted to
+    * `onBatch` as (vec_id, cell, dup_of, kept), and appended to the
+    * store. Under monotone ids (ingest-sequence ids — arrival order is
+    * canonicality) the union of emissions equals the batch
+    * [[graft.operators.Similarity.semDedup]] over everything streamed
+    * (StreamingSpec asserts it).
+    *
+    * Scale: the store is PARTITIONED BY CELL and each batch reads only
+    * the partitions for cells it touches (a micro-batch hits at most
+    * |batch| of the k cells; the touched-cell list is model-scale, never
+    * row data). So per-batch work is |batch| × (same-cell state), the
+    * cell-confined quadratic the published design bounds by growing k
+    * with the corpus — an unbalanced HOT cell is the thing to watch,
+    * and [[graft.operators.Similarity.ivfCellStats]] over the store is
+    * the diagnostic.
+    */
+  def semDedupStream(vecs: DataFrame, centroids: Seq[Seq[Double]],
+                     threshold: Double, stateDir: String,
+                     idCol: String = "vec_id",
+                     vecCol: String = "embedding")(
+      onBatch: (DataFrame, Long) => Unit) = {
+    new java.io.File(stateDir).mkdirs()
+    vecs.writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        semDedupBatch(batch, batchId, centroids, threshold, stateDir,
+          idCol, vecCol)(onBatch)
+      }
+  }
+
+  /** One micro-batch of [[semDedupStream]] — replay-idempotent: the
+    * state store is batchId-keyed (`b<batchId>` subdirs, cell-
+    * partitioned inside); a replay excludes its own subdir from the
+    * prior and overwrites it, converging to the same store and the same
+    * emission (the [[incrementalDedupBatch]] recipe).
+    */
+  private[graft] def semDedupBatch(
+      batch: DataFrame, batchId: Long, centroids: Seq[Seq[Double]],
+      threshold: Double, stateDir: String, idCol: String, vecCol: String)(
+      onBatch: (DataFrame, Long) => Unit): Unit = {
+    val s = batch.sparkSession
+    val assigned = graft.operators.Similarity
+      .assignCells(batch, centroids, idCol, vecCol)
+      .persist()
+    assigned.count()
+    // cells touched by this batch: bounded by min(|batch|, k) — a
+    // model-scale list, safe to collect; prunes the store read below
+    val touched = assigned.select(col("cell").cast("long")).distinct()
+      .collect().map(_.getLong(0)).toSeq
+    val dirs = batchDirsBefore(stateDir, "b", Long.MaxValue)
+      .filterNot(_.getName == f"b$batchId%05d")
+    // one read per batch dir (multi-root partition discovery conflicts),
+    // unioned; the cell filter pushes through the union into each scan's
+    // partition pruning
+    val prior =
+      if (dirs.nonEmpty)
+        dirs.map(d => s.read.parquet(d.getPath))
+          .reduce(_.unionByName(_))
+          .filter(col("cell").isin(touched: _*))
+      else assigned.limit(0)
+    val result = graft.operators.Similarity
+      .semDedupAgainst(prior, assigned, threshold)
+      .persist()
+    result.count() // pin results BEFORE the store grows (self-read safety)
+    onBatch(result, batchId)
+    assigned.write.mode("overwrite").partitionBy("cell")
+      .parquet(f"$stateDir/b$batchId%05d")
+    assigned.unpersist()
+    result.unpersist()
+    ()
+  }
+
+  /** The accumulated [[semDedupStream]] assignment store (all batches). */
+  def semDedupStore(spark: SparkSession, stateDir: String)
+      : Option[DataFrame] = {
+    val dirs = batchDirsBefore(stateDir, "b", Long.MaxValue)
+    if (dirs.nonEmpty)
+      Some(dirs.map(d => spark.read.parquet(d.getPath))
+        .reduce(_.unionByName(_)))
+    else None
+  }
+
   /** The full digest store as one DataFrame (union of all batch subdirs). */
   def digestStore(spark: SparkSession, digestDir: String): DataFrame = {
     val dirs = batchDirsBefore(digestDir, "b", Long.MaxValue)
@@ -231,6 +315,44 @@ object StreamingPipeline {
   private[graft] def mixturePlanBatch(
       batch: DataFrame, batchId: Long, sourceCol: String,
       tokenCount: org.apache.spark.sql.Column, stateDir: String)(
+      onBatch: (DataFrame, Long) => Unit): Unit =
+    mixtureUpkeepBatch(batch, batchId, sourceCol, tokenCount, stateDir,
+      inv => graft.operators.Curation
+        .mixturePlanFromInventory(inv, sourceCol))(onBatch)
+
+  /** Streaming TEMPERATURE-based mixture maintenance — the q100 twin of
+    * [[mixturePlanStream]]: the same exact-long running inventory, with
+    * the α-tempered plan
+    * ([[graft.operators.Curation.mixturePlanTemperatureFromInventory]])
+    * re-emitted after each micro-batch. α is fixed config for the
+    * stream's lifetime; the emitted plan over everything seen so far is
+    * IDENTICAL to the batch q100 plan on the same rows (StreamingSpec
+    * asserts it — the inventory arithmetic is exact, and the tempered
+    * shares are a pure function of the inventory).
+    */
+  def mixturePlanTemperatureStream(docs: DataFrame, sourceCol: String,
+                                   tokenCount: org.apache.spark.sql.Column,
+                                   stateDir: String, alpha: Double = 0.5)(
+      onBatch: (DataFrame, Long) => Unit) = {
+    new java.io.File(stateDir).mkdirs()
+    docs.writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        mixtureUpkeepBatch(batch, batchId, sourceCol, tokenCount, stateDir,
+          inv => graft.operators.Curation
+            .mixturePlanTemperatureFromInventory(inv, sourceCol, alpha))(
+          onBatch)
+      }
+  }
+
+  /** Shared micro-batch body of the mixture-upkeep streams: merge the
+    * batch's per-source partial aggregate into the replay-safe versioned
+    * inventory, then emit `planOf(inventory)`.
+    */
+  private[graft] def mixtureUpkeepBatch(
+      batch: DataFrame, batchId: Long, sourceCol: String,
+      tokenCount: org.apache.spark.sql.Column, stateDir: String,
+      planOf: DataFrame => DataFrame)(
       onBatch: (DataFrame, Long) => Unit): Unit = {
     val s = batch.sparkSession
     val batchAgg = batch.groupBy(col(sourceCol))
@@ -248,8 +370,7 @@ object StreamingPipeline {
     }).persist()
     merged.count() // pin before the new version writes
     merged.write.mode("overwrite").parquet(f"$stateDir/v$batchId%05d")
-    onBatch(graft.operators.Curation
-      .mixturePlanFromInventory(merged, sourceCol), batchId)
+    onBatch(planOf(merged), batchId)
     merged.unpersist()
     ()
   }

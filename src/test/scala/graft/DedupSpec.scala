@@ -254,6 +254,40 @@ class DedupSpec extends SparkSpec {
       (2L, 3, "trailing words here")))
   }
 
+  test("runVote keeps the canonical copy VERBATIM under overlapping " +
+    "duplicated passages (where gram-level canonicality clips it)") {
+    // passage S = s1..s20 lives canonically in doc 1 (copied into doc 2);
+    // its MIDDLE chunk s8..s13 also appears in doc 0, which wins
+    // canonicality for those grams. Gram-level: doc 1's S is clipped in
+    // the middle. Run-level majority vote: doc 1's S-run is mostly
+    // canonical-here → survives verbatim; doc 2's copy is all
+    // non-canonical → fully removed; doc 0 keeps its chunk.
+    val s = (1 to 20).map(i => s"s$i")
+    val sText = s.mkString(" ")
+    val mid = (8 to 13).map(i => s"s$i").mkString(" ")
+    val corpus = Seq(
+      (0L, s"a b c $mid d e f"),
+      (1L, s"p q $sText r t"),
+      (2L, s"u v $sText w x")
+    ).toDF("doc_id", "text")
+    def run(runVote: Boolean) =
+      Dedup.removeRepeatedSpansKeepFirst(corpus, "doc_id", "text",
+          k = 3, minDocs = 2, minSpanTokens = 6, runVote = runVote)
+        .orderBy("id")
+        .select("id", "clean_text").as[(Long, String)].collect().toSeq
+    val gramLevel = run(runVote = false)
+    val runLevel = run(runVote = true)
+    // the scenario is real: gram-level clips the canonical doc 1
+    assert(!gramLevel(1)._2.contains(mid),
+      s"premise broken — gram-level kept doc 1 intact: ${gramLevel(1)._2}")
+    // run-level: canonical copy survives VERBATIM...
+    assert(runLevel(1)._2 == s"p q $sText r t")
+    // ...the non-canonical full copy still goes...
+    assert(runLevel(2)._2 == "u v w x")
+    // ...and doc 0's canonical chunk stays
+    assert(runLevel(0)._2 == s"a b c $mid d e f")
+  }
+
   test("removeRepeatedSpansKeepFirst leaves runs below the min-span " +
     "threshold alone") {
     val corpus = Seq(

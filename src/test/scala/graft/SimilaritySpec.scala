@@ -242,6 +242,56 @@ class SimilaritySpec extends SparkSpec {
     assert(re == got)
   }
 
+  test("adaptive IVF probing: recall >= fixed nprobe at equal (here " +
+    "smaller) candidate budget under cell imbalance") {
+    val centroids = Seq(Seq(10.0, 0.0), Seq(-10.0, 0.0),
+      Seq(0.0, 10.0), Seq(0.0, -10.0))
+    val r = new scala.util.Random(11)
+    def jitter = (r.nextDouble() * 0.2 - 0.1).toFloat
+    // HOT cell 1: 60 vectors; cells 2-4: 4 each (the imbalance q99 shows)
+    val hot = (0 until 60).map(i =>
+      (i.toLong, Seq(10.0f + jitter, jitter)))
+    val small = for {
+      (cIdx, base) <- Seq(100L -> Seq(-10.0f, 0.0f),
+        200L -> Seq(0.0f, 10.0f), 300L -> Seq(0.0f, -10.0f))
+      j <- 0 until 4
+    } yield (cIdx + j, Seq(base.head + jitter, base(1) + jitter))
+    val corpus = (hot ++ small).toDF("vec_id", "embedding")
+    // query 1000 lands in the hot cell; 1001 among the small cells
+    val queries = Seq(
+      (1000L, Seq(9.5f, 0.3f)),
+      (1001L, Seq(-4.0f, 1.0f))).toDF("vec_id", "embedding")
+    val cellCounts = Similarity.ivfCellStats(corpus, centroids)
+      .select("cell", "n_vecs").as[(Long, Long)].collect().toMap
+    assert(cellCounts(1L) == 60L && cellCounts(2L) == 4L)
+    def neighborSets(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id").as[(Long, Long)]
+        .collect().groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val truth = neighborSets(
+      Similarity.bruteForceKnn(queries, corpus, k = 6))
+    def recall(got: Map[Long, Set[Long]]) =
+      got.map { case (q, s) => (s & truth(q)).size }.sum.toDouble /
+        truth.values.map(_.size).sum
+    // fixed nprobe=1: q1000 examines the 60-vec hot cell, q1001 only its
+    // 4-vec nearest cell -> 64 candidates total, starved recall on q1001
+    val fixed1 = neighborSets(Similarity.ivfKnn(queries, corpus, k = 6,
+      centroids, nprobe = 1))
+    // fixed nprobe=2: 64 + 8 = 72 candidates total, full recall
+    val fixed2 = neighborSets(Similarity.ivfKnn(queries, corpus, k = 6,
+      centroids, nprobe = 2))
+    // adaptive budget=8: q1000 stops after the hot cell (60 >= 8);
+    // q1001 probes its two nearest 4-vec cells (4 < 8, then 8 >= 8)
+    // -> 68 candidates total: FEWER than fixed-2, yet same full recall,
+    // and strictly better than fixed-1 at near-equal cost
+    val adaptive = neighborSets(Similarity.ivfKnnAdaptive(queries, corpus,
+      k = 6, centroids, cellCounts, candidateBudget = 8L))
+    assert(recall(fixed1) < 1.0)
+    assert(recall(fixed2) == 1.0)
+    assert(recall(adaptive) == 1.0)
+    assert(recall(adaptive) >= recall(fixed1))
+    assert(adaptive == truth)
+  }
+
   test("ivfCellStats mean survives huge distances (no long wrap)") {
     // d2 = (1e6)² = 1e12 per row → quantized ≈ 1.05e18; 20 rows sum to
     // ~2.1e19 > Long.MaxValue — a long accumulator wraps negative

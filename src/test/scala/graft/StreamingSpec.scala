@@ -170,6 +170,81 @@ class StreamingSpec extends SparkSpec {
     assert(store.distinct().count() == 3) // alpha, beta, gamma
   }
 
+  test("streaming semDedup matches the batch q97 semantics over " +
+    "monotone-id batches") {
+    import graft.operators.Similarity
+    implicit val sqlCtx = spark.sqlContext
+    val stateDir = Files.createTempDirectory("graft-semdedup").toString
+    val chk = Files.createTempDirectory("graft-semdedup-chk").toString
+    val centroids = Seq(Seq(1.0, 0.0, 0.0), Seq(0.0, 1.0, 1.0))
+    var perBatch = Map.empty[Long, Seq[(Long, Long, Option[Long], Boolean)]]
+    val mem = MemoryStream[(Long, Seq[Float])]
+    val q = StreamingPipeline.semDedupStream(
+      mem.toDF().toDF("vec_id", "embedding"), centroids,
+      threshold = 0.9, stateDir) { (res, id) =>
+      perBatch += id -> res.select("vec_id", "cell", "dup_of", "kept")
+        .as[(Long, Long, Option[Long], Boolean)].collect().toSeq
+    }.option("checkpointLocation", chk).start()
+    val b1 = Seq(
+      (0L, Seq(1.0f, 0.0f, 0.0f)),   // cell 1 canonical
+      (1L, Seq(0.99f, 0.01f, 0.0f)), // in-batch dup of 0
+      (2L, Seq(0.0f, 1.0f, 0.0f)))   // cell 2 canonical
+    val b2 = Seq(
+      (3L, Seq(0.98f, 0.02f, 0.0f)), // CROSS-BATCH dup of 0 (via store)
+      (4L, Seq(0.0f, 0.0f, 1.0f)),   // cell 2, orthogonal to 2 — kept
+      (5L, Seq(0.0f, 1.0f, 0.05f)))  // cross-batch dup of 2
+    mem.addData(b1: _*)
+    q.processAllAvailable()
+    mem.addData(b2: _*)
+    q.processAllAvailable()
+    q.stop()
+    // union of increments == batch semDedup over the whole corpus
+    val all = (b1 ++ b2).toDF("vec_id", "embedding")
+    val want = Similarity.semDedup(all, centroids, threshold = 0.9)
+      .select("vec_id", "cell", "dup_of", "kept")
+      .as[(Long, Long, Option[Long], Boolean)].collect().toSeq
+      .sortBy(_._1)
+    val got = (perBatch(0L) ++ perBatch(1L)).sortBy(_._1)
+    assert(got == want)
+    // the cross-batch relations specifically
+    val byId = got.map(r => r._1 -> r).toMap
+    assert(byId(3L)._3.contains(0L) && !byId(3L)._4)
+    assert(byId(5L)._3.contains(2L) && !byId(5L)._4)
+    assert(byId(4L)._4)
+    // store: one row per streamed vector, cell-partitioned
+    val store = StreamingPipeline.semDedupStore(spark, stateDir).get
+    assert(store.count() == 6)
+    assert(store.columns.contains("cell"))
+  }
+
+  test("semDedup batch is replay-idempotent (at-least-once foreachBatch)") {
+    import graft.operators.Similarity
+    val stateDir = Files.createTempDirectory("graft-semdedup-rp").toString
+    val centroids = Seq(Seq(1.0, 0.0, 0.0), Seq(0.0, 1.0, 1.0))
+    var emitted = List.empty[(Long, Seq[(Long, Long, Option[Long], Boolean)])]
+    def run(rows: Seq[(Long, Seq[Float])], batchId: Long): Unit =
+      StreamingPipeline.semDedupBatch(
+        rows.toDF("vec_id", "embedding"), batchId, centroids,
+        threshold = 0.9, stateDir, "vec_id", "embedding") { (res, id) =>
+        emitted ::= id -> res.select("vec_id", "cell", "dup_of", "kept")
+          .as[(Long, Long, Option[Long], Boolean)].collect().toSeq
+          .sortBy(_._1)
+      }
+    val b0 = Seq((0L, Seq(1.0f, 0.0f, 0.0f)), (1L, Seq(0.0f, 1.0f, 0.0f)))
+    val b1 = Seq((2L, Seq(0.99f, 0.01f, 0.0f)))
+    run(b0, 0L)
+    run(b1, 1L)
+    val firstB1 = emitted.head._2
+    // crash-replay of batch 1: b1's assignments are already on disk; the
+    // replay must score against batch 0 ONLY (not its own half-committed
+    // state) and re-emit the same result without growing the store
+    run(b1, 1L)
+    assert(emitted.head._2 == firstB1)
+    assert(firstB1 == Seq((2L, 1L, Some(0L), false)))
+    val store = StreamingPipeline.semDedupStore(spark, stateDir).get
+    assert(store.count() == 3)
+  }
+
   test("incremental dedup batch is replay-idempotent (at-least-once " +
     "foreachBatch)") {
     implicit val sqlCtx = spark.sqlContext
@@ -288,6 +363,46 @@ class StreamingSpec extends SparkSpec {
         .collect().toSet
     assert(plans(0L) == want(b1))
     assert(plans(1L) == want(b1 ++ b2)) // running inventory, exact longs
+  }
+
+  test("streaming tempered mixture emits the batch q100 plan over " +
+    "everything seen so far") {
+    import graft.functions.TextAnalysis
+    import graft.operators.Curation
+    implicit val sqlCtx = spark.sqlContext
+    val stateDir = Files.createTempDirectory("graft-mixt-state").toString
+    val chk = Files.createTempDirectory("graft-mixt-chk").toString
+    var plans =
+      Map.empty[Long, Set[(String, Long, Long, Double, Double, Double, Long)]]
+    val mem = MemoryStream[(Long, String, String)]
+    val q = StreamingPipeline.mixturePlanTemperatureStream(
+      mem.toDF().toDF("doc_id", "source", "text"), "source",
+      TextAnalysis.tokenCount(col("text")), stateDir, alpha = 0.5) {
+      (plan, id) =>
+        plans += id -> plan
+          .as[(String, Long, Long, Double, Double, Double, Long)]
+          .collect().toSet
+    }.option("checkpointLocation", chk).start()
+    val b1 = Seq((1L, "web", "a b c d"), (2L, "web", "e f"),
+      (3L, "book", "g h i j k l m n"))
+    val b2 = Seq((4L, "book", "o p"), (5L, "code", "q r s t u v"))
+    mem.addData(b1: _*)
+    q.processAllAvailable()
+    mem.addData(b2: _*)
+    q.processAllAvailable()
+    q.stop()
+    def want(rows: Seq[(Long, String, String)]) =
+      Curation.mixturePlanTemperature(rows.toDF("doc_id", "source", "text"),
+        "source", TextAnalysis.tokenCount(col("text")), alpha = 0.5)
+        .as[(String, Long, Long, Double, Double, Double, Long)]
+        .collect().toSet
+    assert(plans(0L) == want(b1))
+    assert(plans(1L) == want(b1 ++ b2))
+    // α=0.5 genuinely tempers: the under-represented source's target
+    // share exceeds its actual share in the final plan
+    val fin = plans(1L)
+    val code = fin.find(_._1 == "code").get
+    assert(code._5 > code._4)
   }
 
   test("streaming weighted sampling replays the batch q94 draw over " +
