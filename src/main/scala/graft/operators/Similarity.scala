@@ -244,9 +244,16 @@ object Similarity {
   def semDedupIncrement(prior: DataFrame, batch: DataFrame,
                         centroids: Seq[Seq[Double]], threshold: Double,
                         idCol: String = "vec_id",
-                        vecCol: String = "embedding"): DataFrame =
-    semDedupAgainst(prior, assignCells(batch, centroids, idCol, vecCol),
-      threshold)
+                        vecCol: String = "embedding"): DataFrame = {
+    // PERSISTED: the batch assignment feeds the candidate union, the
+    // probe side, and the final survivor join — uncached, the batch
+    // scans (and the k×dim distance transform runs) three times. Same
+    // session-LRU cache-lifetime contract as [[semDedup]]; the
+    // streaming shell owns its own persist/unpersist per micro-batch.
+    val assigned = assignCells(batch, centroids, idCol, vecCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    semDedupAgainst(prior, assigned, threshold)
+  }
 
   /** Shared dedup tail: `assigned` (the batch, already cell-assigned)
     * against `prior` ∪ `assigned` with the id_a < id_b guard and min-id

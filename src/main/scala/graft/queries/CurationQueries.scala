@@ -589,7 +589,59 @@ object CurationQueries {
        |FROM toks tk LEFT JOIN covset cs ON tk.doc_id = cs.doc_id
        |ORDER BY tk.doc_id""".stripMargin
 
+  // --------------------------------------------------------------- q102
+  // q96 with RUN-level canonicality: maximal duplicated-gram runs are
+  // removed only on a majority non-canonical vote (ties keep), so
+  // overlapping duplicated passages can't clip the canonical copy. The
+  // oracle folds the canonicality flag (rn = 1) into the q96 machinery
+  // and votes per (doc, run) group.
+  private def q102(s: SparkSession, dir: String): DataFrame =
+    Dedup.removeRepeatedSpansKeepFirst(Tables.documents(s, dir), "doc_id",
+        "text", k = 5, minDocs = 2, minSpanTokens = 50, runVote = true)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy(col("doc_id"))
+
+  private val q102Sql =
+    s"""WITH toks AS (SELECT doc_id, $toksSql AS t FROM documents),
+       |g AS (
+       |  SELECT doc_id, unnest(generate_series(1, len(t) - 4)) AS pos, t
+       |  FROM toks WHERE len(t) >= 5),
+       |grams AS (
+       |  SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+       |    concat_ws(' ', t[pos], t[pos+1], t[pos+2], t[pos+3], t[pos+4])
+       |      AS gram
+       |  FROM g),
+       |dup AS (SELECT gram FROM grams GROUP BY gram
+       |        HAVING count(DISTINCT doc_id) >= 2),
+       |occ AS (
+       |  SELECT doc_id, pos,
+       |    row_number() OVER (PARTITION BY gram ORDER BY doc_id, pos) AS rn
+       |  FROM grams JOIN dup USING (gram)),
+       |runs AS (
+       |  SELECT doc_id, pos, (rn = 1) AS iscan,
+       |    pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+       |  FROM occ),
+       |spans AS (
+       |  SELECT doc_id, min(pos) AS s, max(pos) - min(pos) + 5 AS len
+       |  FROM runs GROUP BY doc_id, grp
+       |  HAVING max(pos) - min(pos) + 5 >= 50
+       |     AND 2 * sum(CASE WHEN iscan THEN 1 ELSE 0 END) < count(*)),
+       |cov AS (
+       |  SELECT DISTINCT doc_id, unnest(generate_series(s, s + len - 1)) AS ti
+       |  FROM spans),
+       |covset AS (SELECT doc_id, list(ti) AS cv FROM cov GROUP BY doc_id)
+       |SELECT tk.doc_id,
+       |  CAST(len(tk.t) AS INTEGER) AS n_tokens_before,
+       |  CAST(len(tk.t) - coalesce(len(cs.cv), 0) AS INTEGER)
+       |    AS n_tokens_after,
+       |  coalesce(array_to_string(list_filter(tk.t,
+       |    (x, i) -> NOT list_contains(coalesce(cs.cv, []), CAST(i AS BIGINT))),
+       |    ' '), '') AS clean_text
+       |FROM toks tk LEFT JOIN covset cs ON tk.doc_id = cs.doc_id
+       |ORDER BY tk.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q102_span_removal_runvote" -> (q102 _),
     "q79_contamination" -> (q79 _),
     "q80_repetition" -> (q80 _),
     "q81_tfidf" -> (q81 _),
@@ -623,5 +675,6 @@ object CurationQueries {
     "q90_repeated_spans" -> q90Sql,
     "q94_weighted_sample" -> q94Sql,
     "q95_span_removal" -> q95Sql,
-    "q96_span_removal_keepfirst" -> q96Sql)
+    "q96_span_removal_keepfirst" -> q96Sql,
+    "q102_span_removal_runvote" -> q102Sql)
 }

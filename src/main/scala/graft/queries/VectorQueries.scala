@@ -285,6 +285,109 @@ object VectorQueries {
        |ORDER BY b.vec_id""".stripMargin
   }
 
+  // --------------------------------------------------------------- q103
+  // SemDeDup INCREMENT (the streaming micro-batch body, q97 semantics):
+  // the even-id half of the corpus is the accumulated assignment
+  // snapshot, the odd half is the incoming batch — each odd vector is a
+  // dup iff some same-cell vector with a smaller id (snapshot or batch)
+  // clears the threshold.
+  private def q103(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val prior = Similarity.assignCells(
+      emb.filter(col("vec_id") % 2 === 0), q32Centroids,
+      "vec_id", "embedding")
+    Similarity.semDedupIncrement(prior,
+        emb.filter(col("vec_id") % 2 === 1), q32Centroids,
+        SemDedupThreshold)
+      .withColumn("dup_of", coalesce(col("dup_of"), lit(-1L)))
+      .orderBy(col("vec_id"))
+  }
+
+  private val q103Sql = {
+    val dists = distsSqlFor(q32Centroids)
+    val sim = "round(list_inner_product(x.v, y.v) / " +
+      "(sqrt(list_inner_product(x.v, x.v)) * " +
+      "sqrt(list_inner_product(y.v, y.v))), 6)"
+    s"""WITH vecs AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |b AS (SELECT vec_id, v, list_position(dists, list_min(dists)) AS cell
+       |      FROM (SELECT vec_id, v, $dists AS dists FROM vecs)),
+       |odd AS (SELECT * FROM b WHERE vec_id % 2 = 1),
+       |cand AS (SELECT * FROM b WHERE vec_id % 2 = 0
+       |         UNION ALL SELECT * FROM odd),
+       |dups AS (
+       |  SELECT y.vec_id AS vec_id, MIN(x.vec_id) AS dup_of
+       |  FROM cand x JOIN odd y ON x.cell = y.cell AND x.vec_id < y.vec_id
+       |  WHERE $sim >= $SemDedupThreshold
+       |  GROUP BY y.vec_id)
+       |SELECT o.vec_id, CAST(o.cell AS BIGINT) AS cell,
+       |  coalesce(d.dup_of, -1) AS dup_of, d.dup_of IS NULL AS kept
+       |FROM odd o LEFT JOIN dups d ON o.vec_id = d.vec_id
+       |ORDER BY o.vec_id""".stripMargin
+  }
+
+  // --------------------------------------------------------------- q104
+  // Adaptive IVF probing (the q99 diagnostic turned recall lever): each
+  // query walks its distance-ordered cells and probes while the PRIOR
+  // cells' cumulative population is under the budget (first cell always
+  // probed — same prefix rule as the Column-side fold). Budget is
+  // corpus-derived (|corpus| // 8, floor, min 1) so the query is
+  // scale-free; cell counts come from the same single-scan rollup
+  // ivfCellStats uses. The probe-set choice is deterministic: cells
+  // sort by (dist, idx) on both engines.
+  private def q104(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val counts = Similarity.ivfCellStats(emb, q32Centroids)
+      .select(col("cell"), col("n_vecs"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val budget = math.max(counts.values.sum / 8L, 1L)
+    Similarity.ivfKnnAdaptive(
+        emb.filter(col("vec_id") < NumQueries), emb, K,
+        q32Centroids, counts, candidateBudget = budget)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  private val q104Sql = {
+    val dists = distsSqlFor(q32Centroids)
+    val nCells = q32Centroids.size
+    s"""WITH vecs AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |b AS (SELECT vec_id, v, list_position(dists, list_min(dists)) AS cell
+       |      FROM (SELECT vec_id, v, $dists AS dists FROM vecs)),
+       |counts AS (SELECT cell, count(*) AS n FROM b GROUP BY cell),
+       |budget AS (SELECT GREATEST(count(*) // 8, 1) AS cap FROM vecs),
+       |q AS (SELECT vec_id, v, $dists AS dists FROM vecs
+       |      WHERE vec_id < $NumQueries),
+       |percell AS (
+       |  SELECT q.vec_id AS query_id, q.v, t.i AS cell, q.dists[t.i] AS dist,
+       |    coalesce(c.n, 0) AS n
+       |  FROM q, generate_series(1, $nCells) AS t(i)
+       |  LEFT JOIN counts c ON c.cell = t.i),
+       |probe AS (
+       |  SELECT query_id, v, cell FROM (
+       |    SELECT query_id, v, cell,
+       |      coalesce(sum(n) OVER (PARTITION BY query_id
+       |        ORDER BY dist, cell
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |        AS prior
+       |    FROM percell)
+       |  WHERE prior < (SELECT cap FROM budget)),
+       |scored AS (
+       |  SELECT p.query_id, c.vec_id AS neighbor_id,
+       |    round(list_inner_product(p.v, c.v)
+       |      / (sqrt(list_inner_product(p.v, p.v))
+       |         * sqrt(list_inner_product(c.v, c.v))), 6) AS sim
+       |  FROM probe p JOIN b c ON p.cell = c.cell
+       |    AND p.query_id <> c.vec_id),
+       |ranked AS (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+       |    ORDER BY sim DESC, neighbor_id ASC) AS rank
+       |  FROM scored)
+       |SELECT query_id, rank, neighbor_id, sim
+       |FROM ranked WHERE rank <= $K
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
   // ---------------------------------------------------------------- q99
   // IVF cell-balance diagnostic over the same constant-centroid model.
   // Mean d2 sums fixed-point longs (×2^20, the q91 quantization) so the
@@ -318,7 +421,9 @@ object VectorQueries {
     "q91_vec_centroids" -> (q91 _),
     "q92_vec_normalize" -> (q92 _),
     "q97_semantic_dedup" -> (q97 _),
-    "q99_ivf_cell_stats" -> (q99 _))
+    "q99_ivf_cell_stats" -> (q99 _),
+    "q103_semantic_dedup_increment" -> (q103 _),
+    "q104_knn_ivf_adaptive" -> (q104 _))
 
   val oracleSql: Map[String, String] = Map(
     "q30_knn_bruteforce" -> q30Sql,
@@ -328,5 +433,7 @@ object VectorQueries {
     "q91_vec_centroids" -> q91Sql,
     "q92_vec_normalize" -> q92Sql,
     "q97_semantic_dedup" -> q97Sql,
-    "q99_ivf_cell_stats" -> q99Sql)
+    "q99_ivf_cell_stats" -> q99Sql,
+    "q103_semantic_dedup_increment" -> q103Sql,
+    "q104_knn_ivf_adaptive" -> q104Sql)
 }

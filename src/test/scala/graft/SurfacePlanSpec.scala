@@ -291,6 +291,51 @@ class SurfacePlanSpec extends SparkSpec {
       "tf must be persisted, not re-tokenized per consumer")
   }
 
+  test("q101 frozen-LM CE: one-row LM stats broadcast, per-doc sum is a " +
+    "sorted fold (no window pass), and the LM term join is an equi-join") {
+    val plan = physical(run("q101_unigram_ce_frozen"))
+    val s = plan.toString
+    assert(!s.contains("CartesianProduct"),
+      "LM stats side must broadcast, never a shuffled cartesian")
+    assert(s.contains("BroadcastNestedLoopJoin"),
+      s"one-row (T, V) stats must broadcast:\n${s.take(600)}")
+    assert(plan.collect { case w: WindowExec => w }.isEmpty,
+      "per-doc fold must not plan as a window pass")
+    // the term join is an equi-join (hash or broadcast-hash under AQE at
+    // small SF) — never a nested loop over the vocabulary
+    assert(!s.contains("NestedLoopJoin") ||
+      s.contains("BroadcastNestedLoopJoin"),
+      "LM term join degenerated to a non-broadcast nested loop")
+  }
+
+  test("q103 semDedup increment: cell join is a hash equi-join, the " +
+    "batch assignment computes once from cache, dup rollup " +
+    "partial-aggregates") {
+    val plan = physical(run("q103_semantic_dedup_increment"))
+    val s = plan.toString
+    assert(!s.contains("CartesianProduct") && !s.contains("NestedLoop"),
+      "within-cell candidates must come from a hash equi-join on cell")
+    assert(s.contains("partial_min"),
+      s"dup rollup lost its partial aggregate:\n${s.take(800)}")
+    assert(s.contains("InMemoryTableScan"),
+      "batch assignment must be persisted, not recomputed per consumer")
+  }
+
+  test("q104 adaptive IVF: probe-set choice is per-row arithmetic (no " +
+    "extra join or window), candidates come from a hash equi-join on cell") {
+    val qe = run("q104_knn_ivf_adaptive").queryExecution
+    val s = physical(run("q104_knn_ivf_adaptive")).toString
+    assert(!s.contains("CartesianProduct") && !s.contains("NestedLoop"),
+      "cell probe must be a hash equi-join")
+    // exactly one join (probe × corpus): the cell-count table rides as a
+    // plan literal, NOT a second join
+    assert(qe.optimizedPlan.collect { case j: Join => j }.size == 1,
+      "cell counts must ride as a literal, not a join")
+    // the top-k rank filter keeps its two-phase partial
+    assert(s.contains("WindowGroupLimit"),
+      s"rank filter lost its partial top-k:\n${s.take(600)}")
+  }
+
   test("q99 ivf cell stats: join-free single-scan aggregation with " +
     "map-side partials") {
     val qe = run("q99_ivf_cell_stats").queryExecution
