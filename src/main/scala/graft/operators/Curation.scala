@@ -315,6 +315,19 @@ object Curation {
     df.select(explode(TextAnalysis.tokens(col(textCol))).as("term"))
       .groupBy(col("term")).agg(count(lit(1)).as("cf"))
 
+  /** Merges new counts into a frozen LM snapshot: (term, cf) ∪ (term,
+    * cf) → summed per term. Counts are exact longs, so LM maintenance
+    * is associative and order-free — ingest daily deltas in any order
+    * and the snapshot equals [[unigramLm]] over the concatenated
+    * corpus. One vocabulary-keyed shuffle with map-side combine; state
+    * is vocab-sized (sublinear in the corpus — Heaps' law), never
+    * corpus-sized.
+    */
+  def unigramLmMerge(prior: DataFrame, delta: DataFrame): DataFrame =
+    prior.select(col("term"), col("cf"))
+      .unionByName(delta.select(col("term"), col("cf")))
+      .groupBy(col("term")).agg(sum(col("cf")).as("cf"))
+
   /** Scores a batch against a FROZEN unigram LM (a `(term, cf)` table
     * from [[unigramLm]]) rather than against the batch's own
     * distribution ([[unigramCrossEntropy]]). The two differ exactly
@@ -346,7 +359,10 @@ object Curation {
                                  addK: Double = 1.0): DataFrame = {
     require(addK > 0.0, s"addK must be > 0 (got $addK): unseen terms " +
       "need nonzero probability mass")
-    val stats = lm.agg(sum(col("cf")).as("t_total"),
+    // coalesce: an EMPTY LM (first batch of a stream) sums to null;
+    // with T=0, V=0 the smoothed P(t) = k/k = 1 for every term — ce 0,
+    // everything OOV — which is the honest score against no model
+    val stats = lm.agg(coalesce(sum(col("cf")), lit(0L)).as("t_total"),
       count(lit(1)).as("v_size"))
     val tf = batch.select(col(idCol).as("id"),
         TextAnalysis.tokens(col(textCol)).as("_toks"))

@@ -375,6 +375,61 @@ object StreamingPipeline {
     ()
   }
 
+  /** Streaming perplexity-filter scoring — the full CCNet deployment
+    * loop: each micro-batch is scored against the LM of EVERYTHING
+    * INGESTED BEFORE IT ([[graft.operators.Curation
+    * .unigramCrossEntropyAgainst]], add-k smoothing — early batches are
+    * mostly OOV against a young LM and the `oov_tokens` column says so),
+    * then folded into the versioned LM store
+    * ([[graft.operators.Curation.unigramLmMerge]] — exact-long counts,
+    * so the maintained snapshot equals `unigramLm` over the
+    * concatenated history). State is VOCAB-sized (Heaps-sublinear),
+    * never corpus-sized; one (term) shuffle per batch.
+    */
+  def unigramCeStream(docs: DataFrame, idCol: String, textCol: String,
+                      lmDir: String, addK: Double = 1.0)(
+      onBatch: (DataFrame, Long) => Unit) = {
+    new java.io.File(lmDir).mkdirs()
+    docs.writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        unigramCeBatch(batch, batchId, idCol, textCol, lmDir, addK)(onBatch)
+      }
+  }
+
+  /** One micro-batch of [[unigramCeStream]] — replay-idempotent: scores
+    * against (and merges onto) the latest LM version STRICTLY BELOW the
+    * current batchId, overwriting `v<batchId>` — the [[mixturePlanBatch]]
+    * recipe, so replays re-emit the same scores and converge to the
+    * same LM.
+    */
+  private[graft] def unigramCeBatch(
+      batch: DataFrame, batchId: Long, idCol: String, textCol: String,
+      lmDir: String, addK: Double)(
+      onBatch: (DataFrame, Long) => Unit): Unit = {
+    val s = batch.sparkSession
+    val prior = batchDirsBefore(lmDir, "v", batchId).lastOption
+      .map(f => s.read.parquet(f.getPath))
+      .getOrElse(s.range(0).select(lit("").as("term"), lit(0L).as("cf")))
+    val scored = graft.operators.Curation
+      .unigramCrossEntropyAgainst(batch, prior, idCol, textCol, addK)
+      .persist()
+    scored.count() // pin the PRIOR-LM scores before the store advances
+    onBatch(scored, batchId)
+    graft.operators.Curation
+      .unigramLmMerge(prior,
+        graft.operators.Curation.unigramLm(batch, textCol))
+      .write.mode("overwrite").parquet(f"$lmDir/v$batchId%05d")
+    scored.unpersist()
+    ()
+  }
+
+  /** The latest maintained LM snapshot under `lmDir`, if any. */
+  def unigramLmSnapshot(spark: SparkSession, lmDir: String)
+      : Option[DataFrame] =
+    batchDirsBefore(lmDir, "v", Long.MaxValue).lastOption
+      .map(f => spark.read.parquet(f.getPath))
+
   /** Streaming upsert sink: each micro-batch merges into the latest
     * parquet snapshot via [[graft.operators.Snapshot.mergeSnapshot]]
     * (keep-highest-`versionCol` per key) and writes a NEW snapshot

@@ -365,6 +365,76 @@ class StreamingSpec extends SparkSpec {
     assert(plans(1L) == want(b1 ++ b2)) // running inventory, exact longs
   }
 
+  test("streaming CE scores each batch against the LM of everything " +
+    "before it and maintains the exact merged snapshot") {
+    import graft.operators.Curation
+    implicit val sqlCtx = spark.sqlContext
+    val lmDir = Files.createTempDirectory("graft-lm").toString
+    val chk = Files.createTempDirectory("graft-lm-chk").toString
+    var perBatch =
+      Map.empty[Long, Seq[(Long, Int, Long, Long, Long, Double)]]
+    val mem = MemoryStream[(Long, String)]
+    val q = StreamingPipeline.unigramCeStream(
+      mem.toDF().toDF("doc_id", "text"), "doc_id", "text", lmDir) {
+      (scored, id) =>
+        perBatch += id -> scored
+          .select("id", "n_tokens", "n_terms", "oov_terms", "oov_tokens",
+            "ce")
+          .as[(Long, Int, Long, Long, Long, Double)]
+          .collect().toSeq.sortBy(_._1)
+    }.option("checkpointLocation", chk).start()
+    val b1 = Seq((1L, "a a b"), (2L, "b c"))
+    val b2 = Seq((3L, "a zz zz"), (4L, "b b"))
+    mem.addData(b1: _*)
+    q.processAllAvailable()
+    mem.addData(b2: _*)
+    q.processAllAvailable()
+    q.stop()
+    // batch 0 scored against NO model: every term OOV, ce = 0 (P = k/k)
+    assert(perBatch(0L).forall(r => r._6 == 0.0 && r._4 == r._3 &&
+      r._5 == r._2.toLong))
+    // batch 1 scored against exactly batch 0's LM
+    val want1 = Curation.unigramCrossEntropyAgainst(
+        b2.toDF("doc_id", "text"),
+        Curation.unigramLm(b1.toDF("doc_id", "text"), "text"),
+        "doc_id", "text")
+      .select("id", "n_tokens", "n_terms", "oov_terms", "oov_tokens", "ce")
+      .as[(Long, Int, Long, Long, Long, Double)].collect().toSeq.sortBy(_._1)
+    assert(perBatch(1L) == want1)
+    // the maintained snapshot equals unigramLm over the full history
+    val snap = StreamingPipeline.unigramLmSnapshot(spark, lmDir).get
+      .as[(String, Long)].collect().toSet
+    val wantLm = Curation.unigramLm((b1 ++ b2).toDF("doc_id", "text"),
+      "text").as[(String, Long)].collect().toSet
+    assert(snap == wantLm)
+  }
+
+  test("unigram CE batch is replay-idempotent (at-least-once " +
+    "foreachBatch)") {
+    val lmDir = Files.createTempDirectory("graft-lm-rp").toString
+    var emitted = List.empty[(Long, Seq[(Long, Double, Long)])]
+    def run(rows: Seq[(Long, String)], batchId: Long): Unit =
+      StreamingPipeline.unigramCeBatch(
+        rows.toDF("doc_id", "text"), batchId, "doc_id", "text", lmDir,
+        addK = 1.0) { (scored, id) =>
+        emitted ::= id -> scored.select("id", "ce", "oov_tokens")
+          .as[(Long, Double, Long)].collect().toSeq.sortBy(_._1)
+      }
+    val b0 = Seq((1L, "a a b"), (2L, "b c"))
+    val b1 = Seq((3L, "a zz zz"))
+    run(b0, 0L)
+    run(b1, 1L)
+    val firstB1 = emitted.head._2
+    // crash-replay of batch 1: v00001 is already on disk; the replay
+    // must score against v00000 only and converge to the same LM
+    run(b1, 1L)
+    assert(emitted.head._2 == firstB1)
+    val snap = StreamingPipeline.unigramLmSnapshot(spark, lmDir).get
+      .as[(String, Long)].collect().toMap
+    // a, b, c from b0 plus zz from b1 — counted once despite the replay
+    assert(snap == Map("a" -> 3L, "b" -> 2L, "c" -> 1L, "zz" -> 2L))
+  }
+
   test("streaming tempered mixture emits the batch q100 plan over " +
     "everything seen so far") {
     import graft.functions.TextAnalysis
