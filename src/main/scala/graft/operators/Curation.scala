@@ -277,14 +277,8 @@ object Curation {
     // PERSISTED: tf feeds the scored join, the corpus-frequency rollup,
     // and (through cf) the corpus total — uncached, the corpus would
     // tokenize three times. Cache-lifetime contract as [[topTfidfTerm]].
-    val tf = df.select(col(idCol).as("id"),
-        TextAnalysis.tokens(col(textCol)).as("_toks"))
-      .select(col("id"), size(col("_toks")).as("dl"),
-        explode(col("_toks")).as("term"))
-      .groupBy(col("id"), col("dl"), col("term"))
-      .agg(count(lit(1)).as("tf"))
-      .persist(tfStorage)
-    val cf = tf.groupBy(col("term")).agg(sum(col("tf")).as("cf"))
+    val tf = docTermFreq(df, idCol, textCol).persist(tfStorage)
+    val cf = unigramLmOfTf(tf)
     val total = cf.agg(sum(col("cf")).as("t_total"))
     val scored = tf.join(cf, "term")
       .crossJoin(broadcast(total))
@@ -314,6 +308,25 @@ object Curation {
   def unigramLm(df: DataFrame, textCol: String): DataFrame =
     df.select(explode(TextAnalysis.tokens(col(textCol))).as("term"))
       .groupBy(col("term")).agg(count(lit(1)).as("cf"))
+
+  /** (id, dl, term, tf) doc-term frequencies — the shared tokenize+rollup
+    * stage of the CE scorers and LM building. Streaming callers compute
+    * this ONCE per micro-batch and feed both the scorer
+    * ([[unigramCrossEntropyAgainstTf]]) and the LM delta
+    * ([[unigramLmOfTf]]) — one tokenization, not two.
+    */
+  private[graft] def docTermFreq(df: DataFrame, idCol: String,
+                                 textCol: String): DataFrame =
+    df.select(col(idCol).as("id"),
+        TextAnalysis.tokens(col(textCol)).as("_toks"))
+      .select(col("id"), size(col("_toks")).as("dl"),
+        explode(col("_toks")).as("term"))
+      .groupBy(col("id"), col("dl"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+
+  /** [[unigramLm]] from an already-computed [[docTermFreq]] frame. */
+  private[graft] def unigramLmOfTf(tf: DataFrame): DataFrame =
+    tf.groupBy(col("term")).agg(sum(col("tf")).as("cf"))
 
   /** Merges new counts into a frozen LM snapshot: (term, cf) ∪ (term,
     * cf) → summed per term. Counts are exact longs, so LM maintenance
@@ -356,7 +369,17 @@ object Curation {
     */
   def unigramCrossEntropyAgainst(batch: DataFrame, lm: DataFrame,
                                  idCol: String, textCol: String,
-                                 addK: Double = 1.0): DataFrame = {
+                                 addK: Double = 1.0): DataFrame =
+    unigramCrossEntropyAgainstTf(docTermFreq(batch, idCol, textCol), lm,
+      addK)
+
+  /** [[unigramCrossEntropyAgainst]] over an already-computed
+    * [[docTermFreq]] frame (streaming callers share it with the LM
+    * delta).
+    */
+  private[graft] def unigramCrossEntropyAgainstTf(tf: DataFrame,
+                                                  lm: DataFrame,
+                                                  addK: Double): DataFrame = {
     require(addK > 0.0, s"addK must be > 0 (got $addK): unseen terms " +
       "need nonzero probability mass")
     // coalesce: an EMPTY LM (first batch of a stream) sums to null;
@@ -364,12 +387,6 @@ object Curation {
     // everything OOV — which is the honest score against no model
     val stats = lm.agg(coalesce(sum(col("cf")), lit(0L)).as("t_total"),
       count(lit(1)).as("v_size"))
-    val tf = batch.select(col(idCol).as("id"),
-        TextAnalysis.tokens(col(textCol)).as("_toks"))
-      .select(col("id"), size(col("_toks")).as("dl"),
-        explode(col("_toks")).as("term"))
-      .groupBy(col("id"), col("dl"), col("term"))
-      .agg(count(lit(1)).as("tf"))
     val denom = col("t_total").cast("double") +
       lit(addK) * (col("v_size").cast("double") + lit(1.0))
     val scored = tf.join(lm.select(col("term"), col("cf")), Seq("term"),

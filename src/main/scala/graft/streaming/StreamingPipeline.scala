@@ -411,16 +411,20 @@ object StreamingPipeline {
     val prior = batchDirsBefore(lmDir, "v", batchId).lastOption
       .map(f => s.read.parquet(f.getPath))
       .getOrElse(s.range(0).select(lit("").as("term"), lit(0L).as("cf")))
+    // ONE tokenization per batch: the tf rollup feeds both the scorer
+    // and the LM delta from cache
+    val tf = graft.operators.Curation.docTermFreq(batch, idCol, textCol)
+      .persist()
     val scored = graft.operators.Curation
-      .unigramCrossEntropyAgainst(batch, prior, idCol, textCol, addK)
+      .unigramCrossEntropyAgainstTf(tf, prior, addK)
       .persist()
     scored.count() // pin the PRIOR-LM scores before the store advances
     onBatch(scored, batchId)
     graft.operators.Curation
-      .unigramLmMerge(prior,
-        graft.operators.Curation.unigramLm(batch, textCol))
+      .unigramLmMerge(prior, graft.operators.Curation.unigramLmOfTf(tf))
       .write.mode("overwrite").parquet(f"$lmDir/v$batchId%05d")
     scored.unpersist()
+    tf.unpersist()
     ()
   }
 
