@@ -250,6 +250,55 @@ object StreamingPipeline {
     else spark.range(0).select(lit("").as("content_hash"))
   }
 
+  /** Compacts the batchId-keyed subdirs of an APPEND-history state
+    * store ([[incrementalDedupStream]]'s digest store,
+    * [[semDedupStream]]'s assignment store): every subdir with id
+    * STRICTLY BELOW `beforeId` merges into one subdir keeping the
+    * highest compacted id. A stream writing thousands of micro-batches
+    * otherwise pays a per-batch directory listing + parquet footer read
+    * that grows without bound.
+    *
+    * Safety: pass `beforeId` ≤ the stream's last COMMITTED batchId
+    * (ids only move forward, so no replay will ever rewrite a compacted
+    * subdir). Crash-safe by construction: the merged dir is OVERWRITTEN
+    * into place BEFORE sources are deleted, and a leftover source after
+    * a crash merely duplicates rows — both stores' readers tolerate
+    * duplicates (the digest anti-join distincts; the semDedup dup
+    * rollup is a min, idempotent under row duplication). NOT for the
+    * latest-version stores (mixture inventory / LM / upsert snapshots),
+    * which already keep O(1) live state per version and prune by
+    * "latest strictly below".
+    *
+    * Returns the number of subdirs removed. `partitionCols` preserves
+    * the store's layout (pass `Seq("cell")` for the semDedup store so
+    * touched-cell pruning keeps working on the compacted dir).
+    */
+  def compactStateDirs(spark: SparkSession, dir: String, beforeId: Long,
+                       prefix: String = "b",
+                       partitionCols: Seq[String] = Nil): Int = {
+    val dirs = batchDirsBefore(dir, prefix, beforeId)
+    if (dirs.length < 2) return 0
+    val merged = dirs.map(d => spark.read.parquet(d.getPath))
+      .reduce(_.unionByName(_))
+      .persist()
+    merged.count() // pin the union BEFORE overwriting a source dir
+    val writer = merged.write.mode("overwrite")
+    (if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*)
+     else writer).parquet(dirs.last.getPath)
+    merged.unpersist()
+    // sources drop only AFTER the merged dir is fully in place; a crash
+    // between the write and any delete leaves duplicated rows, which
+    // both stores' readers tolerate
+    dirs.init.foreach(deleteRecursively)
+    dirs.length - 1
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRecursively)
+    f.delete()
+    ()
+  }
+
   /** Versioned state subdirs `<prefix><paddedId>` with id strictly below
     * `beforeId`, name-sorted (ids are zero-padded, so name order = id
     * order up to 99999 batches; the numeric parse keeps it exact beyond).

@@ -365,6 +365,73 @@ class StreamingSpec extends SparkSpec {
     assert(plans(1L) == want(b1 ++ b2)) // running inventory, exact longs
   }
 
+  test("state-store compaction merges committed digest subdirs and the " +
+    "stream keeps dedup semantics") {
+    val digestDir = Files.createTempDirectory("graft-digests-cp").toString
+    def run(rows: Seq[(Long, String)], batchId: Long): Unit =
+      StreamingPipeline.incrementalDedupBatch(
+        rows.toDF("doc_id", "text"), batchId, "doc_id", "text",
+        digestDir) { (_, _) => () }
+    run(Seq((1L, "alpha"), (2L, "beta")), 0L)
+    run(Seq((3L, "gamma")), 1L)
+    run(Seq((4L, "delta")), 2L)
+    val before = StreamingPipeline.digestStore(spark, digestDir)
+      .as[String].collect().sorted.toSeq
+    // compact everything committed before batch 2 (ids 0 and 1)
+    val removed = StreamingPipeline.compactStateDirs(spark, digestDir,
+      beforeId = 2L)
+    assert(removed == 1)
+    val dirNames = new java.io.File(digestDir).listFiles()
+      .map(_.getName).filter(_.startsWith("b")).sorted.toSeq
+    assert(dirNames == Seq("b00001", "b00002"))
+    val after = StreamingPipeline.digestStore(spark, digestDir)
+      .as[String].collect().sorted.toSeq
+    assert(after == before)
+    // the NEXT batch still dedups against the compacted history
+    var kept = Set.empty[Long]
+    StreamingPipeline.incrementalDedupBatch(
+      Seq((5L, "alpha"), (6L, "epsilon")).toDF("doc_id", "text"), 3L,
+      "doc_id", "text", digestDir) { (res, _) =>
+      kept = res.select("keep_id").as[Long].collect().toSet
+    }
+    assert(kept == Set(6L)) // alpha was in compacted batch 0
+  }
+
+  test("state-store compaction preserves the semDedup store's cell " +
+    "partitioning") {
+    val stateDir = Files.createTempDirectory("graft-semdedup-cp").toString
+    val centroids = Seq(Seq(1.0, 0.0, 0.0), Seq(0.0, 1.0, 1.0))
+    def run(rows: Seq[(Long, Seq[Float])], batchId: Long): Unit =
+      StreamingPipeline.semDedupBatch(
+        rows.toDF("vec_id", "embedding"), batchId, centroids,
+        threshold = 0.9, stateDir, "vec_id", "embedding") { (_, _) => () }
+    run(Seq((0L, Seq(1.0f, 0.0f, 0.0f)), (1L, Seq(0.0f, 1.0f, 0.0f))), 0L)
+    run(Seq((2L, Seq(0.0f, 0.0f, 1.0f))), 1L)
+    run(Seq((3L, Seq(0.5f, 0.5f, 0.0f))), 2L)
+    val before = StreamingPipeline.semDedupStore(spark, stateDir).get
+      .select("vec_id", "cell").as[(Long, Long)].collect().toSet
+    assert(StreamingPipeline.compactStateDirs(spark, stateDir,
+      beforeId = 2L, partitionCols = Seq("cell")) == 1)
+    // partition layout survives: the compacted dir has cell=N subdirs
+    val compacted = new java.io.File(stateDir, "b00001")
+    assert(compacted.listFiles().exists(_.getName.startsWith("cell=")),
+      "compaction lost the cell partitioning")
+    val after = StreamingPipeline.semDedupStore(spark, stateDir).get
+      .select("vec_id", "cell").as[(Long, Long)].collect().toSet
+    assert(after == before)
+    // a new batch near vector 0 still finds its cross-batch dup in the
+    // compacted history
+    var got = Seq.empty[(Long, Option[Long])]
+    StreamingPipeline.semDedupBatch(
+      Seq((9L, Seq(0.99f, 0.01f, 0.0f))).toDF("vec_id", "embedding"), 3L,
+      centroids, threshold = 0.9, stateDir, "vec_id", "embedding") {
+      (res, _) =>
+        got = res.select("vec_id", "dup_of")
+          .as[(Long, Option[Long])].collect().toSeq
+    }
+    assert(got == Seq((9L, Some(0L))))
+  }
+
   test("streaming CE scores each batch against the LM of everything " +
     "before it and maintains the exact merged snapshot") {
     import graft.operators.Curation
