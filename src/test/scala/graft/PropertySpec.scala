@@ -299,6 +299,84 @@ class PropertySpec extends SparkSpec {
     assert(repartitioned == keepFirst)
   }
 
+  test("run-vote span removal: untouched clean docs, exact-copy " +
+    "canonicality, and partition determinism on random corpora") {
+    import graft.operators.Dedup
+    val k = 3
+    val tokGen = Gen.oneOf("aa", "bb", "cc", "dd", "ee", "ff")
+    val textGen = for {
+      n <- Gen.chooseNum(0, 18)
+      toks <- Gen.listOfN(n, tokGen)
+    } yield toks.mkString(" ")
+    val rows = sample(textGen, 120).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }
+    val docs = rows.toDF("doc_id", "text")
+    def afterOf(df: org.apache.spark.sql.DataFrame): Map[Long, Int] =
+      df.select("id", "n_tokens_after").as[(Long, Int)].collect().toMap
+    val runVote = afterOf(Dedup.removeRepeatedSpansKeepFirst(
+      docs, "doc_id", "text", k, minSpanTokens = k, runVote = true))
+    // a doc with NO cross-doc duplicated gram is never touched
+    val removeAll = afterOf(
+      Dedup.removeRepeatedSpans(docs, "doc_id", "text", k))
+    val lengths = rows.map { case (id, t) =>
+      id -> (if (t.isEmpty) 0 else t.split("\\s+").length)
+    }.toMap
+    lengths.foreach { case (id, n) =>
+      if (removeAll(id) == n) // remove-all found nothing duplicated
+        assert(runVote(id) == n, s"doc $id: run-vote touched a clean doc")
+    }
+    // exact-copy canonicality holds under the vote too: min id verbatim,
+    // every other copy fully scrubbed (its run is 100% non-canonical)
+    val copies = (0L until 20L).map(i => (i, "pp qq rr ss tt uu vv ww"))
+      .toDF("doc_id", "text")
+    val scrubbed = Dedup.removeRepeatedSpansKeepFirst(
+        copies, "doc_id", "text", k, minSpanTokens = k, runVote = true)
+      .select("id", "n_tokens_after", "clean_text")
+      .as[(Long, Int, String)].collect().toSeq.sortBy(_._1)
+    assert(scrubbed.head == ((0L, 8, "pp qq rr ss tt uu vv ww")))
+    scrubbed.tail.foreach { case (id, after, text) =>
+      assert(after == 0 && text.isEmpty, s"copy $id not fully scrubbed")
+    }
+    // deterministic under repartitioning
+    val repartitioned = afterOf(Dedup.removeRepeatedSpansKeepFirst(
+      docs.repartition(17), "doc_id", "text", k, minSpanTokens = k,
+      runVote = true))
+    assert(repartitioned == runVote)
+  }
+
+  test("adaptive IVF == fixed nprobe when cells are uniform (prefix " +
+    "rule sanity)") {
+    import graft.operators.Similarity
+    // 4 equal-population cells; budget = p × cellSize probes exactly p
+    // distance-ordered cells, so the adaptive result must equal ivfKnn
+    val centroids = Seq(Seq(10.0, 0.0), Seq(-10.0, 0.0),
+      Seq(0.0, 10.0), Seq(0.0, -10.0))
+    val r = new scala.util.Random(23)
+    val corpus = (for {
+      (base, cIdx) <- Seq(Seq(10.0f, 0.0f), Seq(-10.0f, 0.0f),
+        Seq(0.0f, 10.0f), Seq(0.0f, -10.0f)).zipWithIndex
+      j <- 0 until 10
+    } yield ((cIdx * 100 + j).toLong,
+      base.map(x => x + (r.nextDouble() * 0.2 - 0.1).toFloat)))
+      .toDF("vec_id", "embedding")
+    val queries = Seq((900L, Seq(3.0f, 2.0f)), (901L, Seq(-1.0f, -7.0f)))
+      .toDF("vec_id", "embedding")
+    val counts = Similarity.ivfCellStats(corpus, centroids)
+      .select("cell", "n_vecs").as[(Long, Long)].collect().toMap
+    assert(counts.values.toSet == Set(10L))
+    for (p <- 1 to 4) {
+      val fixed = Similarity.ivfKnn(queries, corpus, k = 5, centroids,
+          nprobe = p)
+        .orderBy("query_id", "rank").collect().toSeq
+      // budget p×10 means prior cumulative < budget for exactly the
+      // first p cells of each query's distance order
+      val adaptive = Similarity.ivfKnnAdaptive(queries, corpus, k = 5,
+          centroids, counts, candidateBudget = p * 10L)
+        .orderBy("query_id", "rank").collect().toSeq
+      assert(adaptive == fixed, s"nprobe=$p mismatch")
+    }
+  }
+
   test("native hashed shingles == lambda formulation on adversarial text " +
     "(whitespace runs, unicode, empties, repeats)") {
     import graft.functions.TextAnalysis
