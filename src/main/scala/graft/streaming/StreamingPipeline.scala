@@ -205,7 +205,7 @@ object StreamingPipeline {
     val assigned = graft.operators.Similarity
       .assignCells(batch, centroids, idCol, vecCol)
       .persist()
-    assigned.count()
+    val nBatch = assigned.count()
     // cells touched by this batch: bounded by min(|batch|, k) — a
     // model-scale list, safe to collect; prunes the store read below
     val touched = assigned.select(col("cell").cast("long")).distinct()
@@ -226,8 +226,12 @@ object StreamingPipeline {
       .persist()
     result.count() // pin results BEFORE the store grows (self-read safety)
     onBatch(result, batchId)
-    assigned.write.mode("overwrite").partitionBy("cell")
-      .parquet(f"$stateDir/b$batchId%05d")
+    // an EMPTY batch must not write: a partitioned parquet write of zero
+    // rows leaves a directory with no schema file, and every later
+    // batch's store read dies on UNABLE_TO_INFER_SCHEMA
+    if (nBatch > 0)
+      assigned.write.mode("overwrite").partitionBy("cell")
+        .parquet(f"$stateDir/b$batchId%05d")
     assigned.unpersist()
     result.unpersist()
     ()

@@ -1,0 +1,69 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.streaming.StreamingPipeline
+
+/** Store robustness probes: empty micro-batches and partition pruning. */
+class StoreRobustnessSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("an empty digest-store write stays readable (plain parquet " +
+    "keeps a schema file)") {
+    val dir = Files.createTempDirectory("graft-empty").toString
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    empty.select(md5(col("text")).as("content_hash"))
+      .write.mode("overwrite").parquet(s"$dir/b00000")
+    assert(spark.read.parquet(s"$dir/b00000").count() == 0)
+  }
+
+  test("an empty micro-batch does not poison the semDedup store (no " +
+    "schemaless partitioned dir is written)") {
+    // a PARTITIONED write of zero rows produces a directory parquet
+    // cannot re-read (UNABLE_TO_INFER_SCHEMA) — semDedupBatch must skip
+    // the state write instead, or every later batch dies on the read
+    val stateDir = Files.createTempDirectory("graft-emptyp").toString
+    val centroids = Seq(Seq(1.0, 0.0, 0.0), Seq(0.0, 1.0, 1.0))
+    var emissions = List.empty[Long]
+    def run(rows: Seq[(Long, Seq[Float])], batchId: Long): Unit =
+      StreamingPipeline.semDedupBatch(
+        rows.toDF("vec_id", "embedding"), batchId, centroids, 0.9,
+        stateDir, "vec_id", "embedding") { (res, id) =>
+        emissions ::= id; res.count(); ()
+      }
+    run(Seq((0L, Seq(1.0f, 0.0f, 0.0f))), 0L)
+    run(Seq.empty, 1L) // empty micro-batch
+    // batch 2 must still read the store and find its cross-batch dup
+    var got = Seq.empty[(Long, Option[Long])]
+    StreamingPipeline.semDedupBatch(
+      Seq((5L, Seq(0.99f, 0.01f, 0.0f))).toDF("vec_id", "embedding"), 2L,
+      centroids, 0.9, stateDir, "vec_id", "embedding") { (res, _) =>
+      got = res.select("vec_id", "dup_of")
+        .as[(Long, Option[Long])].collect().toSeq
+    }
+    assert(emissions.contains(1L), "empty batch must still emit")
+    assert(got == Seq((5L, Some(0L))))
+    assert(!new java.io.File(stateDir, "b00001").exists(),
+      "empty batch must not write a store subdir")
+  }
+
+  test("semDedup store reads prune files by touched cell") {
+    val stateDir = Files.createTempDirectory("graft-prune").toString
+    val centroids = Seq(Seq(1.0, 0.0, 0.0), Seq(0.0, 1.0, 1.0))
+    StreamingPipeline.semDedupBatch(
+      Seq((0L, Seq(1.0f, 0.0f, 0.0f)), (1L, Seq(0.0f, 1.0f, 0.0f)))
+        .toDF("vec_id", "embedding"),
+      0L, centroids, 0.9, stateDir, "vec_id", "embedding") { (_, _) => () }
+    val pruned = spark.read.parquet(s"$stateDir/b00000")
+      .filter(col("cell") === 1L)
+    // inputFiles is pre-pruning; the claim is that the filter reaches
+    // the scan's PartitionFilters (directory-level pruning)
+    val scan = pruned.queryExecution.sparkPlan.collectLeaves().head
+    val s = scan.toString
+    assert(s.contains("PartitionFilters") && s.contains("cell"),
+      s"cell filter did not reach partition pruning:\n$s")
+    assert(pruned.count() == 1)
+  }
+}
