@@ -26,7 +26,9 @@ object Explain {
         "q51_range_join_auto", "q54_exists_subquery", "q60_snapshot_merge",
         "q61_profile", "q79_contamination", "q85_sequence_pack",
         "q88_curate_corpus", "q90_repeated_spans", "q91_vec_centroids",
-        "q93_bm25", "q94_weighted_sample", "q96_span_removal_keepfirst")
+        "q93_bm25", "q94_weighted_sample", "q96_span_removal_keepfirst",
+        "q97_semantic_dedup", "q98_unigram_ce", "q101_unigram_ce_frozen",
+        "q103_semantic_dedup_increment", "q104_knn_ivf_adaptive")
     names.foreach { n =>
       println(s"\n========== $n ==========")
       SparkEntry.queries.get(n) match {

@@ -437,6 +437,35 @@ object Curation {
       .groupBy("content_hash")
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("batch_dups"))
 
+  /** [[incrementalDedupDigests]] for a LARGE store and a small batch —
+    * the streaming deployment shape. The plain form's left-anti join can
+    * only build its hash table from the STORE side, so when the store
+    * outgrows the broadcast threshold Spark sort-merge-joins and
+    * SHUFFLES THE ENTIRE HISTORICAL STORE on every micro-batch. This
+    * form never moves the store: the batch's distinct digests broadcast
+    * INTO a left-semi probe over the store (map-side scan, zero store
+    * exchange — at most |batch| rows come back), and the batch
+    * anti-joins against that broadcast match set. Result is row-for-row
+    * identical to [[incrementalDedupDigests]] (CurationSpec asserts on
+    * random corpora; StoreRobustnessSpec pins the store-side plan).
+    *
+    * Per-batch cost: one map-side store scan + two tiny broadcasts. At
+    * 100 TB the scan prunes further if the store is bucketed/sorted by
+    * digest prefix; the shuffle inventory is zero either way.
+    */
+  def incrementalDedupDigestsMapSide(batch: DataFrame, digests: DataFrame,
+                                     idCol: String, textCol: String)
+      : DataFrame = {
+    val bd = batch.select(col(idCol), md5(col(textCol)).as("content_hash"))
+    val matched = digests.select("content_hash")
+      .join(broadcast(bd.select("content_hash").distinct()),
+        Seq("content_hash"), "left_semi")
+      .distinct()
+    bd.join(broadcast(matched), Seq("content_hash"), "left_anti")
+      .groupBy("content_hash")
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("batch_dups"))
+  }
+
   // ------------------------------------------------------------------
   // Deterministic stratified quota sampling
   // ------------------------------------------------------------------

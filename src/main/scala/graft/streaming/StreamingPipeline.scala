@@ -148,8 +148,10 @@ object StreamingPipeline {
     val seen =
       if (seenDirs.nonEmpty) s.read.parquet(seenDirs.map(_.getPath): _*)
       else s.range(0).select(lit("").as("content_hash"))
+    // map-side form: the historical store never shuffles, whatever its
+    // size — the per-batch cost a long-lived stream actually pays
     val kept = graft.operators.Curation
-      .incrementalDedupDigests(batch, seen, idCol, textCol)
+      .incrementalDedupDigestsMapSide(batch, seen, idCol, textCol)
       .persist()
     kept.count() // pin results BEFORE the store grows (self-read safety)
     onBatch(kept, batchId)

@@ -49,6 +49,35 @@ class StoreRobustnessSpec extends SparkSpec {
       "empty batch must not write a store subdir")
   }
 
+  test("map-side incremental dedup: the digest store never shuffles " +
+    "and results equal the plain anti-join form") {
+    import graft.operators.Curation
+    val dir = Files.createTempDirectory("graft-mapside").toString
+    // parquet-backed store (the realistic shape — not an in-memory frame)
+    (0 until 200).map(i => s"doc body $i").toDF("text")
+      .select(md5(col("text")).as("content_hash"))
+      .write.parquet(s"$dir/store")
+    val store = spark.read.parquet(s"$dir/store")
+    val batch = Seq((100L, "doc body 7"), (101L, "doc body 7"),
+      (102L, "brand new"), (103L, "doc body 42"), (104L, "also new"))
+      .toDF("doc_id", "text")
+    val mapSide = Curation.incrementalDedupDigestsMapSide(
+      batch, store, "doc_id", "text")
+    val plain = Curation.incrementalDedupDigests(
+      batch, store, "doc_id", "text")
+    assert(mapSide.collect().toSet == plain.collect().toSet)
+    assert(mapSide.select("keep_id").as[Long].collect().toSet ==
+      Set(102L, 104L))
+    // plan: both joins broadcast the BATCH-derived side; the store scan
+    // feeds them map-side — no sort-merge join, no exchange between the
+    // store scan and its semi probe
+    val s = mapSide.queryExecution.sparkPlan.toString
+    assert(!s.contains("SortMergeJoin"),
+      s"store side got shuffled:\n${s.take(900)}")
+    assert(s.contains("BroadcastHashJoin") && s.contains("LeftSemi") &&
+      s.contains("LeftAnti"), s"expected broadcast semi+anti:\n${s.take(900)}")
+  }
+
   test("semDedup store reads prune files by touched cell") {
     val stateDir = Files.createTempDirectory("graft-prune").toString
     val centroids = Seq(Seq(1.0, 0.0, 0.0), Seq(0.0, 1.0, 1.0))
