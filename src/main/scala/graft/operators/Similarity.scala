@@ -591,4 +591,139 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("sim"))
   }
+
+  // ------------------------------------------------------- product quant
+
+  /** Product-quantization codebooks (Jégou, Douze, Schmid: "Product
+    * Quantization for Nearest Neighbor Search", IEEE TPAMI 2011): one
+    * k-means model per contiguous `dim/m` subspace, `ksub` sub-centroids
+    * each. Training reuses [[kmeansFit]] (deterministic kmeans&#124;&#124;
+    * seeding), so the model is reproducible across runs and partitionings.
+    *
+    * Scale: each subspace fit keeps only model-scale state on the driver
+    * (k × dim/m doubles). At corpus scale, train on a SAMPLE — codebook
+    * quality tracks the distribution, not the row count; pass
+    * `df.sample(...)` (FAISS trains PQ on ~100k–1M vectors regardless of
+    * index size).
+    */
+  def pqTrain(df: DataFrame, dim: Int, m: Int, ksub: Int, iters: Int = 5,
+              idCol: String = "vec_id",
+              vecCol: String = "embedding"): Seq[Seq[Seq[Double]]] = {
+    require(m >= 1 && dim % m == 0, "dim must divide evenly into m subspaces")
+    val dsub = dim / m
+    (0 until m).map { j =>
+      val sub = df.select(col(idCol).as("id"),
+        slice(col(vecCol).cast("array<double>"), j * dsub + 1, dsub)
+          .as("sub"))
+      kmeansFit(sub, ksub, iters, idCol = "id", vecCol = "sub")
+    }
+  }
+
+  /** PQ codes for one vector column: per subspace, the 1-based index of
+    * the nearest sub-centroid (first argmin — `array_position` tie-break,
+    * the same rule as IVF cell assignment). The codebook rides as ONE
+    * `typedLit` literal (the q32 centroid-literal rule).
+    */
+  private def pqCodesCol(v: Column,
+                         codebooks: Seq[Seq[Seq[Double]]]): Column = {
+    val m = codebooks.size
+    val dsub = codebooks.head.head.size
+    val cbLit = typedLit(codebooks.map(_.map(_.toSeq)))
+    transform(sequence(lit(1), lit(m)), j => {
+      val sub = slice(v, (j - lit(1)) * lit(dsub) + lit(1), lit(dsub))
+      val dists = transform(element_at(cbLit, j), cb => l2sq(sub, cb))
+      array_position(dists, array_min(dists))
+    })
+  }
+
+  /** Per-query ADC lookup table: `lut[j][t]` = squared L2 distance from
+    * the query's j-th subvector to sub-centroid t — the m × ksub table
+    * that prices every corpus code WITHOUT touching corpus vectors.
+    */
+  private def pqLutCol(v: Column,
+                       codebooks: Seq[Seq[Seq[Double]]]): Column = {
+    val m = codebooks.size
+    val dsub = codebooks.head.head.size
+    val cbLit = typedLit(codebooks.map(_.map(_.toSeq)))
+    transform(sequence(lit(1), lit(m)), j => {
+      val sub = slice(v, (j - lit(1)) * lit(dsub) + lit(1), lit(dsub))
+      transform(element_at(cbLit, j), cb => l2sq(sub, cb))
+    })
+  }
+
+  /** Asymmetric distance: left fold of `lut[j][codes[j]]` over subspaces
+    * (sequential — bit-reproducible and oracle-matching).
+    */
+  private def adcCol(lut: Column, codes: Column, m: Int): Column =
+    aggregate(sequence(lit(1), lit(m)), lit(0.0), (acc, j) =>
+      acc + element_at(element_at(lut, j),
+        element_at(codes, j).cast("int")))
+
+  /** Encode a corpus to PQ codes: (id, codes array&lt;long&gt; of length m).
+    * At ksub <= 256 each code is a byte of information — a 64-dim float
+    * corpus (256 B/vector) becomes m bytes/vector for candidate scoring,
+    * with full vectors fetched only for final re-rank. THAT is the 100 TB
+    * lever: the ANN candidate scan reads the codes table, not the
+    * embeddings table.
+    */
+  def pqEncode(df: DataFrame, codebooks: Seq[Seq[Seq[Double]]],
+               idCol: String = "vec_id",
+               vecCol: String = "embedding"): DataFrame =
+    df.select(col(idCol),
+      pqCodesCol(col(vecCol).cast("array<double>"), codebooks).as("codes"))
+
+  /** IVF-PQ ANN (FAISS IVFADC with `by_residual=false`): corpus vectors
+    * are assigned to their nearest coarse cell AND quantized to PQ codes
+    * in the same scan; queries probe their `nprobe` nearest cells carrying
+    * an m × ksub ADC lookup table; candidates join on cell id and are
+    * ranked by asymmetric distance `sum_j lut[j][code_j]` (asc, id-asc
+    * tie-break). Codes are cell-independent (no residual coupling), so
+    * the LUT is built once per query, not once per (query, cell).
+    *
+    * Scale: the join shuffle carries (cell, id, m longs) for the corpus
+    * side — the full vectors never leave their scan. Recall < 1 by
+    * construction twice over (cell pruning + quantized distances);
+    * [[bruteForceKnn]] stays the exact baseline, and a re-rank pass over
+    * the ADC shortlist (join top-R back to full vectors) recovers exact
+    * ordering at O(R) vector reads per query.
+    */
+  def ivfPqKnn(queries: DataFrame, corpus: DataFrame, k: Int,
+               centroids: Seq[Seq[Double]],
+               codebooks: Seq[Seq[Seq[Double]]],
+               nprobe: Int = 1,
+               idCol: String = "vec_id",
+               vecCol: String = "embedding"): DataFrame = {
+    require(nprobe >= 1 && nprobe <= centroids.size, "nprobe in [1, cells]")
+    val m = codebooks.size
+    val ctLit = typedLit(centroids.map(_.toSeq))
+    def withDists(df: DataFrame, vec: String): DataFrame =
+      df.withColumn("_dists", transform(ctLit, ct => l2sq(col(vec), ct)))
+    val c = withDists(Partitioning.widen(corpus)
+        .select(col(idCol).as("neighbor_id"),
+          col(vecCol).cast("array<double>").as("cv")), "cv")
+      .withColumn("cell",
+        array_position(col("_dists"), array_min(col("_dists"))))
+      .withColumn("codes", pqCodesCol(col("cv"), codebooks))
+      .select(col("cell"), col("neighbor_id"), col("codes"))
+    val q = withDists(queries.select(col(idCol).as("query_id"),
+        col(vecCol).cast("array<double>").as("qv")), "qv")
+      .withColumn("cell",
+        explode(transform(
+          slice(array_sort(transform(
+            sequence(lit(1), lit(centroids.size)),
+            i => struct(element_at(col("_dists"), i).as("dist"),
+              i.as("idx")))), 1, nprobe),
+          s => s.getField("idx").cast("long"))))
+      .withColumn("lut", pqLutCol(col("qv"), codebooks))
+      .select(col("cell"), col("query_id"), col("lut"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adist").asc, col("neighbor_id").asc)
+    q.join(c, Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("adist", round(adcCol(col("lut"), col("codes"), m), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        col("adist"))
+  }
 }
