@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -725,5 +725,37 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"),
         col("adist"))
+  }
+
+  /** IVF-PQ with an exact re-rank tail (FAISS's standard recipe): take
+    * the ADC top-`shortlist` per query, fetch ONLY those full vectors
+    * (an equi-join on neighbor id — |Q| × shortlist rows, not the
+    * corpus), and re-rank by exact squared L2 (asc, id-asc tie-break).
+    * Quantization error then affects WHICH `shortlist` candidates are
+    * priced, never their final order — recall@k climbs toward exact as
+    * `shortlist/k` grows while the per-query full-vector reads stay
+    * O(shortlist).
+    */
+  def ivfPqKnnRerank(queries: DataFrame, corpus: DataFrame, k: Int,
+                     centroids: Seq[Seq[Double]],
+                     codebooks: Seq[Seq[Seq[Double]]],
+                     nprobe: Int = 1, shortlist: Int = 50,
+                     idCol: String = "vec_id",
+                     vecCol: String = "embedding"): DataFrame = {
+    require(shortlist >= k, "shortlist must cover k")
+    val short = ivfPqKnn(queries, corpus, shortlist, centroids, codebooks,
+        nprobe, idCol, vecCol)
+      .select(col("query_id"), col("neighbor_id"))
+    val qv = queries.select(col(idCol).as("query_id"),
+      col(vecCol).cast("array<double>").as("_qv"))
+    val cv = corpus.select(col(idCol).as("neighbor_id"),
+      col(vecCol).cast("array<double>").as("_cv"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("dist").asc, col("neighbor_id").asc)
+    short.join(qv, Seq("query_id")).join(cv, Seq("neighbor_id"))
+      .withColumn("dist", round(l2sq(col("_qv"), col("_cv")), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("dist"))
   }
 }

@@ -413,6 +413,71 @@ object VectorQueries {
        |ORDER BY cell""".stripMargin
   }
 
+  // --------------------------------------------------------------- q105
+  // IVF-PQ / ADC (Jégou et al. 2011; FAISS IVFADC, by_residual=false):
+  // corpus vectors quantize to one byte-ish code per 16-dim subspace
+  // against CONSTANT codebooks (same fixed-seed trick as q31/q32 — the
+  // codebook is part of the operator definition, so the oracle embeds it
+  // and replays code assignment + the per-query lookup table verbatim).
+  // The subspace distance list serves both sides: its argmin is the
+  // corpus code, the list itself is the query's LUT row — so the oracle
+  // computes ONE expression set and the asymmetric distance is pure list
+  // indexing. Spark's ADC fold is left-associated over subspaces,
+  // matching SQL's infix sum; l2sq parity is the q32-proven kernel.
+  private val PqM = 4 // 64 dims -> 4 subspaces of 16
+  private val PqKsub = 8
+  private val q105Codebooks: Seq[Seq[Seq[Double]]] =
+    (0 until PqM).map(j => randPlanes(PqKsub, 16, seed = 70L + j))
+
+  private def q105(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    Similarity.ivfPqKnn(
+      emb.filter(col("vec_id") < NumQueries), emb, K,
+      centroids = q32Centroids, codebooks = q105Codebooks)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  private val q105Sql = {
+    val coarse = distsSqlFor(q32Centroids)
+    // subspace j's distance list: l2sq of v[off+1..off+16] vs each
+    // sub-centroid, expanded left-associated like the native kernel
+    def subDists(j: Int): String = {
+      val off = j * 16
+      q105Codebooks(j).map { c =>
+        c.zipWithIndex.map { case (x, i) =>
+          s"(v[${off + i + 1}]-($x))*(v[${off + i + 1}]-($x))"
+        }.mkString("(", " + ", ")")
+      }.mkString("[", ",", "]")
+    }
+    val subCols = (0 until PqM).map(j => s"${subDists(j)} AS t${j + 1}")
+      .mkString(",\n    ")
+    val codeCols = (1 to PqM).map(j =>
+      s"list_position(t$j, list_min(t$j)) AS c$j").mkString(", ")
+    val adc = (1 to PqM).map(j => s"q.t$j[c.c$j]").mkString(" + ")
+    s"""WITH vecs AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |expanded AS (
+       |  SELECT vec_id, list_position(cd, list_min(cd)) AS cell,
+       |    $codeCols,
+       |    t1, t2, t3, t4
+       |  FROM (SELECT vec_id, $coarse AS cd,
+       |    $subCols
+       |  FROM vecs)),
+       |q AS (SELECT * FROM expanded WHERE vec_id < $NumQueries),
+       |scored AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |    round($adc, 6) AS adist
+       |  FROM q JOIN expanded c ON q.cell = c.cell
+       |    AND q.vec_id <> c.vec_id),
+       |ranked AS (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+       |    ORDER BY adist ASC, neighbor_id ASC) AS rank
+       |  FROM scored)
+       |SELECT query_id, rank, neighbor_id, adist
+       |FROM ranked WHERE rank <= $K
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_knn_bruteforce" -> (q30 _),
     "q31_knn_lsh" -> (q31 _),
@@ -423,7 +488,8 @@ object VectorQueries {
     "q97_semantic_dedup" -> (q97 _),
     "q99_ivf_cell_stats" -> (q99 _),
     "q103_semantic_dedup_increment" -> (q103 _),
-    "q104_knn_ivf_adaptive" -> (q104 _))
+    "q104_knn_ivf_adaptive" -> (q104 _),
+    "q105_knn_ivfpq" -> (q105 _))
 
   val oracleSql: Map[String, String] = Map(
     "q30_knn_bruteforce" -> q30Sql,
@@ -435,5 +501,6 @@ object VectorQueries {
     "q97_semantic_dedup" -> q97Sql,
     "q99_ivf_cell_stats" -> q99Sql,
     "q103_semantic_dedup_increment" -> q103Sql,
-    "q104_knn_ivf_adaptive" -> q104Sql)
+    "q104_knn_ivf_adaptive" -> q104Sql,
+    "q105_knn_ivfpq" -> q105Sql)
 }

@@ -318,4 +318,81 @@ class SimilaritySpec extends SparkSpec {
         s"k=$k returned duplicate centroids")
     }
   }
+
+  test("pqEncode picks the nearest sub-centroid per subspace (first " +
+    "argmin on ties)") {
+    // dim=4, m=2 -> dsub=2; codebook per subspace: [0,0] and [1,1]
+    val cb = Seq(Seq(Seq(0.0, 0.0), Seq(1.0, 1.0)),
+      Seq(Seq(0.0, 0.0), Seq(1.0, 1.0)))
+    val df = Seq(
+      (0L, Seq(0.9f, 0.9f, 0.1f, 0.1f)), // near [1,1] then [0,0] -> (2,1)
+      (1L, Seq(0.0f, 0.0f, 1.0f, 1.0f)), // exact    -> (1,2)
+      (2L, Seq(0.5f, 0.5f, 0.5f, 0.5f))  // tie both -> first argmin (1,1)
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.pqEncode(df, cb)
+      .orderBy("vec_id").select("codes").as[Seq[Long]].collect().toSeq
+    assert(got == Seq(Seq(2L, 1L), Seq(1L, 2L), Seq(1L, 1L)))
+  }
+
+  test("ivfPqKnn with a lossless codebook reproduces the exact L2 " +
+    "ranking (ADC == true distance when codes decode exactly)") {
+    val corpus = Seq(
+      (10L, Seq(0.0f, 0.0f)),
+      (11L, Seq(1.0f, 1.0f)),
+      (12L, Seq(4.0f, 5.0f))).toDF("vec_id", "embedding")
+    val queries = Seq((99L, Seq(0.2f, 0.1f))).toDF("vec_id", "embedding")
+    // m=2, dsub=1; every coordinate in the corpus AND the query is a
+    // sub-centroid, so quantization is exact for the corpus side
+    val cb = Seq(Seq(Seq(0.0), Seq(1.0), Seq(4.0)),
+      Seq(Seq(0.0), Seq(1.0), Seq(5.0)))
+    val got = Similarity.ivfPqKnn(queries, corpus, k = 3,
+        centroids = Seq(Seq(0.0, 0.0)), codebooks = cb)
+      .orderBy("rank")
+      .select("neighbor_id", "adist").as[(Long, Double)].collect().toSeq
+    assert(got.map(_._1) == Seq(10L, 11L, 12L))
+    // ADC = exact squared L2 of the float32-rounded inputs
+    val q = Seq(0.2f.toDouble, 0.1f.toDouble)
+    def d2(v: Seq[Double]) =
+      math.pow(q.head - v.head, 2) + math.pow(q(1) - v(1), 2)
+    val want = Seq(Seq(0.0, 0.0), Seq(1.0, 1.0), Seq(4.0, 5.0))
+      .map(v => math.rint(d2(v) * 1e6) / 1e6)
+    got.map(_._2).zip(want).foreach { case (g, w) =>
+      assert(math.abs(g - w) < 1e-9, s"adist $g != exact $w")
+    }
+  }
+
+  test("pqTrain is deterministic and ivfPqKnn+rerank recovers exact-L2 " +
+    "neighbors on real embeddings") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val cb = Similarity.pqTrain(emb, dim = 64, m = 8, ksub = 16, iters = 2)
+    val cb2 = Similarity.pqTrain(emb, dim = 64, m = 8, ksub = 16, iters = 2)
+    assert(cb == cb2, "pqTrain not reproducible")
+    assert(cb.size == 8 && cb.forall(_.forall(_.size == 8)))
+    val queries = emb.filter(col("vec_id") < 20)
+    // exact L2 truth, computed driver-side (test-scale corpus)
+    val all = emb.select(col("vec_id"),
+        col("embedding").cast("array<double>"))
+      .as[(Long, Seq[Double])].collect()
+    def l2(a: Seq[Double], b: Seq[Double]) =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val truth = all.filter(_._1 < 20).map { case (qid, qv) =>
+      qid -> all.filter(_._1 != qid)
+        .map { case (cid, cv) => (l2(qv, cv), cid) }
+        .sorted.take(5).map(_._2).toSet
+    }.toMap
+    val oneCell = Seq(Seq.fill(64)(0.0)) // isolate PQ error from cell loss
+    def recall(df: org.apache.spark.sql.DataFrame) = {
+      val got = df.select("query_id", "neighbor_id").as[(Long, Long)]
+        .collect().groupBy(_._1).view.mapValues(_.map(_._2).toSet)
+      truth.map { case (q, t) => (got.getOrElse(q, Set.empty) & t).size }
+        .sum.toDouble / truth.values.map(_.size).sum
+    }
+    val adc = recall(Similarity.ivfPqKnn(queries, emb, k = 5,
+      oneCell, cb))
+    val reranked = recall(Similarity.ivfPqKnnRerank(queries, emb, k = 5,
+      oneCell, cb, shortlist = 50))
+    assert(reranked >= adc, "exact re-rank must not lose recall")
+    assert(reranked > 0.8, s"rerank recall $reranked implausibly low")
+    assert(adc > 0.2, s"raw ADC recall $adc implausibly low")
+  }
 }
