@@ -94,8 +94,8 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // warm-up: JVM/codegen/scheduler init shouldn't bill the first query.
-    // Tables.load (not raw parquet read) — events is TIMESTAMP(NANOS) and
-    // needs the nanosAsLong path or the warm-up count itself aborts a job.
+    // Tables.events (not raw parquet read) — the loader normalizes `ts` to
+    // long nanos regardless of the on-disk timestamp encoding.
     Tables.names.foreach { n =>
       try {
         val df = if (n == "events") Tables.events(spark, sfDir)

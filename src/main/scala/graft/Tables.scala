@@ -25,17 +25,49 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = load(s, d, "lineitem")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's reader rejects
-    * outright. Read it as raw nanos-since-epoch (long) — exact, no precision
-    * loss — and expose `ts_utc` (micros timestamp) for calendar functions.
-    * Event-time arithmetic (ordering, gaps) should stay on the integer `ts`.
+  /** Events loader, schema-adaptive over the on-disk type of `ts`.
+    *
+    * Contract for every downstream consumer (engine queries + the DuckDB
+    * oracle run on the same files):
+    *   - `ts`     — LONG nanos-since-epoch, for integer event-time arithmetic
+    *                (ordering, gaps, `ts DIV 1000000` millisecond buckets).
+    *   - `ts_utc` — TimestampType (UTC session), for calendar functions,
+    *                `date_trunc`, and streaming watermarks.
+    *
+    * The driver's testdata has served `ts` both as parquet TIMESTAMP(NANOS)
+    * (readable only as raw long via the `nanosAsLong` legacy conf) and, since
+    * round 6, as timestamp[us]. Branch on the loaded schema so either file
+    * layout yields the identical two-column contract:
+    *   - timestamp (with/without tz): `ts_utc := ts` (NTZ cast to UTC-session
+    *     TimestampType is value-preserving — all entry points pin
+    *     spark.sql.session.timeZone=UTC), `ts := unix_micros(ts_utc) * 1000`
+    *     (exact — micros source has no sub-micro digits).
+    *   - long (legacy nanos): `ts_utc := timestamp_micros(ts DIV 1000)`.
     */
   def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(s, d, "events")
-      .withColumn("ts_utc",
-        org.apache.spark.sql.functions.timestamp_micros(
-          org.apache.spark.sql.functions.expr("ts DIV 1000")))
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros, unix_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    val raw =
+      try load(s, d, "events")
+      catch {
+        case e: Exception if String.valueOf(e.getMessage).contains("NANOS") =>
+          // Legacy TIMESTAMP(NANOS) files: Spark's reader rejects the type
+          // unless the legacy conf maps it to raw long. The conf must stay set
+          // for task-time footer conversion, so it is only touched on this
+          // (now-dead) path — the common path has no session side effects.
+          s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+          load(s, d, "events")
+      }
+    raw.schema("ts").dataType match {
+      case TimestampType | TimestampNTZType =>
+        raw.withColumn("ts_utc", col("ts").cast(TimestampType))
+          .withColumn("ts", unix_micros(col("ts_utc")) * 1000L)
+      case LongType =>
+        raw.withColumn("ts_utc", timestamp_micros(expr("ts DIV 1000")))
+      case other =>
+        throw new IllegalStateException(
+          s"events.ts has unsupported type $other (expected timestamp or long nanos)")
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
