@@ -454,12 +454,13 @@ object VectorQueries {
     val codeCols = (1 to PqM).map(j =>
       s"list_position(t$j, list_min(t$j)) AS c$j").mkString(", ")
     val adc = (1 to PqM).map(j => s"q.t$j[c.c$j]").mkString(" + ")
+    val tCols = (1 to PqM).map(j => s"t$j").mkString(", ")
     s"""WITH vecs AS (
        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
        |expanded AS (
        |  SELECT vec_id, list_position(cd, list_min(cd)) AS cell,
        |    $codeCols,
-       |    t1, t2, t3, t4
+       |    $tCols
        |  FROM (SELECT vec_id, $coarse AS cd,
        |    $subCols
        |  FROM vecs)),
