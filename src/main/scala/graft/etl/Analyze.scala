@@ -102,13 +102,13 @@ object Analyze {
         .cast("long").as(s"${prefix}recency_days"),
       countDistinct(col("transaction_id")).as(s"${prefix}frequency"),
       dsum(col("payment_amount")).as(s"${prefix}monetary")) ++ extraAggs
-    df.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
-      .withColumn(s"${prefix}r_rank",
-        pctRank(col(s"${prefix}recency_days"), ascending = false))
-      .withColumn(s"${prefix}f_rank",
-        pctRank(col(s"${prefix}frequency"), ascending = true))
-      .withColumn(s"${prefix}m_rank",
-        pctRank(col(s"${prefix}monetary"), ascending = true))
+    val agg = df.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
+    // Scalable rank path: bit-identical to the window form, zero
+    // single-partition windows (see Rfm.aggregate scaladoc).
+    graft.functions.PandasRank.pctRankScalableAll(agg, Seq(
+      (s"${prefix}recency_days", s"${prefix}r_rank", false),
+      (s"${prefix}frequency", s"${prefix}f_rank", true),
+      (s"${prefix}monetary", s"${prefix}m_rank", true)))
   }
 
   private def dualWindow(df: DataFrame, keys: Seq[String],
@@ -250,11 +250,12 @@ object Analyze {
           .cast("long").as("recency_days"),
         countDistinct(col("transaction_id")).as("frequency"),
         dsum(col("payment_amount")).as("monetary"))
-      .withColumn("f_rank", pctRank(col("frequency"), ascending = true))
-      .withColumn("m_rank", pctRank(col("monetary"), ascending = true))
+    val ranked = graft.functions.PandasRank.pctRankScalableAll(agg, Seq(
+      ("frequency", "f_rank", true),
+      ("monetary", "m_rank", true)))
     val highFreq = col("f_rank") >= 0.5
     val highMoney = col("m_rank") >= 0.5
-    agg
+    ranked
       .withColumn("segment",
         when(col("recency_days") > 180, "❄️ 冷凍/沉睡卡 (Dormant)")
           .when(highFreq && highMoney, "👑 主力攻擊手 (Main Driver)")

@@ -124,6 +124,21 @@ object PandasRank {
     df.join(spark.createDataFrame(rankedRdd, schema), Seq(valueCol))
   }
 
+  /** [[pctRankScalable]] over several (valueCol, outCol, ascending) triples,
+    * preserving `df`'s column order with the rank columns appended in triple
+    * order — a drop-in for a chain of `withColumn(out, pctRank(...))` calls
+    * (which pctRankScalable alone would not be: its join moves the value
+    * column to the front of the schema).
+    */
+  def pctRankScalableAll(df: org.apache.spark.sql.DataFrame,
+                         specs: Seq[(String, String, Boolean)])
+      : org.apache.spark.sql.DataFrame = {
+    val out = specs.foldLeft(df) { case (acc, (v, o, asc)) =>
+      pctRankScalable(acc, v, o, ascending = asc)
+    }
+    out.select((df.columns ++ specs.map(_._2)).map(col).toIndexedSeq: _*)
+  }
+
   /** The same formula as raw SQL text (for oracle parity / spark.sql use). */
   def sqlExpr(value: String, ascending: Boolean,
               partition: Option[String] = None): String = {

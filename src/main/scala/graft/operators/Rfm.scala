@@ -6,7 +6,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.functions.OracleSafe.dsum
-import graft.functions.PandasRank.pctRank
+import graft.functions.PandasRank
 
 /** RFM (recency / frequency / monetary) analytics.
   *
@@ -42,11 +42,13 @@ object Rfm {
   /** One RFM aggregate with pandas-pct ranks, columns named
     * `{prefix}recency_days/frequency/monetary/r_rank/f_rank/m_rank`.
     *
-    * Ranks use the window form — right for group tables up to ~10⁷ rows
-    * (card/wallet/merchant cardinalities). For group keys whose
-    * cardinality approaches fact scale, swap in
-    * `PandasRank.pctRankScalable` (bit-identical; range-partitioned, no
-    * global window — oracle-proven via q05).
+    * Ranks use `PandasRank.pctRankScalableAll` — bit-identical to the
+    * window form (same integer rank arithmetic and fp division order,
+    * oracle-proven via q05/q06/q07) but with ZERO single-partition
+    * windows: the group table is range-partitioned on each metric and
+    * ranks come from per-partition prefix sums. The group key here is
+    * cards/merchants — hundreds of millions at 100 TB — so a global
+    * window sort over it is exactly the bottleneck this avoids.
     */
   def aggregate(df: DataFrame, keys: Seq[String], dateCol: String,
                 idCol: String, amountCol: String, analysisDate: Date,
@@ -56,13 +58,10 @@ object Rfm {
         .as(s"${prefix}recency_days"),
       countDistinct(col(idCol)).as(s"${prefix}frequency"),
       dsum(col(amountCol)).as(s"${prefix}monetary"))
-    agg
-      .withColumn(s"${prefix}r_rank",
-        pctRank(col(s"${prefix}recency_days"), ascending = false))
-      .withColumn(s"${prefix}f_rank",
-        pctRank(col(s"${prefix}frequency"), ascending = true))
-      .withColumn(s"${prefix}m_rank",
-        pctRank(col(s"${prefix}monetary"), ascending = true))
+    PandasRank.pctRankScalableAll(agg, Seq(
+      (s"${prefix}recency_days", s"${prefix}r_rank", false),
+      (s"${prefix}frequency", s"${prefix}f_rank", true),
+      (s"${prefix}monetary", s"${prefix}m_rank", true)))
   }
 
   /** Lifetime + short-window RFM, left-joined on the group keys with the

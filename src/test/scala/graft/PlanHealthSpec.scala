@@ -29,4 +29,41 @@ class PlanHealthSpec extends SparkSpec {
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(missing.isEmpty, s"queries without oracle SQL: $missing")
   }
+
+  // Queries allowed to plan an unpartitioned (single-partition) WindowExec,
+  // each because the window input is BOUNDED, never fact-scale:
+  //   q05 — pctRankJoined demo: windows over the DISTINCT-VALUE table
+  //         (documented ceiling of that variant; the scalable variant in the
+  //         same query has none);
+  //   q84/q86/q100 — mixture planning: windows over the per-domain table
+  //         (#domains rows, ~20);
+  //   q87/q88 — vocabulary: cumulative coverage over the top-k survivors of
+  //         a TakeOrderedAndProject (k rows by construction).
+  // Everything else must be window-clean: RFM ranks use pctRankScalableAll
+  // (range-partitioned prefix sums), which this pin protects.
+  private val windowExempt = Set("q05_pct_rank", "q84_mixture_plan",
+    "q86_mixture_sample", "q87_vocabulary", "q88_curate_corpus",
+    "q100_mixture_temperature")
+
+  test("no query outside the bounded-input exemption list plans an " +
+    "unpartitioned WindowExec") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    def hasGlobalWindow(p: SparkPlan): Boolean = {
+      var hit = false
+      p.foreach {
+        case a: AdaptiveSparkPlanExec => hit ||= hasGlobalWindow(a.inputPlan)
+        case w: WindowExec if w.partitionSpec.isEmpty => hit = true
+        case other => hit ||= other.subqueries.exists(hasGlobalWindow)
+      }
+      hit
+    }
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).collect {
+      case (name, fn) if !windowExempt(name) &&
+        hasGlobalWindow(fn(spark, sf).queryExecution.executedPlan) => name
+    }
+    assert(offenders.isEmpty,
+      s"fact-scale single-partition window in: ${offenders.mkString(", ")}")
+  }
 }
