@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{AnalyticsQueries, CurationQueries, ExtendedQueries, RelationalQueries, ScaleQueries, TextQueries, VectorQueries, WindowSetQueries}
+import graft.queries.{AnalyticsQueries, CurationQueries, ExtendedQueries, MultimodalQueries, RelationalQueries, ScaleQueries, TextQueries, VectorQueries, WindowSetQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -27,7 +27,8 @@ object SparkEntry {
     RelationalQueries.queries ++ TextQueries.queries ++
       VectorQueries.queries ++ ScaleQueries.queries ++
       AnalyticsQueries.queries ++ WindowSetQueries.queries ++
-      ExtendedQueries.queries ++ CurationQueries.queries
+      ExtendedQueries.queries ++ CurationQueries.queries ++
+      MultimodalQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops →
@@ -37,5 +38,6 @@ object SparkEntry {
     RelationalQueries.oracleSql ++ TextQueries.oracleSql ++
       VectorQueries.oracleSql ++ ScaleQueries.oracleSql ++
       AnalyticsQueries.oracleSql ++ WindowSetQueries.oracleSql ++
-      ExtendedQueries.oracleSql ++ CurationQueries.oracleSql
+      ExtendedQueries.oracleSql ++ CurationQueries.oracleSql ++
+      MultimodalQueries.oracleSql
 }

@@ -162,6 +162,38 @@ object Multimodal {
     out.result()
   }
 
+  /** Exact integer image statistics: per-channel sums plus global pixel
+    * min/max — the corpus-QA pass that flags blank, clipped, or constant
+    * images before any float feature is computed. All-integer outputs make
+    * this the oracle-gated face of the image modality: an independent SQL
+    * engine can recompute every column exactly (no float32 luma rounding
+    * to replicate), so encode → decode → stats is hash-checkable
+    * end-to-end. Partition-streamed like every decode stage; undecodable
+    * payloads drop (dead-letter them in a real pipeline).
+    */
+  def imageStats(media: Dataset[MediaRow],
+                 codec: ImageCodec = SyntheticCodec): DataFrame = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.flatMap { m =>
+      codec.decode(m.data).map { img =>
+        val sums = new Array[Long](img.channels)
+        var mn = 255
+        var mx = 0
+        val px = img.pixels
+        var i = 0
+        while (i < px.length) {
+          val v = px(i) & 0xff
+          sums(i % img.channels) += v
+          if (v < mn) mn = v
+          if (v > mx) mx = v
+          i += 1
+        }
+        (m.mediaId, img.width, img.height, img.channels, sums.toSeq, mn, mx)
+      }
+    }).toDF("media_id", "width", "height", "channels", "ch_sums",
+      "px_min", "px_max")
+  }
+
   /** Feature extraction: per-channel mean + a small luminance histogram as
     * `Array[Float]` — the embedding shape the ANN operators consume. Real
     * pipelines put a vision model here; the plumbing (partition-streamed

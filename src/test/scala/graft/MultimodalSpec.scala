@@ -122,6 +122,24 @@ class MultimodalSpec extends SparkSpec {
       s"expected the planted near-dup cluster, got $pairs")
   }
 
+  test("imageStats reports exact integer channel sums and pixel extremes") {
+    import graft.multimodal.Codecs
+    // 2×1 RGB: (10,20,30), (250,0,128) — hand-checkable sums/extremes
+    val img = Multimodal.Image(7L, 2, 1, 3,
+      Array[Byte](10, 20, 30, 250.toByte, 0, 128.toByte))
+    val rows = Seq(
+      MediaRow(7, "image", Codecs.BmpCodec.encode(img), "bmp"),
+      MediaRow(8, "image", Array[Byte](1, 2, 3), "junk") // dropped
+    ).toDS()
+    val got = Multimodal.imageStats(rows, Codecs.AutoCodec).collect()
+    assert(got.length == 1, "undecodable payload must drop")
+    val r = got.head
+    assert((r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3)) ==
+      ((7L, 2, 1, 3)))
+    assert(r.getSeq[Long](4) == Seq(260L, 20L, 158L))
+    assert((r.getInt(5), r.getInt(6)) == ((0, 250)))
+  }
+
   test("features are fixed-width float vectors in the ANN input shape") {
     val feats = Multimodal.imageFeatures(media.filter(_.kind == "image"))
     val rows = feats.collect()
