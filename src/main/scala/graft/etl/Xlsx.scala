@@ -48,27 +48,26 @@ object Xlsx {
 
   /** OLE2 compound-file magic (D0 CF 11 E0 A1 B1 1A E1) — the container
     * of legacy BIFF `.xls`. The reference's routing accepts `.xls`
-    * (etl.py:463-482) and pandas would parse it via xlrd; this engine
-    * reads only ZIP/OOXML, so a BIFF drop must fail with an actionable
-    * message instead of an opaque "not a ZIP" exception deep in the scan.
+    * (etl.py:463-482) and pandas parses it via xlrd; files with this
+    * magic dispatch to the dependency-free BIFF8 reader in [[Xls]], so
+    * both Excel containers flow through the same [[Sheet]] contract.
     */
   private val Ole2Magic =
     Array(0xd0, 0xcf, 0x11, 0xe0, 0xa1, 0xb1, 0x1a, 0xe1).map(_.toByte)
 
-  private def sniffBiff(path: String): Unit = {
+  private def isOle2(path: String): Boolean = {
     val head = {
       val in = Files.newInputStream(Paths.get(path))
       try in.readNBytes(8) finally in.close()
     }
-    if (head.length == 8 && java.util.Arrays.equals(head, Ole2Magic))
-      throw new IllegalArgumentException(
-        s"$path: legacy BIFF .xls (OLE2 compound file) is not supported — " +
-          "re-export the workbook as .xlsx")
+    head.length == 8 && java.util.Arrays.equals(head, Ole2Magic)
   }
 
-  /** All worksheets of an .xlsx, in workbook order, as strings. */
+  /** All worksheets of an Excel workbook — OOXML `.xlsx` or legacy BIFF8
+    * `.xls` (by magic, not extension) — in workbook order, as strings.
+    */
   def readSheets(path: String): Seq[Sheet] = {
-    sniffBiff(path)
+    if (isOle2(path)) return Xls.readSheets(path)
     val zip = new ZipFile(path)
     try {
       def bytes(name: String): Option[Array[Byte]] =
@@ -223,9 +222,21 @@ object Xlsx {
     out.result()
   }
 
-  /** OOXML builtin numFmtIds that render as dates/times. */
-  private val builtinDateFmts: Set[Int] =
+  /** Builtin numFmtIds that render as dates/times (same table in OOXML
+    * and legacy BIFF — the id space is shared).
+    */
+  private[etl] val builtinDateFmts: Set[Int] =
     (14 to 22).toSet ++ (27 to 36) ++ (45 to 47) ++ (50 to 58)
+
+  /** A custom number-format code renders as a date iff it contains date
+    * letters outside quoted/bracketed sections — shared by the OOXML
+    * styles.xml scan and the BIFF FORMAT-record scan.
+    */
+  private[etl] def isDateFormatCode(code: String): Boolean = {
+    val bare = code.replaceAll("\"[^\"]*\"", "")
+      .replaceAll("\\[[^\\]]*\\]", "")
+    bare.exists("ymdhsYMDHS".indexOf(_) >= 0)
+  }
 
   /** styles.xml → set of cellXf indexes (the `s` attribute on a cell)
     * whose number format is a date format — builtin date ids plus custom
@@ -251,11 +262,7 @@ object Xlsx {
       case _ => ()
     } finally r.close()
     def isDate(fmtId: Int): Boolean =
-      builtinDateFmts(fmtId) || custom.get(fmtId).exists { code =>
-        val bare = code.replaceAll("\"[^\"]*\"", "")
-          .replaceAll("\\[[^\\]]*\\]", "")
-        bare.exists("ymdhsYMDHS".indexOf(_) >= 0)
-      }
+      builtinDateFmts(fmtId) || custom.get(fmtId).exists(isDateFormatCode)
     xfFmts.result().zipWithIndex.collect {
       case (fmt, i) if isDate(fmt) => i
     }.toSet
@@ -323,10 +330,12 @@ object Xlsx {
 
   /** Excel day serial → ISO date (or "date HH:mm:ss" when a time fraction
     * is present). Epoch 1899-12-30 absorbs Excel's phantom 1900-02-29 for
-    * every date ≥ 1900-03-01 — i.e. all real statement dates.
+    * every date ≥ 1900-03-01 — i.e. all real statement dates. BIFF's
+    * 1904-mode workbooks pass `epoch1904 = true` (offset 1462 days).
     */
-  private def serialToDateTimeString(raw: String): String = {
-    val serial = raw.toDouble
+  private[etl] def serialToDateTimeString(raw: String,
+                                          epoch1904: Boolean = false): String = {
+    val serial = raw.toDouble + (if (epoch1904) 1462 else 0)
     val days = math.floor(serial).toLong
     val date = LocalDate.of(1899, 12, 30).plusDays(days)
     val secs = math.round((serial - days) * 86400)

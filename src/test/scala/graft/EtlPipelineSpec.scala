@@ -41,18 +41,39 @@ class EtlPipelineSpec extends SparkSpec {
 
   test("extract: an unreadable statement file dead-letters (skip + warn), " +
     "the rest of the batch survives") {
-    // fresh fixture dir + one BIFF .xls routed to the xlsx bank: the
-    // reference returns None for the failed file and continues
+    // fresh fixture dir + one TRUNCATED OLE2 file routed to the xlsx
+    // bank: the reference returns None for the failed file and continues
     // (etl.py:311-315); extractAll must match, not abort the month
     val d2 = Files.createTempDirectory("graft-etl-dl").toString
     ExampleData.write(d2)
-    val biff = Array(0xd0, 0xcf, 0x11, 0xe0, 0xa1, 0xb1, 0x1a, 0xe1)
+    val junk = Array(0xd0, 0xcf, 0x11, 0xe0, 0xa1, 0xb1, 0x1a, 0xe1)
       .map(_.toByte) ++ Array.fill(64)(0.toByte)
     java.nio.file.Files.write(
-      java.nio.file.Paths.get(s"$d2/data/永豐銀行_legacy_202401.xls"), biff)
+      java.nio.file.Paths.get(s"$d2/data/永豐銀行_corrupt_202401.xls"), junk)
     val cfg2 = Pipeline.loadConfigs(spark, s"$d2/configs")
     val got = Extract.extractAll(spark, s"$d2/data", cfg2.banks)
     assert(got.count() == extracted.count()) // good files all intact
+  }
+
+  test("extract: legacy BIFF .xls statement ingests end-to-end (S5)") {
+    // the reference's file regex accepts .xls (etl.py:467) and its excel
+    // path is the same pd.read_excel (etl.py:311-316); a real BIFF8
+    // workbook routed to the excel bank must extract like its .xlsx twin
+    val d3 = Files.createTempDirectory("graft-etl-xls").toString
+    ExampleData.write(d3)
+    graft.etl.Xls.writeFirstSheet(s"$d3/data/永豐銀行_legacy_202402.xls",
+      "明細", Seq(
+        Seq("交易日期", "入帳日期", "卡號末四碼", "交易摘要", "臺幣金額"),
+        Seq(java.time.LocalDate.of(2024, 2, 5),
+          java.time.LocalDate.of(2024, 2, 6), "8888", "老字號麵店", 180)))
+    val cfg3 = Pipeline.loadConfigs(spark, s"$d3/configs")
+    val got = Extract.extractAll(spark, s"$d3/data", cfg3.banks)
+    assert(got.count() == extracted.count() + 1)
+    val noodle = rows(got.filter(col(Schema.Merchant) === "老字號麵店")).head
+    assert(noodle(Schema.TxnDate).toString == "2024-02-05")
+    assert(noodle(Schema.CardNo) == "8888")
+    assert(noodle(Schema.PayAmount) == 180.0)
+    assert(noodle("Bank_Name") == "sinopac_bank")
   }
 
   test("extract: sinopac xlsx ingest (S5) — date serials + shared strings") {

@@ -96,16 +96,22 @@ class XlsxSpec extends SparkSpec {
     assert(text.contains("玉山Unicard,4444")) // real data, not template
   }
 
-  test("legacy BIFF .xls is rejected with an actionable message") {
-    val f = tmp(".xls")
-    // OLE2 compound-file magic + filler — what a real legacy .xls starts
-    // with; without the sniff this dies as an opaque ZIP parse error
+  test("OLE2 magic dispatches to the BIFF reader; corrupt OLE2 still " +
+    "errors clearly, not as an opaque ZIP failure") {
+    // a real legacy .xls now round-trips through Xlsx.readSheets
+    // (full coverage in XlsSpec; this pins the dispatch itself)
+    val ok = tmp(".xls")
+    graft.etl.Xls.writeFirstSheet(ok, "S", Seq(Seq("h"), Seq("v")))
+    assert(Xlsx.readSheets(ok).head.rows ==
+      Vector(Vector(Some("h")), Vector(Some("v"))))
+    // truncated OLE2 header + filler: fails in the CFB layer with a
+    // compound-file message, never an opaque "not a ZIP" deep in the scan
+    val bad = tmp(".xls")
     val bytes = Array(0xd0, 0xcf, 0x11, 0xe0, 0xa1, 0xb1, 0x1a, 0xe1)
       .map(_.toByte) ++ Array.fill(64)(0.toByte)
-    java.nio.file.Files.write(java.nio.file.Paths.get(f), bytes)
-    val e = intercept[IllegalArgumentException](Xlsx.readSheets(f))
-    assert(e.getMessage.contains("BIFF"))
-    assert(e.getMessage.contains(".xlsx")) // tells the user the fix
+    java.nio.file.Files.write(java.nio.file.Paths.get(bad), bytes)
+    val e = intercept[IllegalArgumentException](Xlsx.readSheets(bad))
+    assert(e.getMessage.contains("compound file"))
   }
 
   test("multi-sheet workbooks keep workbook order") {
