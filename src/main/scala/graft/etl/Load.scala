@@ -103,4 +103,20 @@ object Load {
     writer.saveAsTable(table)
     spark.table(table).count() // load_to_db.py:133-135
   }
+
+  /** The literal `Bills.db` sink (load_to_db.py:113-135): write the
+    * warehouse-shaped frame into a REAL SQLite database file
+    * (`Sqlite.writeTables`, replace semantics) and return the row count —
+    * the reference's post-load `SELECT count(*)` verification. Existing
+    * SQLite consumers of the reference's output open this file unchanged.
+    *
+    * The reference's `CREATE INDEX` statements (load_to_db.py:124-128) are
+    * deliberately NOT replicated as index B-trees: at engine scale those
+    * access paths are partitioning/bucketing on the parquet table
+    * ([[loadToTable]], SURVEY §2.2 K3); the SQLite file is the bounded
+    * driver-streamed compatibility export.
+    */
+  def loadToSqlite(refined: DataFrame, dbPath: String,
+                   table: String = "bills"): Long =
+    Sqlite.writeTable(dbPath, table, toWarehouseShape(refined))
 }

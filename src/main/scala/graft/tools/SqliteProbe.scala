@@ -1,0 +1,47 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+import graft.etl.Sqlite
+
+/** One-off: write sample SQLite files for external validation with the
+  * system sqlite3 (driver-side python). Run:
+  * sbt "runMain graft.tools.SqliteProbe /tmp/probe.db"
+  */
+object SqliteProbe {
+  def main(args: Array[String]): Unit = {
+    val out = args.headOption.getOrElse("/tmp/probe.db")
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+
+    // multi-page table: > 4096 bytes of records forces interior levels
+    val big = (1 to 5000).map(i =>
+      (i.toLong, s"merchant-中文-$i", i * 1.5, if (i % 7 == 0) null
+      else s"note $i"))
+      .toDF("txn_id", "merchant", "amount", "note")
+    // small typed table incl. bool/date
+    val small = Seq(
+      (1L, "玉山", true, java.sql.Date.valueOf("2024-01-15"), 99.5),
+      (2L, "國泰", false, null.asInstanceOf[java.sql.Date], -3.25))
+      .toDF("id", "bank", "flag", "d", "v")
+    val empty = spark.emptyDataFrame
+      .withColumn("a", org.apache.spark.sql.functions.lit(1))
+      .limit(0)
+    val counts = Sqlite.writeTables(out, Seq(
+      "bills" -> big, "banks" -> small, "nothing" -> empty))
+    println(s"[sqliteprobe] wrote $counts to $out")
+    // second fixture: enough leaves for TWO interior levels (fan-out 200)
+    import org.apache.spark.sql.functions.{col, concat, lit}
+    val deep = spark.range(1, 40001).select(col("id"),
+      concat(lit("row-"), col("id")).as("s"))
+    val n2 = Sqlite.writeTable(s"$out.deep", "deep", deep)
+    println(s"[sqliteprobe] wrote deep=$n2 to $out.deep")
+    spark.stop()
+  }
+}

@@ -1,0 +1,90 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+
+import graft.etl.Sqlite
+
+/** The SQLite sink. In-JVM assertions cover the file format invariants
+  * our writer controls (header, page count, determinism, limits);
+  * `tools/check_sqlite.py` opens the same outputs with the REAL sqlite3
+  * library (PRAGMA integrity_check + queries) — run it whenever this
+  * writer changes. The probe main (`tools/SqliteProbe`) generates the
+  * standard fixture for that external check.
+  */
+class SqliteSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(name: String): String =
+    Files.createTempDirectory("sqlite-spec").resolve(name).toString
+
+  private def header(path: String): Array[Byte] = {
+    val all = Files.readAllBytes(Paths.get(path))
+    java.util.Arrays.copyOfRange(all, 0, 100)
+  }
+
+  test("header: magic, page size, page count match the file") {
+    val p = tmp("h.db")
+    val n = Sqlite.writeTable(p, "t",
+      Seq((1L, "a"), (2L, "b")).toDF("id", "s"))
+    assert(n == 2)
+    val h = header(p)
+    assert(new String(h, 0, 15, "US-ASCII") == "SQLite format 3")
+    assert(h(15) == 0) // NUL-terminated magic
+    val pageSize = ((h(16) & 0xff) << 8) | (h(17) & 0xff)
+    assert(pageSize == 4096)
+    val pages = java.nio.ByteBuffer.wrap(h, 28, 4).getInt
+    assert(Files.size(Paths.get(p)) == pages.toLong * 4096)
+    assert(java.nio.ByteBuffer.wrap(h, 56, 4).getInt == 1) // UTF-8
+  }
+
+  test("multi-page tables build interior levels; counts are exact") {
+    val p = tmp("big.db")
+    val df = spark.range(1, 40001)
+      .select(col("id"), concat(lit("row-"), col("id")).as("s"),
+        (col("id") * 2.5).as("v"))
+    val n = Sqlite.writeTable(p, "big", df)
+    assert(n == 40000)
+    // ~145 rows/leaf → ~275 leaves → TWO interior levels (fan-out 200);
+    // the file must span hundreds of pages and stay page-aligned
+    val size = Files.size(Paths.get(p))
+    assert(size % 4096 == 0 && size / 4096 > 250)
+  }
+
+  test("deterministic: same frame → identical bytes") {
+    val df = Seq((1L, "x", 1.5), (2L, "y", 2.5)).toDF("a", "b", "c")
+    val p1 = tmp("d1.db")
+    val p2 = tmp("d2.db")
+    Sqlite.writeTable(p1, "t", df)
+    Sqlite.writeTable(p2, "t", df)
+    assert(java.util.Arrays.equals(
+      Files.readAllBytes(Paths.get(p1)), Files.readAllBytes(Paths.get(p2))))
+  }
+
+  test("replace semantics: rewriting drops the previous content") {
+    val p = tmp("r.db")
+    Sqlite.writeTable(p, "t", spark.range(1000).toDF("id"))
+    val sizeBig = Files.size(Paths.get(p))
+    Sqlite.writeTable(p, "t", spark.range(3).toDF("id"))
+    assert(Files.size(Paths.get(p)) < sizeBig) // fresh file, not append
+  }
+
+  test("empty frames and NULL cells are representable") {
+    val p = tmp("e.db")
+    val withNulls = Seq((1L, Some("a")), (2L, None))
+      .toDF("id", "s")
+    val counts = Sqlite.writeTables(p, Seq(
+      "has_nulls" -> withNulls,
+      "empty" -> withNulls.limit(0)))
+    assert(counts == Map("has_nulls" -> 2L, "empty" -> 0L))
+  }
+
+  test("oversized records fail loudly, not with a corrupt file") {
+    val p = tmp("o.db")
+    val huge = Seq(Tuple1("x" * 5000)).toDF("s")
+    val e = intercept[IllegalArgumentException](
+      Sqlite.writeTable(p, "t", huge))
+    assert(e.getMessage.contains("overflow chains"))
+  }
+}
