@@ -103,8 +103,8 @@ object Analyze {
       countDistinct(col("transaction_id")).as(s"${prefix}frequency"),
       dsum(col("payment_amount")).as(s"${prefix}monetary")) ++ extraAggs
     val agg = df.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
-    // Scalable rank path: bit-identical to the window form, zero
-    // single-partition windows (see Rfm.aggregate scaladoc).
+    // Adaptive rank path: windowed under the counted 2^17 threshold,
+    // prefix-sum joins above it (see Rfm.aggregate scaladoc).
     graft.functions.PandasRank.pctRankScalableAll(agg, Seq(
       (s"${prefix}recency_days", s"${prefix}r_rank", false),
       (s"${prefix}frequency", s"${prefix}f_rank", true),

@@ -42,13 +42,15 @@ object Rfm {
   /** One RFM aggregate with pandas-pct ranks, columns named
     * `{prefix}recency_days/frequency/monetary/r_rank/f_rank/m_rank`.
     *
-    * Ranks use `PandasRank.pctRankScalableAll` — bit-identical to the
-    * window form (same integer rank arithmetic and fp division order,
-    * oracle-proven via q05/q06/q07) but with ZERO single-partition
-    * windows: the group table is range-partitioned on each metric and
-    * ranks come from per-partition prefix sums. The group key here is
-    * cards/merchants — hundreds of millions at 100 TB — so a global
-    * window sort over it is exactly the bottleneck this avoids.
+    * Ranks use `PandasRank.pctRankScalableAll` — the adaptive strategy:
+    * group tables at or under the 2^17-row threshold take the windowed
+    * form (a counted, provably bounded sort — milliseconds, no extra
+    * jobs); larger ones take range-partitioned prefix-sum lookup tables
+    * with ZERO single-partition windows. The group key here is
+    * cards/merchants — hundreds of millions at 100 TB, far past the
+    * threshold — so at scale the global window sort this used to plan
+    * never happens. Both strategies are bit-identical (same integer rank
+    * arithmetic and fp division order, oracle-proven via q05/q06/q07).
     */
   def aggregate(df: DataFrame, keys: Seq[String], dateCol: String,
                 idCol: String, amountCol: String, analysisDate: Date,

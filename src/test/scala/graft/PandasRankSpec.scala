@@ -69,6 +69,25 @@ class PandasRankSpec extends SparkSpec {
     }
   }
 
+  test("pctRankScalableAll: both adaptive strategies are bit-identical " +
+    "and preserve column order") {
+    // multi-column ranks with ties, mixed directions — forced down each
+    // side of the auto threshold
+    val df = Seq.tabulate(300)(i =>
+      (i, (i * 7 % 23).toDouble, (i * 13 % 17).toLong))
+      .toDF("id", "a", "b")
+    val specs = Seq(("a", "a_rank", true), ("b", "b_rank", false))
+    val windowed = graft.functions.PandasRank
+      .pctRankScalableAll(df, specs, autoThreshold = Long.MaxValue)
+    val scalable = graft.functions.PandasRank
+      .pctRankScalableAll(df, specs, autoThreshold = 0L)
+    assert(windowed.columns.toSeq == Seq("id", "a", "b", "a_rank", "b_rank"))
+    assert(scalable.columns.toSeq == windowed.columns.toSeq)
+    val w = windowed.orderBy("id").collect().map(_.toSeq).toSeq
+    val s = scalable.orderBy("id").collect().map(_.toSeq).toSeq
+    assert(w == s) // exact, not approximate
+  }
+
   test("results lie in (0, 1] and are monotone in the input") {
     val df = Seq.tabulate(100)(i => (i, (i * 37 % 50).toDouble))
       .toDF("id", "v")

@@ -35,15 +35,20 @@ class PlanHealthSpec extends SparkSpec {
   //   q05 — pctRankJoined demo: windows over the DISTINCT-VALUE table
   //         (documented ceiling of that variant; the scalable variant in the
   //         same query has none);
+  //   q06/q07 — RFM ranks via pctRankScalableAll's ADAPTIVE strategy: at
+  //         test scale the counted input is under the 2^17 auto threshold,
+  //         so the plan is the windowed form over a PROVABLY bounded input
+  //         (the count gates it); above the threshold the same call plans
+  //         range-partitioned prefix-sum joins with zero global windows
+  //         (PandasRankSpec pins both strategies bit-identical);
   //   q84/q86/q100 — mixture planning: windows over the per-domain table
   //         (#domains rows, ~20);
   //   q87/q88 — vocabulary: cumulative coverage over the top-k survivors of
   //         a TakeOrderedAndProject (k rows by construction).
-  // Everything else must be window-clean: RFM ranks use pctRankScalableAll
-  // (range-partitioned prefix sums), which this pin protects.
-  private val windowExempt = Set("q05_pct_rank", "q84_mixture_plan",
-    "q86_mixture_sample", "q87_vocabulary", "q88_curate_corpus",
-    "q100_mixture_temperature")
+  // Everything else must be window-clean.
+  private val windowExempt = Set("q05_pct_rank", "q06_rfm_card_style",
+    "q07_rfm_dual_window", "q84_mixture_plan", "q86_mixture_sample",
+    "q87_vocabulary", "q88_curate_corpus", "q100_mixture_temperature")
 
   test("no query outside the bounded-input exemption list plans an " +
     "unpartitioned WindowExec") {
