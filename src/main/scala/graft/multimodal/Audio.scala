@@ -262,6 +262,41 @@ object Audio {
       fingerprints(media, codec), "media_id", "fp", maxHamming,
       fp = identity)
 
+  /** Exact integer audio statistics in Q15 — the corpus-QA pass that
+    * flags clipped, silent, or DC-offset clips before any float feature.
+    * `q15 = round(sample × 32768)`: for anything decoded from 16-bit PCM
+    * this reconstructs the original int16 EXACTLY (the decoder's
+    * `/ 32768f` is a power-of-two scale, lossless in float32), which
+    * makes the whole encode → container bytes → decode → stats path
+    * hash-checkable by an independent SQL engine — the audio analog of
+    * `Multimodal.imageStats`. For float-format WAVs the same column is a
+    * well-defined Q15 quantization. Partition-streamed; undecodable
+    * payloads drop.
+    */
+  def audioStats(media: Dataset[MediaRow],
+                 codec: AudioCodec = WavCodec): DataFrame = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.flatMap { m =>
+      codec.decode(m.data).map { c =>
+        var sum = 0L
+        var mn = Long.MaxValue
+        var mx = Long.MinValue
+        var i = 0
+        while (i < c.samples.length) {
+          val q = math.round(c.samples(i) * 32768f).toLong
+          sum += q
+          if (q < mn) mn = q
+          if (q > mx) mx = q
+          i += 1
+        }
+        if (c.samples.isEmpty) { mn = 0L; mx = 0L }
+        (m.mediaId, c.sampleRate, c.channels, c.samples.length.toLong,
+          sum, mn, mx)
+      }
+    }).toDF("media_id", "sample_rate", "channels", "n_samples",
+      "sum_q15", "min_q15", "max_q15")
+  }
+
   /** Fixed-width acoustic features per clip: overall RMS, zero-crossing
     * rate, and `bands` windowed RMS values — the `Array[Float]` shape the
     * ANN operators consume (a real pipeline puts an acoustic model here;

@@ -83,9 +83,72 @@ object MultimodalQueries {
       |  CAST(GREATEST(MAX(r), MAX(g), MAX(b)) AS BIGINT) AS px_max
       |FROM px GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** Audio analog of q106: per doc_id, a hand-assembled RIFF/WAVE payload
+    * (PCM 16-bit; rate/channels/length vary with doc_id; a LIST chunk
+    * precedes `data` so the decoder's chunk walk is exercised, odd-length
+    * pad byte included) whose int16 samples follow a closed form. The
+    * real WavCodec decodes to normalized float32 — an EXACT power-of-two
+    * scale — and Audio.audioStats reconstructs the integers via Q15, so
+    * the DuckDB oracle recomputes every column from the sample model
+    * without touching bytes.
+    */
+  private def q107(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir).select(col("doc_id")).as[Long]
+    val media = docs.mapPartitions(_.map { d =>
+      val rate = (8000 + (d % 3) * 4000).toInt
+      val channels = (1 + d % 2).toInt
+      val n = ((50 + d % 20) * channels).toInt
+      val le = java.nio.ByteOrder.LITTLE_ENDIAN
+      // RIFF | LIST(5, padded to 6) | fmt(16) | data(2n)
+      val bb = java.nio.ByteBuffer.allocate(12 + 8 + 6 + 24 + 8 + n * 2)
+        .order(le)
+      bb.put("RIFF".getBytes("US-ASCII")).putInt(4 + 14 + 24 + 8 + n * 2)
+        .put("WAVE".getBytes("US-ASCII"))
+      bb.put("LIST".getBytes("US-ASCII")).putInt(5)
+        .put("INFOx".getBytes("US-ASCII")).put(0.toByte) // odd len + pad
+      bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
+        .putShort(1).putShort(channels.toShort)
+        .putInt(rate).putInt(rate * channels * 2)
+        .putShort((channels * 2).toShort).putShort(16)
+      bb.put("data".getBytes("US-ASCII")).putInt(n * 2)
+      var i = 0
+      while (i < n) {
+        bb.putShort((((d * 131 + i * 7919) % 65536) - 32768).toShort)
+        i += 1
+      }
+      Multimodal.MediaRow(d, "audio", bb.array(), "wav")
+    })
+    graft.multimodal.Audio.audioStats(media)
+      .select(col("media_id").as("doc_id"),
+        col("sample_rate").cast("long").as("sample_rate"),
+        col("channels").cast("long").as("channels"),
+        col("n_samples"), col("sum_q15"), col("min_q15"), col("max_q15"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val q107Sql =
+    """WITH dims AS (
+      |  SELECT doc_id, CAST(8000 + (doc_id % 3) * 4000 AS BIGINT) AS rate,
+      |         CAST(1 + doc_id % 2 AS BIGINT) AS ch,
+      |         CAST((50 + doc_id % 20) * (1 + doc_id % 2) AS BIGINT) AS n
+      |  FROM documents),
+      |smp AS (
+      |  SELECT doc_id, rate, ch, n,
+      |    (doc_id*131 + i*7919) % 65536 - 32768 AS s
+      |  FROM dims, LATERAL (SELECT unnest(generate_series(0, n-1)) AS i))
+      |SELECT doc_id, MAX(rate) AS sample_rate, MAX(ch) AS channels,
+      |  MAX(n) AS n_samples,
+      |  CAST(SUM(s) AS BIGINT) AS sum_q15,
+      |  CAST(MIN(s) AS BIGINT) AS min_q15,
+      |  CAST(MAX(s) AS BIGINT) AS max_q15
+      |FROM smp GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q106_image_stats" -> (q106(_, _)))
+    "q106_image_stats" -> (q106(_, _)),
+    "q107_audio_stats" -> (q107(_, _)))
 
   val oracleSql: Map[String, String] = Map(
-    "q106_image_stats" -> q106Sql)
+    "q106_image_stats" -> q106Sql,
+    "q107_audio_stats" -> q107Sql)
 }

@@ -259,4 +259,30 @@ class AudioSpec extends SparkSpec {
     assert(f1.head > 0.3f && f1.head < 0.4f) // 0.5-amp sine RMS ≈ 0.354
     assert(f1.length == 2 + 8)
   }
+
+  test("audioStats reconstructs int16 samples exactly in Q15") {
+    // raw 16-bit PCM WAV with hand-picked extremes: the /32768f decode is
+    // a power-of-two scale, so round(f*32768) must give back EXACTLY
+    // -32768, -1, 0, 1, 32767
+    val samples = Seq[Short](-32768, -1, 0, 1, 32767)
+    val bb = java.nio.ByteBuffer.allocate(44 + samples.length * 2)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes).putInt(36 + samples.length * 2)
+      .put("WAVE".getBytes)
+      .put("fmt ".getBytes).putInt(16).putShort(1).putShort(1)
+      .putInt(8000).putInt(16000).putShort(2).putShort(16)
+      .put("data".getBytes).putInt(samples.length * 2)
+    samples.foreach(bb.putShort)
+    val rows = Seq(
+      MediaRow(5L, "audio", bb.array(), "wav"),
+      MediaRow(6L, "audio", Array[Byte](9, 9), "wav") // dropped
+    ).toDS()
+    val got = Audio.audioStats(rows).collect()
+    assert(got.length == 1)
+    val r = got.head
+    assert((r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3)) ==
+      ((5L, 8000, 1, 5L)))
+    assert(r.getLong(4) == -32768L - 1L + 0L + 1L + 32767L) // sum = -1
+    assert((r.getLong(5), r.getLong(6)) == ((-32768L, 32767L)))
+  }
 }
