@@ -194,6 +194,32 @@ object Multimodal {
       "px_min", "px_max")
   }
 
+  /** [[imageStats]] for sampled video frames: one exact-integer stats row
+    * per (media, frame) — the same corpus-QA columns, keyed by frame
+    * index, so black-frame runs and corrupt segments surface per frame.
+    */
+  def frameStats(frames: Dataset[Frame]): DataFrame = {
+    import frames.sparkSession.implicits._
+    frames.mapPartitions(_.map { f =>
+      val img = f.image
+      val sums = new Array[Long](img.channels)
+      var mn = 255
+      var mx = 0
+      val px = img.pixels
+      var i = 0
+      while (i < px.length) {
+        val v = px(i) & 0xff
+        sums(i % img.channels) += v
+        if (v < mn) mn = v
+        if (v > mx) mx = v
+        i += 1
+      }
+      (f.mediaId, f.frameIdx, img.width, img.height, img.channels,
+        sums.toSeq, mn, mx)
+    }).toDF("media_id", "frame_idx", "width", "height", "channels",
+      "ch_sums", "px_min", "px_max")
+  }
+
   /** Feature extraction: per-channel mean + a small luminance histogram as
     * `Array[Float]` — the embedding shape the ANN operators consume. Real
     * pipelines put a vision model here; the plumbing (partition-streamed

@@ -144,11 +144,82 @@ object MultimodalQueries {
       |  CAST(MAX(s) AS BIGINT) AS max_q15
       |FROM smp GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** Video analog: per doc_id, a synthetic length-prefixed container of
+    * 2 + d%3 BMP frames (6×4 — stride pads 18→20 bytes), sampled every
+    * 2nd frame by `Multimodal.sampleFrames`, each decoded frame reduced
+    * to exact integer stats by `Multimodal.frameStats`. The frame pixel
+    * model folds the frame index into the q106 linear forms, so the
+    * DuckDB oracle enumerates (doc, sampled frame) pairs and recomputes
+    * everything closed-form.
+    */
+  private def q108(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir).select(col("doc_id")).as[Long]
+    val media = docs.mapPartitions(_.map { d =>
+      val k = (2 + d % 3).toInt
+      val frames = (0 until k).map { f =>
+        val w = 6
+        val h = 4
+        val px = new Array[Byte](w * h * 3)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val o = (y * w + x) * 3
+            px(o) = ((d * 31 + f * 41 + x * 7 + y * 13) % 256).toByte
+            px(o + 1) = ((d * 17 + f * 53 + x * 11 + y * 5) % 256).toByte
+            px(o + 2) = ((d * 29 + f * 67 + x * 3 + y * 19) % 256).toByte
+            x += 1
+          }
+          y += 1
+        }
+        Codecs.BmpCodec.encode(Image(d, w, h, 3, px))
+      }
+      MediaRow(d, "video", Multimodal.packFrames(frames), "gftv")
+    })
+    val sampled = Multimodal.sampleFrames(media, everyN = 2,
+      codec = Codecs.BmpCodec)
+    Multimodal.frameStats(sampled)
+      .select(col("media_id").as("doc_id"), col("frame_idx").cast("long"),
+        col("width").cast("long").as("width"),
+        col("height").cast("long").as("height"),
+        element_at(col("ch_sums"), 1).as("r_sum"),
+        element_at(col("ch_sums"), 2).as("g_sum"),
+        element_at(col("ch_sums"), 3).as("b_sum"),
+        col("px_min").cast("long").as("px_min"),
+        col("px_max").cast("long").as("px_max"))
+      .orderBy(col("doc_id"), col("frame_idx"))
+  }
+
+  private val q108Sql =
+    """WITH dims AS (
+      |  SELECT doc_id, CAST(2 + doc_id % 3 AS BIGINT) AS k FROM documents),
+      |frames AS (
+      |  SELECT doc_id, f FROM dims,
+      |    LATERAL (SELECT unnest(generate_series(0, k-1)) AS f)
+      |  WHERE f % 2 = 0),
+      |px AS (
+      |  SELECT doc_id, f,
+      |    (doc_id*31 + f*41 + x*7 + y*13) % 256 AS r,
+      |    (doc_id*17 + f*53 + x*11 + y*5) % 256 AS g,
+      |    (doc_id*29 + f*67 + x*3 + y*19) % 256 AS b
+      |  FROM frames, LATERAL (SELECT unnest(generate_series(0, 5)) AS x),
+      |               LATERAL (SELECT unnest(generate_series(0, 3)) AS y))
+      |SELECT doc_id, CAST(f AS BIGINT) AS frame_idx,
+      |  CAST(6 AS BIGINT) AS width, CAST(4 AS BIGINT) AS height,
+      |  CAST(SUM(r) AS BIGINT) AS r_sum, CAST(SUM(g) AS BIGINT) AS g_sum,
+      |  CAST(SUM(b) AS BIGINT) AS b_sum,
+      |  CAST(LEAST(MIN(r), MIN(g), MIN(b)) AS BIGINT) AS px_min,
+      |  CAST(GREATEST(MAX(r), MAX(g), MAX(b)) AS BIGINT) AS px_max
+      |FROM px GROUP BY doc_id, f ORDER BY doc_id, frame_idx""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q106_image_stats" -> (q106(_, _)),
-    "q107_audio_stats" -> (q107(_, _)))
+    "q107_audio_stats" -> (q107(_, _)),
+    "q108_video_frame_stats" -> (q108(_, _)))
 
   val oracleSql: Map[String, String] = Map(
     "q106_image_stats" -> q106Sql,
-    "q107_audio_stats" -> q107Sql)
+    "q107_audio_stats" -> q107Sql,
+    "q108_video_frame_stats" -> q108Sql)
 }
