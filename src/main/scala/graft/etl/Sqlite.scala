@@ -30,13 +30,19 @@ import org.apache.spark.sql.types._
   * partitioning/bucketing there (SURVEY §2.2 K3), not to index B-trees
   * here.
   *
-  * Limits (asserted, not silent): record payloads must fit one leaf cell
-  * (≤ 4061 bytes — no overflow chains); catalog rows must fit page 1.
+  * Large records spill to real overflow-page chains (spec K-local-bytes
+  * split), so arbitrarily long TEXT loads correctly. The one asserted
+  * limit: catalog rows (CREATE TABLE statements) must fit page 1.
   */
 object Sqlite {
 
   private val PageSize = 4096
-  private val MaxLeafPayload = PageSize - 35 // spec: U-35 ⇒ no overflow
+  // [MS-agnostic] spec constants for table-btree leaf cells at usable
+  // size U = 4096: payloads over maxLocal spill to an overflow chain,
+  // keeping K local bytes where K = minLocal + (P - minLocal) % (U - 4),
+  // clamped back to minLocal if that exceeds maxLocal.
+  private val MaxLeafPayload = PageSize - 35 // 4061
+  private val MinLeafPayload = (PageSize - 12) * 32 / 255 - 23 // 489
 
   /** Write `tables` into a fresh SQLite database file (replace semantics —
     * the reference's `if_exists='replace'`). Returns rows written per
@@ -72,7 +78,34 @@ object Sqlite {
         val it = df.toLocalIterator()
         while (it.hasNext) {
           rowid += 1
-          val cell = leafCell(rowid, record(it.next(), schema))
+          val rec = record(it.next(), schema)
+          val cell =
+            if (rec.length <= MaxLeafPayload) leafCell(rowid, rec)
+            else {
+              // overflow: keep K local bytes, chain the tail through
+              // freshly-written overflow pages (4-byte next + data each)
+              val k = {
+                val cand = MinLeafPayload +
+                  (rec.length - MinLeafPayload) % (PageSize - 4)
+                if (cand <= MaxLeafPayload) cand else MinLeafPayload
+              }
+              val tail = java.util.Arrays.copyOfRange(rec, k, rec.length)
+              val perPage = PageSize - 4
+              val nPages = (tail.length + perPage - 1) / perPage
+              val firstOverflow = nextPage
+              (0 until nPages).foreach { i =>
+                val pageBuf = ByteBuffer.allocate(PageSize)
+                pageBuf.putInt(
+                  if (i == nPages - 1) 0 else firstOverflow + i + 1)
+                pageBuf.put(tail, i * perPage,
+                  math.min(perPage, tail.length - i * perPage))
+                writePage(raf, firstOverflow + i, pageBuf.array())
+              }
+              nextPage += nPages
+              varint(rec.length.toLong) ++ varint(rowid) ++
+                java.util.Arrays.copyOfRange(rec, 0, k) ++
+                ByteBuffer.allocate(4).putInt(firstOverflow).array()
+            }
           if (!page.fits(cell)) flushLeaf()
           page.add(cell)
           lastInPage = rowid

@@ -20,10 +20,13 @@ object SqliteProbe {
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._
 
-    // multi-page table: > 4096 bytes of records forces interior levels
+    // multi-page table: > 4096 bytes of records forces interior levels;
+    // every 1000th note is a multi-overflow-page TEXT
     val big = (1 to 5000).map(i =>
-      (i.toLong, s"merchant-中文-$i", i * 1.5, if (i % 7 == 0) null
-      else s"note $i"))
+      (i.toLong, s"merchant-中文-$i", i * 1.5,
+        if (i % 1000 == 0) s"長文-$i-" + ("久" * 3000)
+        else if (i % 7 == 0) null
+        else s"note $i"))
       .toDF("txn_id", "merchant", "amount", "note")
     // small typed table incl. bool/date
     val small = Seq(

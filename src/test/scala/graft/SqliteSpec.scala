@@ -80,11 +80,21 @@ class SqliteSpec extends SparkSpec {
     assert(counts == Map("has_nulls" -> 2L, "empty" -> 0L))
   }
 
-  test("oversized records fail loudly, not with a corrupt file") {
+  test("oversized records spill to overflow chains (structural checks; " +
+    "real-sqlite3 validation in tools/check_sqlite.py)") {
     val p = tmp("o.db")
-    val huge = Seq(Tuple1("x" * 5000)).toDF("s")
-    val e = intercept[IllegalArgumentException](
-      Sqlite.writeTable(p, "t", huge))
-    assert(e.getMessage.contains("overflow chains"))
+    // 3 sizes straddling one and several overflow pages, mixed with
+    // small rows so local cells and spilled cells share leaf pages
+    val rows = Seq(
+      (1L, "small"),
+      (2L, "y" * 5000),
+      (3L, "also small"),
+      (4L, "z" * 100000),
+      (5L, "x" * 4061)) // exactly maxLocal: must NOT spill
+    val n = Sqlite.writeTable(p, "t", rows.toDF("id", "s"))
+    assert(n == 5)
+    val size = Files.size(Paths.get(p))
+    // 100000/4092 ≈ 25 overflow pages + 5000 ≈ 2 more, page-aligned
+    assert(size % 4096 == 0 && size / 4096 >= 28)
   }
 }
