@@ -37,10 +37,10 @@ import org.apache.spark.sql.types._
 object Sqlite {
 
   private val PageSize = 4096
-  // [MS-agnostic] spec constants for table-btree leaf cells at usable
-  // size U = 4096: payloads over maxLocal spill to an overflow chain,
-  // keeping K local bytes where K = minLocal + (P - minLocal) % (U - 4),
-  // clamped back to minLocal if that exceeds maxLocal.
+  // File-format constants for table-btree leaf cells at usable size
+  // U = 4096: payloads over maxLocal spill to an overflow chain, keeping
+  // K local bytes where K = minLocal + (P - minLocal) % (U - 4), clamped
+  // back to minLocal if that exceeds maxLocal (sqlite.org/fileformat2).
   private val MaxLeafPayload = PageSize - 35 // 4061
   private val MinLeafPayload = (PageSize - 12) * 32 / 255 - 23 // 489
 
