@@ -110,13 +110,18 @@ object Load {
     * the reference's post-load `SELECT count(*)` verification. Existing
     * SQLite consumers of the reference's output open this file unchanged.
     *
-    * The reference's `CREATE INDEX` statements (load_to_db.py:124-128) are
-    * deliberately NOT replicated as index B-trees: at engine scale those
-    * access paths are partitioning/bucketing on the parquet table
-    * ([[loadToTable]], SURVEY §2.2 K3); the SQLite file is the bounded
-    * driver-streamed compatibility export.
+    * The reference's four `CREATE INDEX` statements (load_to_db.py:125-128)
+    * are replicated as real index B-trees, so a SQLite consumer doing
+    * point lookups on date/merchant/card/id gets indexed access — a true
+    * drop-in. At engine scale the same access paths are partitioning/
+    * bucketing on the parquet table ([[loadToTable]], SURVEY §2.2 K3).
     */
   def loadToSqlite(refined: DataFrame, dbPath: String,
                    table: String = "bills"): Long =
-    Sqlite.writeTable(dbPath, table, toWarehouseShape(refined))
+    Sqlite.writeTables(dbPath, Seq(table -> toWarehouseShape(refined)),
+      indexes = Seq(
+        Sqlite.IndexSpec("idx_txn_date", table, "transaction_date"),
+        Sqlite.IndexSpec("idx_merchant", table, "merchant_name"),
+        Sqlite.IndexSpec("idx_card_no", table, "card_no"),
+        Sqlite.IndexSpec("idx_txn_id", table, "transaction_id")))(table)
 }

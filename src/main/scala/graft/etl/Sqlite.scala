@@ -21,14 +21,19 @@ import org.apache.spark.sql.types._
   * varint serial types, and a `sqlite_master` catalog on page 1. UTF-8
   * text encoding, schema format 1 — readable by every SQLite since 3.0.
   *
+  * Secondary indexes ([[IndexSpec]]) build real index b-trees — true
+  * B-trees whose interior cells carry entries — sorted in SQLite record
+  * order (NULL < numeric < TEXT/BINARY memcmp, rowid tiebreak), matching
+  * the reference's `CREATE INDEX` calls (`load_to_db.py:125-128`) so
+  * indexed point lookups work unchanged.
+  *
   * Scale posture: a single SQLite file is inherently single-node, so this
   * is a driver-streamed COMPATIBILITY EXPORT (`toLocalIterator`, O(pages)
   * bookkeeping, rows never all materialized) for the bounded outputs the
   * reference actually ships to SQLite — refined bills and RFM group
-  * tables. Warehouse-scale data stays parquet (`Load.loadToTable`); the
-  * reference's `CREATE INDEX` calls (`load_to_db.py:124-128`) map to
-  * partitioning/bucketing there (SURVEY §2.2 K3), not to index B-trees
-  * here.
+  * tables; an index additionally buffers its (key, rowid) pairs for the
+  * sort, the same bound sqlite's own CREATE INDEX pays. Warehouse-scale
+  * data stays parquet (`Load.loadToTable`, SURVEY §2.2 K3).
   *
   * Large records spill to real overflow-page chains (spec K-local-bytes
   * split), so arbitrarily long TEXT loads correctly. The one asserted
@@ -37,12 +42,25 @@ import org.apache.spark.sql.types._
 object Sqlite {
 
   private val PageSize = 4096
-  // File-format constants for table-btree leaf cells at usable size
-  // U = 4096: payloads over maxLocal spill to an overflow chain, keeping
-  // K local bytes where K = minLocal + (P - minLocal) % (U - 4), clamped
-  // back to minLocal if that exceeds maxLocal (sqlite.org/fileformat2).
+  // File-format constants at usable size U = 4096: payloads over maxLocal
+  // spill to an overflow chain, keeping K local bytes where
+  // K = minLocal + (P - minLocal) % (U - 4), clamped back to minLocal if
+  // that exceeds maxLocal (sqlite.org/fileformat2). Table leaves and index
+  // pages have different maxLocal; minLocal is shared.
   private val MaxLeafPayload = PageSize - 35 // 4061
-  private val MinLeafPayload = (PageSize - 12) * 32 / 255 - 23 // 489
+  private val MaxIndexPayload = (PageSize - 12) * 64 / 255 - 23 // 1002
+  private val MinPayload = (PageSize - 12) * 32 / 255 - 23 // 489
+
+  // B-tree page-type bytes (file format §1.6)
+  private val TableLeaf = 13
+  private val TableInterior = 5
+  private val IndexLeaf = 10
+  private val IndexInterior = 2
+
+  /** A secondary index to build over one written table — the reference's
+    * `CREATE INDEX idx ON bills (col)` calls (load_to_db.py:125-128).
+    */
+  final case class IndexSpec(name: String, table: String, column: String)
 
   /** Write `tables` into a fresh SQLite database file (replace semantics —
     * the reference's `if_exists='replace'`). Returns rows written per
@@ -51,23 +69,33 @@ object Sqlite {
     * stringifies dates before loading, load_to_db.py:107-110), everything
     * else → TEXT. NULLs stay NULL.
     */
-  def writeTables(path: String,
-                  tables: Seq[(String, DataFrame)]): Map[String, Long] = {
+  def writeTables(path: String, tables: Seq[(String, DataFrame)],
+                  indexes: Seq[IndexSpec] = Nil): Map[String, Long] = {
     Files.deleteIfExists(Paths.get(path))
     val raf = new RandomAccessFile(path, "rw")
     try {
       // page 1 reserved for header + sqlite_master; data pages follow
       var nextPage = 2
       val counts = mutable.Map.empty[String, Long]
-      val master = mutable.ArrayBuffer.empty[(String, Int, String)]
+      // (type, name, tbl_name, rootpage, sql)
+      val master = mutable.ArrayBuffer.empty[(String, String, String, Int, String)]
 
       tables.foreach { case (name, df) =>
         val schema = df.schema
         val leafInfo = mutable.ArrayBuffer.empty[(Int, Long)] // (page, lastRowid)
         var rowid = 0L
 
+        // secondary indexes over this table: buffer (key, rowid) pairs
+        // during the single streamed pass. Bounded-export posture: the
+        // table rows stream, but an index is a SORT of its keys — the
+        // same driver-side bound sqlite's own CREATE INDEX pays.
+        val idxsHere = indexes.filter(_.table == name)
+        val idxFieldAt = idxsHere.map(ix => schema.fieldIndex(ix.column))
+        val idxKeys = idxsHere.map(_ =>
+          mutable.ArrayBuffer.empty[(Any, Long)])
+
         // ---- leaf level: fill pages in rowid order
-        val page = new PageBuilder(leaf = true)
+        val page = new PageBuilder(TableLeaf)
         var lastInPage = 0L // highest rowid actually ADDED to `page`
         def flushLeaf(): Unit = if (page.cells > 0) {
           writePage(raf, nextPage, page.render())
@@ -78,34 +106,18 @@ object Sqlite {
         val it = df.toLocalIterator()
         while (it.hasNext) {
           rowid += 1
-          val rec = record(it.next(), schema)
-          val cell =
-            if (rec.length <= MaxLeafPayload) leafCell(rowid, rec)
-            else {
-              // overflow: keep K local bytes, chain the tail through
-              // freshly-written overflow pages (4-byte next + data each)
-              val k = {
-                val cand = MinLeafPayload +
-                  (rec.length - MinLeafPayload) % (PageSize - 4)
-                if (cand <= MaxLeafPayload) cand else MinLeafPayload
-              }
-              val tail = java.util.Arrays.copyOfRange(rec, k, rec.length)
-              val perPage = PageSize - 4
-              val nPages = (tail.length + perPage - 1) / perPage
-              val firstOverflow = nextPage
-              (0 until nPages).foreach { i =>
-                val pageBuf = ByteBuffer.allocate(PageSize)
-                pageBuf.putInt(
-                  if (i == nPages - 1) 0 else firstOverflow + i + 1)
-                pageBuf.put(tail, i * perPage,
-                  math.min(perPage, tail.length - i * perPage))
-                writePage(raf, firstOverflow + i, pageBuf.array())
-              }
-              nextPage += nPages
-              varint(rec.length.toLong) ++ varint(rowid) ++
-                java.util.Arrays.copyOfRange(rec, 0, k) ++
-                ByteBuffer.allocate(4).putInt(firstOverflow).array()
-            }
+          val row = it.next()
+          idxsHere.indices.foreach { j =>
+            val i = idxFieldAt(j)
+            val key = if (row.isNullAt(i)) null
+              else sortableKey(row, i, schema.fields(i).dataType)
+            idxKeys(j) += ((key, rowid))
+          }
+          val rec = record(row, schema)
+          val (local, used) =
+            localizePayload(raf, rec, MaxLeafPayload, nextPage)
+          nextPage += used
+          val cell = varint(rec.length.toLong) ++ varint(rowid) ++ local
           if (!page.fits(cell)) flushLeaf()
           page.add(cell)
           lastInPage = rowid
@@ -132,7 +144,7 @@ object Sqlite {
             i = end
           }
           level = chunks.toVector.map { children =>
-            val ip = new PageBuilder(leaf = false)
+            val ip = new PageBuilder(TableInterior)
             children.init.foreach { case (child, maxKey) =>
               ip.add(interiorCell(child, maxKey))
             }
@@ -144,17 +156,31 @@ object Sqlite {
         }
         val root = level.head._1
         counts(name) = rowid
-        master += ((name, root, createSql(name, schema)))
+        master += (("table", name, name, root, createSql(name, schema)))
+
+        // ---- index b-trees: sort entries by SQLite record order (key
+        // per storage class, rowid tiebreak via stable sort), bulk-build
+        idxsHere.zipWithIndex.foreach { case (ix, j) =>
+          val sorted = idxKeys(j).sortWith((a, b) => keyCompare(a._1, b._1) < 0)
+          val payloads = sorted.iterator.map { case (k, rid) =>
+            indexRecord(k, rid)
+          }
+          val (idxRoot, np) = buildIndexBtree(raf, payloads, nextPage)
+          nextPage = np
+          master += (("index", ix.name, name, idxRoot,
+            s"""CREATE INDEX "${ix.name}" ON "$name" ("${ix.column}")"""))
+        }
       }
 
       // ---- page 1: header + sqlite_master leaf
-      val masterPage = new PageBuilder(leaf = true, headerOffset = 100)
-      master.zipWithIndex.foreach { case ((name, root, sql), i) =>
-        val rec = masterRecord(name, root, sql)
-        val cell = leafCell(i + 1L, rec)
-        require(masterPage.fits(cell),
-          s"sqlite_master overflow: too many/large tables for page 1")
-        masterPage.add(cell)
+      val masterPage = new PageBuilder(TableLeaf, headerOffset = 100)
+      master.zipWithIndex.foreach {
+        case ((entryType, name, tblName, root, sql), i) =>
+          val rec = masterRecord(entryType, name, tblName, root, sql)
+          val cell = leafCell(i + 1L, rec)
+          require(masterPage.fits(cell),
+            s"sqlite_master overflow: too many/large tables for page 1")
+          masterPage.add(cell)
       }
       val totalPages = nextPage - 1
       val page1 = ByteBuffer.allocate(PageSize)
@@ -177,15 +203,17 @@ object Sqlite {
     * pointer array grows from the head — `fits` is the spec's free-space
     * rule, no fragmentation (bulk build never deletes).
     */
-  private final class PageBuilder(leaf: Boolean, headerOffset: Int = 0) {
+  private final class PageBuilder(pageType: Int, headerOffset: Int = 0) {
+    private val leaf = pageType == TableLeaf || pageType == IndexLeaf
     private val headerSize = if (leaf) 8 else 12
     private val buf = mutable.ArrayBuffer.empty[Array[Byte]]
     private var cellBytes = 0
     var rightMost = 0 // interior pages only
     def cells: Int = buf.length
-    def fits(cell: Array[Byte]): Boolean =
+    def fitsBytes(n: Int): Boolean =
       headerOffset + headerSize + 2 * (buf.length + 1) +
-        cellBytes + cell.length <= PageSize
+        cellBytes + n <= PageSize
+    def fits(cell: Array[Byte]): Boolean = fitsBytes(cell.length)
     def add(cell: Array[Byte]): Unit = { buf += cell; cellBytes += cell.length }
     def reset(): Unit = { buf.clear(); cellBytes = 0; rightMost = 0 }
 
@@ -201,7 +229,7 @@ object Sqlite {
         off
       }
       page.position(headerOffset)
-      page.put((if (leaf) 13 else 5).toByte)
+      page.put(pageType.toByte)
       page.putShort(0) // no freeblocks
       page.putShort(buf.length.toShort)
       page.putShort((contentStart & 0xffff).toShort)
@@ -231,12 +259,234 @@ object Sqlite {
   private def leafCell(rowid: Long, rec: Array[Byte]): Array[Byte] = {
     require(rec.length <= MaxLeafPayload,
       s"record of ${rec.length} bytes exceeds the single-cell limit " +
-        s"($MaxLeafPayload); overflow chains are not implemented")
+        s"($MaxLeafPayload); the caller must spill payloads over the limit " +
+        "to an overflow chain (as writeTables does) before building the cell")
     varint(rec.length.toLong) ++ varint(rowid) ++ rec
   }
 
   private def interiorCell(child: Int, key: Long): Array[Byte] =
     ByteBuffer.allocate(4).putInt(child).array() ++ varint(key)
+
+  // ------------------------------------------------------------ overflow
+
+  private def localK(p: Int, maxLocal: Int): Int = {
+    val cand = MinPayload + (p - MinPayload) % (PageSize - 4)
+    if (cand <= maxLocal) cand else MinPayload
+  }
+
+  /** In-cell payload footprint: the payload itself when local, else the
+    * K local bytes plus the 4-byte overflow pointer. Lets placement be
+    * DECIDED before any overflow page is written (an entry that moves up
+    * a level must not leave an orphaned chain behind — integrity_check
+    * reports never-used pages).
+    */
+  private def localSize(p: Int, maxLocal: Int): Int =
+    if (p <= maxLocal) p else localK(p, maxLocal) + 4
+
+  /** payload → (in-cell bytes, overflow pages consumed): the whole
+    * payload when it fits locally, else the K-byte local prefix + 4-byte
+    * pointer to a fresh chain written starting at `firstPage` (4-byte
+    * next-page + data per page, spec K-local-bytes split).
+    */
+  private def localizePayload(raf: RandomAccessFile, payload: Array[Byte],
+                              maxLocal: Int, firstPage: Int)
+      : (Array[Byte], Int) =
+    if (payload.length <= maxLocal) (payload, 0)
+    else {
+      val k = localK(payload.length, maxLocal)
+      val tail = java.util.Arrays.copyOfRange(payload, k, payload.length)
+      val perPage = PageSize - 4
+      val nPages = (tail.length + perPage - 1) / perPage
+      (0 until nPages).foreach { i =>
+        val pageBuf = ByteBuffer.allocate(PageSize)
+        pageBuf.putInt(if (i == nPages - 1) 0 else firstPage + i + 1)
+        pageBuf.put(tail, i * perPage,
+          math.min(perPage, tail.length - i * perPage))
+        writePage(raf, firstPage + i, pageBuf.array())
+      }
+      (java.util.Arrays.copyOfRange(payload, 0, k) ++
+        ByteBuffer.allocate(4).putInt(firstPage).array(), nPages)
+    }
+
+  // ------------------------------------------------------------ indexes
+
+  /** Typed sort key mirroring [[record]]'s storage classes: integral and
+    * boolean → Long (INTEGER), fractional → Double (REAL), everything
+    * else → the UTF-8 bytes the TEXT column will carry.
+    */
+  private def sortableKey(row: Row, i: Int, dt: DataType): Any = dt match {
+    case ByteType | ShortType | IntegerType | LongType =>
+      row.get(i) match {
+        case b: Byte => b.toLong
+        case s: Short => s.toLong
+        case n: Int => n.toLong
+        case l: Long => l
+      }
+    case BooleanType => if (row.getBoolean(i)) 1L else 0L
+    case FloatType | DoubleType | _: DecimalType =>
+      row.get(i) match {
+        case fl: Float => fl.toDouble
+        case d: Double => d
+        case dec: java.math.BigDecimal => dec.doubleValue()
+      }
+    case _ => row.get(i).toString.getBytes(StandardCharsets.UTF_8)
+  }
+
+  /** SQLite key order for single-column index entries: NULL first, then
+    * INTEGER/REAL compared numerically across classes, then TEXT under
+    * the default BINARY collation (unsigned memcmp of the UTF-8 bytes).
+    * Rowid ties are preserved by the caller's stable sort.
+    */
+  private def keyCompare(a: Any, b: Any): Int = (a, b) match {
+    case (null, null) => 0
+    case (null, _) => -1
+    case (_, null) => 1
+    case (x: Long, y: Long) => java.lang.Long.compare(x, y)
+    case (x: Double, y: Double) => java.lang.Double.compare(x, y)
+    case (x: Long, y: Double) => java.lang.Double.compare(x.toDouble, y)
+    case (x: Double, y: Long) => java.lang.Double.compare(x, y.toDouble)
+    case (x: Array[Byte], y: Array[Byte]) =>
+      java.util.Arrays.compareUnsigned(x, y)
+    case (_: Long | _: Double, _) => -1 // numeric before text
+    case (_, _: Long | _: Double) => 1
+    case _ => 0
+  }
+
+  /** Index entry record: the key column followed by the rowid as a plain
+    * integer column (index b-trees have no rowid field of their own).
+    */
+  private def indexRecord(key: Any, rowid: Long): Array[Byte] = {
+    val serials = mutable.ArrayBuffer.empty[Array[Byte]]
+    val bodies = mutable.ArrayBuffer.empty[Array[Byte]]
+    key match {
+      case null => serials += varint(0L)
+      case l: Long =>
+        val (st, b) = encodeInt(l)
+        serials += varint(st); bodies += b
+      case d: Double =>
+        serials += varint(7L)
+        bodies += ByteBuffer.allocate(8).putDouble(d).array()
+      case b: Array[Byte] =>
+        serials += varint(13L + 2L * b.length); bodies += b
+      case other => throw new IllegalArgumentException(
+        s"unsupported index key ${other.getClass}")
+    }
+    val (st, b) = encodeInt(rowid)
+    serials += varint(st); bodies += b
+    assemble(serials, bodies)
+  }
+
+  /** Bulk-build an index b-tree from payload records pre-sorted in key
+    * order; returns (rootPage, nextFreePage).
+    *
+    * Index b-trees are true B-trees, not B+-trees: interior cells CARRY
+    * entries, each entry living exactly once in the whole tree. So the
+    * bulk load fills a leaf until the next entry no longer fits, and that
+    * entry moves UP as the separator between this leaf and the next —
+    * recursively at every level.
+    */
+  private def buildIndexBtree(raf: RandomAccessFile,
+                              payloads: Iterator[Array[Byte]],
+                              firstFreePage: Int): (Int, Int) = {
+    var nextPage = firstFreePage
+
+    def leafCellOf(p: Array[Byte]): Array[Byte] = {
+      val (local, used) = localizePayload(raf, p, MaxIndexPayload, nextPage)
+      nextPage += used
+      varint(p.length.toLong) ++ local
+    }
+    def leafCellSize(p: Array[Byte]): Int =
+      varint(p.length.toLong).length + localSize(p.length, MaxIndexPayload)
+
+    // ---- leaf level. `dangling` holds an entry that closed a page and
+    // becomes the up-separator IF another entry follows; if the stream
+    // ends first it becomes a final one-entry leaf instead (a separator
+    // needs a right sibling).
+    var pages = Vector.empty[Int]
+    var seps = Vector.empty[Array[Byte]]
+    val pb = new PageBuilder(IndexLeaf)
+    var dangling: Option[Array[Byte]] = None
+    def flushLeafPage(): Unit = {
+      writePage(raf, nextPage, pb.render())
+      pages :+= nextPage
+      nextPage += 1
+      pb.reset()
+    }
+    payloads.foreach { p =>
+      dangling.foreach { d => seps :+= d; dangling = None }
+      if (pb.cells > 0 && !pb.fitsBytes(leafCellSize(p))) {
+        flushLeafPage()
+        dangling = Some(p)
+      } else pb.add(leafCellOf(p))
+    }
+    dangling match {
+      case Some(d) => pb.add(leafCellOf(d)); flushLeafPage()
+      case None => if (pb.cells > 0 || pages.isEmpty) flushLeafPage()
+    }
+
+    // ---- interior levels. Cell i pairs (child i, separator i); a page
+    // covering children a..b materializes cells a..b-1 with rightmost
+    // child b, and separator b moves up. Boundaries are PLANNED from cell
+    // sizes first so overflow chains are written exactly once, then a
+    // boundary landing on the last cell is shifted left (it would leave
+    // the final page with only a right pointer — structurally degenerate).
+    while (pages.length > 1) {
+      val children = pages
+      val ss = seps
+      val m = ss.length // == children.length - 1 cells at this level
+      val boundaries = mutable.ArrayBuffer.empty[Int]
+      var used = 0
+      var cellsInPage = 0
+      var i = 0
+      while (i < m) {
+        val sz = 4 + varint(ss(i).length.toLong).length +
+          localSize(ss(i).length, MaxIndexPayload) + 2 // +2 pointer slot
+        if (cellsInPage > 0 && used + sz > PageSize - 12) {
+          boundaries += i
+          used = 0
+          cellsInPage = 0
+        } else {
+          used += sz
+          cellsInPage += 1
+        }
+        i += 1
+      }
+      if (boundaries.nonEmpty && boundaries.last == m - 1) {
+        require(boundaries.length < 2 || boundaries(boundaries.length - 2)
+          < m - 2, "index interior boundary collision")
+        boundaries(boundaries.length - 1) = m - 2
+      }
+      val bset = boundaries.toSet
+      val newPages = Vector.newBuilder[Int]
+      val newSeps = Vector.newBuilder[Array[Byte]]
+      val ip = new PageBuilder(IndexInterior)
+      def flushInterior(rightMost: Int): Unit = {
+        ip.rightMost = rightMost
+        writePage(raf, nextPage, ip.render())
+        newPages += nextPage
+        nextPage += 1
+        ip.reset()
+      }
+      var j = 0
+      while (j < m) {
+        if (bset(j)) {
+          flushInterior(children(j))
+          newSeps += ss(j)
+        } else {
+          val (local, usedPages) =
+            localizePayload(raf, ss(j), MaxIndexPayload, nextPage)
+          nextPage += usedPages
+          ip.add(ByteBuffer.allocate(4).putInt(children(j)).array() ++
+            varint(ss(j).length.toLong) ++ local)
+        }
+        j += 1
+      }
+      flushInterior(children.last)
+      pages = newPages.result()
+      seps = newSeps.result()
+    }
+    (pages.head, nextPage)
+  }
 
   // ------------------------------------------------------------ records
 
@@ -279,8 +529,8 @@ object Sqlite {
     assemble(serials, bodies)
   }
 
-  private def masterRecord(name: String, root: Int, sql: String)
-      : Array[Byte] = {
+  private def masterRecord(entryType: String, name: String, tblName: String,
+                           root: Int, sql: String): Array[Byte] = {
     val serials = mutable.ArrayBuffer.empty[Array[Byte]]
     val bodies = mutable.ArrayBuffer.empty[Array[Byte]]
     def text(s: String): Unit = {
@@ -288,7 +538,7 @@ object Sqlite {
       serials += varint(13L + 2L * b.length)
       bodies += b
     }
-    text("table"); text(name); text(name)
+    text(entryType); text(name); text(tblName)
     val (st, body) = encodeInt(root.toLong)
     serials += varint(st)
     bodies += body

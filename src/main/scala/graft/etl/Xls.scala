@@ -402,7 +402,13 @@ object Xls {
     }
 
     sheets.map { case (name, off) =>
-      Xlsx.Sheet(name, readSheetCells(wb, off, sst, dateXfs, date1904))
+      val rows = readSheetCells(wb, off, sst, dateXfs, date1904)
+      // pad every row to the sheet's width, exactly like the XLSX path
+      // (Xlsx.readSheets): a data row whose trailing cells are blank must
+      // still carry one Option per header column, or downstream row
+      // construction indexes past the end (pandas/xlrd pad with NaN).
+      val width = if (rows.isEmpty) 0 else rows.map(_.length).max
+      Xlsx.Sheet(name, rows.map(_.padTo(width, None)))
     }
   }
 
@@ -487,7 +493,18 @@ object Xls {
           } else numeric(row, colIdx, xf, bb.getDouble(6))
         case RecString =>
           pendingStringCell.foreach { case (row, colIdx) =>
-            val cursor = new SegCursor(Vector(r.data))
+            // a formula string result longer than one record spills into
+            // CONTINUE records — gather them like the SST path does
+            val segs = Vector.newBuilder[Array[Byte]]
+            segs += r.data
+            var p = r.end
+            var more = true
+            while (more && p < wb.length) {
+              val c = recordAt(wb, p)
+              if (c.id == RecContinue) { segs += c.data; p = c.end }
+              else more = false
+            }
+            val cursor = new SegCursor(segs.result())
             val cch = cursor.u16()
             put(row, colIdx, cursor.readStringBody(cch))
           }
@@ -497,9 +514,9 @@ object Xls {
       pos = r.end
     }
 
-    // Same densification contract as the XLSX path: one output row per
-    // row that HAS cells, columns padded to the row's own width here and
-    // to the sheet's width by the caller (Xlsx.Sheet construction).
+    // One output row per row that HAS cells, columns padded to the row's
+    // own width here; readSheets pads to the sheet width afterwards (same
+    // densification contract as the XLSX path).
     cells.toVector.map { case (_, byCol) =>
       val width = byCol.lastKey + 1
       val row = Vector.fill[Option[String]](width)(None)

@@ -37,12 +37,16 @@ object PandasRank {
     */
   def pctRank(value: Column, ascending: Boolean = true,
               partitionBy: Seq[Column] = Seq.empty): Column = {
-    val ordered = if (ascending) value.asc else value.desc
+    // pandas excludes NaN from ranking: null inputs rank to null and do not
+    // count toward n. NULLS LAST keeps non-null ranks unshifted in either
+    // direction; count(value) is the non-null n.
+    val ordered = if (ascending) value.asc_nulls_last else value.desc_nulls_last
     val wOrd  = Window.partitionBy(partitionBy: _*).orderBy(ordered)
     val wTies = Window.partitionBy(partitionBy :+ value: _*)
     val wAll  = Window.partitionBy(partitionBy: _*)
-    (lit(2) * rank().over(wOrd) - lit(1) + count(lit(1)).over(wTies))
-      .cast("double") / lit(2.0) / count(lit(1)).over(wAll).cast("double")
+    when(value.isNull, lit(null).cast("double")).otherwise(
+      (lit(2) * rank().over(wOrd) - lit(1) + count(lit(1)).over(wTies))
+        .cast("double") / lit(2.0) / count(value).over(wAll).cast("double"))
   }
 
   /** Distributed pandas-pct-rank: identical results to [[pctRank]] without
@@ -54,8 +58,8 @@ object PandasRank {
     *
     * Integer arithmetic `2*rank - 1 + ties` is kept exact and divided in
     * the same fp order as [[pctRank]] / the oracle SQL, so results are
-    * bit-identical. Null values must be filtered by the caller (pandas
-    * excludes NaN from ranks; the reference never ranks nullable columns).
+    * bit-identical. Null values rank to null and are excluded from n
+    * (pandas NaN semantics), same as [[pctRank]].
     */
   def pctRankJoined(df: org.apache.spark.sql.DataFrame, valueCol: String,
                     outCol: String, ascending: Boolean = true)
@@ -64,14 +68,17 @@ object PandasRank {
     val wCum = Window.orderBy(ordered)
       .rowsBetween(Window.unboundedPreceding, -1)
     val wAll = Window.partitionBy()
-    val ranked = df.groupBy(valueCol).agg(count(lit(1)).as("_cnt"))
+    val ranked = df.filter(col(valueCol).isNotNull)
+      .groupBy(valueCol).agg(count(lit(1)).as("_cnt"))
       .withColumn("_before", coalesce(sum(col("_cnt")).over(wCum), lit(0L)))
       .withColumn("_n", sum(col("_cnt")).over(wAll))
       .withColumn(outCol,
         (lit(2) * (col("_before") + lit(1)) - lit(1) + col("_cnt"))
           .cast("double") / lit(2.0) / col("_n").cast("double"))
       .select(col(valueCol), col(outCol))
-    df.join(ranked, Seq(valueCol))
+    // left join: null-valued rows keep their row with a null rank (pandas
+    // NaN semantics), matching pctRank's when(isNull, null) branch.
+    df.join(ranked, Seq(valueCol), "left")
   }
 
   /** Fully distributed pandas-pct-rank — no single-partition window
@@ -92,7 +99,10 @@ object PandasRank {
                       numPartitions: Int = 0)
       : org.apache.spark.sql.DataFrame =
     pctRankTable(df, valueCol, outCol, ascending, numPartitions) match {
-      case Some(table) => df.join(table, Seq(valueCol))
+      // left join: null values never match the (null-free) lookup table,
+      // so they keep a null rank instead of vanishing — same rows as the
+      // window strategy.
+      case Some(table) => df.join(table, Seq(valueCol), "left")
       case None => df.withColumn(outCol, lit(null).cast("double"))
     }
 
@@ -111,7 +121,8 @@ object PandasRank {
     val parts =
       if (numPartitions > 0) numPartitions
       else spark.sessionState.conf.numShufflePartitions
-    val counts = df.groupBy(valueCol).agg(count(lit(1)).as("_cnt"))
+    val counts = df.filter(col(valueCol).isNotNull)
+      .groupBy(valueCol).agg(count(lit(1)).as("_cnt"))
       .repartitionByRange(parts, ordered)
       .sortWithinPartitions(ordered)
       .cache()
@@ -136,7 +147,17 @@ object PandasRank {
       counts.schema.fields.head,
       org.apache.spark.sql.types.StructField(outCol,
         org.apache.spark.sql.types.DoubleType)))
-    Some(spark.createDataFrame(rankedRdd, schema))
+    // Materialize the lookup table NOW (eager localCheckpoint): the prefix
+    // sums are only valid against the exact partitioning the cached counts
+    // produced, so the table must be computed while that cache is live; the
+    // truncated lineage then lets the counts cache be released immediately
+    // instead of pinning the block manager for the session. Checkpoint
+    // blocks are ContextCleaner-freed when the table is GC'd, unlike a
+    // CacheManager entry.
+    val table = spark.createDataFrame(rankedRdd, schema)
+      .localCheckpoint(eager = true)
+    counts.unpersist(blocking = false)
+    Some(table)
   }
 
   /** Multi-column pandas pct-rank with an ADAPTIVE physical strategy,
@@ -172,14 +193,24 @@ object PandasRank {
       else
         specs.foldLeft(base) { case (acc, (v, o, asc)) =>
           pctRankTable(base, v, o, ascending = asc) match {
-            case Some(table) => acc.join(table, Seq(v))
+            case Some(table) => acc.join(table, Seq(v), "left")
             case None => acc.withColumn(o, lit(null).cast("double"))
           }
         }
+    // The cache exists so the k rank-table derivations (and the count) scan
+    // the input once, not k+1 times. The tables are eagerly checkpointed in
+    // pctRankTable, so nothing derived still needs the cache; release it
+    // here rather than pinning it for the session (the final consumption
+    // recomputes the input once — the cost it would have paid uncached).
+    base.unpersist(blocking = false)
     out.select((df.columns ++ specs.map(_._2)).map(col).toIndexedSeq: _*)
   }
 
-  /** The same formula as raw SQL text (for oracle parity / spark.sql use). */
+  /** The same formula as raw SQL text (for oracle parity / spark.sql use).
+    * Assumes a non-null rank column, which every oracle query satisfies
+    * (the reference never ranks nullable columns); the Scala entry points'
+    * null handling is a strict extension on top of this shared formula.
+    */
   def sqlExpr(value: String, ascending: Boolean,
               partition: Option[String] = None): String = {
     val part = partition.map(p => s"PARTITION BY $p ").getOrElse("")

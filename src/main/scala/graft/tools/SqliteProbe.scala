@@ -37,13 +37,23 @@ object SqliteProbe {
       .withColumn("a", org.apache.spark.sql.functions.lit(1))
       .limit(0)
     val counts = Sqlite.writeTables(out, Seq(
-      "bills" -> big, "banks" -> small, "nothing" -> empty))
+      "bills" -> big, "banks" -> small, "nothing" -> empty),
+      // every storage class + a null-carrying column, à la the
+      // reference's four CREATE INDEX calls (load_to_db.py:125-128)
+      indexes = Seq(
+        Sqlite.IndexSpec("idx_merchant", "bills", "merchant"),
+        Sqlite.IndexSpec("idx_amount", "bills", "amount"),
+        Sqlite.IndexSpec("idx_txn_id", "bills", "txn_id"),
+        Sqlite.IndexSpec("idx_note", "bills", "note"),
+        Sqlite.IndexSpec("idx_bank", "banks", "bank")))
     println(s"[sqliteprobe] wrote $counts to $out")
     // second fixture: enough leaves for TWO interior levels (fan-out 200)
+    // and a multi-level INDEX b-tree over the text column
     import org.apache.spark.sql.functions.{col, concat, lit}
     val deep = spark.range(1, 40001).select(col("id"),
       concat(lit("row-"), col("id")).as("s"))
-    val n2 = Sqlite.writeTable(s"$out.deep", "deep", deep)
+    val n2 = Sqlite.writeTables(s"$out.deep", Seq("deep" -> deep),
+      indexes = Seq(Sqlite.IndexSpec("idx_deep_s", "deep", "s")))("deep")
     println(s"[sqliteprobe] wrote deep=$n2 to $out.deep")
     spark.stop()
   }

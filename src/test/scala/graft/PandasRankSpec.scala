@@ -88,6 +88,31 @@ class PandasRankSpec extends SparkSpec {
     assert(w == s) // exact, not approximate
   }
 
+  test("null values rank to null, are excluded from n, and never drop rows " +
+    "— identically across all three strategies") {
+    // pandas: NaN → rank NaN, n counts non-NaN only. 10,20,20,null,30 →
+    // non-null avg ranks 1, 2.5, 2.5, 4 over n=4.
+    val df = Seq((1, Some(10.0)), (2, Some(20.0)), (3, Some(20.0)),
+      (4, Option.empty[Double]), (5, Some(30.0))).toDF("id", "v")
+    val expected = Seq(Some(0.25), Some(0.625), Some(0.625), None, Some(1.0))
+    def run(d: org.apache.spark.sql.DataFrame): Seq[Option[Double]] =
+      d.orderBy("id").select("p").as[Option[Double]].collect().toSeq
+    val win = run(df.withColumn("p", pctRank(col("v"))))
+    val joined = run(graft.functions.PandasRank.pctRankJoined(df, "v", "p"))
+    val scalable = run(graft.functions.PandasRank
+      .pctRankScalable(df, "v", "p", numPartitions = 3))
+    assert(win == expected)
+    assert(joined == expected)
+    assert(scalable == expected)
+    // and through the adaptive entry point, both sides of the threshold
+    for (thr <- Seq(0L, Long.MaxValue)) {
+      val all = graft.functions.PandasRank
+        .pctRankScalableAll(df, Seq(("v", "p", true)), autoThreshold = thr)
+      assert(run(all) == expected, s"autoThreshold=$thr")
+      assert(all.count() == 5, s"autoThreshold=$thr must not drop null rows")
+    }
+  }
+
   test("results lie in (0, 1] and are monotone in the input") {
     val df = Seq.tabulate(100)(i => (i, (i * 37 % 50).toDouble))
       .toDF("id", "v")

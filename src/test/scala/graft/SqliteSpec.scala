@@ -97,4 +97,32 @@ class SqliteSpec extends SparkSpec {
     // 100000/4092 ≈ 25 overflow pages + 5000 ≈ 2 more, page-aligned
     assert(size % 4096 == 0 && size / 4096 >= 28)
   }
+
+  test("secondary indexes land in sqlite_master with index-page roots " +
+    "(structural; real-sqlite3 validation in tools/check_sqlite.py)") {
+    val p = tmp("i.db")
+    // enough rows for a multi-level index b-tree; nulls sort first
+    val df = (1 to 3000).map(i =>
+      (i.toLong, s"m-${i % 100}", if (i % 11 == 0) null else s"c-$i"))
+      .toDF("id", "merchant", "card")
+    Sqlite.writeTables(p, Seq("bills" -> df), indexes = Seq(
+      Sqlite.IndexSpec("idx_m", "bills", "merchant"),
+      Sqlite.IndexSpec("idx_c", "bills", "card")))
+    val all = Files.readAllBytes(Paths.get(p))
+    val body = new String(all, java.nio.charset.StandardCharsets.ISO_8859_1)
+    // master rows carry the CREATE INDEX sql verbatim
+    assert(body.contains("CREATE INDEX \"idx_m\" ON \"bills\" (\"merchant\")"))
+    assert(body.contains("CREATE INDEX \"idx_c\" ON \"bills\" (\"card\")"))
+    // index page types present: leaf 0x0a always; interior 0x02 once the
+    // entry count outgrows one page (3000 entries do)
+    val pageTypes = (1 until all.length / 4096).map(i => all(i * 4096))
+    assert(pageTypes.contains(10.toByte), "no index leaf pages")
+    assert(pageTypes.contains(2.toByte), "no index interior pages")
+    // deterministic like the table path
+    val p2 = tmp("i2.db")
+    Sqlite.writeTables(p2, Seq("bills" -> df), indexes = Seq(
+      Sqlite.IndexSpec("idx_m", "bills", "merchant"),
+      Sqlite.IndexSpec("idx_c", "bills", "card")))
+    assert(java.util.Arrays.equals(all, Files.readAllBytes(Paths.get(p2))))
+  }
 }

@@ -95,6 +95,59 @@ class XlsSpec extends SparkSpec {
     assert(rows == Vector(Vector(Some("abcd"), Some("ef語言文字"))))
   }
 
+  test("trailing blank cells pad to the sheet width") {
+    // a data row whose TRAILING cells are blank (no record emitted) must
+    // still read back at the sheet's full width — pandas/xlrd pad with NaN;
+    // an unpadded row breaks row construction lazily at job execution
+    val path = tmp("trailing.xls")
+    Xls.writeFirstSheet(path, "S", Seq(
+      Seq("h1", "h2", "h3"),
+      Seq("a", 1, "x"),
+      Seq("b", null, null)))
+    val rows = Xls.readSheets(path).head.rows
+    assert(rows.forall(_.length == 3))
+    assert(rows(2) == Vector(Some("b"), None, None))
+    // and the DataFrame path survives the short row end-to-end
+    val df = Xlsx.readFirstSheet(spark, path)
+    val h3 = df.orderBy("_row_idx").collect().map(r => Option(r.getString(2)))
+    assert(h3.toSeq == Seq(Some("x"), None))
+  }
+
+  test("FORMULA string results spill into CONTINUE records") {
+    val le = ByteOrder.LITTLE_ENDIAN
+    def rec(id: Int, body: Array[Byte]): Array[Byte] = {
+      val bb = ByteBuffer.allocate(4 + body.length).order(le)
+      bb.putShort(id.toShort).putShort(body.length.toShort).put(body)
+      bb.array()
+    }
+    // FORMULA at (0,0) with a string result: num field byte0 = 0 (string),
+    // bytes 6-7 of num = 0xffff marker; empty rgce
+    val formula = {
+      val bb = ByteBuffer.allocate(22).order(le)
+      bb.putShort(0.toShort).putShort(0.toShort).putShort(0.toShort) // r,c,xf
+      bb.put(Array[Byte](0, 0, 0, 0, 0, 0, -1, -1)) // string-result marker
+      bb.putShort(0.toShort).putInt(0).putShort(0.toShort) // grbit, chn, cce
+      rec(0x0006, bb.array())
+    }
+    // STRING carries cch=10 but only 'abcd'; CONTINUE restates the flag
+    // byte and carries 'efghij' — the gathered SegCursor must join them
+    val strRec = {
+      val bb = ByteBuffer.allocate(3 + 4).order(le)
+      bb.putShort(10.toShort).put(0.toByte).put("abcd".getBytes("ISO-8859-1"))
+      rec(0x0207, bb.array())
+    }
+    val contRec = rec(0x003c,
+      Array(0.toByte) ++ "efghij".getBytes("ISO-8859-1"))
+    val sstBody = ByteBuffer.allocate(8).order(le).putInt(0).putInt(0).array()
+    val stream = biffStream(sstBody, Array.emptyByteArray, cells = Seq.empty,
+      extraCellBytes = formula ++ strRec ++ contRec)
+    val path = tmp("formula-string.xls")
+    Files.write(java.nio.file.Paths.get(path),
+      invokeCfbWrap("Workbook", stream))
+    val rows = Xls.readSheets(path).head.rows
+    assert(rows == Vector(Vector(Some("abcdefghij"))))
+  }
+
   test("RK and MULRK cells decode all four encodings") {
     // RK encodings: int, int/100, double, double/100
     def rkInt(v: Int, d100: Boolean): Int = (v << 2) | (if (d100) 3 else 2)
