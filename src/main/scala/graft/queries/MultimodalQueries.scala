@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.multimodal.{Codecs, Multimodal}
+import graft.multimodal.{Codecs, ImageHash, Multimodal}
 import graft.multimodal.Multimodal.{Image, MediaRow}
 
 /** Oracle-gated multimodal queries.
@@ -213,13 +213,90 @@ object MultimodalQueries {
       |  CAST(GREATEST(MAX(r), MAX(g), MAX(b)) AS BIGINT) AS px_max
       |FROM px GROUP BY doc_id, f ORDER BY doc_id, frame_idx""".stripMargin
 
+  /** Perceptual image dedup (ImageHash.dHash64 + blocked Hamming join),
+    * oracle-gated by constructing images whose dHash is KNOWN closed-form.
+    *
+    * Pixel model: each doc renders a 9×8 grayscale-in-RGB staircase
+    * (r=g=b, values in 128±8) whose horizontal gradient signs ARE a target
+    * 60-bit fingerprint — dHash's 9×8 box-average grid is the identity on
+    * a 9×8 source, so decode → grayGrid → gradient signs reproduces the
+    * fingerprint bit-for-bit (bits 60-63 always 0; adjacent luma always
+    * differs by exactly ±1, so float BT.601 luma of equal channels can
+    * never flip a comparison). The fingerprint is md5(doc_id/4) — the
+    * oracle's `CAST(concat('0x', substr(md5(g),1,15)) AS BIGINT)` twin —
+    * XOR a 4-bit member perturbation, giving each 4-doc group Hamming
+    * distances 4 (member 0 ↔ m) and 8 (m₁ ↔ m₂) while cross-group
+    * distances are cryptographically ~Binomial(60, ½) (P[≤8] ≈ 4e-10 per
+    * pair — no spurious pairs at any test scale). DuckDB recomputes every
+    * pair from the bit model without touching pixels: a hash match proves
+    * encode → BMP bytes → decode → box-average → dHash → pigeonhole-
+    * blocked Hamming join end-to-end.
+    */
+  private def q109(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir).select(col("doc_id")).as[Long]
+    val media = docs.mapPartitions(_.map { d =>
+      val g = d / 4
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(g.toString.getBytes("UTF-8"))
+      val hex = md.take(8).map(b => f"${b & 0xff}%02x").mkString.take(15)
+      var fp = java.lang.Long.parseLong(hex, 16) // 60 bits
+      val m = (d % 4).toInt
+      if (m >= 1) {
+        var i = 5 * m - 4 // flip {i₀, i₀+15, i₀+30, i₀+45}, i₀ ∈ {1,6,11}
+        while (i < 60) { fp ^= 1L << i; i += 15 }
+      }
+      val w = 9; val h = 8
+      val px = new Array[Byte](w * h * 3)
+      var y = 0
+      while (y < h) {
+        var v = 128
+        var x = 0
+        while (x <= 8) {
+          if (x > 0) {
+            val bit = y * 8 + (x - 1)
+            v += (if (bit < 60 && ((fp >> bit) & 1L) == 1L) 1 else -1)
+          }
+          val o = (y * w + x) * 3
+          px(o) = v.toByte; px(o + 1) = v.toByte; px(o + 2) = v.toByte
+          x += 1
+        }
+        y += 1
+      }
+      MediaRow(d, "image", Codecs.BmpCodec.encode(Image(d, w, h, 3, px)),
+        "bmp")
+    })
+    ImageHash.nearDuplicates(media, maxHamming = 8)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  // flip mask per member m ≥ 1: (1<<i₀)·(1 + 2¹⁵ + 2³⁰ + 2⁴⁵), i₀ = 5m−4
+  private val q109Sql =
+    """WITH f AS (
+      |  SELECT doc_id,
+      |    xor(CAST(concat('0x',
+      |          substr(md5(CAST(doc_id // 4 AS VARCHAR)), 1, 15)) AS BIGINT),
+      |        CASE WHEN doc_id % 4 = 0 THEN 0
+      |             ELSE 35185445863425 *
+      |                  (CAST(1 AS BIGINT) <<
+      |                   CAST(5 * (doc_id % 4) - 4 AS INTEGER)) END) AS fp
+      |  FROM documents)
+      |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |  CAST(bit_count(xor(a.fp, b.fp)) AS INTEGER) AS hamming
+      |FROM f a JOIN f b ON a.doc_id < b.doc_id
+      |WHERE bit_count(xor(a.fp, b.fp)) <= 8
+      |ORDER BY id_a, id_b""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q106_image_stats" -> (q106(_, _)),
     "q107_audio_stats" -> (q107(_, _)),
-    "q108_video_frame_stats" -> (q108(_, _)))
+    "q108_video_frame_stats" -> (q108(_, _)),
+    "q109_image_near_dup" -> (q109(_, _)))
 
   val oracleSql: Map[String, String] = Map(
     "q106_image_stats" -> q106Sql,
     "q107_audio_stats" -> q107Sql,
-    "q108_video_frame_stats" -> q108Sql)
+    "q108_video_frame_stats" -> q108Sql,
+    "q109_image_near_dup" -> q109Sql)
 }

@@ -466,7 +466,60 @@ object TextQueries {
        |FROM agg
        |ORDER BY doc_id""".stripMargin
 
+  /** PII redaction + audit counts (TextAnalysis.redactPii / piiCounts),
+    * oracle-gated: the driver tables contain no PII, so each doc gets a
+    * deterministic synthetic PII sentence built closed-form from its id —
+    * an email (always), an SSN (even ids), a grouped card number
+    * (ids % 3 = 0), and a phone (ids % 5 ≠ 0), each in its canonical
+    * written shape and separated so the patterns can't interact. The
+    * redacted text is then a pure function of the id arithmetic: DuckDB
+    * rebuilds it tag-for-tag (never running a regex), so a hash match
+    * proves the four patterns fire exactly once each where expected, in
+    * the documented email→ssn→card→phone order, and nowhere else.
+    */
+  private def q110(s: SparkSession, dir: String): DataFrame = {
+    val d = col("doc_id")
+    val email = concat(lit("user"), d.cast("string"), lit("@example.com"))
+    val ssn = format_string("%03d-%02d-%04d",
+      d % 900 + 100, d % 89 + 10, d % 9000 + 1000)
+    val card = format_string("4111 2222 3333 %04d", d % 9000 + 1000)
+    val phone = format_string("(555) 123-%04d", d % 9000 + 1000)
+    val text = concat_ws(" ",
+      lit("Contact"), email,
+      when(d % 2 === 0, concat(lit("ssn "), ssn)).otherwise(lit("no ssn")),
+      when(d % 3 === 0, concat(lit("card "), card)).otherwise(lit("no card")),
+      when(d % 5 =!= 0, concat(lit("tel "), phone)).otherwise(lit("no tel")),
+      lit("end"))
+    Tables.documents(s, dir).select(d, text.as("text"))
+      .select(d,
+        TextAnalysis.redactPii(col("text")).as("redacted"),
+        TextAnalysis.piiCounts(col("text")).as("c"))
+      .select(d, col("redacted"),
+        col("c.email").as("n_email"), col("c.ssn").as("n_ssn"),
+        col("c.card").as("n_card"), col("c.phone").as("n_phone"))
+      .orderBy(d)
+  }
+
+  private val q110Sql =
+    """SELECT doc_id,
+      |  'Contact <EMAIL> ' ||
+      |  CASE WHEN doc_id % 2 = 0 THEN 'ssn <SSN>' ELSE 'no ssn' END ||
+      |  ' ' ||
+      |  CASE WHEN doc_id % 3 = 0 THEN 'card <CARD>' ELSE 'no card' END ||
+      |  ' ' ||
+      |  CASE WHEN doc_id % 5 <> 0 THEN 'tel <PHONE>' ELSE 'no tel' END ||
+      |  ' end' AS redacted,
+      |  CAST(1 AS INTEGER) AS n_email,
+      |  CAST(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END AS INTEGER)
+      |    AS n_ssn,
+      |  CAST(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS INTEGER)
+      |    AS n_card,
+      |  CAST(CASE WHEN doc_id % 5 <> 0 THEN 1 ELSE 0 END AS INTEGER)
+      |    AS n_phone
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q110_pii_redaction" -> (q110 _),
     "q98_unigram_ce" -> (q98 _),
     "q101_unigram_ce_frozen" -> (q101 _),
     "q93_bm25" -> (q93 _),
@@ -483,6 +536,7 @@ object TextQueries {
     "q28_dedup_corpus" -> (q28 _))
 
   val oracleSql: Map[String, String] = Map(
+    "q110_pii_redaction" -> q110Sql,
     "q98_unigram_ce" -> q98Sql,
     "q101_unigram_ce_frozen" -> q101Sql,
     "q93_bm25" -> q93Sql,

@@ -140,6 +140,54 @@ class MultimodalSpec extends SparkSpec {
     assert((r.getInt(5), r.getInt(6)) == ((0, 250)))
   }
 
+  test("dHash recovers a target 60-bit fingerprint from a staircase BMP") {
+    import graft.multimodal.{Codecs, ImageHash}
+    // the q109 oracle model: a 9×8 r=g=b staircase whose horizontal
+    // gradient signs encode fp bit (y·8+x); encode→decode→dHash must be
+    // the identity on the fingerprint (bits 60-63 read 0)
+    def staircase(id: Long, fp: Long): Image = {
+      val w = 9; val h = 8
+      val px = new Array[Byte](w * h * 3)
+      var y = 0
+      while (y < h) {
+        var v = 128
+        var x = 0
+        while (x <= 8) {
+          if (x > 0) {
+            val bit = y * 8 + (x - 1)
+            v += (if (bit < 60 && ((fp >> bit) & 1L) == 1L) 1 else -1)
+          }
+          val o = (y * w + x) * 3
+          px(o) = v.toByte; px(o + 1) = v.toByte; px(o + 2) = v.toByte
+          x += 1
+        }
+        y += 1
+      }
+      Image(id, w, h, 3, px)
+    }
+    val fps = Seq(0L, (1L << 60) - 1, 0x0123456789abcdeL, 0xfedcba987654321L)
+    fps.foreach { fp =>
+      val bytes = Codecs.BmpCodec.encode(staircase(fp, fp))
+      val decoded = Codecs.BmpCodec.decode(bytes).get
+      assert(ImageHash.dHash64(decoded) == fp,
+        s"fp ${fp.toHexString} did not round-trip")
+    }
+    // and the blocked Hamming join over staircase media equals all-pairs
+    val rows = (0L until 16L).map { d =>
+      val base = 0x5a5a5a5a5a5a5aL ^ (d / 4) * 0x111111111111111L
+      val fp = (base ^ (if (d % 4 > 0) 7L << (d % 4 * 3) else 0L)) &
+        ((1L << 60) - 1)
+      MediaRow(d, "image", Codecs.BmpCodec.encode(staircase(d, fp)), "bmp")
+    }.toDS()
+    val blocked = ImageHash.nearDuplicates(rows, maxHamming = 8)
+      .orderBy("id_a", "id_b").collect().toSeq
+    val allPairs = graft.operators.Dedup.simHashPairs(
+        ImageHash.fingerprints(rows).withColumnRenamed("media_id", "id"),
+        "id", "fp", maxHamming = 8, fp = identity)
+      .orderBy("id_a", "id_b").collect().toSeq
+    assert(blocked == allPairs && blocked.nonEmpty)
+  }
+
   test("features are fixed-width float vectors in the ANN input shape") {
     val feats = Multimodal.imageFeatures(media.filter(_.kind == "image"))
     val rows = feats.collect()
