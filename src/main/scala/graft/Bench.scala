@@ -121,7 +121,13 @@ object Bench {
     var errors = List.empty[(String, String)]
     var retried = List.empty[String]
     var suspect = List.empty[String]
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map {
+    // local-iteration / scale-study aid: comma-separated name substrings.
+    // Absent (the driver's case) → every registered query runs.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.exists(name.contains)) }
+      .map {
       case (name, fn) =>
         // unbilled warm run: compiles this query's generated code while the
         // raised codegen cache guarantees it survives until the timed runs.
