@@ -36,6 +36,20 @@ object Pipeline {
       keywords = EtlConfigs.loadTxnTypeKeywords(p("transaction_types.yaml")))
   }
 
+  /** Session money representation (SURVEY §1.3): `spark.graft.money=double`
+    * (default — reference float64 fidelity, every oracle hash unchanged) or
+    * `decimal` (exact fixed-point DECIMAL(18,2) — the production posture
+    * for a finance engine; additions never drift). Any other value fails
+    * fast rather than silently running in the wrong mode.
+    */
+  def moneyType(spark: SparkSession): org.apache.spark.sql.types.DataType =
+    spark.conf.getOption("spark.graft.money").getOrElse("double") match {
+      case "double" => org.apache.spark.sql.types.DoubleType
+      case "decimal" => Schema.MoneyDecimal
+      case other => throw new IllegalArgumentException(
+        s"spark.graft.money must be 'double' or 'decimal', got '$other'")
+    }
+
   /** Extract + refine: statement files → refined transactions (EP1 + EP2,
     * one lazy plan).
     */
@@ -43,7 +57,8 @@ object Pipeline {
                     cfg: Configs): DataFrame =
     Refine.refine(
       Extract.extractAll(spark, dataDir, cfg.banks),
-      cfg.cards, cfg.payments, cfg.merchants, cfg.keywords)
+      cfg.cards, cfg.payments, cfg.merchants, cfg.keywords,
+      moneyType(spark))
 
   /** Full run: extract → refine → load `all_transactions` → the three RFM
     * analyses, written under `outDir` as parquet. Returns the loaded row

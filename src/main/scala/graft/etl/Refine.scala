@@ -2,6 +2,7 @@ package graft.etl
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DataType, DoubleType, NumericType}
 
 import graft.etl.EtlConfigs._
 import graft.etl.Schema._
@@ -31,7 +32,8 @@ object Refine {
     * tolerant numeric parse. Input columns may be raw strings (CSV) or
     * already typed (extract output) — both coerce identically.
     */
-  def canonicalize(df: DataFrame): DataFrame = {
+  def canonicalize(df: DataFrame,
+                   moneyType: DataType = DoubleType): DataFrame = {
     val withCols = (stringCols ++ floatCols ++ Seq(PaymentPrefix))
       .foldLeft(df) { (d, c) =>
         if (d.columns.contains(c)) d
@@ -42,7 +44,7 @@ object Refine {
       d.withColumn(c, when(lower(t) === "nan", lit("")).otherwise(t))
     }
     floatCols.foldLeft(strings) { (d, c) =>
-      d.withColumn(c, col(c).cast("string").try_cast("double"))
+      d.withColumn(c, col(c).cast("string").try_cast(moneyType.catalogString))
     }
   }
 
@@ -121,8 +123,17 @@ object Refine {
     val hasKw = lower(col(Merchant)).contains("使用e point")
     val amount = regexp_replace(regexp_extract(col(Merchant), pat, 2), ",", "")
     val valid = isEsun && hasKw && amount =!= ""
+    // backfilled value follows the column's money representation (double by
+    // default, DecimalType under spark.graft.money=decimal) so the branch
+    // types unify without widening the column
+    val moneyT = (if (df.columns.contains(PayAmount))
+                    df.schema(PayAmount).dataType
+                  else DoubleType) match {
+      case n: NumericType => n
+      case _ => DoubleType // pre-canonicalize (string) input
+    }
     df.withColumn(PayAmount,
-        when(valid, -amount.cast("double")).otherwise(col(PayAmount)))
+        when(valid, -amount.cast(moneyT)).otherwise(col(PayAmount)))
       .withColumn(PayCurrency,
         when(valid, lit("TWD")).otherwise(col(PayCurrency)))
   }
@@ -211,8 +222,9 @@ object Refine {
              cardRules: Seq[CardRule],
              paymentRules: Seq[PaymentRule],
              merchantRules: Seq[MerchantRule],
-             keywords: TxnTypeKeywords): DataFrame = {
-    val canon = canonicalize(df)
+             keywords: TxnTypeKeywords,
+             moneyType: DataType = DoubleType): DataFrame = {
+    val canon = canonicalize(df, moneyType)
     val step1 = cleanupCathayRemaining(applyCardMapping(canon, cardRules))
     val step2 = identifyThirdPartyPayment(step1, paymentRules)
     val step3 = cleanMerchantByRegex(processEsunEpoint(step2), merchantRules)

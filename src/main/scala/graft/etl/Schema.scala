@@ -60,14 +60,29 @@ object Schema {
   /** Float columns (refine.py:34-36). */
   val floatCols: Seq[String] = Seq(CurrAmount, PayAmount)
 
-  /** Refined-stage schema: dates kept as DateType (SURVEY §7.4.7), money as
-    * DoubleType for reference fidelity (§1.3), everything else string.
+  /** Production money mode (§1.3): the reference keeps money as float64 and
+    * the default pipeline preserves that for bit-level oracle fidelity, but
+    * a finance engine really wants exact fixed-point — additions never
+    * drift, comparisons are exact, and parquet stores it as a compact
+    * fixed-width value. 18,2 covers ±10^16 TWD cents, far beyond any card
+    * statement. Enabled via `spark.graft.money=decimal`
+    * ([[Pipeline.moneyType]]); strictly additive — no default output or
+    * oracle hash changes.
     */
-  val refined: StructType = StructType(refineOrder.map {
-    case c @ (TxnDate | PostDate | ConvDate) => StructField(c, DateType)
-    case c @ (CurrAmount | PayAmount) => StructField(c, DoubleType)
-    case c => StructField(c, StringType)
-  })
+  val MoneyDecimal: DecimalType = DecimalType(18, 2)
+
+  /** Refined-stage schema: dates kept as DateType (SURVEY §7.4.7), money in
+    * the caller-selected representation, everything else string.
+    */
+  def refinedWith(money: DataType): StructType =
+    StructType(refineOrder.map {
+      case c @ (TxnDate | PostDate | ConvDate) => StructField(c, DateType)
+      case c @ (CurrAmount | PayAmount) => StructField(c, money)
+      case c => StructField(c, StringType)
+    })
+
+  /** Default refined schema: money as DoubleType for reference fidelity. */
+  val refined: StructType = refinedWith(DoubleType)
 
   /** unified → snake_case rename (load_to_db.py:81-97). Note Card_Type →
     * card_name and Merchant → merchant_name.

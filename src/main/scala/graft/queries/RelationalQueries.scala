@@ -646,7 +646,46 @@ object RelationalQueries {
        |SELECT status_class, COUNT(*) AS n, ${sqlDsum("l_quantity")} AS qty
        |FROM mapped GROUP BY status_class ORDER BY status_class""".stripMargin
 
+  // --------------------------------------------------------------- q112
+  // Decimal money mode (SURVEY §1.3, Schema.MoneyDecimal): the same
+  // pricing-summary aggregation computed in exact fixed-point. Each price
+  // is cast to DECIMAL(12,2) (driver prices are exactly 2-dp, so the cast
+  // never rounds and Spark/DuckDB rounding modes cannot diverge); the sum
+  // is exact integer-cents arithmetic in BOTH engines, so the oracle match
+  // proves bit-exact decimal semantics end-to-end — no dsum/float-ordering
+  // tolerance needed, unlike every double-mode aggregate. Final cast to
+  // DECIMAL(38,2) aligns the two engines' sum result types (Spark widens
+  // to 22,2; DuckDB to 38,2) so the rendered values hash identically.
+  private def q112(s: SparkSession, dir: String): DataFrame = {
+    val money = org.apache.spark.sql.types.DataTypes.createDecimalType(12, 2)
+    val out = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 2)
+    Tables.load(s, dir, "lineitem")
+      .select(col("l_returnflag"), col("l_linestatus"),
+        col("l_extendedprice").cast(money).as("p"),
+        col("l_tax").cast(org.apache.spark.sql.types.DataTypes
+          .createDecimalType(12, 2)).as("t"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(sum(col("p")).cast(out).as("sum_price"),
+        max(col("p")).cast(out).as("max_price"),
+        sum(col("t")).cast(out).as("sum_tax"),
+        count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
+  private val q112Sql =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(38,2))
+      |    AS sum_price,
+      |  CAST(MAX(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(38,2))
+      |    AS max_price,
+      |  CAST(SUM(CAST(l_tax AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS sum_tax,
+      |  COUNT(*) AS n
+      |FROM lineitem
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q112_decimal_money" -> (q112 _),
     "q01_pricing_summary" -> (q01 _),
     "q02_filter_pushdown_topn" -> (q02 _),
     "q03_join_revenue_nation" -> (q03 _),
@@ -667,6 +706,7 @@ object RelationalQueries {
     "q18_last_match_mapping" -> (q18 _))
 
   val oracleSql: Map[String, String] = Map(
+    "q112_decimal_money" -> q112Sql,
     "q01_pricing_summary" -> q01Sql,
     "q02_filter_pushdown_topn" -> q02Sql,
     "q03_join_revenue_nation" -> q03Sql,

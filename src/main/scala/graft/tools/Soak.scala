@@ -1,0 +1,129 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import java.nio.file.{Files, Paths, StandardOpenOption}
+import java.nio.charset.StandardCharsets
+
+import graft.{SparkEntry, Tables}
+import graft.operators.{Dedup, Similarity}
+
+/** Scale-soak driver: times the headline operator families over the FULL
+  * tables of a (possibly ScaleGen-replicated) dataset and emits the same
+  * one-line JSON shape as [[graft.Bench]], so `tools/scale_report.py` can
+  * fit per-query scaling exponents across sf0.1 / ×10 / ×100 runs.
+  *
+  * Two workload groups:
+  *
+  *  - registered queries whose input is naturally UNCAPPED (full fact or
+  *    corpus tables) — invoked verbatim through `SparkEntry.queries`, so
+  *    the soak measures exactly the plans the driver's bench measures;
+  *  - the dedup/near-dup operators whose REGISTERED forms cap the id range
+  *    purely for DuckDB-oracle tractability (q25-q28 `doc_id < 1000`, q33
+  *    `vec_id < 500`) — re-run here over the whole corpus (`s*_full`),
+  *    because capped inputs would read only replica 0 of the scaled data
+  *    and measure nothing.
+  *
+  * Timing: one unbilled warm run (codegen compile) + one timed run per
+  * workload, caches cleared between — scale runs are long enough that
+  * best-of-N adds little beyond wall-clock cost.
+  *
+  * Usage: SPARK_GRAFT_SF_DIR=<dir> runMain graft.tools.Soak [outJson]
+  */
+object Soak {
+
+  /** Registered queries with uncapped inputs, spanning every headline
+    * family the round-7 verdict asked to soak: agg, broadcast join,
+    * pct-rank prefix-sum, RFM dual-window, histogram, TF-IDF, BM25,
+    * repeated spans, unigram CE, curation funnel, adaptive IVF, IVF-PQ,
+    * image near-dup (documents-derived, so it scales with the corpus).
+    */
+  private val registered = Seq(
+    "q01_pricing_summary", "q03_join_revenue_nation", "q05_pct_rank",
+    "q07_rfm_dual_window", "q67_equidepth_hist", "q81_tfidf",
+    "q88_curate_corpus", "q90_repeated_spans", "q93_bm25",
+    "q98_unigram_ce", "q104_knn_ivf_adaptive", "q105_knn_ivfpq",
+    "q109_image_near_dup")
+
+  private def gaussPlanes(n: Int, dim: Int, seed: Long): Seq[Seq[Double]] = {
+    val r = new scala.util.Random(seed)
+    Seq.fill(n)(Seq.fill(dim)(r.nextGaussian()))
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val outPath = args.headOption.getOrElse("target/scale/SOAK.json")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def docs = Tables.documents(spark, sfDir)
+    def embs = Tables.embeddings(spark, sfDir)
+
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+
+    val fullOps: Seq[(String, () => DataFrame)] = Seq(
+      "s25_jaccard_full" -> (() =>
+        Dedup.jaccardSimilarityJoin(docs, "doc_id", "text", n = 3,
+          threshold = 0.4)),
+      "s26_minhash_full" -> (() =>
+        Dedup.minHashLsh(docs, "doc_id", "text", n = 3, threshold = 0.4,
+          numHashes = 64, bands = 32)),
+      "s27_simhash_full" -> (() =>
+        Dedup.simHashPairsBlocked(docs, "doc_id", "text", maxHamming = 3)),
+      "s28_cc_dedup_full" -> (() =>
+        Dedup.dedupCorpus(docs, "doc_id",
+          Dedup.minHashLsh(docs, "doc_id", "text", n = 3, threshold = 0.4,
+            numHashes = 64, bands = 32))),
+      "s33_embed_neardup_full" -> (() => {
+        val dim = embs.select(size(col("embedding"))).head().getInt(0)
+        Similarity.cosineNearDupPairsBucketed(embs, 0.45,
+          (0 until 6).map(t => gaussPlanes(6, dim, seed = 100 + t)))
+      }))
+
+    val workloads: Seq[(String, () => DataFrame)] =
+      registered.map { n =>
+        val fn = SparkEntry.queries(n)
+        n -> (() => fn(spark, sfDir))
+      } ++ fullOps
+
+    var errors = List.empty[(String, String)]
+    val results = workloads
+      .filter { case (name, _) => only.forall(_.exists(name.contains)) }
+      .map { case (name, mk) =>
+        try mk().count() catch { case _: Throwable => () } // warm/codegen
+        spark.catalog.clearCache()
+        val t0 = System.nanoTime()
+        val n =
+          try mk().count() catch {
+            case e: Throwable =>
+              errors ::= name -> e.toString.take(200); -1L
+          }
+        val dt = (System.nanoTime() - t0) / 1e9
+        spark.catalog.clearCache()
+        System.err.println(f"[soak] $name%-24s $dt%8.2fs  rows=$n")
+        name -> dt
+      }
+
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val errJson = errors.reverse
+      .map { case (k, v) => "\"" + k + "\":\"" + v.replace("\"", "'") + "\"" }
+      .mkString("{", ",", "}")
+    val total = results.map(_._2).sum
+    val line = s"""{"metric":"soak_total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}"""
+    println(line)
+    val p = Paths.get(outPath)
+    if (p.getParent != null) Files.createDirectories(p.getParent)
+    Files.write(p, (line + "\n").getBytes(StandardCharsets.UTF_8),
+      StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+    spark.stop()
+  }
+}

@@ -267,4 +267,56 @@ class EtlPipelineSpec extends SparkSpec {
         "rfm_card"))
       assert(spark.read.parquet(s"$out/$t").count() > 0, t)
   }
+
+  // ------------------------------------------------- decimal money mode
+
+  test("refine: decimal money mode yields DECIMAL(18,2) columns whose " +
+      "values match the double mode (§1.3 additive variant)") {
+    import org.apache.spark.sql.types.DecimalType
+    val dec = Refine.refine(extracted, cfg.cards, cfg.payments,
+      cfg.merchants, cfg.keywords, Schema.MoneyDecimal)
+    for (c <- Schema.floatCols)
+      assert(dec.schema(c).dataType == DecimalType(18, 2), c)
+    // same rows, and every money value equal after rounding the double
+    // side to cents (the fixtures' amounts are all <= 2-dp, so rounding
+    // is exact and the two modes must agree everywhere)
+    val key = Seq(Schema.TxnDate, Schema.CardNo, Schema.Merchant)
+    def shaped(df: DataFrame) = df.select(
+      (key.map(col) ++ Schema.floatCols.map(c =>
+        round(col(c).cast("double"), 2).as(c))): _*)
+    assert(shaped(dec).exceptAll(shaped(refined)).count() == 0)
+    assert(shaped(refined).exceptAll(shaped(dec)).count() == 0)
+  }
+
+  test("decimal money mode sums exactly where doubles drift") {
+    // 0.1 + 0.2 - 0.3 != 0 in float64; in DECIMAL(18,2) it is 0 exactly.
+    // Feed the amounts through canonicalize (the tolerant string->money
+    // parse) in both modes and compare the aggregate drift.
+    val raw = Seq("0.10", "0.20", "-0.30").toDF(Schema.PayAmount)
+    def total(money: org.apache.spark.sql.types.DataType): BigDecimal =
+      BigDecimal(Refine.canonicalize(raw, money)
+        .agg(sum(col(Schema.PayAmount)).cast("decimal(38,18)"))
+        .head().getDecimal(0))
+    assert(total(Schema.MoneyDecimal) == BigDecimal(0))
+    // ...and the double mode, summed at full precision, shows the drift
+    // this mode exists to eliminate (documents WHY, not just THAT)
+    val doubleDrift = Seq(0.10, 0.20, -0.30).sum
+    assert(doubleDrift != 0.0)
+  }
+
+  test("pipeline: spark.graft.money=decimal threads through run() and " +
+      "rejects unknown modes") {
+    spark.conf.set("spark.graft.money", "decimal")
+    try {
+      assert(Pipeline.moneyType(spark) == Schema.MoneyDecimal)
+      val out = Files.createTempDirectory("graft-out-dec").toString
+      Pipeline.run(spark, s"$dir/data", s"$dir/configs", out)
+      val txns = spark.read.parquet(s"$out/all_transactions")
+      import org.apache.spark.sql.types.DecimalType
+      for (c <- Seq("currency_amount", "payment_amount"))
+        assert(txns.schema(c).dataType == DecimalType(18, 2), c)
+      spark.conf.set("spark.graft.money", "florins")
+      intercept[IllegalArgumentException](Pipeline.moneyType(spark))
+    } finally spark.conf.unset("spark.graft.money")
+  }
 }
