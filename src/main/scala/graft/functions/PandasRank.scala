@@ -206,6 +206,87 @@ object PandasRank {
     out.select((df.columns ++ specs.map(_._2)).map(col).toIndexedSeq: _*)
   }
 
+  /** Grouped ntile with NO single-task per-group sort — the scale path
+    * for equi-depth bucketing over LOW-cardinality group keys, where
+    * `Window.partitionBy(group)` degenerates to one task per group
+    * (q67's 3 return-flags put 20 M rows per task at the ×100 soak, 68 s
+    * and climbing superlinearly; cluster size is irrelevant because the
+    * parallelism ceiling IS the group count).
+    *
+    * Same recipe as [[pctRankScalable]], generalized to composite order +
+    * grouping: range-repartition on (group ++ order) — a global sort in
+    * which one group spans MANY partitions — then per-(partition, group)
+    * row counts round-trip the driver (≤ partitions × groups longs), a
+    * prefix sum turns them into starting offsets, and a second
+    * imperative per-partition pass assigns each row its within-group
+    * row_number and closed-form ntile bucket. Two linear jobs, no
+    * quadratic anything, parallelism = partitions regardless of group
+    * count.
+    *
+    * Semantics match `ntile(k) OVER (PARTITION BY group ORDER BY order)`
+    * exactly — same first-(n mod k)-buckets-get-the-extra-row fill —
+    * PROVIDED (group ++ order) is a deterministic total order (unique
+    * composite key), the same requirement any reproducible distributed
+    * row_number has. Driver state is partitions × groups counters, so
+    * keep it for group counts ≪ row counts (a high-cardinality group key
+    * doesn't need this — the plain window already parallelizes by group).
+    */
+  def groupedNtileScalable(df: org.apache.spark.sql.DataFrame,
+                           groupCols: Seq[String],
+                           orderCols: Seq[String], k: Int,
+                           outCol: String)
+      : org.apache.spark.sql.DataFrame = {
+    require(k >= 1, "k >= 1")
+    val spark = df.sparkSession
+    val parts = spark.sessionState.conf.numShufflePartitions
+    val keys = (groupCols ++ orderCols).map(col)
+    val sorted = df.repartitionByRange(parts, keys: _*)
+      .sortWithinPartitions(keys: _*)
+      .cache()
+    val gIdx = groupCols.map(c => df.columns.indexOf(c))
+    def gKey(row: org.apache.spark.sql.Row): Seq[Any] = gIdx.map(row.get)
+    // job 1: per-(partition, group) counts — tiny driver round-trip
+    val counts = sorted.rdd.mapPartitionsWithIndex { (pid, it) =>
+      val m = scala.collection.mutable.LinkedHashMap.empty[Seq[Any], Long]
+      it.foreach(r => m.updateWith(gKey(r))(c => Some(c.getOrElse(0L) + 1)))
+      m.iterator.map { case (g, c) => (pid, g, c) }
+    }.collect()
+    val totals = counts.groupBy(_._2).map { case (g, cs) =>
+      g -> cs.map(_._3).sum
+    }
+    // offset of (pid, g) = rows of g in partitions before pid
+    val offsets = counts.groupBy(_._2).iterator.flatMap { case (g, cs) =>
+      val sortedCs = cs.sortBy(_._1)
+      sortedCs.zip(sortedCs.scanLeft(0L)(_ + _._3))
+        .map { case ((pid, _, _), off) => (pid, g) -> off }
+    }.toMap
+    // job 2: assign row_number + closed-form ntile per row
+    val kL = k.toLong
+    val outRdd = sorted.rdd.mapPartitionsWithIndex { (pid, it) =>
+      val cur = scala.collection.mutable.HashMap.empty[Seq[Any], Long]
+      it.map { row =>
+        val g = gKey(row)
+        val rn = cur.getOrElse(g, offsets.getOrElse((pid, g), 0L)) + 1
+        cur(g) = rn
+        val n = totals(g)
+        val base = n / kL; val rem = n % kL
+        val bucket =
+          if (rn <= rem * (base + 1)) (rn - 1) / (base + 1) + 1
+          else rem + (rn - 1 - rem * (base + 1)) / math.max(base, 1L) + 1
+        org.apache.spark.sql.Row.fromSeq(row.toSeq :+ bucket.toInt)
+      }
+    }
+    val schema = org.apache.spark.sql.types.StructType(
+      df.schema.fields :+ org.apache.spark.sql.types.StructField(
+        outCol, org.apache.spark.sql.types.IntegerType))
+    // eager checkpoint before releasing the cache (pctRankTable's pattern:
+    // the offsets are only valid against the exact cached partitioning)
+    val out = spark.createDataFrame(outRdd, schema)
+      .localCheckpoint(eager = true)
+    sorted.unpersist(blocking = false)
+    out
+  }
+
   /** The same formula as raw SQL text (for oracle parity / spark.sql use).
     * Assumes a non-null rank column, which every oracle query satisfies
     * (the reference never ranks nullable columns); the Scala entry points'

@@ -99,20 +99,56 @@ object Dedup {
     * At 100 TB this is the difference between O(n²) and ~O(n·avg_bucket).
     */
   def jaccardSimilarityJoin(df: DataFrame, idCol: String, textCol: String,
-                            n: Int, threshold: Double): DataFrame = {
-    // cache: the shingle plan feeds the prefix self-join AND two verify
-    // rejoins — without it, tokenization recomputes 4x per query.
-    // Hashed (long) shingles: the prefix index, cache, and intersect all
-    // move 8-byte values; PPJoin's prefix bound holds under any total
-    // order of the universe, so ordering by hash is as valid as lexical.
+                            n: Int, threshold: Double,
+                            prefixDfThreshold: Long = 8192L): DataFrame = {
+    // cache: the shingle plan feeds the frequency agg, the prefix
+    // self-join, AND two verify rejoins — without it, tokenization
+    // recomputes 5x per query. Hashed (long) shingles: the prefix index,
+    // cache, and intersect all move 8-byte values.
     val s = hashedShingleSets(widen(df), idCol, textCol, n)
       .filter(size(col("shingles")) > 0)
       .withColumn("sz", size(col("shingles")))
       .cache()
     val prefLen = (col("sz") - ceil(col("sz") * threshold) + 1).cast("int")
-    val pref = s.select(col("id"), col("sz"),
-      posexplode(slice(col("shingles"), lit(1), prefLen)))
-      .withColumnRenamed("col", "tok")
+    // Canonical order = ASCENDING corpus document frequency (PPJoin as
+    // published — Xiao et al., WWW'08 §3: the prefix bound holds under any
+    // fixed total order, but only the rare-tokens-first order keeps prefix
+    // buckets small). Ordering by raw hash value treats a shingle shared
+    // by half the corpus the same as a unique one; the ×100 scale soak
+    // showed what that costs: candidate pairs for common-phrase shingles
+    // grow ∝ df², and a corpus with Zipfian shingle frequencies spilled
+    // the candidate shuffle to disk exhaustion. With df-ascending prefixes
+    // the frequent shingles sit at the END of every document's canonical
+    // order and never enter a prefix unless the document is nearly all
+    // common phrases — candidates stay ~O(n·avg_rare_bucket).
+    // Cost: one extra linear shuffle pair (tok-count agg + tok join) and a
+    // per-document window (partitioned by id — thousands of rows max per
+    // doc, no skew), all on 8-byte hashes.
+    //
+    // ADAPTIVE below 8192 docs (the pctRankScalableAll threshold pattern):
+    // the arrays are already hash-sorted, so the hash-order prefix is a
+    // free slice, and the worst CONCEIVABLE candidate set at the
+    // threshold (every pair shares a prefix token) is n²/2 ≈ 3.4e7 —
+    // bounded and join-sized, where above it frequency skew makes the
+    // hash-order worst case unbounded. Both orders emit IDENTICAL pairs
+    // (any total order is correct; only candidate counts move), so the
+    // switch is invisible to every oracle.
+    val pref =
+      if (s.count() <= prefixDfThreshold)
+        s.select(col("id"), col("sz"),
+          posexplode(slice(col("shingles"), lit(1), prefLen)))
+          .withColumnRenamed("col", "tok")
+      else {
+        val freq = s.select(explode(col("shingles")).as("tok"))
+          .groupBy("tok").agg(count(lit(1)).as("df"))
+        val byRarity = Window.partitionBy(col("id"))
+          .orderBy(col("df"), col("tok"))
+        s.select(col("id"), col("sz"), explode(col("shingles")).as("tok"))
+          .join(freq, "tok")
+          .withColumn("pos", row_number().over(byRarity) - 1)
+          .filter(col("pos") < prefLen)
+          .select(col("id"), col("sz"), col("pos"), col("tok"))
+      }
     // positional refinement (PPJoin): a shared prefix token at 0-based
     // positions (i, j) caps the overlap at 1 + min(szA−i−1, szB−j−1),
     // which must still reach the Jaccard lower bound t/(1+t)·(szA+szB)
@@ -166,36 +202,46 @@ object Dedup {
       .filter(size(col("shingles")) > 0)
       .withColumn("sig",
         graft.plans.SetExpressions.minHashLongs(col("shingles"), numHashes))
-      .cache() // banded self-join + two verify rejoins read this 4x
-    // shuffle carries (band, bandHash, id) — 24 bytes/row, never documents
-    val banded = s.select(col("id"),
+      .cache() // the banded self-join reads this twice
+    // Banded rows CARRY the shingle array, and the exact Jaccard verify
+    // runs IN-FLIGHT inside the (band, bh) join partitions — a candidate
+    // that fails the threshold dies where it was born and never reaches
+    // another exchange. The alternative (shuffle bare (band, bh, id)
+    // triples, then re-join the arrays per candidate pair) moves
+    // candidates × |array| bytes through TWO pair-level shuffles; the
+    // ×100 scale soak OOM'd there, because sub-threshold document
+    // FAMILIES (replicas sharing ~25% of shingles — boilerplate, in real
+    // corpora) collide in some band with p ≈ J² per band and family
+    // candidates grow quadratically with family size. In-flight, the
+    // banded shuffle is N × bands array-bearing rows — linear in the
+    // corpus with a bands× constant, spill-friendly, no pair-level array
+    // movement at all; false candidates cost one codegen'd sorted-merge
+    // intersect each and nothing else. A pair colliding in k bands
+    // re-verifies k times (k ≤ bands, k = 1 + Binom(bands−1, J^r) in
+    // expectation — small for everything that matters); the trailing
+    // dropDuplicates sees only TRUE pairs.
+    val banded = s.select(col("id"), col("shingles"),
       explode(array((0 until bands).map { b =>
         struct(lit(b).as("band"),
           xxhash64(slice(col("sig"), b * (numHashes / bands) + 1,
             numHashes / bands)).as("bh"))
       }: _*)).as("bb"))
-      .select(col("id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
-    val cand = banded.as("a")
+      .select(col("id"), col("shingles"),
+        col("bb.band").as("band"), col("bb.bh").as("bh"))
+    banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
           col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .distinct()
-    // exact-verify only the (tiny) candidate set, rejoining the shingle sets
-    val sets = s.select(col("id"), col("shingles"))
-    cand
-      .join(sets.select(col("id").as("id_a"), col("shingles").as("sh_a")),
-        "id_a")
-      .join(sets.select(col("id").as("id_b"), col("shingles").as("sh_b")),
-        "id_b")
       .withColumn("inter",
         graft.plans.SetExpressions.sortedLongIntersectCount(
-          col("sh_a"), col("sh_b")).cast("double"))
+          col("a.shingles"), col("b.shingles")).cast("double"))
       .withColumn("jaccard",
         col("inter") /
-          (size(col("sh_a")) + size(col("sh_b")) - col("inter")))
+          (size(col("a.shingles")) + size(col("b.shingles")) - col("inter")))
       .filter(col("jaccard") >= threshold)
-      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        round(col("jaccard"), 6).as("jaccard"))
+      .dropDuplicates("id_a", "id_b")
   }
 
   /** Connected components over near-dup pairs: every document gets the

@@ -121,13 +121,60 @@ object Similarity {
           struct(lit(t).as("t"), rhpBucket(col(vecCol), planes).as("b"))
         }: _*)).as("tb"))
         .select(col(id), col(vec), col("tb.t").as("t"), col("tb.b").as("b"))
+    // cosine verify IN-FLIGHT, before any pair-level exchange: candidate
+    // pairs materialize inside the (t, b) join partitions, and a failed
+    // candidate dies right there — only TRUE pairs reach the dedup
+    // shuffle. A pair colliding in k tables re-computes its cosine k
+    // times, but k is small and the alternative (dedup first) shuffles
+    // every failed candidate with both vectors attached — the ×100 soak
+    // measured that as a multi-GB exchange.
     bucketed("id_a", "va").join(bucketed("id_b", "vb"), Seq("t", "b"))
       .filter(col("id_a") < col("id_b"))
-      .select("id_a", "va", "id_b", "vb")
-      .dropDuplicates("id_a", "id_b")
       .withColumn("sim", round(cosine(col("va"), col("vb")), 6))
       .filter(col("sim") >= threshold)
       .select(col("id_a"), col("id_b"), col("sim"))
+      .dropDuplicates("id_a", "id_b")
+  }
+
+  /** [[cosineNearDupPairsBucketed]] with the table geometry chosen FROM
+    * the corpus size — the piece that makes RHP bucketing a real scale
+    * path. Fixed bucket bits mean bucket population ∝ N and candidate
+    * pairs ∝ N²/2^bits (the ×100 soak measured exactly that curve), so:
+    *
+    *  - `bits` grows with log₂(N / targetBucket): expected bucket
+    *    population stays ~targetBucket at every corpus size, candidates
+    *    stay ~O(N · targetBucket · tables);
+    *  - `tables` grows to hold recall: a pair at exactly `threshold`
+    *    collides in one table with p^bits (p = 1 − θ/π, the
+    *    random-hyperplane collision probability), so
+    *    tables = ln(1−recall) / ln(1−p^bits) keeps
+    *    P(any collision) ≥ recall for every pair AT the threshold —
+    *    pairs above it are strictly more likely to collide.
+    *
+    * Plane sets are seeded deterministically — same corpus, same output.
+    * Like the fixed-geometry form it may only MISS pairs, never emits a
+    * false positive.
+    */
+  def cosineNearDupPairsAuto(df: DataFrame, threshold: Double,
+                             targetRecall: Double = 0.8,
+                             targetBucket: Int = 256,
+                             maxTables: Int = 48,
+                             seed: Long = 7L,
+                             idCol: String = "vec_id",
+                             vecCol: String = "embedding"): DataFrame = {
+    require(threshold > 0 && threshold < 1, "threshold in (0,1)")
+    val n = df.count().max(1L)
+    val dim = df.select(size(col(vecCol))).head().getInt(0)
+    val bits = math.max(4,
+      math.ceil(math.log(n.toDouble / targetBucket) / math.log(2)).toInt)
+    val p = 1.0 - math.acos(threshold) / math.Pi
+    val pAll = math.pow(p, bits)
+    val tables = math.min(maxTables, math.max(1,
+      math.ceil(math.log1p(-targetRecall) / math.log1p(-pAll)).toInt))
+    val rnd = new scala.util.Random(seed)
+    val planeSets = Seq.fill(tables)(
+      Seq.fill(bits)(Seq.fill(dim)(rnd.nextGaussian())))
+    cosineNearDupPairsBucketed(df, threshold, planeSets, idCol, vecCol)
   }
 
   /** Semantic (embedding-space) dedup — the SemDeDup recipe (Abbas et
@@ -514,7 +561,12 @@ object Similarity {
       .drop("_dists")
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("neighbor_id").asc)
-    q.join(c, Seq("cell"))
+    // broadcast the probe side: queries × nprobe rows vs the corpus — a
+    // shuffle join here hashes a handful of distinct cell ids into very
+    // few post-shuffle partitions (the ×100 soak measured a 45 s stage
+    // with TWO tasks); broadcasting keeps the corpus in place and the
+    // per-candidate kernel running at full scan parallelism.
+    broadcast(q).join(c, Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("sim", round(cosine(col("qv"), col("cv")), 6))
       .withColumn("rank", row_number().over(w))
@@ -584,7 +636,12 @@ object Similarity {
       .drop("_dists")
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("neighbor_id").asc)
-    q.join(c, Seq("cell"))
+    // broadcast the probe side: queries × nprobe rows vs the corpus — a
+    // shuffle join here hashes a handful of distinct cell ids into very
+    // few post-shuffle partitions (the ×100 soak measured a 45 s stage
+    // with TWO tasks); broadcasting keeps the corpus in place and the
+    // per-candidate kernel running at full scan parallelism.
+    broadcast(q).join(c, Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("sim", round(cosine(col("qv"), col("cv")), 6))
       .withColumn("rank", row_number().over(w))
@@ -718,7 +775,12 @@ object Similarity {
       .select(col("cell"), col("query_id"), col("lut"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("adist").asc, col("neighbor_id").asc)
-    q.join(c, Seq("cell"))
+    // broadcast the probe side: queries × nprobe rows vs the corpus — a
+    // shuffle join here hashes a handful of distinct cell ids into very
+    // few post-shuffle partitions (the ×100 soak measured a 45 s stage
+    // with TWO tasks); broadcasting keeps the corpus in place and the
+    // per-candidate kernel running at full scan parallelism.
+    broadcast(q).join(c, Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("adist", round(adcCol(col("lut"), col("codes"), m), 6))
       .withColumn("rank", row_number().over(w))

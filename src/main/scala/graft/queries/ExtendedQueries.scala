@@ -465,13 +465,28 @@ object ExtendedQueries {
   // groups; a GLOBAL ntile would funnel into one partition — at scale,
   // global equi-depth boundaries come from approx_percentile instead.
   private def q67(s: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy(col("l_returnflag"))
-      .orderBy(col("l_extendedprice"), col("l_orderkey"),
-        col("l_linenumber"))
-    Tables.lineitem(s, dir)
+    // adaptive like pctRankScalableAll: l_returnflag has THREE distinct
+    // values, so the plain window caps parallelism at 3 tasks no matter
+    // the cluster (the ×100 soak measured 68 s, p = 1.14, all in 3
+    // single-task sorts). Above the threshold, the range-partitioned
+    // grouped ntile (PandasRank.groupedNtileScalable) assigns the same
+    // buckets with parallelism = shuffle partitions; both strategies are
+    // exact and hash-proven against the same oracle.
+    val li = Tables.lineitem(s, dir)
       .select(col("l_returnflag"), col("l_extendedprice"),
         col("l_orderkey"), col("l_linenumber"))
-      .withColumn("quartile", ntile(4).over(w))
+    val bucketed =
+      if (li.count() <= (1L << 20)) {
+        val w = Window.partitionBy(col("l_returnflag"))
+          .orderBy(col("l_extendedprice"), col("l_orderkey"),
+            col("l_linenumber"))
+        li.withColumn("quartile", ntile(4).over(w))
+      } else
+        graft.functions.PandasRank.groupedNtileScalable(li,
+          Seq("l_returnflag"),
+          Seq("l_extendedprice", "l_orderkey", "l_linenumber"),
+          k = 4, outCol = "quartile")
+    bucketed
       .groupBy(col("l_returnflag"), col("quartile"))
       .agg(count(lit(1)).as("n"),
         min(col("l_extendedprice")).as("lo"),

@@ -106,6 +106,9 @@ object VectorQueries {
   // floating-point accumulation order matches the native l2sq loop exactly,
   // and list_position(first occurrence) mirrors array_position's tie-break.
   private val q32Centroids = randPlanes(16, 64, seed = 7L)
+
+  /** The q32/q104 centroid set, exposed for profiling tools (Q104Prof). */
+  def centroidsForProfiling: Seq[Seq[Double]] = q32Centroids
   private def q32(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir)
     Similarity.ivfKnn(

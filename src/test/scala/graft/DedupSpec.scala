@@ -54,6 +54,13 @@ class DedupSpec extends SparkSpec {
         .select("id_a", "id_b", "jaccard")
         .as[(Long, Long, Double)].collect().toSet
       assert(idx == all, s"threshold $t")
+      // and through the frequency-ordered prefix path (the > threshold
+      // branch, forced): identical pairs from either canonical order
+      val dfOrdered = Dedup.jaccardSimilarityJoin(corpus, "doc_id",
+          "text", 3, t, prefixDfThreshold = 0L)
+        .select("id_a", "id_b", "jaccard")
+        .as[(Long, Long, Double)].collect().toSet
+      assert(dfOrdered == all, s"threshold $t (df-ordered prefix)")
     }
   }
 

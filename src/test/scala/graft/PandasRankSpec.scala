@@ -121,4 +121,26 @@ class PandasRankSpec extends SparkSpec {
     assert(got.forall(p => p > 0.0 && p <= 1.0))
     assert(got.sliding(2).forall(w => w.length < 2 || w(0) <= w(1)))
   }
+
+  test("groupedNtileScalable matches the window ntile bucket-for-bucket") {
+    // 3 groups of deliberately unequal sizes (one not divisible by k, one
+    // smaller than k) over a unique composite order key
+    val df = (Seq.tabulate(1003)(i => ("a", (i * 131) % 1009, i)) ++
+        Seq.tabulate(258)(i => ("b", (i * 67) % 271, i)) ++
+        Seq.tabulate(3)(i => ("c", i, i)))
+      .toDF("g", "v", "id")
+      .repartition(7)
+    for (k <- Seq(1, 4, 5)) {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("g")).orderBy(col("v"), col("id"))
+      val expected = df.withColumn("q", ntile(k).over(w))
+        .select("g", "v", "id", "q").as[(String, Int, Int, Int)]
+        .collect().toSet
+      val got = graft.functions.PandasRank
+        .groupedNtileScalable(df, Seq("g"), Seq("v", "id"), k, "q")
+        .select("g", "v", "id", "q").as[(String, Int, Int, Int)]
+        .collect().toSet
+      assert(got == expected, s"k=$k")
+    }
+  }
 }

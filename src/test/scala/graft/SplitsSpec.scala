@@ -55,5 +55,14 @@ class SplitsSpec extends SparkSpec {
     assert(exact.size >= 300) // every planted pair is present
     val recall = bucketed.size.toDouble / exact.size
     assert(recall >= 0.8, s"recall $recall (${bucketed.size}/${exact.size})")
+
+    // auto geometry (corpus-sized bits + recall-sized tables) keeps the
+    // same contract: subset of exact, recall >= its 0.8 design target
+    val auto = Similarity.cosineNearDupPairsAuto(corpus, 0.95)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(auto.subsetOf(exact))
+    val autoRecall = auto.size.toDouble / exact.size
+    assert(autoRecall >= 0.8,
+      s"auto recall $autoRecall (${auto.size}/${exact.size})")
   }
 }

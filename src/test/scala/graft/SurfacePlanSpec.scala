@@ -361,4 +361,17 @@ class SurfacePlanSpec extends SparkSpec {
     // the only exchange allowed is the final output range-sort
     assert(shuffles.size <= 1, s"unpivot added shuffles: $shuffles")
   }
+
+  test("q32/q104/q105 IVF cell joins broadcast the probe side (corpus " +
+    "stays in place — a shuffle join on a handful of cell ids collapses " +
+    "to near-serial post-shuffle parallelism)") {
+    for (name <- Seq("q32_knn_ivf", "q104_knn_ivf_adaptive",
+        "q105_knn_ivfpq")) {
+      val p = physical(run(name)).toString
+      assert(p.contains("BroadcastHashJoin"),
+        s"$name: probe side should broadcast into the cell join")
+      assert(!p.contains("SortMergeJoin"),
+        s"$name: cell join must not shuffle on the (few-valued) cell key")
+    }
+  }
 }
