@@ -40,7 +40,9 @@ object Soak {
     */
   private val registered = Seq(
     "q01_pricing_summary", "q03_join_revenue_nation", "q05_pct_rank",
-    "q07_rfm_dual_window", "q67_equidepth_hist", "q81_tfidf",
+    "q07_rfm_dual_window", "q12_sessionize", "q36_salted_join",
+    "q65_session_window", "q67_equidepth_hist", "q79_contamination",
+    "q81_tfidf", "q85_sequence_pack", "q87_vocabulary",
     "q88_curate_corpus", "q90_repeated_spans", "q93_bm25",
     "q98_unigram_ce", "q104_knn_ivf_adaptive", "q105_knn_ivfpq",
     "q109_image_near_dup")
