@@ -62,11 +62,18 @@ object ScaleGen {
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
 
+    // optional table subset (comma-separated) for targeted large-factor
+    // runs where the full set would not fit the box — e.g.
+    // SPARK_GRAFT_TABLES=lineitem,embeddings for a ×1000 probe
+    val onlyTables = sys.env.get("SPARK_GRAFT_TABLES")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     def read(name: String): DataFrame = s.read.parquet(s"$src/$name.parquet")
     def write(df: DataFrame, name: String, parts: Int): Unit = {
-      df.repartition(parts).write.mode("overwrite")
-        .parquet(s"$out/$name.parquet")
-      System.err.println(s"[scalegen] wrote $name x$factor")
+      if (onlyTables.forall(_.contains(name))) {
+        df.repartition(parts).write.mode("overwrite")
+          .parquet(s"$out/$name.parquet")
+        System.err.println(s"[scalegen] wrote $name x$factor")
+      } else System.err.println(s"[scalegen] skip $name")
     }
 
     // dimension tables: fixed-cardinality by nature — copy verbatim
