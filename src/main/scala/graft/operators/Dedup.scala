@@ -263,11 +263,18 @@ object Dedup {
                           maxIter: Int = 20): DataFrame = {
     // undirected edge list, including self-loops so isolated ids survive.
     // No distinct(): pairs are unique with id_a < id_b, so the reversed
-    // union and the self-loops introduce no duplicates — and min-agg
+    // direction and the self-loops introduce no duplicates — and min-agg
     // label propagation is duplicate-tolerant regardless. Skipping it
     // removes a full edge-list shuffle.
-    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+    // Both directions come from ONE scan of `pairs` (explode of the two
+    // orientations), not a self-union: `pairs` is typically an expensive
+    // lazy near-dup join, and a union's branches each recompute it — the
+    // ×100 soak measured the corpus-dedup funnel at almost exactly 2× its
+    // pair-join cost before this (81.8 s vs 41.4 s for the join alone).
+    val edges = pairs.select(explode(array(
+        struct(col("id_a").as("src"), col("id_b").as("dst")),
+        struct(col("id_b").as("src"), col("id_a").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .union(ids.select(col("id").as("src"), col("id").as("dst")))
       .cache()
     // labels only ever decrease (min-propagation), so the label sum is a
