@@ -93,9 +93,87 @@ object StreamingQueries {
       |GROUP BY 1, 2
       |ORDER BY batch_id, content_hash""".stripMargin
 
+  /** Streaming SemDeDup over a file-chunked embedding corpus (q103's
+    * continuous form, `StreamingPipeline.semDedupStream`) — the q111
+    * recipe applied to the VECTOR store: embeddings split into 4 chunks
+    * by `vec_id % 4` with ascending mtimes, streamed one file per
+    * micro-batch (AvailableNow), each batch semantic-deduped against the
+    * union of all PRIOR batches' cell-partitioned state plus itself.
+    * The oracle recomputes the whole emission history closed-form: a
+    * vector y (chunk b) duplicates the minimum same-cell x with
+    * x.vec_id < y.vec_id, chunk(x) <= b, and cosine >= 0.4 — exactly the
+    * accumulate-and-never-readmit store semantics across micro-batches,
+    * with the same centroid model and fp expansion as q32/q103.
+    */
+  private def q113(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding"))
+    val work = Files.createTempDirectory("graft_q113").toFile
+    val inDir = new File(work, "in")
+    inDir.mkdirs()
+    val chunkRoot = new File(work, "chunks")
+    emb.withColumn("b", col("vec_id") % 4)
+      .repartition(4, col("b"))
+      .write.mode("overwrite").partitionBy("b").parquet(chunkRoot.getPath)
+    (0 until 4).foreach { b =>
+      val part = new File(chunkRoot, s"b=$b").listFiles()
+        .find(f => f.getName.endsWith(".parquet")).get
+      val dst = new File(inDir, s"c$b.parquet")
+      Files.copy(part.toPath, dst.toPath)
+      dst.setLastModified(1700000000000L + b * 60000L)
+    }
+    val stream = s.readStream
+      .schema(emb.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(inDir.getPath)
+    val stateDir = new File(work, "state").getPath
+    val outDir = new File(work, "out")
+    outDir.mkdirs()
+    val q = StreamingPipeline.semDedupStream(stream,
+        VectorQueries.centroidsForProfiling, threshold = 0.4, stateDir) {
+        (res, batchId) =>
+          res.withColumn("batch_id", lit(batchId))
+            .write.mode("append").parquet(outDir.getPath)
+      }
+      .option("checkpointLocation", new File(work, "ckpt").getPath)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.read.parquet(outDir.getPath)
+      .select(col("batch_id"), col("vec_id"), col("cell"),
+        coalesce(col("dup_of"), lit(-1L)).as("dup_of"), col("kept"))
+      .orderBy(col("batch_id"), col("vec_id"))
+  }
+
+  private val q113Sql = {
+    val dists = VectorQueries.distsSqlShared(
+      VectorQueries.centroidsForProfiling)
+    val sim = "round(list_inner_product(x.v, y.v) / " +
+      "(sqrt(list_inner_product(x.v, x.v)) * " +
+      "sqrt(list_inner_product(y.v, y.v))), 6)"
+    s"""WITH vecs AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |b AS (SELECT vec_id, v, list_position(dists, list_min(dists)) AS cell
+       |      FROM (SELECT vec_id, v, $dists AS dists FROM vecs)),
+       |d AS (SELECT *, vec_id % 4 AS chunk FROM b),
+       |dups AS (
+       |  SELECT y.vec_id AS vec_id, MIN(x.vec_id) AS dup_of
+       |  FROM d x JOIN d y ON x.cell = y.cell AND x.vec_id < y.vec_id
+       |    AND x.chunk <= y.chunk
+       |  WHERE $sim >= 0.4
+       |  GROUP BY y.vec_id)
+       |SELECT CAST(o.chunk AS BIGINT) AS batch_id, o.vec_id,
+       |  CAST(o.cell AS BIGINT) AS cell,
+       |  coalesce(du.dup_of, -1) AS dup_of, du.dup_of IS NULL AS kept
+       |FROM d o LEFT JOIN dups du ON o.vec_id = du.vec_id
+       |ORDER BY batch_id, o.vec_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q111_streaming_incr_dedup" -> (q111 _))
+    "q111_streaming_incr_dedup" -> (q111 _),
+    "q113_streaming_semdedup" -> (q113 _))
 
   val oracleSql: Map[String, String] = Map(
-    "q111_streaming_incr_dedup" -> q111Sql)
+    "q111_streaming_incr_dedup" -> q111Sql,
+    "q113_streaming_semdedup" -> q113Sql)
 }

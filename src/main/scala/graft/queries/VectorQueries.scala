@@ -107,8 +107,17 @@ object VectorQueries {
   // and list_position(first occurrence) mirrors array_position's tie-break.
   private val q32Centroids = randPlanes(16, 64, seed = 7L)
 
-  /** The q32/q104 centroid set, exposed for profiling tools (Q104Prof). */
+  /** The q32/q104 centroid set, shared with profiling tools (Q104Prof)
+    * and the streaming SemDeDup oracle query (StreamingQueries q113).
+    */
   def centroidsForProfiling: Seq[Seq[Double]] = q32Centroids
+
+  /** DuckDB SQL fragment for the squared-L2 distance list to `centroids`
+    * — shared with StreamingQueries q113 so the streaming oracle assigns
+    * cells with the exact same fp expansion as q32/q103.
+    */
+  private[queries] def distsSqlShared(centroids: Seq[Seq[Double]]): String =
+    distsSqlFor(centroids)
   private def q32(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir)
     Similarity.ivfKnn(
