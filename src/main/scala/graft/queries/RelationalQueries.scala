@@ -653,9 +653,16 @@ object RelationalQueries {
   // never rounds and Spark/DuckDB rounding modes cannot diverge); the sum
   // is exact integer-cents arithmetic in BOTH engines, so the oracle match
   // proves bit-exact decimal semantics end-to-end — no dsum/float-ordering
-  // tolerance needed, unlike every double-mode aggregate. Final cast to
-  // DECIMAL(38,2) aligns the two engines' sum result types (Spark widens
-  // to 22,2; DuckDB to 38,2) so the rendered values hash identically.
+  // tolerance needed, unlike every double-mode aggregate. The three money
+  // outputs are emitted as CANONICAL STRINGS on both engines: the driver's
+  // compare hashes RENDERED values, and DuckDB's decimal->pandas path
+  // degrades DECIMAL(38,2) to float64 (399.00 -> "399.0") while Spark's
+  // parquet decimal renders "399.00" — a one-cell rendered mismatch even
+  // when every value is numerically identical (round-8 verdict). Casting
+  // the FINAL sums to string (Spark .cast("string"), DuckDB CAST AS
+  // VARCHAR — both keep the scale-2 form "399.00") removes the rendering
+  // asymmetry while the arithmetic underneath stays exact DECIMAL, so the
+  // gate still proves bit-exact fixed-point semantics end-to-end.
   private def q112(s: SparkSession, dir: String): DataFrame = {
     val money = org.apache.spark.sql.types.DataTypes.createDecimalType(12, 2)
     val out = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 2)
@@ -665,27 +672,133 @@ object RelationalQueries {
         col("l_tax").cast(org.apache.spark.sql.types.DataTypes
           .createDecimalType(12, 2)).as("t"))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
-      .agg(sum(col("p")).cast(out).as("sum_price"),
-        max(col("p")).cast(out).as("max_price"),
-        sum(col("t")).cast(out).as("sum_tax"),
+      .agg(sum(col("p")).cast(out).cast("string").as("sum_price"),
+        max(col("p")).cast(out).cast("string").as("max_price"),
+        sum(col("t")).cast(out).cast("string").as("sum_tax"),
         count(lit(1)).as("n"))
       .orderBy(col("l_returnflag"), col("l_linestatus"))
   }
 
   private val q112Sql =
     """SELECT l_returnflag, l_linestatus,
-      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(38,2))
-      |    AS sum_price,
-      |  CAST(MAX(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(38,2))
-      |    AS max_price,
-      |  CAST(SUM(CAST(l_tax AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS sum_tax,
+      |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)))
+      |    AS DECIMAL(38,2)) AS VARCHAR) AS sum_price,
+      |  CAST(CAST(MAX(CAST(l_extendedprice AS DECIMAL(12,2)))
+      |    AS DECIMAL(38,2)) AS VARCHAR) AS max_price,
+      |  CAST(CAST(SUM(CAST(l_tax AS DECIMAL(12,2))) AS DECIMAL(38,2))
+      |    AS VARCHAR) AS sum_tax,
       |  COUNT(*) AS n
       |FROM lineitem
       |GROUP BY l_returnflag, l_linestatus
       |ORDER BY l_returnflag, l_linestatus""".stripMargin
 
+  // --------------------------------------------------------------- q114
+  // Decimal money mode on the PIPELINE PATH (SURVEY §1.3): unlike q112
+  // (a lineitem aggregate), this runs the actual ETL data path the mode
+  // advertises — `spark.graft.money=decimal` resolved through
+  // Pipeline.moneyType, Refine.canonicalize's tolerant string→money parse
+  // (trim / 'nan'→null / ''→null), then Load.toWarehouseShape (md5
+  // surrogate id over the DECIMAL rendering + snake_case rename) — over
+  // driver `orders` rows re-keyed onto the statement schema. The oracle
+  // rebuilds every step in DuckDB decimal arithmetic; money outputs are
+  // rendered as canonical strings on both sides (q112 lesson: the
+  // driver's DuckDB→pandas leg degrades DECIMAL to float64, breaking the
+  // rendered hash on trailing-zero cents).
+  //
+  // Noise injection exercises the tolerant parse exactly where the
+  // reference does (refine.py:388-400): every 97th order's
+  // Currency_Amount is the literal 'nan', every 101st Payment_Amount is
+  // '', every 89th Merchant is ' nan ' (→ empty-string null discipline),
+  // and all inputs carry surrounding whitespace for the trim path.
+  private def q114(s: SparkSession, dir: String): DataFrame = {
+    import graft.etl.{Load, Pipeline, Refine, Schema}
+    val prev = s.conf.getOption("spark.graft.money")
+    s.conf.set("spark.graft.money", "decimal")
+    try {
+      val money = Pipeline.moneyType(s) // DECIMAL(18,2) via the config path
+      val cents = org.apache.spark.sql.types.DataTypes
+        .createDecimalType(12, 2)
+      val price = col("o_totalprice").cast(cents).cast("string")
+      val raw = Tables.orders(s, dir).select(
+        concat(lit("  "), col("o_orderdate").cast("date").cast("string"),
+          lit(" ")).as(Schema.TxnDate),
+        when(col("o_orderkey") % 89 === 0, lit(" nan "))
+          .otherwise(concat(lit(" Shop#"),
+            (col("o_custkey") % 211).cast("string"))).as(Schema.Merchant),
+        concat(lit("C#"), (col("o_custkey") % 1000).cast("string"))
+          .as(Schema.CardNo),
+        when(col("o_orderkey") % 97 === 0, lit("nan")).otherwise(price)
+          .as(Schema.CurrAmount),
+        when(col("o_orderkey") % 101 === 0, lit("")).otherwise(price)
+          .as(Schema.PayAmount),
+        col("o_orderpriority").as(Schema.TxnType))
+      val shaped = Load.toWarehouseShape(Refine.canonicalize(raw, money))
+      shaped.groupBy(col("transaction_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("payment_amount"))
+            .cast(org.apache.spark.sql.types.DataTypes
+              .createDecimalType(38, 2)).cast("string").as("sum_pay"),
+          count(when(col("currency_amount").isNull, lit(1))).as("n_nan"),
+          count(when(col("merchant_name") === "", lit(1)))
+            .as("n_blank_merchant"),
+          min(col("transaction_id")).as("min_id"))
+        .orderBy(col("transaction_type"))
+    } finally {
+      prev match {
+        case Some(v) => s.conf.set("spark.graft.money", v)
+        case None => s.conf.unset("spark.graft.money")
+      }
+    }
+  }
+
+  private val q114Sql =
+    """WITH raw AS (
+      |  SELECT
+      |    '  ' || CAST(CAST(o_orderdate AS DATE) AS VARCHAR) || ' '
+      |      AS d_raw,
+      |    CASE WHEN o_orderkey % 89 = 0 THEN ' nan '
+      |         ELSE ' Shop#' || CAST(o_custkey % 211 AS VARCHAR)
+      |         END AS m_raw,
+      |    'C#' || CAST(o_custkey % 1000 AS VARCHAR) AS c_raw,
+      |    CASE WHEN o_orderkey % 97 = 0 THEN 'nan'
+      |         ELSE CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS VARCHAR)
+      |         END AS curr_raw,
+      |    CASE WHEN o_orderkey % 101 = 0 THEN ''
+      |         ELSE CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS VARCHAR)
+      |         END AS pay_raw,
+      |    o_orderpriority AS t_raw
+      |  FROM orders),
+      |canon AS (
+      |  SELECT
+      |    TRIM(d_raw) AS transaction_date,
+      |    CASE WHEN LOWER(TRIM(m_raw)) = 'nan' THEN ''
+      |         ELSE TRIM(m_raw) END AS merchant_name,
+      |    TRIM(c_raw) AS card_no,
+      |    TRY_CAST(curr_raw AS DECIMAL(18,2)) AS currency_amount,
+      |    TRY_CAST(pay_raw AS DECIMAL(18,2)) AS payment_amount,
+      |    TRIM(t_raw) AS transaction_type
+      |  FROM raw),
+      |shaped AS (
+      |  SELECT *,
+      |    md5(COALESCE(TRIM(transaction_date), '')
+      |      || COALESCE(TRIM(merchant_name), '')
+      |      || COALESCE(TRIM(card_no), '')
+      |      || COALESCE(TRIM(CAST(payment_amount AS VARCHAR)), '')
+      |      || COALESCE(TRIM(transaction_type), '')) AS transaction_id
+      |  FROM canon)
+      |SELECT transaction_type, COUNT(*) AS n,
+      |  CAST(CAST(SUM(payment_amount) AS DECIMAL(38,2)) AS VARCHAR)
+      |    AS sum_pay,
+      |  COUNT(CASE WHEN currency_amount IS NULL THEN 1 END) AS n_nan,
+      |  COUNT(CASE WHEN merchant_name = '' THEN 1 END) AS n_blank_merchant,
+      |  MIN(transaction_id) AS min_id
+      |FROM shaped
+      |GROUP BY transaction_type
+      |ORDER BY transaction_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q112_decimal_money" -> (q112 _),
+    "q114_money_pipeline" -> (q114 _),
     "q01_pricing_summary" -> (q01 _),
     "q02_filter_pushdown_topn" -> (q02 _),
     "q03_join_revenue_nation" -> (q03 _),
@@ -707,6 +820,7 @@ object RelationalQueries {
 
   val oracleSql: Map[String, String] = Map(
     "q112_decimal_money" -> q112Sql,
+    "q114_money_pipeline" -> q114Sql,
     "q01_pricing_summary" -> q01Sql,
     "q02_filter_pushdown_topn" -> q02Sql,
     "q03_join_revenue_nation" -> q03Sql,
