@@ -18,6 +18,91 @@ import graft.streaming.StreamingPipeline
   */
 object StreamingQueries {
 
+  /** Scratch root for the streaming gates' working state (chunks,
+    * checkpoint, store, output). Prefers tmpfs (`/dev/shm`) — the gates'
+    * wall time is dominated by micro-batch COMMIT overhead (checkpoint
+    * WAL + offset/commit log fsyncs + store round-trips), which tmpfs
+    * makes near-free; disk-backed /tmp is the fallback. The dir is
+    * registered for recursive deletion at JVM exit (the returned
+    * DataFrame stays lazy over the output parquet, so deleting earlier
+    * would break the caller's read — round-8 advice).
+    */
+  private def scratchDir(prefix: String): File = {
+    val shm = new File("/dev/shm")
+    val dir =
+      if (shm.isDirectory && shm.canWrite)
+        Files.createTempDirectory(shm.toPath, prefix).toFile
+      else Files.createTempDirectory(prefix).toFile
+    Runtime.getRuntime.addShutdownHook(new Thread(() => deleteRec(dir)))
+    dir
+  }
+
+  private def deleteRec(f: File): Unit = {
+    Option(f.listFiles()).foreach(_.foreach(deleteRec))
+    f.delete()
+  }
+
+  /** Split a table into `n` single-file parquet chunks by `key % n` with
+    * strictly ascending mtimes (pins the file source's admission = batch
+    * order), returning the stream input dir. One partitioned write, not
+    * n filtered jobs; the intermediate partition dirs are deleted as soon
+    * as the chunk files are copied out.
+    */
+  private def writeChunks(df: DataFrame, key: String, work: File,
+                          n: Int): File = {
+    val inDir = new File(work, "in")
+    inDir.mkdirs()
+    val chunkRoot = new File(work, "chunks")
+    df.withColumn("b", col(key) % n)
+      .repartition(n, col("b"))
+      .write.mode("overwrite").partitionBy("b").parquet(chunkRoot.getPath)
+    (0 until n).foreach { b =>
+      val partDir = new File(chunkRoot, s"b=$b")
+      val part = Option(partDir.listFiles()).getOrElse(Array.empty)
+        .find(f => f.getName.endsWith(".parquet"))
+      require(part.isDefined,
+        s"missing chunk file under ${partDir.getPath} — key column '$key' " +
+          s"does not cover residue $b mod $n")
+      val dst = new File(inDir, s"c$b.parquet")
+      Files.copy(part.get.toPath, dst.toPath)
+      dst.setLastModified(1700000000000L + b * 60000L)
+    }
+    deleteRec(chunkRoot)
+    inDir
+  }
+
+  /** Run `body` under gate-scale streaming confs, restoring the session
+    * values after (the streaming plan captures the conf at start()).
+    *
+    *   - `spark.sql.shuffle.partitions` → `n`: the gates' micro-batches
+    *     are chunk-sized (corpus/4), so the session-wide 32 partitions
+    *     buy nothing and multiply per-batch task-scheduling overhead
+    *     across every stateful stage × 4 batches. Correctness is
+    *     partition-count-independent (hash partitioning is just
+    *     narrower).
+    *   - `spark.sql.codegen.wholeStage` → false: every micro-batch
+    *     builds a FRESH plan whose generated source embeds per-batch
+    *     literals (the touched-cell isin list, `lit(batchId)`, the
+    *     growing prior-dir union width), so whole-stage codegen misses
+    *     its cache and pays a Janino compile per stage per batch —
+    *     measured ~2× on the dedup join (2.06s → 0.89s per batch at
+    *     sf0.1). Interpreted mode is strictly cheaper at gate batch
+    *     sizes. The library path (StreamingPipeline) does NOT touch the
+    *     conf: a production stream with large batches amortizes the
+    *     compile and wants codegen on.
+    */
+  private def withGateConfs[T](s: SparkSession, n: Int)(body: => T): T = {
+    val confs = Map(
+      "spark.sql.shuffle.partitions" -> n.toString,
+      "spark.sql.codegen.wholeStage" -> "false")
+    val prev = confs.keys.map(k => k -> s.conf.getOption(k)).toMap
+    confs.foreach { case (k, v) => s.conf.set(k, v) }
+    try body finally prev.foreach {
+      case (k, Some(v)) => s.conf.set(k, v)
+      case (k, None) => s.conf.unset(k)
+    }
+  }
+
   /** Streaming incremental dedup over a file-chunked corpus (q82's
     * continuous form, `StreamingPipeline.incrementalDedupStream`).
     *
@@ -44,39 +129,26 @@ object StreamingQueries {
     */
   private def q111(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
-    val work = Files.createTempDirectory("graft_q111").toFile
-    val inDir = new File(work, "in")
-    inDir.mkdirs()
-    // one partitioned write (not 4 filtered jobs); repartition by the
-    // chunk key so each partition dir holds exactly one file to move
-    val chunkRoot = new File(work, "chunks")
-    docs.withColumn("b", col("doc_id") % 4)
-      .repartition(4, col("b"))
-      .write.mode("overwrite").partitionBy("b").parquet(chunkRoot.getPath)
-    (0 until 4).foreach { b =>
-      val part = new File(chunkRoot, s"b=$b").listFiles()
-        .find(f => f.getName.endsWith(".parquet")).get
-      val dst = new File(inDir, s"c$b.parquet")
-      Files.copy(part.toPath, dst.toPath)
-      // ascending mtimes pin the admission (= batch) order
-      dst.setLastModified(1700000000000L + b * 60000L)
-    }
-    val stream = s.readStream
-      .schema(docs.schema)
-      .option("maxFilesPerTrigger", "1")
-      .parquet(inDir.getPath)
+    val work = scratchDir("graft_q111")
+    val inDir = writeChunks(docs, "doc_id", work, 4)
     val digestDir = new File(work, "digests").getPath
     val outDir = new File(work, "out")
     outDir.mkdirs()
-    val q = StreamingPipeline.incrementalDedupStream(
-        stream, "doc_id", "text", digestDir) { (kept, batchId) =>
-        kept.withColumn("batch_id", lit(batchId))
-          .write.mode("append").parquet(outDir.getPath)
-      }
-      .option("checkpointLocation", new File(work, "ckpt").getPath)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    withGateConfs(s, 4) {
+      val stream = s.readStream
+        .schema(docs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(inDir.getPath)
+      val q = StreamingPipeline.incrementalDedupStream(
+          stream, "doc_id", "text", digestDir) { (kept, batchId) =>
+          kept.withColumn("batch_id", lit(batchId))
+            .write.mode("append").parquet(outDir.getPath)
+        }
+        .option("checkpointLocation", new File(work, "ckpt").getPath)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     s.read.parquet(outDir.getPath)
       .select(col("batch_id"), col("content_hash"), col("keep_id"),
         col("batch_dups"))
@@ -108,37 +180,27 @@ object StreamingQueries {
   private def q113(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir)
       .select(col("vec_id"), col("embedding"))
-    val work = Files.createTempDirectory("graft_q113").toFile
-    val inDir = new File(work, "in")
-    inDir.mkdirs()
-    val chunkRoot = new File(work, "chunks")
-    emb.withColumn("b", col("vec_id") % 4)
-      .repartition(4, col("b"))
-      .write.mode("overwrite").partitionBy("b").parquet(chunkRoot.getPath)
-    (0 until 4).foreach { b =>
-      val part = new File(chunkRoot, s"b=$b").listFiles()
-        .find(f => f.getName.endsWith(".parquet")).get
-      val dst = new File(inDir, s"c$b.parquet")
-      Files.copy(part.toPath, dst.toPath)
-      dst.setLastModified(1700000000000L + b * 60000L)
-    }
-    val stream = s.readStream
-      .schema(emb.schema)
-      .option("maxFilesPerTrigger", "1")
-      .parquet(inDir.getPath)
+    val work = scratchDir("graft_q113")
+    val inDir = writeChunks(emb, "vec_id", work, 4)
     val stateDir = new File(work, "state").getPath
     val outDir = new File(work, "out")
     outDir.mkdirs()
-    val q = StreamingPipeline.semDedupStream(stream,
-        VectorQueries.centroidsForProfiling, threshold = 0.4, stateDir) {
-        (res, batchId) =>
-          res.withColumn("batch_id", lit(batchId))
-            .write.mode("append").parquet(outDir.getPath)
-      }
-      .option("checkpointLocation", new File(work, "ckpt").getPath)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    withGateConfs(s, 4) {
+      val stream = s.readStream
+        .schema(emb.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(inDir.getPath)
+      val q = StreamingPipeline.semDedupStream(stream,
+          VectorQueries.centroidsForProfiling, threshold = 0.4, stateDir) {
+          (res, batchId) =>
+            res.withColumn("batch_id", lit(batchId))
+              .write.mode("append").parquet(outDir.getPath)
+        }
+        .option("checkpointLocation", new File(work, "ckpt").getPath)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     s.read.parquet(outDir.getPath)
       .select(col("batch_id"), col("vec_id"), col("cell"),
         coalesce(col("dup_of"), lit(-1L)).as("dup_of"), col("kept"))

@@ -204,14 +204,22 @@ object StreamingPipeline {
       threshold: Double, stateDir: String, idCol: String, vecCol: String)(
       onBatch: (DataFrame, Long) => Unit): Unit = {
     val s = batch.sparkSession
+    def tick(label: String, t0: Long): Long = {
+      if (sys.env.contains("GRAFT_STREAM_TIMING")) System.err.println(
+        f"[semDedupBatch b$batchId] $label ${(System.nanoTime - t0) / 1e9}%.2fs")
+      System.nanoTime
+    }
+    var t = System.nanoTime
     val assigned = graft.operators.Similarity
       .assignCells(batch, centroids, idCol, vecCol)
       .persist()
     val nBatch = assigned.count()
+    t = tick("assign+count", t)
     // cells touched by this batch: bounded by min(|batch|, k) — a
     // model-scale list, safe to collect; prunes the store read below
     val touched = assigned.select(col("cell").cast("long")).distinct()
       .collect().map(_.getLong(0)).toSeq
+    t = tick("touched", t)
     val dirs = batchDirsBefore(stateDir, "b", Long.MaxValue)
       .filterNot(_.getName == f"b$batchId%05d")
     // one read per batch dir (multi-root partition discovery conflicts),
@@ -223,17 +231,21 @@ object StreamingPipeline {
           .reduce(_.unionByName(_))
           .filter(col("cell").isin(touched: _*))
       else assigned.limit(0)
+    t = tick("prior", t)
     val result = graft.operators.Similarity
       .semDedupAgainst(prior, assigned, threshold)
       .persist()
     result.count() // pin results BEFORE the store grows (self-read safety)
+    t = tick("semdedup+count", t)
     onBatch(result, batchId)
+    t = tick("onBatch", t)
     // an EMPTY batch must not write: a partitioned parquet write of zero
     // rows leaves a directory with no schema file, and every later
     // batch's store read dies on UNABLE_TO_INFER_SCHEMA
     if (nBatch > 0)
       assigned.write.mode("overwrite").partitionBy("cell")
         .parquet(f"$stateDir/b$batchId%05d")
+    t = tick("stateWrite", t)
     assigned.unpersist()
     result.unpersist()
     ()
