@@ -154,6 +154,15 @@ object Similarity {
     * Plane sets are seeded deterministically — same corpus, same output.
     * Like the fixed-geometry form it may only MISS pairs, never emits a
     * false positive.
+    *
+    * Two contract guards (both from the ×100 soak, SCALE.md s33):
+    *   - above `routeThreshold` vectors the call REFUSES (require):
+    *     RHP pair emission measured ~N^1.37, and at corpus scale the
+    *     linear path is [[semDedup]] — see the in-body comment;
+    *   - when the table count the recall formula asks for exceeds
+    *     `maxTables`, the clamp is logged with the ACHIEVED recall
+    *     estimate 1−(1−p^bits)^maxTables instead of silently
+    *     under-delivering the `targetRecall` contract.
     */
   def cosineNearDupPairsAuto(df: DataFrame, threshold: Double,
                              targetRecall: Double = 0.8,
@@ -161,16 +170,61 @@ object Similarity {
                              maxTables: Int = 48,
                              seed: Long = 7L,
                              idCol: String = "vec_id",
-                             vecCol: String = "embedding"): DataFrame = {
+                             vecCol: String = "embedding",
+                             routeThreshold: Long = 1L << 23): DataFrame = {
     require(threshold > 0 && threshold < 1, "threshold in (0,1)")
-    val n = df.count().max(1L)
+    val nRaw = df.count()
+    if (nRaw == 0L)
+      // empty corpus: the dim probe below would head() a no-row frame;
+      // an empty pair list is the only correct answer, return it typed
+      return df.sparkSession.createDataFrame(
+        df.sparkSession.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("id_a",
+            df.schema(idCol).dataType),
+          org.apache.spark.sql.types.StructField("id_b",
+            df.schema(idCol).dataType),
+          org.apache.spark.sql.types.StructField("sim",
+            org.apache.spark.sql.types.DoubleType))))
+    // ROUTE GUARD (same shape as PandasRank's count-once strategy pick,
+    // here as a hard stop): RHP pair emission is the one measured
+    // superlinear method in SCALE.md (N^1.37 at threshold 0.7) — at
+    // corpus scale the linear recipe is SemDeDup (cell-confined
+    // candidates), not an all-pairs list, whose SIZE is itself
+    // superlinear in a self-similar corpus. Refusing loudly beats
+    // filling the cluster's scratch disks; callers that truly want
+    // pairs at scale pick the geometry (and own the cost) via
+    // cosineNearDupPairsBucketed.
+    require(nRaw <= routeThreshold,
+      s"cosineNearDupPairsAuto: corpus has $nRaw vectors > " +
+        s"routeThreshold=$routeThreshold. RHP pair emission grows ~N^1.4 " +
+        "(SCALE.md s33); at this scale use Similarity.semDedup " +
+        "(cell-confined, linear) for dedup semantics, or call " +
+        "cosineNearDupPairsBucketed with explicit plane tables to " +
+        "accept the pair-join cost.")
+    val n = nRaw.max(1L)
     val dim = df.select(size(col(vecCol))).head().getInt(0)
     val bits = math.max(4,
       math.ceil(math.log(n.toDouble / targetBucket) / math.log(2)).toInt)
     val p = 1.0 - math.acos(threshold) / math.Pi
     val pAll = math.pow(p, bits)
-    val tables = math.min(maxTables, math.max(1,
-      math.ceil(math.log1p(-targetRecall) / math.log1p(-pAll)).toInt))
+    val tablesWanted = math.max(1,
+      math.ceil(math.log1p(-targetRecall) / math.log1p(-pAll)).toInt)
+    val tables = math.min(maxTables, tablesWanted)
+    if (tablesWanted > maxTables) {
+      // the recall contract can no longer hold at this (n, threshold):
+      // p^bits shrinks exponentially in bits, and bits grew with log n.
+      // Say so with the achieved number instead of silently under-
+      // delivering (the r8 soak hit exactly this at x100, threshold 0.7).
+      val achieved = 1.0 - math.pow(1.0 - pAll, tables.toDouble)
+      org.slf4j.LoggerFactory.getLogger(getClass)
+        .warn(f"cosineNearDupPairsAuto: table budget capped at " +
+          f"$maxTables (geometry wants $tablesWanted for recall " +
+          f"$targetRecall%.2f at threshold $threshold%.2f, n=$n). " +
+          f"Estimated recall AT the threshold is $achieved%.2f. " +
+          f"Raise maxTables/targetBucket, or lower targetRecall to " +
+          f"make the contract explicit.")
+    }
     val rnd = new scala.util.Random(seed)
     val planeSets = Seq.fill(tables)(
       Seq.fill(bits)(Seq.fill(dim)(rnd.nextGaussian())))

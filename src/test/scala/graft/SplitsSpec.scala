@@ -65,4 +65,25 @@ class SplitsSpec extends SparkSpec {
     assert(autoRecall >= 0.8,
       s"auto recall $autoRecall (${auto.size}/${exact.size})")
   }
+
+  test("auto near-dup refuses above routeThreshold, routing to semDedup") {
+    val emb = Tables.embeddings(spark, sf).filter(col("vec_id") < 100)
+    // below the guard: runs fine
+    Similarity.cosineNearDupPairsAuto(emb, 0.9, routeThreshold = 100L)
+      .count()
+    // above it: a loud, message-bearing refusal (not an OOM three hours
+    // into a cluster run) that names the linear alternative
+    val ex = intercept[IllegalArgumentException] {
+      Similarity.cosineNearDupPairsAuto(emb, 0.9, routeThreshold = 99L)
+    }
+    assert(ex.getMessage.contains("semDedup"), ex.getMessage)
+    assert(ex.getMessage.contains("routeThreshold"), ex.getMessage)
+  }
+
+  test("auto near-dup on an empty corpus returns an empty pair frame") {
+    val emb = Tables.embeddings(spark, sf).filter(col("vec_id") < 0)
+    val out = Similarity.cosineNearDupPairsAuto(emb, 0.9)
+    assert(out.columns.toSeq == Seq("id_a", "id_b", "sim"))
+    assert(out.count() == 0)
+  }
 }
