@@ -18,6 +18,36 @@ object Tables {
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
+  /** Table row count from parquet FOOTER metadata — no scan, no job.
+    *
+    * For adaptive strategy picks (q67's window-vs-scalable ntile, the
+    * pctRank auto threshold) a full `count()` action is a complete pass
+    * over the fact table charged to every invocation; the footers carry
+    * the exact count for free. Driver-side O(files) footer reads,
+    * memoized per path (the testdata is immutable for a session; a
+    * mutable warehouse would key the memo on modification time).
+    */
+  def rowCount(spark: SparkSession, sfDir: String, name: String): Long =
+    rowCountCache.computeIfAbsent(s"$sfDir/$name.parquet", { path =>
+      val hPath = new org.apache.hadoop.fs.Path(path)
+      val conf = spark.sparkContext.hadoopConfiguration
+      val fs = hPath.getFileSystem(conf)
+      val files =
+        if (fs.getFileStatus(hPath).isDirectory)
+          fs.listStatus(hPath).toSeq
+            .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+        else Seq(fs.getFileStatus(hPath))
+      files.map { st =>
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile
+          .fromStatus(st, conf)
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try r.getRecordCount finally r.close()
+      }.sum
+    })
+
+  private val rowCountCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Long]()
+
   def region(s: SparkSession, d: String): DataFrame = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame = load(s, d, "nation")
   def customer(s: SparkSession, d: String): DataFrame = load(s, d, "customer")

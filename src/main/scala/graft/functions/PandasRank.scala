@@ -240,9 +240,17 @@ object PandasRank {
     val spark = df.sparkSession
     val parts = spark.sessionState.conf.numShufflePartitions
     val keys = (groupCols ++ orderCols).map(col)
+    // localCheckpoint, NOT cache: the offsets computed below are only
+    // valid against this exact physical partitioning. A cached block
+    // lost to executor failure would silently RECOMPUTE
+    // repartitionByRange, whose sampled range boundaries are not
+    // guaranteed identical — rows would get wrong row_numbers with no
+    // error. Truncating the lineage makes block loss fail the job
+    // loudly instead (and frees us from unpersist bookkeeping: the
+    // blocks are ContextCleaner-freed when `sorted` is GC'd).
     val sorted = df.repartitionByRange(parts, keys: _*)
       .sortWithinPartitions(keys: _*)
-      .cache()
+      .localCheckpoint(eager = true)
     val gIdx = groupCols.map(c => df.columns.indexOf(c))
     def gKey(row: org.apache.spark.sql.Row): Seq[Any] = gIdx.map(row.get)
     // job 1: per-(partition, group) counts — tiny driver round-trip
@@ -279,12 +287,9 @@ object PandasRank {
     val schema = org.apache.spark.sql.types.StructType(
       df.schema.fields :+ org.apache.spark.sql.types.StructField(
         outCol, org.apache.spark.sql.types.IntegerType))
-    // eager checkpoint before releasing the cache (pctRankTable's pattern:
-    // the offsets are only valid against the exact cached partitioning)
-    val out = spark.createDataFrame(outRdd, schema)
-      .localCheckpoint(eager = true)
-    sorted.unpersist(blocking = false)
-    out
+    // eager checkpoint decouples the output from `sorted`'s blocks
+    // (pctRankTable's pattern) so they can be reclaimed independently
+    spark.createDataFrame(outRdd, schema).localCheckpoint(eager = true)
   }
 
   /** The same formula as raw SQL text (for oracle parity / spark.sql use).

@@ -475,8 +475,10 @@ object ExtendedQueries {
     val li = Tables.lineitem(s, dir)
       .select(col("l_returnflag"), col("l_extendedprice"),
         col("l_orderkey"), col("l_linenumber"))
+    // strategy pick from parquet FOOTER counts (Tables.rowCount) — the
+    // previous li.count() charged a full lineitem pass to every run
     val bucketed =
-      if (li.count() <= (1L << 20)) {
+      if (Tables.rowCount(s, dir, "lineitem") <= (1L << 20)) {
         val w = Window.partitionBy(col("l_returnflag"))
           .orderBy(col("l_extendedprice"), col("l_orderkey"),
             col("l_linenumber"))
