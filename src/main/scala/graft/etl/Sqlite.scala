@@ -613,6 +613,293 @@ object Sqlite {
     schema.fields.map(f => s""""${f.name}" ${sqlType(f.dataType)}""")
       .mkString(s"""CREATE TABLE "$name" (""", ", ", ")")
 
+  // ------------------------------------------------------------ reader
+
+  /** Dependency-free SQLite READER — the write path's inverse, built from
+    * the same public file format (sqlite.org/fileformat2).
+    *
+    * Purpose: prove the files this sink writes are genuinely NAVIGABLE —
+    * a point lookup descends the index b-tree exactly as sqlite3 would
+    * (interior separators prune subtrees, carried entries hit, rowids
+    * resolve through the table b-tree), so an index whose ordering or
+    * interior cells were wrong fails loudly here, not in a consumer's
+    * sqlite3. Driver-side, whole-file reads — a verification/debug tool
+    * for the bounded compatibility exports this sink produces, not a
+    * distributed source (warehouse-scale reads stay parquet).
+    */
+  object Reader {
+
+    /** Decoded cell value: null, java.lang.Long, java.lang.Double, or
+      * String (TEXT); BLOBs come back as Array[Byte].
+      */
+    def masterRows(path: String): Seq[(String, String, String, Long, String)] = {
+      val db = Files.readAllBytes(Paths.get(path))
+      tableScan(db, 1).map { case (_, vals) =>
+        (vals(0).asInstanceOf[String], vals(1).asInstanceOf[String],
+          vals(2).asInstanceOf[String], vals(3).asInstanceOf[Long],
+          vals(4).asInstanceOf[String])
+      }
+    }
+
+    /** All (rowid, values) of `table`, in rowid order. */
+    def tableRows(path: String, table: String): Seq[(Long, Seq[Any])] = {
+      val db = Files.readAllBytes(Paths.get(path))
+      tableScan(db, rootOf(db, "table", table).toInt)
+    }
+
+    /** Point lookup THROUGH a secondary index: descend the index b-tree
+      * for `key` (equality; duplicates all returned), then resolve each
+      * matching rowid through the table b-tree. Key types: String,
+      * Long/Int, Double, or null.
+      */
+    def indexPointLookup(path: String, index: String, key: Any)
+        : Seq[(Long, Seq[Any])] = {
+      val db = Files.readAllBytes(Paths.get(path))
+      val masters = tableScan(db, 1)
+      val idxRow = masters.find(r =>
+        r._2(0) == "index" && r._2(1) == index).getOrElse(
+        throw new IllegalArgumentException(s"no index '$index' in $path"))
+      val tbl = idxRow._2(2).asInstanceOf[String]
+      val tblRoot = masters.find(r =>
+        r._2(0) == "table" && r._2(1) == tbl).get._2(3).asInstanceOf[Long]
+      val k = key match {
+        case null => null
+        case i: Int => i.toLong
+        case l: Long => l
+        case d: Double => d
+        case s: String => s.getBytes(StandardCharsets.UTF_8)
+        case b: Array[Byte] => b
+        case other => throw new IllegalArgumentException(
+          s"unsupported lookup key ${other.getClass}")
+      }
+      indexSearch(db, idxRow._2(3).asInstanceOf[Long].toInt, k)
+        .map(rid => rid -> rowidLookup(db, tblRoot.toInt, rid).getOrElse(
+          throw new IllegalStateException(
+            s"index '$index' points at rowid $rid absent from '$tbl'")))
+    }
+
+    private def rootOf(db: Array[Byte], entryType: String,
+                       name: String): Long =
+      tableScan(db, 1).find(r =>
+        r._2(0) == entryType && r._2(1) == name).map(
+        _._2(3).asInstanceOf[Long]).getOrElse(
+        throw new IllegalArgumentException(s"no $entryType '$name'"))
+
+    private def pageOff(page: Int): Int = (page - 1) * PageSize
+
+    // (pageType, cellOffsets) — absolute offsets of each cell's start
+    private def pageCells(db: Array[Byte], page: Int): (Int, Seq[Int], Int) = {
+      val base = pageOff(page)
+      val hdr = base + (if (page == 1) 100 else 0)
+      val tpe = db(hdr) & 0xff
+      val nCells = ((db(hdr + 3) & 0xff) << 8) | (db(hdr + 4) & 0xff)
+      val ptrArray = hdr + (if (tpe == TableLeaf || tpe == IndexLeaf) 8
+                            else 12)
+      val offs = (0 until nCells).map { i =>
+        base + (((db(ptrArray + 2 * i) & 0xff) << 8) |
+          (db(ptrArray + 2 * i + 1) & 0xff))
+      }
+      val rightMost =
+        if (tpe == TableInterior || tpe == IndexInterior)
+          beInt(db, hdr + 8)
+        else 0
+      (tpe, offs, rightMost)
+    }
+
+    private def beInt(db: Array[Byte], off: Int): Int =
+      ((db(off) & 0xff) << 24) | ((db(off + 1) & 0xff) << 16) |
+        ((db(off + 2) & 0xff) << 8) | (db(off + 3) & 0xff)
+
+    // varint at off → (value, bytesUsed); 9-byte form not emitted by the
+    // writer but handled for completeness
+    private def readVarint(db: Array[Byte], off: Int): (Long, Int) = {
+      var v = 0L
+      var i = 0
+      while (i < 8) {
+        val b = db(off + i) & 0xff
+        v = (v << 7) | (b & 0x7f)
+        i += 1
+        if ((b & 0x80) == 0) return (v, i)
+      }
+      ((v << 8) | (db(off + 8) & 0xff), 9)
+    }
+
+    /** Payload bytes of a cell whose (payloadLen varint already read);
+      * follows the overflow chain when the payload exceeds maxLocal.
+      */
+    private def payload(db: Array[Byte], off: Int, len: Int,
+                        maxLocal: Int): Array[Byte] =
+      if (len <= maxLocal)
+        java.util.Arrays.copyOfRange(db, off, off + len)
+      else {
+        val k = localK(len, maxLocal)
+        val out = new Array[Byte](len)
+        System.arraycopy(db, off, out, 0, k)
+        var written = k
+        var next = beInt(db, off + k)
+        while (next != 0 && written < len) {
+          val pbase = pageOff(next)
+          next = beInt(db, pbase)
+          val take = math.min(PageSize - 4, len - written)
+          System.arraycopy(db, pbase + 4, out, written, take)
+          written += take
+        }
+        require(written == len, s"overflow chain truncated at $written/$len")
+        out
+      }
+
+    /** Decode a record payload → column values. */
+    private def decodeRecord(rec: Array[Byte]): Seq[Any] = {
+      val (hdrLen, h0) = readVarint(rec, 0)
+      var sOff = h0
+      val serials = mutable.ArrayBuffer.empty[Long]
+      while (sOff < hdrLen) {
+        val (st, n) = readVarint(rec, sOff)
+        serials += st
+        sOff += n
+      }
+      var bOff = hdrLen.toInt
+      serials.toSeq.map { st =>
+        def beLong(n: Int): Long = {
+          var v = if ((rec(bOff) & 0x80) != 0) -1L else 0L
+          (0 until n).foreach(i => v = (v << 8) | (rec(bOff + i) & 0xff))
+          bOff += n
+          v
+        }
+        st match {
+          case 0L => null
+          case 1L => beLong(1): java.lang.Long
+          case 2L => beLong(2): java.lang.Long
+          case 3L => beLong(3): java.lang.Long
+          case 4L => beLong(4): java.lang.Long
+          case 5L => beLong(6): java.lang.Long
+          case 6L => beLong(8): java.lang.Long
+          case 7L =>
+            java.lang.Double.longBitsToDouble(beLong(8)): java.lang.Double
+          case 8L => 0L: java.lang.Long
+          case 9L => 1L: java.lang.Long
+          case t if t >= 13 && t % 2 == 1 =>
+            val n = ((t - 13) / 2).toInt
+            val s = new String(rec, bOff, n, StandardCharsets.UTF_8)
+            bOff += n
+            s
+          case t if t >= 12 =>
+            val n = ((t - 12) / 2).toInt
+            val b = java.util.Arrays.copyOfRange(rec, bOff, bOff + n)
+            bOff += n
+            b
+          case t => throw new IllegalStateException(s"serial type $t")
+        }
+      }
+    }
+
+    /** In-order scan of a TABLE b-tree → (rowid, values). */
+    private def tableScan(db: Array[Byte], root: Int)
+        : Seq[(Long, Seq[Any])] = {
+      val (tpe, cells, rightMost) = pageCells(db, root)
+      tpe match {
+        case TableLeaf =>
+          cells.map { c =>
+            val (pLen, n1) = readVarint(db, c)
+            val (rowid, n2) = readVarint(db, c + n1)
+            rowid -> decodeRecord(
+              payload(db, c + n1 + n2, pLen.toInt, MaxLeafPayload))
+          }
+        case TableInterior =>
+          cells.flatMap(c => tableScan(db, beInt(db, c))) ++
+            tableScan(db, rightMost)
+        case t => throw new IllegalStateException(s"table page type $t")
+      }
+    }
+
+    /** Rowid point lookup: interior cells carry (child, maxRowidInChild),
+      * so descend into the first child whose key covers the rowid.
+      */
+    private def rowidLookup(db: Array[Byte], root: Int,
+                            rowid: Long): Option[Seq[Any]] = {
+      val (tpe, cells, rightMost) = pageCells(db, root)
+      tpe match {
+        case TableLeaf =>
+          cells.iterator.map { c =>
+            val (pLen, n1) = readVarint(db, c)
+            val (rid, n2) = readVarint(db, c + n1)
+            (rid, c + n1 + n2, pLen.toInt)
+          }.find(_._1 == rowid).map { case (_, off, len) =>
+            decodeRecord(payload(db, off, len, MaxLeafPayload))
+          }
+        case TableInterior =>
+          val child = cells.iterator.map { c =>
+            (beInt(db, c), readVarint(db, c + 4)._1)
+          }.find(_._2 >= rowid).map(_._1).getOrElse(rightMost)
+          rowidLookup(db, child, rowid)
+        case t => throw new IllegalStateException(s"table page type $t")
+      }
+    }
+
+    // index entry at cell offset → (keyValue, rowid)
+    private def indexEntry(db: Array[Byte], c: Int): (Any, Long) = {
+      val (pLen, n1) = readVarint(db, c)
+      val vals = decodeRecord(payload(db, c + n1, pLen.toInt,
+        MaxIndexPayload))
+      val k = vals(0) match {
+        case s: String => s.getBytes(StandardCharsets.UTF_8)
+        case other => other
+      }
+      (k, vals(1).asInstanceOf[Long])
+    }
+
+    private def cmpKey(a: Any, b: Any): Int = (a, b) match {
+      case (x: java.lang.Long, y: java.lang.Long) =>
+        java.lang.Long.compare(x, y)
+      case (x: java.lang.Long, y: java.lang.Double) =>
+        java.lang.Double.compare(x.toDouble, y)
+      case (x: java.lang.Double, y: java.lang.Long) =>
+        java.lang.Double.compare(x, y.toDouble)
+      case (x: java.lang.Double, y: java.lang.Double) =>
+        java.lang.Double.compare(x, y)
+      case other => keyCompare(
+        other._1 match { case l: java.lang.Long => l.longValue
+                         case d: java.lang.Double => d.doubleValue
+                         case x => x },
+        other._2 match { case l: java.lang.Long => l.longValue
+                         case d: java.lang.Double => d.doubleValue
+                         case x => x })
+    }
+
+    /** Equality search down an INDEX b-tree. True B-tree descent:
+      * separators prune (children strictly after a separator > key are
+      * never visited), carried interior entries are themselves hits.
+      */
+    private def indexSearch(db: Array[Byte], root: Int,
+                            key: Any): Seq[Long] = {
+      val (tpe, cells, rightMost) = pageCells(db, root)
+      tpe match {
+        case IndexLeaf =>
+          cells.flatMap { c =>
+            val (k, rid) = indexEntry(db, c)
+            if (cmpKey(k, key) == 0) Some(rid) else None
+          }
+        case IndexInterior =>
+          val out = mutable.ArrayBuffer.empty[Long]
+          var pruned = false
+          var i = 0
+          while (i < cells.length && !pruned) {
+            val c = cells(i)
+            val child = beInt(db, c)
+            val (k, rid) = indexEntry(db, c + 4)
+            val cmp = cmpKey(key, k)
+            if (cmp <= 0) out ++= indexSearch(db, child, key)
+            if (cmp == 0) out += rid
+            if (cmp < 0) pruned = true
+            i += 1
+          }
+          if (!pruned) out ++= indexSearch(db, rightMost, key)
+          out.toSeq
+        case t => throw new IllegalStateException(s"index page type $t")
+      }
+    }
+  }
+
   private def fileHeader(totalPages: Int): Array[Byte] = {
     val h = ByteBuffer.allocate(100)
     h.put("SQLite format 3\u0000".getBytes(StandardCharsets.US_ASCII))

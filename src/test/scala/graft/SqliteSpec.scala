@@ -125,4 +125,88 @@ class SqliteSpec extends SparkSpec {
       Sqlite.IndexSpec("idx_c", "bills", "card")))
     assert(java.util.Arrays.equals(all, Files.readAllBytes(Paths.get(p2))))
   }
+
+  // expected reader-side value of a DataFrame cell under the writer's
+  // storage classes (record(): integral→INTEGER, fractional→REAL,
+  // boolean→INTEGER, everything else→TEXT)
+  private def storageValue(v: Any): Any = v match {
+    case null => null
+    case b: Byte => b.toLong
+    case s: Short => s.toLong
+    case i: Int => i.toLong
+    case l: Long => l
+    case b: Boolean => if (b) 1L else 0L
+    case f: Float => f.toDouble
+    case d: Double => d
+    case dec: java.math.BigDecimal => dec.doubleValue()
+    case other => other.toString
+  }
+
+  test("Bills.db point lookup through EACH reference index returns the " +
+    "parquet-side filter's rows (load_to_db.py:125-128 drop-in)") {
+    // the real pipeline output, exactly what loadToSqlite indexes
+    val dir = Files.createTempDirectory("graft-sqlite-etl").toString
+    graft.etl.ExampleData.write(dir)
+    val cfg = graft.etl.Pipeline.loadConfigs(spark, s"$dir/configs")
+    val refined = graft.etl.Refine.refine(
+      graft.etl.Extract.extractAll(spark, s"$dir/data", cfg.banks),
+      cfg.cards, cfg.payments, cfg.merchants, cfg.keywords)
+    val p = tmp("bills.db")
+    val n = graft.etl.Load.loadToSqlite(refined, p)
+    val shaped = graft.etl.Load.toWarehouseShape(refined).cache()
+    assert(n == shaped.count())
+    val colsOf = shaped.columns
+    def frameRows(filterCol: String, key: Any): Set[Seq[Any]] =
+      shaped.filter(col(filterCol) <=> lit(key)).collect().toSet[
+        org.apache.spark.sql.Row].map(r =>
+        colsOf.indices.map(i => storageValue(r.get(i))))
+    // one point lookup per reference index, keys taken FROM the data so
+    // each lookup returns at least one row
+    val probes = Seq("idx_txn_date" -> "transaction_date",
+      "idx_merchant" -> "merchant_name", "idx_card_no" -> "card_no",
+      "idx_txn_id" -> "transaction_id")
+    probes.foreach { case (idx, c) =>
+      val key = shaped.filter(col(c).isNotNull).select(col(c)).head().get(0)
+      val lookupKey = storageValue(key)
+      val got = Sqlite.Reader.indexPointLookup(p, idx, lookupKey)
+        .map(_._2).toSet
+      val want = frameRows(c, key)
+      assert(want.nonEmpty, s"$idx probe key $key matched nothing in-frame")
+      assert(got == want,
+        s"$idx lookup($lookupKey): got ${got.size} rows, want ${want.size}")
+    }
+    // negative probe: a key present in no row resolves to zero rowids
+    assert(Sqlite.Reader.indexPointLookup(p, "idx_merchant",
+      "no-such-merchant-乑").isEmpty)
+    shaped.unpersist()
+  }
+
+  test("reader: master catalog, table scan and rowid lookups round-trip " +
+    "a multi-page indexed db bit-for-bit") {
+    val p = tmp("rt.db")
+    // multi-page (3000 rows), nulls, CJK text, doubles, negative ints
+    val df = (1 to 3000).map(i =>
+      (i.toLong - 1500L, s"m-中文-${i % 97}",
+        if (i % 11 == 0) null else s"c-$i", i * 1.25))
+      .toDF("id", "merchant", "card", "amt")
+    Sqlite.writeTables(p, Seq("t" -> df), indexes = Seq(
+      Sqlite.IndexSpec("idx_m", "t", "merchant")))
+    val names = Sqlite.Reader.masterRows(p).map(r => (r._1, r._2)).toSet
+    assert(names == Set(("table", "t"), ("index", "idx_m")))
+    val back = Sqlite.Reader.tableRows(p, "t")
+    assert(back.size == 3000)
+    assert(back.map(_._1) == (1L to 3000L)) // rowids dense, in order
+    val want = df.collect().toSeq.map(r =>
+      Seq(r.get(0), r.get(1), r.get(2), r.get(3)).map(storageValue))
+    // compare a sample of rows end-to-end (full table already size-checked)
+    Seq(0, 1, 1499, 2998, 2999).foreach { i =>
+      assert(back(i)._2 == want(i), s"row $i mismatch")
+    }
+    // every merchant key: index lookup row-set == full-scan filter
+    val byMerchant = back.groupBy(_._2(1))
+    byMerchant.foreach { case (m, rows) =>
+      val got = Sqlite.Reader.indexPointLookup(p, "idx_m", m).toSet
+      assert(got == rows.toSet, s"merchant $m: ${got.size} vs ${rows.size}")
+    }
+  }
 }
