@@ -190,6 +190,13 @@ object Bench {
       val out = Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_SELF.json"))
       Files.write(out, (line + "\n").getBytes(StandardCharsets.UTF_8),
         StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+      // run history (append-only): BENCH_SELF is overwritten per run and
+      // the driver's BENCH_r files keep only a truncated tail, so this is
+      // the one complete per-query record across runs. tools/bench_diff.py
+      // diffs its last two lines to separate real moves from load noise.
+      Files.write(Paths.get("BENCH_HISTORY.jsonl"),
+        (line + "\n").getBytes(StandardCharsets.UTF_8),
+        StandardOpenOption.CREATE, StandardOpenOption.APPEND)
     } catch { case e: Throwable =>
       System.err.println(s"[bench] could not write BENCH_SELF.json: $e")
     }
