@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.multimodal.{Codecs, ImageHash, Multimodal}
+import graft.multimodal.{Audio, Codecs, ImageHash, Multimodal}
 import graft.multimodal.Multimodal.{Image, MediaRow}
 
 /** Oracle-gated multimodal queries.
@@ -232,20 +232,32 @@ object MultimodalQueries {
     * encode → BMP bytes → decode → box-average → dHash → pigeonhole-
     * blocked Hamming join end-to-end.
     */
+  /** Shared 60-bit closed-form fingerprint: md5(doc_id/4) bits XOR a
+    * 4-bit member mask (flip {i₀, i₀+15, i₀+30, i₀+45}, i₀ = 5m−4).
+    * Each 4-doc group then has Hamming distances 4 (member 0 ↔ m) and 8
+    * (m₁ ↔ m₂); cross-group distances are cryptographically
+    * ~Binomial(60, ½). q109 renders it as pixel gradients, q116 as
+    * audio energy steps — one oracle bit model gates both modalities.
+    */
+  private def groupFp(d: Long): Long = {
+    val g = d / 4
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest(g.toString.getBytes("UTF-8"))
+    val hex = md.take(8).map(b => f"${b & 0xff}%02x").mkString.take(15)
+    var fp = java.lang.Long.parseLong(hex, 16) // 60 bits
+    val m = (d % 4).toInt
+    if (m >= 1) {
+      var i = 5 * m - 4
+      while (i < 60) { fp ^= 1L << i; i += 15 }
+    }
+    fp
+  }
+
   private def q109(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val docs = Tables.documents(s, dir).select(col("doc_id")).as[Long]
     val media = docs.mapPartitions(_.map { d =>
-      val g = d / 4
-      val md = java.security.MessageDigest.getInstance("MD5")
-        .digest(g.toString.getBytes("UTF-8"))
-      val hex = md.take(8).map(b => f"${b & 0xff}%02x").mkString.take(15)
-      var fp = java.lang.Long.parseLong(hex, 16) // 60 bits
-      val m = (d % 4).toInt
-      if (m >= 1) {
-        var i = 5 * m - 4 // flip {i₀, i₀+15, i₀+30, i₀+45}, i₀ ∈ {1,6,11}
-        while (i < 60) { fp ^= 1L << i; i += 15 }
-      }
+      val fp = groupFp(d)
       val w = 9; val h = 8
       val px = new Array[Byte](w * h * 3)
       var y = 0
@@ -288,15 +300,65 @@ object MultimodalQueries {
       |WHERE bit_count(xor(a.fp, b.fp)) <= 8
       |ORDER BY id_a, id_b""".stripMargin
 
+  /** Perceptual audio dedup (Audio.envelopeHash64 + blocked Hamming
+    * join), oracle-gated by constructing WAV clips whose 64-bit envelope
+    * hash is KNOWN closed-form — the audio twin of q109.
+    *
+    * Sample model: 65 energy cells × 40 samples, each cell holding a
+    * constant Q15 amplitude v_c/32768 from the same ±1 staircase walk as
+    * q109's pixels (v_0 = 128; fingerprint bit b decides
+    * v_{b+1} − v_b = ±1, bits ≥ 60 are 0). The cell count divides the
+    * sample count so cell assignment is exact; the 16-bit PCM
+    * encode→decode round-trip is the identity for these amplitudes
+    * (round(q/32768·32767) = q for q ≤ 192); each cell's mean-square
+    * energy is exactly (v_c/2^15)² (40 identical q²/2^30 terms sum
+    * exactly in double), and v_c > 0 makes energy strictly monotone in
+    * v_c — so envelopeHash64's bit b = [e_{b+1} > e_b] reproduces the
+    * fingerprint bit-for-bit. The DuckDB twin recomputes every pair from
+    * the bit model alone: a hash match proves encode → WAV container →
+    * decode → envelope energies → pigeonhole-blocked Hamming join
+    * end-to-end without the oracle ever touching audio bytes.
+    */
+  private def q116(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir).select(col("doc_id")).as[Long]
+    val media = docs.mapPartitions(_.map { d =>
+      val fp = groupFp(d)
+      val k = 40
+      val samples = new Array[Float](65 * k)
+      var v = 128
+      var c = 0
+      while (c < 65) {
+        if (c > 0)
+          v += (if (c - 1 < 60 && ((fp >> (c - 1)) & 1L) == 1L) 1 else -1)
+        var j = 0
+        while (j < k) { samples(c * k + j) = v / 32768f; j += 1 }
+        c += 1
+      }
+      MediaRow(d, "audio",
+        Audio.WavCodec.encode(Audio.AudioClip(d, 8000, 1, samples)), "wav")
+    })
+    Audio.nearDuplicates(media, maxHamming = 8)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  // q116's oracle IS q109's: both render the same closed-form bit model,
+  // so the same SQL gates both (the modality difference lives entirely on
+  // the Spark side: pixels vs PCM energies).
+  private val q116Sql = q109Sql
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q106_image_stats" -> (q106(_, _)),
     "q107_audio_stats" -> (q107(_, _)),
     "q108_video_frame_stats" -> (q108(_, _)),
-    "q109_image_near_dup" -> (q109(_, _)))
+    "q109_image_near_dup" -> (q109(_, _)),
+    "q116_audio_near_dup" -> (q116(_, _)))
 
   val oracleSql: Map[String, String] = Map(
     "q106_image_stats" -> q106Sql,
     "q107_audio_stats" -> q107Sql,
     "q108_video_frame_stats" -> q108Sql,
-    "q109_image_near_dup" -> q109Sql)
+    "q109_image_near_dup" -> q109Sql,
+    "q116_audio_near_dup" -> q116Sql)
 }

@@ -3,6 +3,8 @@ package graft.queries
 import java.io.File
 import java.nio.file.Files
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
@@ -49,20 +51,26 @@ object StreamingQueries {
     * as the chunk files are copied out.
     */
   private def writeChunks(df: DataFrame, key: String, work: File,
-                          n: Int): File = {
+                          n: Int): File =
+    writeChunksPre(df.withColumn("b", col(key) % n), work, n)
+
+  /** [[writeChunks]] for a frame that already carries its chunk index in
+    * column `b` (0 until n) — used when the batch assignment is not a
+    * simple key modulo (e.g. q115's time-range chunks with late bumps).
+    */
+  private def writeChunksPre(df: DataFrame, work: File, n: Int): File = {
     val inDir = new File(work, "in")
     inDir.mkdirs()
     val chunkRoot = new File(work, "chunks")
-    df.withColumn("b", col(key) % n)
-      .repartition(n, col("b"))
+    df.repartition(n, col("b"))
       .write.mode("overwrite").partitionBy("b").parquet(chunkRoot.getPath)
     (0 until n).foreach { b =>
       val partDir = new File(chunkRoot, s"b=$b")
       val part = Option(partDir.listFiles()).getOrElse(Array.empty)
         .find(f => f.getName.endsWith(".parquet"))
       require(part.isDefined,
-        s"missing chunk file under ${partDir.getPath} — key column '$key' " +
-          s"does not cover residue $b mod $n")
+        s"missing chunk file under ${partDir.getPath} — the chunk column " +
+          s"'b' does not cover chunk $b of $n")
       val dst = new File(inDir, s"c$b.parquet")
       Files.copy(part.get.toPath, dst.toPath)
       dst.setLastModified(1700000000000L + b * 60000L)
@@ -231,11 +239,167 @@ object StreamingQueries {
        |ORDER BY batch_id, o.vec_id""".stripMargin
   }
 
+  /** Watermarked hourly aggregation with DELIBERATELY LATE rows — the
+    * eviction-semantics gate for `StreamingPipeline.hourlyEventCounts`.
+    *
+    * Construction (all closed-form, so DuckDB can replay it):
+    *   - events (minus any in minute 59 of their hour, see below) are
+    *     split into 4 time-range chunks by hour quartile; rows with
+    *     `event_id % 13 == 0` are bumped TWO chunks later than their
+    *     time range — late arrivals landing both in and after their
+    *     window's eviction batch, so both halves of the late-data
+    *     semantics are exercised;
+    *   - each chunk carries a `__wm` sentinel at its range end − 1 s, so
+    *     the sentinel is the strict per-chunk max event time (minute-59
+    *     rows are excluded to guarantee this) and the watermark after
+    *     batch b is EXACTLY chunkEnd(b) − 1 s − 2 h — no dependence on
+    *     which real row happens to be latest;
+    *   - a 5th flush chunk holds one far-future `__flush` row, pushing
+    *     the final watermark past every real window so append mode emits
+    *     them all (the flush row's own window never emits).
+    *
+    * What the oracle checks, per emitted row: (1) the LATE-DROP set —
+    * a bumped row is dropped iff it arrives AFTER the batch that evicted
+    * its window, and MERGED when it arrives in that very batch (Spark's
+    * late filter applies the previous trigger's watermark while
+    * end-of-batch eviction applies the current one — both verified
+    * empirically and now pinned by this gate); (2) EVICTION TIMING —
+    * `batch_id` is the first batch whose start-of-batch watermark passed
+    * the window end (watermarks advance between micro-batches; the
+    * trailing windows flush in the no-data batch AvailableNow runs after
+    * the last file); (3) the aggregates themselves (decimal-exact sums).
+    * Sentinel rows flow through the SAME aggregation and are filtered
+    * only at the final projection — on both engines.
+    */
+  private def q115(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .filter(minute(col("ts_utc")) =!= 59)
+      .select(col("event_id"), col("ts_utc"), col("event_type"),
+        col("value"))
+    val head = ev.agg(
+      date_trunc("hour", min(col("ts_utc"))).as("t0"),
+      max(col("ts_utc")).as("mx")).head()
+    val t0s = head.getTimestamp(0).getTime / 1000L
+    val nH = ((head.getTimestamp(1).getTime / 1000L - t0s) / 3600L + 1L)
+    def hcut(b: Int): Long = (b + 1).toLong * nH / 4 // chunk b covers hours [hcut(b-1), hcut(b))
+    def chunkEnd(b: Int): Long = t0s + hcut(b) * 3600L
+    val h = floor((unix_seconds(col("ts_utc")) - t0s) / 3600L)
+    val natural = when(h < hcut(0), 0).when(h < hcut(1), 1)
+      .when(h < hcut(2), 2).otherwise(3)
+    val chunked = ev.withColumn("b",
+      when(col("event_id") % 13 === 0, least(natural + 2, lit(3)))
+        .otherwise(natural))
+    val sentinels = s.createDataFrame(
+      ((0 to 3).map(b => org.apache.spark.sql.Row(
+        -(b + 1).toLong, new java.sql.Timestamp((chunkEnd(b) - 1) * 1000L),
+        "__wm", 0.0, b)) :+ org.apache.spark.sql.Row(
+        -100L, new java.sql.Timestamp((chunkEnd(3) + 3600L * 1000) * 1000L),
+        "__flush", 0.0, 4)).asJava,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("event_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("ts_utc",
+          org.apache.spark.sql.types.TimestampType),
+        org.apache.spark.sql.types.StructField("event_type",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("value",
+          org.apache.spark.sql.types.DoubleType),
+        org.apache.spark.sql.types.StructField("b",
+          org.apache.spark.sql.types.IntegerType))))
+    val work = scratchDir("graft_q115")
+    val inDir = writeChunksPre(chunked.unionByName(sentinels), work, 5)
+    val outDir = new File(work, "out")
+    outDir.mkdirs()
+    withGateConfs(s, 4) {
+      val stream = s.readStream
+        .schema(chunked.drop("b").schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(inDir.getPath)
+      val q = StreamingPipeline.hourlyEventCounts(stream)
+        .writeStream
+        .outputMode("append")
+        .foreachBatch { (df: DataFrame, batchId: Long) =>
+          df.withColumn("batch_id", lit(batchId))
+            .write.mode("append").parquet(outDir.getPath)
+          ()
+        }
+        .option("checkpointLocation", new File(work, "ckpt").getPath)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    s.read.parquet(outDir.getPath)
+      .filter(!col("event_type").startsWith("__"))
+      .select(col("batch_id"), col("hour"), col("event_type"), col("n"),
+        col("total_value"))
+      .orderBy(col("hour"), col("event_type"))
+  }
+
+  /** The closed-form twin: watermark during batch b is
+    * chunkEnd(b−1) − 7201 s (sentinel max − 2 h delay), a row is dropped
+    * iff its window end ≤ that, and a surviving window emits in the
+    * first batch whose watermark passed its end (else the no-data flush
+    * batch, id 5). All offsets are chosen so no comparison can tie.
+    */
+  private val q115Sql =
+    """WITH ev AS (
+      |  SELECT event_id, ts, event_type, value FROM events
+      |  WHERE minute(ts) <> 59),
+      |p AS (
+      |  SELECT date_trunc('hour', min(ts)) AS t0,
+      |    CAST(epoch(date_trunc('hour', min(ts))) AS BIGINT) AS t0s,
+      |    CAST(datediff('hour', date_trunc('hour', min(ts)), max(ts)) + 1
+      |      AS BIGINT) AS nh
+      |  FROM ev),
+      |e2 AS (
+      |  SELECT e.*, p.t0s, p.nh,
+      |    CAST(datediff('hour', p.t0, e.ts) AS BIGINT) AS h
+      |  FROM ev e, p),
+      |e3 AS (
+      |  SELECT *, CASE WHEN h < (1*nh)//4 THEN 0 WHEN h < (2*nh)//4 THEN 1
+      |    WHEN h < (3*nh)//4 THEN 2 ELSE 3 END AS c
+      |  FROM e2),
+      |e4 AS (
+      |  SELECT *,
+      |    CASE WHEN event_id % 13 = 0 THEN LEAST(c + 2, 3) ELSE c END AS b,
+      |    t0s + (h + 1) * 3600 AS w_end
+      |  FROM e3),
+      |e5 AS (
+      |  SELECT *, CASE
+      |    WHEN t0s + ((1*nh)//4)*3600 - 7201 > w_end THEN 1
+      |    WHEN t0s + ((2*nh)//4)*3600 - 7201 > w_end THEN 2
+      |    WHEN t0s + ((3*nh)//4)*3600 - 7201 > w_end THEN 3
+      |    WHEN t0s + ((4*nh)//4)*3600 - 7201 > w_end THEN 4
+      |    ELSE 5 END AS evict_batch
+      |  FROM e4),
+      |-- a late row is dropped iff it arrives AFTER its window's eviction
+      |-- batch; one arriving IN the eviction batch still merges (Spark's
+      |-- late filter applies the previous trigger's watermark, while
+      |-- end-of-batch eviction applies the current one)
+      |kept AS (SELECT * FROM e5 WHERE evict_batch >= b),
+      |agg AS (
+      |  SELECT date_trunc('hour', ts) AS hour, event_type,
+      |    COUNT(*) AS n,
+      |    CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS total_value,
+      |    MIN(t0s) AS t0s, MIN(nh) AS nh,
+      |    MIN(w_end) AS w_end
+      |  FROM kept GROUP BY date_trunc('hour', ts), event_type)
+      |SELECT CAST(CASE
+      |    WHEN t0s + ((1*nh)//4)*3600 - 7201 > w_end THEN 1
+      |    WHEN t0s + ((2*nh)//4)*3600 - 7201 > w_end THEN 2
+      |    WHEN t0s + ((3*nh)//4)*3600 - 7201 > w_end THEN 3
+      |    WHEN t0s + ((4*nh)//4)*3600 - 7201 > w_end THEN 4
+      |    ELSE 5 END AS BIGINT) AS batch_id,
+      |  hour, event_type, n, total_value
+      |FROM agg ORDER BY hour, event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q111_streaming_incr_dedup" -> (q111 _),
-    "q113_streaming_semdedup" -> (q113 _))
+    "q113_streaming_semdedup" -> (q113 _),
+    "q115_streaming_watermark" -> (q115 _))
 
   val oracleSql: Map[String, String] = Map(
     "q111_streaming_incr_dedup" -> q111Sql,
-    "q113_streaming_semdedup" -> q113Sql)
+    "q113_streaming_semdedup" -> q113Sql,
+    "q115_streaming_watermark" -> q115Sql)
 }

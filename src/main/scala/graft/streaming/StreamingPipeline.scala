@@ -58,7 +58,12 @@ object StreamingPipeline {
     events
       .withWatermark("ts_utc", watermark)
       .groupBy(window(col("ts_utc"), "1 hour").as("win"), col("event_type"))
-      .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
+      // sum in decimal so the result is independent of row arrival order
+      // (micro-batch boundaries must not change the answer) — the same
+      // discipline as the batch queries' dsum
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(28,6)")).cast("double")
+          .as("total_value"))
       .select(col("win.start").as("hour"), col("event_type"), col("n"),
         col("total_value"))
 
