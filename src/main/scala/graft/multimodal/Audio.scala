@@ -257,10 +257,11 @@ object Audio {
     * only 16-byte (id, fp) rows ever shuffle.
     */
   def nearDuplicates(media: Dataset[MediaRow], maxHamming: Int,
-                     codec: AudioCodec = WavCodec): DataFrame =
+                     codec: AudioCodec = WavCodec,
+                     numBlocks: Int = -1): DataFrame =
     graft.operators.Dedup.simHashPairsBlocked(
       fingerprints(media, codec), "media_id", "fp", maxHamming,
-      fp = identity)
+      fp = identity, numBlocks = numBlocks)
 
   /** Exact integer audio statistics in Q15 — the corpus-QA pass that
     * flags clipped, silent, or DC-offset clips before any float feature.

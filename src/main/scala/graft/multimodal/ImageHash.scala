@@ -113,11 +113,18 @@ object ImageHash {
     * fingerprint once per payload, then reuse the text path's pigeonhole-
     * blocked Hamming join unchanged (identity fingerprint column — the
     * hashing already happened in the decode pass).
+    *
+    * `numBlocks` passes through to the blocked join's geometry: large
+    * radii on near-uniform codes have a random-collision candidate floor
+    * ∝ C(m,a)·N²/2^(keyBits+1), so a corpus-scale run may buy a wider
+    * compound key (more blocks → more index rows, fewer candidates) —
+    * measured tradeoff in SCALE.md (q109 ×1000).
     */
   def nearDuplicates(media: Dataset[MediaRow], maxHamming: Int,
                      codec: ImageCodec = Codecs.AutoCodec,
-                     hash: Image => Long = dHash64): DataFrame =
+                     hash: Image => Long = dHash64,
+                     numBlocks: Int = -1): DataFrame =
     Dedup.simHashPairsBlocked(
       fingerprints(media, codec, hash), "media_id", "fp", maxHamming,
-      fp = identity)
+      fp = identity, numBlocks = numBlocks)
 }

@@ -269,6 +269,14 @@ object Curation {
     finally cached.unpersist(blocking = true)
   }
 
+  /** Vocabulary-size ceiling for broadcasting the unigram model into the
+    * scoring join. 2²² terms ≈ a few hundred MB of (term, cf) rows —
+    * generous for any natural-language vocabulary (Heaps' law puts even
+    * web-scale corpora in the tens of millions), tiny next to shuffling
+    * the corpus-sized tf frame.
+    */
+  private val BroadcastVocabMax = 1L << 22
+
   private def unigramCrossEntropyBuild(df: DataFrame, idCol: String,
                                        textCol: String,
                                        tfStorage: org.apache.spark.storage
@@ -279,11 +287,20 @@ object Curation {
     // tokenize three times. Cache-lifetime contract as [[topTfidfTerm]].
     val tf = docTermFreq(df, idCol, textCol).persist(tfStorage)
     val cf = unigramLmOfTf(tf)
-    val total = cf.agg(sum(col("cf")).as("t_total"))
-    val scored = tf.join(cf, "term")
-      .crossJoin(broadcast(total))
+    // One bounded job up front: vocabulary size + corpus total. The total
+    // then rides as a LITERAL (no crossJoin stage), and a bounded
+    // vocabulary makes the model side an explicit BROADCAST — without it
+    // the scoring join sort-merge-shuffles the corpus-sized tf frame on
+    // skewed term keys (the ×1000 soak measured q98 at p = 1.63; the
+    // model is vocabulary-sized and belongs on the map side, the same
+    // lesson as the IVF cell join and the incremental-dedup store probe).
+    val stats = cf.agg(count(lit(1)).as("v"), sum(col("cf")).as("t")).head()
+    val vocabN = stats.getLong(0)
+    val tTotal = if (stats.isNullAt(1)) 0.0 else stats.getLong(1).toDouble
+    val cfSide = if (vocabN <= BroadcastVocabMax) broadcast(cf) else cf
+    val scored = tf.join(cfSide, "term")
       .withColumn("_nll", col("tf").cast("double") *
-        -log(col("cf").cast("double") / col("t_total").cast("double")))
+        -log(col("cf").cast("double") / lit(tTotal)))
     val result = scored.groupBy(col("id"), col("dl"))
       .agg(count(lit(1)).as("n_terms"),
         aggregate(

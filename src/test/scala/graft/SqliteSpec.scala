@@ -209,4 +209,28 @@ class SqliteSpec extends SparkSpec {
       assert(got == rows.toSet, s"merchant $m: ${got.size} vs ${rows.size}")
     }
   }
+
+  test("reader: index keys on overflow chains (payload > 1002B) still " +
+    "descend and resolve") {
+    val p = tmp("of.db")
+    // 120 rows whose indexed TEXT exceeds the index-page local-payload
+    // limit (1002 bytes at 4096-byte pages), forcing every index entry
+    // (and its interior separators) onto overflow chains; 3 duplicates
+    // per key so equality search must return multiple rowids
+    val df = (0 until 120).map { i =>
+      val key = s"k${i / 3}-" + ("長" * 600) + s"-${i / 3}"
+      (i.toLong, key, i * 2.5)
+    }.toDF("id", "note", "amt")
+    Sqlite.writeTables(p, Seq("t" -> df),
+      indexes = Seq(Sqlite.IndexSpec("idx_n", "t", "note")))
+    val want = df.collect().toSeq.groupBy(_.getString(1))
+    want.foreach { case (k, rows) =>
+      val got = Sqlite.Reader.indexPointLookup(p, "idx_n", k)
+      assert(got.size == rows.size, s"key ${k.take(12)}…: ${got.size}")
+      assert(got.map(_._2(0)).toSet == rows.map(_.getLong(0)).toSet)
+      // full row decode through the table b-tree, overflow included
+      assert(got.map(_._2(1)).toSet == Set(k))
+    }
+    assert(Sqlite.Reader.indexPointLookup(p, "idx_n", "missing").isEmpty)
+  }
 }

@@ -277,14 +277,23 @@ class SurfacePlanSpec extends SparkSpec {
       "cell assignment must be persisted, not recomputed per consumer")
   }
 
-  test("q98 unigram CE: one-row corpus total broadcasts, the per-doc sum " +
-    "is a sorted fold (no window pass), tf computes once from cache") {
+  test("q98 unigram CE: the model joins map-side (corpus total a literal, " +
+    "vocabulary broadcast), per-doc sum is a sorted fold, tf cached once") {
     val plan = physical(run("q98_unigram_ce"))
     val s = plan.toString
+    // r9: the corpus total rides as a LITERAL (one bounded driver job),
+    // so no join of any kind remains for it; the vocabulary-sized model
+    // must broadcast into the scoring join — at x1000 the sort-merge
+    // alternative shuffled the corpus-sized tf on skewed term keys
+    // (SCALE.md: 268 s -> 80 s, p 1.63 -> 1.08)
     assert(!s.contains("CartesianProduct"),
-      "corpus-total side must broadcast, never a shuffled cartesian")
-    assert(s.contains("BroadcastNestedLoopJoin"),
-      s"one-row total must broadcast:\n${s.take(600)}")
+      "corpus-total must never plan as a shuffled cartesian")
+    assert(!s.contains("BroadcastNestedLoopJoin"),
+      "corpus-total must fold to a literal, not even a broadcast join")
+    assert(s.contains("BroadcastHashJoin"),
+      s"vocabulary model must broadcast into the scoring join:\n${s.take(600)}")
+    assert(!s.contains("SortMergeJoin"),
+      "the corpus-sized tf side must not shuffle on term keys")
     assert(plan.collect { case w: WindowExec => w }.isEmpty,
       "per-doc fold must not plan as a window pass")
     assert(s.contains("InMemoryTableScan"),
