@@ -263,6 +263,17 @@ object Audio {
       fingerprints(media, codec), "media_id", "fp", maxHamming,
       fp = identity, numBlocks = numBlocks)
 
+  /** Corpus-scale perceptual audio dedup: exact-code grouping, blocked
+    * Hamming join over DISTINCT envelope hashes, connected components —
+    * per-clip canonical assignment, never a pair list
+    * ([[graft.operators.Dedup.hammingDedupCorpus]]).
+    */
+  def dedupCorpus(media: Dataset[MediaRow], maxHamming: Int,
+                  codec: AudioCodec = WavCodec,
+                  numBlocks: Int = -1): DataFrame =
+    graft.operators.Dedup.hammingDedupCorpus(fingerprints(media, codec),
+      "media_id", "fp", maxHamming, numBlocks)
+
   /** Exact integer audio statistics in Q15 — the corpus-QA pass that
     * flags clipped, silent, or DC-offset clips before any float feature.
     * `q15 = round(sample × 32768)`: for anything decoded from 16-bit PCM

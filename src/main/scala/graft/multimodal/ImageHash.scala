@@ -127,4 +127,16 @@ object ImageHash {
     Dedup.simHashPairsBlocked(
       fingerprints(media, codec, hash), "media_id", "fp", maxHamming,
       fp = identity, numBlocks = numBlocks)
+
+  /** Corpus-scale perceptual image dedup: exact-code grouping, blocked
+    * Hamming join over DISTINCT codes, connected components — one
+    * (media_id, fp, canonical_id, kept) row per image, never a pair
+    * list. See [[Dedup.hammingDedupCorpus]] for the scale rationale.
+    */
+  def dedupCorpus(media: Dataset[MediaRow], maxHamming: Int,
+                  codec: ImageCodec = Codecs.AutoCodec,
+                  hash: Image => Long = dHash64,
+                  numBlocks: Int = -1): DataFrame =
+    Dedup.hammingDedupCorpus(fingerprints(media, codec, hash),
+      "media_id", "fp", maxHamming, numBlocks)
 }

@@ -365,21 +365,44 @@ object Dedup {
       .select(col("id"), (col("pos") + 1).cast("long").as("pos"),
         col("col").as("h"))
     // grams occurring in >= minDocs distinct docs; data-dependent size,
-    // so no broadcast hint — AQE picks the join strategy
-    val dup = grams.groupBy(col("h"))
-      .agg(countDistinct(col("id")).as("_nd"))
-      .filter(col("_nd") >= minDocs)
-      .select(col("h"))
-    // pos - row_number is constant within a consecutive run of covered
-    // positions — the standard gaps-and-islands grouping
-    val w = Window.partitionBy(col("id")).orderBy(col("pos"))
+    // so no broadcast hint — AQE picks the join strategy. At the default
+    // minDocs = 2, "≥ 2 distinct docs" is exactly min(id) ≠ max(id) — a
+    // fully map-side-combinable aggregate, where countDistinct expands
+    // to a two-phase (h, id)-distinct shuffle of the whole gram stream
+    // (the ×1000 soak measured the difference as part of q90's p = 1.61).
+    val dup =
+      if (minDocs <= 2)
+        grams.groupBy(col("h"))
+          .agg(min(col("id")).as("_mn"), max(col("id")).as("_mx"))
+          .filter(col("_mn") =!= col("_mx"))
+          .select(col("h"))
+      else
+        grams.groupBy(col("h"))
+          .agg(countDistinct(col("id")).as("_nd"))
+          .filter(col("_nd") >= minDocs)
+          .select(col("h"))
+    // Gaps-and-islands per doc WITHOUT a corpus-wide window sort: a
+    // document's covered positions fit in one row (the same bounded-doc
+    // assumption tokens()'s explode already makes), so collect + sort
+    // them per doc in a HASH aggregation (map-side partials, no global
+    // sort) and cut islands with array lambdas — span starts are
+    // positions with no predecessor, ends positions with no successor,
+    // zipped in order. Output identical to the window form
+    // (DedupSpec pins both on the same fixtures).
     grams.join(dup, Seq("h"))
       .select(col("id"), col("pos"))
-      .withColumn("_grp", col("pos") - row_number().over(w))
-      .groupBy(col("id"), col("_grp"))
-      .agg(min(col("pos")).as("span_start"),
-        (max(col("pos")) - min(col("pos")) + k).as("span_tokens"))
-      .select(col("id"), col("span_start"), col("span_tokens"))
+      .groupBy(col("id"))
+      .agg(array_sort(collect_list(col("pos"))).as("_ps"))
+      .select(col("id"), explode(expr(
+        s"""zip_with(
+           |  filter(_ps, (p, i) -> i = 0 OR element_at(_ps, i) != p - 1),
+           |  filter(_ps, (p, i) -> i = size(_ps) - 1
+           |                        OR element_at(_ps, i + 2) != p + 1),
+           |  (s, e) -> named_struct(
+           |    'span_start', s, 'span_tokens', e - s + $k))""".stripMargin))
+        .as("_s"))
+      .select(col("id"), col("_s.span_start").as("span_start"),
+        col("_s.span_tokens").as("span_tokens"))
   }
 
   /** The repeated-span REMOVAL transform — [[repeatedSpans]]' companion
@@ -550,6 +573,47 @@ object Dedup {
     df.join(comps.withColumnRenamed("id", idCol), Seq(idCol))
       .filter(col(idCol) === col("label"))
       .drop("label")
+  }
+
+  /** Corpus-scale Hamming dedup over precomputed fingerprints — the
+    * deployment recipe the ×1000 q109 analysis prescribes (SCALE.md):
+    * exact-code grouping FIRST (code equality carries most duplicate
+    * mass in a real corpus — one linear shuffle), then the pigeonhole-
+    * blocked Hamming join over DISTINCT codes only, then connected
+    * components over the code graph. Returns one row per input id:
+    * (id, fp, canonical_id, kept), canonical = min id of the duplicate
+    * cluster.
+    *
+    * Scale: the candidate-floor-prone blocked join ([[simHashPairsBlocked]]
+    * scaladoc) sees |distinct codes| rows, not |corpus| — on a corpus
+    * with heavy exact-dup mass that moves the floor from N to
+    * N_distinct — and the OUTPUT is per-row, never a quadratic pair
+    * list (a cluster of k exact copies contributes k rows, not k²/2
+    * pairs). The fingerprint frame is persisted internally (it feeds the
+    * code rollup and the final mapping join); lifetime follows the
+    * session-LRU contract of [[Similarity.semDedup]].
+    */
+  def hammingDedupCorpus(fps: DataFrame, idCol: String, fpCol: String,
+                         maxHamming: Int, numBlocks: Int = -1): DataFrame = {
+    val f = fps.select(col(idCol).cast("long").as("id"),
+        col(fpCol).cast("long").as("fp"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // distinct codes, each represented by its min id — the only rows the
+    // Hamming join ever sees
+    val codes = f.groupBy(col("fp")).agg(min(col("id")).as("cid"))
+    val codePairs = simHashPairsBlocked(codes, "cid", "fp", maxHamming,
+        fp = identity, numBlocks = numBlocks)
+      .select(col("id_a"), col("id_b"))
+    // components over code representatives: label = min cid in the
+    // cluster = min id over every doc in the cluster (cid is already the
+    // min id of its code)
+    val comps = connectedComponents(codes.select(col("cid").as("id")),
+      codePairs)
+    f.join(codes, "fp")
+      .join(comps.withColumnRenamed("id", "cid"), Seq("cid"))
+      .select(col("id").as(idCol), col("fp"),
+        col("label").as("canonical_id"),
+        (col("id") === col("label")).as("kept"))
   }
 
   /** SimHash over whitespace tokens: per-bit majority vote of token hashes,

@@ -239,44 +239,49 @@ object MultimodalQueries {
     * ~Binomial(60, ½). q109 renders it as pixel gradients, q116 as
     * audio energy steps — one oracle bit model gates both modalities.
     */
-  private def groupFp(d: Long): Long = {
-    val g = d / 4
+  private def fpOf(group: Long, member: Int): Long = {
     val md = java.security.MessageDigest.getInstance("MD5")
-      .digest(g.toString.getBytes("UTF-8"))
+      .digest(group.toString.getBytes("UTF-8"))
     val hex = md.take(8).map(b => f"${b & 0xff}%02x").mkString.take(15)
     var fp = java.lang.Long.parseLong(hex, 16) // 60 bits
-    val m = (d % 4).toInt
-    if (m >= 1) {
-      var i = 5 * m - 4
+    if (member >= 1) {
+      var i = 5 * member - 4
       while (i < 60) { fp ^= 1L << i; i += 15 }
     }
     fp
+  }
+
+  private def groupFp(d: Long): Long = fpOf(d / 4, (d % 4).toInt)
+
+  /** Render a fingerprint as q109's 9×8 grayscale staircase BMP (dHash
+    * of the image reproduces `fp` bit-for-bit — see q109's scaladoc).
+    */
+  private def staircaseBmp(d: Long, fp: Long): Array[Byte] = {
+    val w = 9; val h = 8
+    val px = new Array[Byte](w * h * 3)
+    var y = 0
+    while (y < h) {
+      var v = 128
+      var x = 0
+      while (x <= 8) {
+        if (x > 0) {
+          val bit = y * 8 + (x - 1)
+          v += (if (bit < 60 && ((fp >> bit) & 1L) == 1L) 1 else -1)
+        }
+        val o = (y * w + x) * 3
+        px(o) = v.toByte; px(o + 1) = v.toByte; px(o + 2) = v.toByte
+        x += 1
+      }
+      y += 1
+    }
+    Codecs.BmpCodec.encode(Image(d, w, h, 3, px))
   }
 
   private def q109(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val docs = Tables.documents(s, dir).select(col("doc_id")).as[Long]
     val media = docs.mapPartitions(_.map { d =>
-      val fp = groupFp(d)
-      val w = 9; val h = 8
-      val px = new Array[Byte](w * h * 3)
-      var y = 0
-      while (y < h) {
-        var v = 128
-        var x = 0
-        while (x <= 8) {
-          if (x > 0) {
-            val bit = y * 8 + (x - 1)
-            v += (if (bit < 60 && ((fp >> bit) & 1L) == 1L) 1 else -1)
-          }
-          val o = (y * w + x) * 3
-          px(o) = v.toByte; px(o + 1) = v.toByte; px(o + 2) = v.toByte
-          x += 1
-        }
-        y += 1
-      }
-      MediaRow(d, "image", Codecs.BmpCodec.encode(Image(d, w, h, 3, px)),
-        "bmp")
+      MediaRow(d, "image", staircaseBmp(d, groupFp(d)), "bmp")
     })
     ImageHash.nearDuplicates(media, maxHamming = 8)
       .select(col("id_a"), col("id_b"), col("hamming"))
@@ -348,17 +353,64 @@ object MultimodalQueries {
   // the Spark side: pixels vs PCM energies).
   private val q116Sql = q109Sql
 
+  /** Corpus-scale perceptual dedup (`ImageHash.dedupCorpus` =
+    * exact-code grouping → blocked Hamming join over DISTINCT codes →
+    * connected components), oracle-gated closed-form.
+    *
+    * Construction: 8 docs per group, codes shared PAIRWISE — doc d
+    * renders fpOf(d/8, (d%8)/2), so each of the 4 member codes belongs
+    * to exactly two docs (the exact-dup mass the distinct-code rollup
+    * collapses), and the 4 codes are pairwise within Hamming 8 (member
+    * distances 4 and 8) — every group is one complete duplicate cluster,
+    * while cross-group distances are cryptographically ~Binomial(60, ½).
+    * The canonical assignment is therefore closed-form:
+    * min(doc_id) per doc_id/8 group — which the oracle states directly
+    * with a window MIN, plus the fingerprint itself from the shared bit
+    * model. A hash match proves decode → dHash → code rollup → blocked
+    * join over distinct codes → label propagation → per-doc mapping.
+    */
+  private def q117(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir).select(col("doc_id")).as[Long]
+    val media = docs.mapPartitions(_.map { d =>
+      MediaRow(d, "image",
+        staircaseBmp(d, fpOf(d / 8, ((d % 8) / 2).toInt)), "bmp")
+    })
+    ImageHash.dedupCorpus(media, maxHamming = 8)
+      .select(col("media_id").as("doc_id"), col("fp"),
+        col("canonical_id"), col("kept"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val q117Sql =
+    """WITH f AS (
+      |  SELECT doc_id,
+      |    xor(CAST(concat('0x',
+      |          substr(md5(CAST(doc_id // 8 AS VARCHAR)), 1, 15)) AS BIGINT),
+      |        CASE WHEN (doc_id % 8) // 2 = 0 THEN 0
+      |             ELSE 35185445863425 *
+      |                  (CAST(1 AS BIGINT) <<
+      |                   CAST(5 * ((doc_id % 8) // 2) - 4 AS INTEGER)) END)
+      |      AS fp
+      |  FROM documents)
+      |SELECT doc_id, fp,
+      |  MIN(doc_id) OVER (PARTITION BY doc_id // 8) AS canonical_id,
+      |  doc_id = MIN(doc_id) OVER (PARTITION BY doc_id // 8) AS kept
+      |FROM f ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q106_image_stats" -> (q106(_, _)),
     "q107_audio_stats" -> (q107(_, _)),
     "q108_video_frame_stats" -> (q108(_, _)),
     "q109_image_near_dup" -> (q109(_, _)),
-    "q116_audio_near_dup" -> (q116(_, _)))
+    "q116_audio_near_dup" -> (q116(_, _)),
+    "q117_image_dedup_corpus" -> (q117(_, _)))
 
   val oracleSql: Map[String, String] = Map(
     "q106_image_stats" -> q106Sql,
     "q107_audio_stats" -> q107Sql,
     "q108_video_frame_stats" -> q108Sql,
     "q109_image_near_dup" -> q109Sql,
-    "q116_audio_near_dup" -> q116Sql)
+    "q116_audio_near_dup" -> q116Sql,
+    "q117_image_dedup_corpus" -> q117Sql)
 }

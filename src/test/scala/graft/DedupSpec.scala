@@ -174,6 +174,39 @@ class DedupSpec extends SparkSpec {
     assert(kept == Set(1L, 4L, 5L))
   }
 
+  test("hammingDedupCorpus equals direct pair-list dedup, through exact " +
+    "code collapse") {
+    // fingerprints with heavy exact-dup mass: 60 ids over 12 distinct
+    // codes (5 ids per code), mixing near codes (1-bit apart), mid codes
+    // (partially connected at radius 2) and far-apart codes — the parity
+    // assertion below holds for WHATEVER clusters the radius forms
+    def code(cluster: Int, j: Int): Long = cluster match {
+      case 0 => 0xF0F0F0F0L ^ (1L << j)
+      case 1 => 0x0A0A0A0A0A0AL ^ (3L << (4 * j))
+      case _ => 0x1111L << (j * 7)
+    }
+    val rows = (0 until 60).map { i =>
+      val cl = i / 20 // 3 clusters of 20 ids
+      val j = (i % 20) / 5 // 4 codes per cluster
+      (i.toLong, code(cl, j))
+    }
+    val fps = rows.toDF("id", "fp")
+    val got = Dedup.hammingDedupCorpus(fps, "id", "fp", maxHamming = 2)
+      .select("id", "canonical_id").as[(Long, Long)].collect().toMap
+    // reference: direct pairs over ALL ids (no distinct-code collapse)
+    val all = fps.as("a").join(fps.as("b"),
+        $"a.id" < $"b.id" &&
+          bit_count($"a.fp".bitwiseXOR($"b.fp")) <= 2)
+      .select($"a.id".as("id_a"), $"b.id".as("id_b"))
+    val want = Dedup.connectedComponents(fps.select($"id"), all)
+      .as[(Long, Long)].collect().toMap
+    assert(got == want)
+    // kept flags: exactly the canonical ids
+    val kept = Dedup.hammingDedupCorpus(fps, "id", "fp", maxHamming = 2)
+      .filter($"kept").select("id").as[Long].collect().toSet
+    assert(kept == want.values.toSet)
+  }
+
   test("positional shingles are the in-order, undeduped gram hashes") {
     import graft.functions.TextAnalysis
     val texts = Seq(

@@ -197,9 +197,17 @@ class SurfacePlanSpec extends SparkSpec {
     val s = plan.toString
     assert(!s.contains("NestedLoop") && !s.contains("Cartesian"),
       "gram join must be a hash equi-join")
-    // the dup-gram rollup must map-side combine before its exchange
-    assert(s.contains("partial_count(distinct id"),
-      s"gram groupBy lost its partial aggregate:\n${s.take(800)}")
+    // r9: the minDocs=2 distinct-doc test is min(id) != max(id) — fully
+    // map-side-combinable (partial_min/partial_max), where countDistinct
+    // expanded to a two-phase (gram, id)-distinct shuffle of the whole
+    // gram stream; and islands cut per doc in a hash aggregation — the
+    // corpus-wide window sort is gone (SCALE.md: 299 s -> 53 s at x1000)
+    assert(s.contains("partial_min(id") && s.contains("partial_max(id"),
+      s"gram rollup lost its map-side partial min/max:\n${s.take(800)}")
+    assert(!s.contains("count(distinct"),
+      "minDocs=2 must not plan a countDistinct expansion")
+    assert(plan.collect { case w: WindowExec => w }.isEmpty,
+      "islands must cut per-doc in a hash agg, not a corpus-wide window")
     // document text must not survive past the gram projection: only the
     // scan and the widen() round-robin exchange of raw rows may carry it —
     // never a join, aggregate, or window
