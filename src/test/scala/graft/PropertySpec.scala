@@ -229,6 +229,33 @@ class PropertySpec extends SparkSpec {
         case _ => ()
       }
     }
+    // exact parity with the brute-force definition (r9: the islands pass
+    // was rewritten from a corpus-wide window sort to per-doc array
+    // lambdas — this pins the rewrite to the semantics, not a fixture).
+    // String-identity of grams stands in for hash-identity: 6^3 possible
+    // grams make an xxhash64 collision vanishingly unlikely.
+    val gramsOf = rows.map { case (i, t) =>
+      val tk = t.trim.split("\\s+").filter(_.nonEmpty).toSeq
+      i -> (0 to tk.length - k).map(p => (p + 1, tk.slice(p, p + k)
+        .mkString(" ")))
+    }.toMap
+    val docsPerGram = gramsOf.toSeq
+      .flatMap { case (i, gs) => gs.map { case (_, g) => (g, i) } }
+      .groupBy(_._1).map { case (g, xs) => g -> xs.map(_._2).distinct.size }
+    val wantSpans = gramsOf.toSeq.flatMap { case (i, gs) =>
+      val covered = gs.collect {
+        case (p, g) if docsPerGram(g) >= 2 => p
+      }.sorted
+      // islands over covered gram positions
+      val runs = covered.foldLeft(List.empty[(Long, Long)]) {
+        case ((s, e) :: rest, p) if p == e + 1 => (s, p.toLong) :: rest
+        case (acc, p) => (p.toLong, p.toLong) :: acc
+      }.reverse
+      runs.map { case (s, e) => (i, s, e - s + k) }
+    }.toSet
+    assert(spans.toSet == wantSpans,
+      s"span parity: got ${spans.size}, want ${wantSpans.size}")
+
     // removal drops exactly the union of span token ranges
     val removed = Dedup.removeRepeatedSpans(docs, "doc_id", "text", k)
       .select("id", "n_tokens_before", "n_tokens_after")
