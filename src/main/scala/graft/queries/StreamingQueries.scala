@@ -393,13 +393,93 @@ object StreamingQueries {
       |  hour, event_type, n, total_value
       |FROM agg ORDER BY hour, event_type""".stripMargin
 
+  /** Stream-stream interval join through real micro-batches — the gate
+    * for `StreamingPipeline.intervalJoin` (the click-attribution shape).
+    *
+    * Construction: events split even/odd into a LEFT and a RIGHT stream,
+    * each chunked into 4 single-file parquet chunks by `event_id div 2
+    * mod 4` (covers every chunk on both sides) with ascending mtimes;
+    * two independent file sources each admit one file per trigger, so
+    * micro-batch b processes left chunk b AND right chunk b. The join
+    * pairs same-user events with `r_ts ∈ [ts − 5 min, ts + 30 min]` —
+    * asymmetric on purpose, so a sign error in either bound changes the
+    * result set. The watermark (800 h) exceeds the corpus's 30-day span:
+    * nothing is ever late or evicted, making the emission history exact
+    * — EVICTION semantics are q115's job; this gate pins MATCH semantics
+    * and emission timing. A pair emits in the batch where its
+    * later-arriving side lands: `batch_id = greatest(b_left, b_right)`
+    * (the earlier side is already in join state), which the oracle
+    * recomputes closed-form along with the full pair set and exact
+    * microsecond deltas.
+    */
+  private def q118(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val left = ev.filter(col("event_id") % 2 === 0)
+      .select(col("event_id"), col("ts_utc"), col("user_id"))
+      .withColumn("b", expr("(event_id div 2) % 4"))
+    val right = ev.filter(col("event_id") % 2 === 1)
+      .select(col("event_id").as("r_event_id"),
+        col("ts_utc").as("r_ts_utc"), col("user_id").as("r_user_id"))
+      .withColumn("b", expr("((r_event_id - 1) div 2) % 4"))
+    val work = scratchDir("graft_q118")
+    val lIn = writeChunksPre(left, new File(work, "l"), 4)
+    val rIn = writeChunksPre(right, new File(work, "r"), 4)
+    val outDir = new File(work, "out")
+    outDir.mkdirs()
+    withGateConfs(s, 4) {
+      val ls = s.readStream.schema(left.drop("b").schema)
+        .option("maxFilesPerTrigger", "1").parquet(lIn.getPath)
+      val rs = s.readStream.schema(right.drop("b").schema)
+        .option("maxFilesPerTrigger", "1").parquet(rIn.getPath)
+      val q = StreamingPipeline.intervalJoin(ls, rs, "user_id",
+          lowerMs = 5L * 60 * 1000, upperMs = 30L * 60 * 1000,
+          watermark = "800 hours")
+        .select(col("event_id"), col("r_event_id"), col("user_id"),
+          (unix_micros(col("r_ts_utc")) - unix_micros(col("ts_utc")))
+            .as("delta_us"))
+        .writeStream
+        .outputMode("append")
+        .foreachBatch { (df: DataFrame, batchId: Long) =>
+          df.withColumn("batch_id", lit(batchId))
+            .write.mode("append").parquet(outDir.getPath)
+          ()
+        }
+        .option("checkpointLocation", new File(work, "ckpt").getPath)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    s.read.parquet(outDir.getPath)
+      .select(col("batch_id"), col("event_id"), col("r_event_id"),
+        col("user_id"), col("delta_us"))
+      .orderBy(col("event_id"), col("r_event_id"))
+  }
+
+  private val q118Sql =
+    """WITH l AS (
+      |  SELECT event_id, user_id, ts, (event_id // 2) % 4 AS bl
+      |  FROM events WHERE event_id % 2 = 0),
+      |r AS (
+      |  SELECT event_id AS r_event_id, user_id AS r_user_id, ts AS r_ts,
+      |    ((event_id - 1) // 2) % 4 AS br
+      |  FROM events WHERE event_id % 2 = 1)
+      |SELECT CAST(GREATEST(l.bl, r.br) AS BIGINT) AS batch_id,
+      |  l.event_id, r.r_event_id, l.user_id,
+      |  epoch_us(r.r_ts) - epoch_us(l.ts) AS delta_us
+      |FROM l JOIN r ON l.user_id = r.r_user_id
+      |  AND r.r_ts >= l.ts - INTERVAL 5 MINUTE
+      |  AND r.r_ts <= l.ts + INTERVAL 30 MINUTE
+      |ORDER BY l.event_id, r.r_event_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q111_streaming_incr_dedup" -> (q111 _),
     "q113_streaming_semdedup" -> (q113 _),
-    "q115_streaming_watermark" -> (q115 _))
+    "q115_streaming_watermark" -> (q115 _),
+    "q118_streaming_interval_join" -> (q118 _))
 
   val oracleSql: Map[String, String] = Map(
     "q111_streaming_incr_dedup" -> q111Sql,
     "q113_streaming_semdedup" -> q113Sql,
-    "q115_streaming_watermark" -> q115Sql)
+    "q115_streaming_watermark" -> q115Sql,
+    "q118_streaming_interval_join" -> q118Sql)
 }
