@@ -562,6 +562,42 @@ object Curation {
         expr(s"_start % $ctxTokens").as("window_offset"))
   }
 
+  /** Overlapping token-window chunking — each document sliced
+    * independently into fixed-size windows of `window` tokens advancing
+    * by `stride` (stride < window ⇒ adjacent chunks overlap by
+    * window − stride tokens): the standard retrieval / long-context
+    * pre-processing step, and [[packSequences]]'s per-document inverse.
+    * Chunk i covers tokens [i·stride, i·stride + window); the last chunk
+    * is the first whose span reaches the document's end, so every token
+    * is covered and no fully-redundant trailing chunk is emitted (a doc
+    * with n ≤ window yields exactly one chunk).
+    *
+    * Scale shape: per-document arithmetic only — tokenize, one explode
+    * over the chunk-index range, one slice per chunk. No join, no
+    * aggregation, no shuffle anywhere: chunking 100 TB is a single
+    * map-only stage written partition-parallel, and every function here
+    * is a codegen'd built-in. Memory per output row is bounded by the
+    * document, never the corpus.
+    */
+  def chunkDocuments(df: DataFrame, idCol: String, textCol: String,
+                     window: Int, stride: Int): DataFrame = {
+    require(window > 0 && stride > 0 && stride <= window,
+      s"need 0 < stride <= window, got window=$window stride=$stride")
+    df.select(col(idCol), TextAnalysis.tokens(col(textCol)).as("_toks"))
+      .select(col(idCol), col("_toks"),
+        size(col("_toks")).cast("long").as("n_tokens"))
+      .select(col(idCol), col("_toks"), col("n_tokens"),
+        explode(sequence(lit(0L),
+          ceil(greatest(col("n_tokens") - window, lit(0L)).cast("double")
+            / stride).cast("long"))).as("chunk_idx"))
+      .select(col(idCol), col("n_tokens"), col("chunk_idx"),
+        least(lit(window.toLong),
+          col("n_tokens") - col("chunk_idx") * stride).as("chunk_tokens"),
+        md5(array_join(slice(col("_toks"),
+          (col("chunk_idx") * stride + 1).cast("int"), lit(window)), " "))
+          .as("chunk_hash"))
+  }
+
   // ------------------------------------------------------------------
   // Mixture-weighted sampling (executes a mixture plan)
   // ------------------------------------------------------------------

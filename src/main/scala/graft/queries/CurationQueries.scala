@@ -640,7 +640,37 @@ object CurationQueries {
        |FROM toks tk LEFT JOIN covset cs ON tk.doc_id = cs.doc_id
        |ORDER BY tk.doc_id""".stripMargin
 
+  // --------------------------------------------------------------- q119
+  // Overlapping token-window chunking (window 64, stride 48): chunk i of
+  // a doc covers tokens [48i, 48i+64), last chunk reaches the doc's end.
+  // The oracle re-derives the chunk count, per-chunk token count, and
+  // the md5 of each re-joined chunk text from the same whitespace
+  // tokenization both engines share (toksSql).
+  private def q119(s: SparkSession, dir: String): DataFrame =
+    Curation.chunkDocuments(Tables.documents(s, dir), "doc_id", "text",
+        window = 64, stride = 48)
+      .orderBy(col("doc_id"), col("chunk_idx"))
+
+  private val q119Sql =
+    s"""WITH d AS (
+       |  SELECT doc_id, $toksSql AS toks FROM documents),
+       |n AS (
+       |  SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n_tokens,
+       |    CAST(ceil(greatest(len(toks) - 64, 0) / 48.0) AS BIGINT) + 1
+       |      AS n_chunks
+       |  FROM d),
+       |x AS (
+       |  SELECT doc_id, toks, n_tokens,
+       |    unnest(generate_series(0, n_chunks - 1)) AS i
+       |  FROM n)
+       |SELECT doc_id, n_tokens, CAST(i AS BIGINT) AS chunk_idx,
+       |  LEAST(64, n_tokens - i * 48) AS chunk_tokens,
+       |  md5(array_to_string(
+       |    list_slice(toks, i * 48 + 1, i * 48 + 64), ' ')) AS chunk_hash
+       |FROM x ORDER BY doc_id, chunk_idx""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q119_doc_chunking" -> (q119 _),
     "q102_span_removal_runvote" -> (q102 _),
     "q79_contamination" -> (q79 _),
     "q80_repetition" -> (q80 _),
@@ -660,6 +690,7 @@ object CurationQueries {
     "q96_span_removal_keepfirst" -> (q96 _))
 
   val oracleSql: Map[String, String] = Map(
+    "q119_doc_chunking" -> q119Sql,
     "q79_contamination" -> q79Sql,
     "q80_repetition" -> q80Sql,
     "q81_tfidf" -> q81Sql,

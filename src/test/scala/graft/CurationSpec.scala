@@ -225,6 +225,46 @@ class CurationSpec extends SparkSpec {
     assert(again == got.map(r => (r._1, r._4, r._5)).toSet)
   }
 
+  test("chunkDocuments: brute-force parity, full coverage, overlap, and " +
+    "the short-doc/empty-doc edges") {
+    val window = 5
+    val stride = 3
+    val texts = Seq(
+      1L -> (1 to 12).map(i => s"t$i").mkString(" "), // multi-chunk
+      2L -> "a b c d e",                              // n == window: 1 chunk
+      3L -> "x y",                                    // n < window: 1 chunk
+      4L -> "",                                       // empty: [""] → 1 chunk
+      5L -> (1 to 6).map(i => s"u$i").mkString(" "))  // last chunk partial
+    val df = texts.toDF("doc_id", "text")
+    val got = Curation.chunkDocuments(df, "doc_id", "text", window, stride)
+      .select("doc_id", "n_tokens", "chunk_idx", "chunk_tokens",
+        "chunk_hash")
+      .as[(Long, Long, Long, Long, String)].collect()
+      .sortBy(r => (r._1, r._3))
+    // brute force: the same rule written imperatively
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val want = texts.flatMap { case (id, text) =>
+      val toks = text.trim.split("\\s+", -1).toSeq // "" → Seq("")
+      val n = toks.length
+      val chunks = math.ceil(math.max(n - window, 0) / stride.toDouble)
+        .toLong + 1
+      (0L until chunks).map { i =>
+        val c = toks.slice((i * stride).toInt, (i * stride + window).toInt)
+        (id, n.toLong, i, c.length.toLong, md5hex(c.mkString(" ")))
+      }
+    }.sortBy(r => (r._1, r._3))
+    assert(got.toSeq == want)
+    // coverage + overlap on the multi-chunk doc: chunk starts advance by
+    // stride, spans reach the end, adjacent chunks overlap by 2 tokens
+    val d1 = got.filter(_._1 == 1L)
+    assert(d1.map(_._3).toSeq == Seq(0L, 1L, 2L, 3L))
+    assert(d1.last._4 == 12 - 3 * stride) // tail chunk holds the remainder
+    // short docs and the empty doc produce exactly one chunk each
+    for (id <- Seq(2L, 3L, 4L))
+      assert(got.count(_._1 == id) == 1, s"doc $id")
+  }
+
   // --------------------------------------------------- mixture sampling
 
   test("mixtureSample keeps exactly the hash-selected docs per source") {
