@@ -45,7 +45,8 @@ object Soak {
     "q81_tfidf", "q85_sequence_pack", "q87_vocabulary",
     "q88_curate_corpus", "q90_repeated_spans", "q93_bm25",
     "q98_unigram_ce", "q104_knn_ivf_adaptive", "q105_knn_ivfpq",
-    "q109_image_near_dup", "q117_image_dedup_corpus")
+    "q109_image_near_dup", "q117_image_dedup_corpus",
+    "q119_doc_chunking")
 
   /** Same co-tenant preflight as [[graft.Bench]]: exponent fits across
     * scale runs are meaningless if one run raced a loaded box, so wait
@@ -118,15 +119,34 @@ object Soak {
         n -> (() => fn(spark, sfDir))
       } ++ fullOps
 
+    // count() lets Catalyst PRUNE work that doesn't change cardinality —
+    // a map-only or window-append query (q85 packing, q119 chunking)
+    // times near-zero because the pruned plan never computes its output
+    // columns. SPARK_GRAFT_FORCE=checksum evaluates every column of
+    // every row instead (sum of per-row hashes — unprunable, and the
+    // hash cost is linear in output mass, which such queries are
+    // anyway). Keep count() as the default so series measured with it
+    // stay comparable; checksum rows are labeled in SCALE.md.
+    val force = sys.env.getOrElse("SPARK_GRAFT_FORCE", "count")
+    def eval(df: DataFrame): Long = force match {
+      case "checksum" =>
+        // bit_xor, not sum: xor never overflows (ANSI mode throws on
+        // long-sum overflow, and 64-bit hashes overflow immediately)
+        df.agg(count(lit(1)),
+            expr(s"bit_xor(xxhash64(struct(${df.columns.map(c => s"`$c`")
+              .mkString(",")})))"))
+          .head().getLong(0)
+      case _ => df.count()
+    }
     var errors = List.empty[(String, String)]
     val results = workloads
       .filter { case (name, _) => only.forall(_.exists(name.contains)) }
       .map { case (name, mk) =>
-        try mk().count() catch { case _: Throwable => () } // warm/codegen
+        try eval(mk()) catch { case _: Throwable => () } // warm/codegen
         spark.catalog.clearCache()
         val t0 = System.nanoTime()
         val n =
-          try mk().count() catch {
+          try eval(mk()) catch {
             case e: Throwable =>
               errors ::= name -> e.toString.take(200); -1L
           }
