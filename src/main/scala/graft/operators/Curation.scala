@@ -427,6 +427,53 @@ object Curation {
         round(col("_sum") / col("dl"), 6).as("ce"))
   }
 
+  /** DSIR-style importance weighting for data selection (the public
+    * "Data Selection for Language Models via Importance Resampling"
+    * recipe, Xie et al. 2023, in its unigram instantiation): each
+    * candidate document is scored by how much better a TARGET-domain
+    * unigram LM explains it than the candidate corpus's own LM, in log
+    * space:
+    *
+    *   logw(d) = Σ_t tf_t · (ln P_tgt(t) − ln P_raw(t))
+    *           = dl · (ce_raw(d) − ce_target(d))
+    *
+    * Both scorings share [[unigramCrossEntropyAgainst]]'s add-k
+    * smoothing over V+1 classes, so terms OOV to the target LM pull
+    * logw down by the smoothing floor instead of −∞ (`tgt_oov_tokens`
+    * reports how much of each doc that floor absorbed). `keep` gates on
+    * the rounded logw ≥ 0 — "at least as target-like as raw-average", a
+    * deterministic threshold form of the paper's importance resampling;
+    * callers wanting the sampled form feed `log_weight` to a Gumbel
+    * top-k.
+    *
+    * Scale: candidates tokenize ONCE — the persisted [[docTermFreq]]
+    * frame feeds the raw-LM rollup and both scoring joins (the
+    * [[unigramCrossEntropy]] cache contract); each LM is
+    * vocabulary-sized, not corpus-sized; the final join is doc-keyed
+    * between two doc-level aggregates. Nothing downstream of tf scales
+    * with token count.
+    */
+  def dsirImportance(candidates: DataFrame, target: DataFrame,
+                     idCol: String, textCol: String,
+                     addK: Double = 1.0,
+                     tfStorage: org.apache.spark.storage.StorageLevel =
+                       org.apache.spark.storage.StorageLevel
+                         .MEMORY_AND_DISK): DataFrame = {
+    val tf = docTermFreq(candidates, idCol, textCol).persist(tfStorage)
+    val tgtScore =
+      unigramCrossEntropyAgainstTf(tf, unigramLm(target, textCol), addK)
+        .select(col("id"), col("n_tokens"),
+          col("oov_tokens").as("tgt_oov_tokens"),
+          col("ce").as("ce_target"))
+    val rawScore =
+      unigramCrossEntropyAgainstTf(tf, unigramLmOfTf(tf), addK)
+        .select(col("id"), col("ce").as("ce_raw"))
+    tgtScore.join(rawScore, Seq("id"))
+      .withColumn("log_weight",
+        round(col("n_tokens") * (col("ce_raw") - col("ce_target")), 6))
+      .withColumn("keep", col("log_weight") >= 0)
+  }
+
   // ------------------------------------------------------------------
   // Incremental dedup against a corpus snapshot
   // ------------------------------------------------------------------

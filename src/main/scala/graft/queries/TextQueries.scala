@@ -466,6 +466,80 @@ object TextQueries {
        |FROM agg
        |ORDER BY doc_id""".stripMargin
 
+  // --------------------------------------------------------------- q120
+  // DSIR importance weighting: target = src0's 5% of the corpus, every
+  // other doc scored by dl·(ce_raw − ce_target) under the shared add-1
+  // smoothing (Curation.dsirImportance). The oracle rebuilds BOTH frozen
+  // LMs, both CE scores (nll folded in term order, the q101 recipe), the
+  // rounded log weight, and the keep gate.
+  private def q120(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    graft.operators.Curation.dsirImportance(
+        docs.filter(col("source") =!= "src0"),
+        docs.filter(col("source") === "src0"), "doc_id", "text")
+      .select(col("id").as("doc_id"), col("n_tokens"),
+        col("tgt_oov_tokens"), col("ce_target"), col("ce_raw"),
+        col("log_weight"), col("keep"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val q120Sql =
+    s"""WITH tgt_toks AS (
+       |  SELECT unnest($toksSql) AS term FROM documents
+       |  WHERE source = 'src0'),
+       |tgtlm AS (SELECT term, count(*) AS cf FROM tgt_toks GROUP BY term),
+       |tgtstats AS (SELECT CAST(sum(cf) AS DOUBLE) AS t_total,
+       |                    CAST(count(*) AS DOUBLE) AS v_size FROM tgtlm),
+       |toks AS (
+       |  SELECT doc_id, len(toks) AS dl, unnest(toks) AS term
+       |  FROM (SELECT doc_id, $toksSql AS toks FROM documents
+       |        WHERE source <> 'src0')),
+       |tf AS (SELECT doc_id, dl, term, count(*) AS tf
+       |       FROM toks GROUP BY doc_id, dl, term),
+       |rawlm AS (SELECT term, CAST(sum(tf) AS BIGINT) AS cf
+       |          FROM tf GROUP BY term),
+       |rawstats AS (SELECT CAST(sum(cf) AS DOUBLE) AS t_total,
+       |                    CAST(count(*) AS DOUBLE) AS v_size FROM rawlm),
+       |tscored AS (
+       |  SELECT tf.doc_id, tf.dl, tf.term, tf.tf,
+       |    tgtlm.cf IS NULL AS oov,
+       |    CAST(tf.tf AS DOUBLE) *
+       |      -ln((CAST(coalesce(tgtlm.cf, 0) AS DOUBLE) + 1.0)
+       |          / (s.t_total + 1.0 * (s.v_size + 1.0))) AS nll
+       |  FROM tf LEFT JOIN tgtlm USING (term) CROSS JOIN tgtstats s),
+       |tagg AS (
+       |  SELECT doc_id, dl,
+       |    CAST(sum(CASE WHEN oov THEN tf ELSE 0 END) AS BIGINT)
+       |      AS tgt_oov_tokens,
+       |    list(nll ORDER BY term) AS ls
+       |  FROM tscored GROUP BY doc_id, dl),
+       |tce AS (
+       |  SELECT doc_id, dl, tgt_oov_tokens,
+       |    round(list_inner_product(ls, list_transform(ls, x -> 1.0))
+       |      / dl, 6) AS ce_target
+       |  FROM tagg),
+       |rscored AS (
+       |  SELECT tf.doc_id, tf.dl, tf.term,
+       |    CAST(tf.tf AS DOUBLE) *
+       |      -ln((CAST(coalesce(rawlm.cf, 0) AS DOUBLE) + 1.0)
+       |          / (s.t_total + 1.0 * (s.v_size + 1.0))) AS nll
+       |  FROM tf LEFT JOIN rawlm USING (term) CROSS JOIN rawstats s),
+       |ragg AS (SELECT doc_id, dl, list(nll ORDER BY term) AS ls
+       |         FROM rscored GROUP BY doc_id, dl),
+       |rce AS (
+       |  SELECT doc_id,
+       |    round(list_inner_product(ls, list_transform(ls, x -> 1.0))
+       |      / dl, 6) AS ce_raw
+       |  FROM ragg),
+       |w AS (
+       |  SELECT t.doc_id, t.dl AS n_tokens, t.tgt_oov_tokens,
+       |    t.ce_target, r.ce_raw,
+       |    round(t.dl * (r.ce_raw - t.ce_target), 6) AS log_weight
+       |  FROM tce t JOIN rce r USING (doc_id))
+       |SELECT doc_id, n_tokens, tgt_oov_tokens, ce_target, ce_raw,
+       |  log_weight, log_weight >= 0 AS keep
+       |FROM w ORDER BY doc_id""".stripMargin
+
   /** PII redaction + audit counts (TextAnalysis.redactPii / piiCounts),
     * oracle-gated: the driver tables contain no PII, so each doc gets a
     * deterministic synthetic PII sentence built closed-form from its id —
@@ -522,6 +596,7 @@ object TextQueries {
     "q110_pii_redaction" -> (q110 _),
     "q98_unigram_ce" -> (q98 _),
     "q101_unigram_ce_frozen" -> (q101 _),
+    "q120_dsir_importance" -> (q120 _),
     "q93_bm25" -> (q93 _),
     "q43_fold_split" -> (q43 _),
     "q44_grouped_split" -> (q44 _),
@@ -539,6 +614,7 @@ object TextQueries {
     "q110_pii_redaction" -> q110Sql,
     "q98_unigram_ce" -> q98Sql,
     "q101_unigram_ce_frozen" -> q101Sql,
+    "q120_dsir_importance" -> q120Sql,
     "q93_bm25" -> q93Sql,
     "q43_fold_split" -> q43Sql,
     "q44_grouped_split" -> q44Sql,

@@ -265,6 +265,39 @@ class CurationSpec extends SparkSpec {
       assert(got.count(_._1 == id) == 1, s"doc $id")
   }
 
+  test("dsirImportance: target-like candidates score positive, " +
+    "disjoint-vocabulary candidates negative, and the log weight is the " +
+    "documented ce identity") {
+    val target = Seq(
+      (100L, "alpha beta alpha beta alpha beta"),
+      (101L, "alpha beta gamma alpha beta gamma")).toDF("doc_id", "text")
+    val candidates = Seq(
+      (1L, "alpha beta alpha beta"),      // target-like
+      (2L, "zeta eta theta iota"),        // disjoint from target
+      (3L, "alpha zeta beta eta")         // mixed
+    ).toDF("doc_id", "text")
+    val got = Curation.dsirImportance(candidates, target, "doc_id", "text")
+      .select("id", "n_tokens", "tgt_oov_tokens", "ce_target", "ce_raw",
+        "log_weight", "keep")
+      .as[(Long, Long, Long, Double, Double, Double, Boolean)]
+      .collect().sortBy(_._1).toSeq
+    assert(got.map(_._1) == Seq(1L, 2L, 3L))
+    val byId = got.map(r => r._1 -> r).toMap
+    // the target LM explains doc 1 better than the raw LM; doc 2 is all
+    // OOV to the target, so the smoothing floor drags it below raw
+    assert(byId(1L)._6 > 0 && byId(1L)._7)
+    assert(byId(2L)._6 < 0 && !byId(2L)._7)
+    assert(byId(2L)._3 == 4L) // every token of doc 2 is target-OOV
+    assert(byId(1L)._3 == 0L)
+    // logw = round(dl * (ce_raw - ce_target), 6), from the emitted ces
+    for ((_, r) <- byId) {
+      val want = BigDecimal(r._2 * (r._5 - r._4))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(r._6 - want) < 1e-12, s"doc ${r._1}")
+      assert(r._7 == (r._6 >= 0))
+    }
+  }
+
   // --------------------------------------------------- mixture sampling
 
   test("mixtureSample keeps exactly the hash-selected docs per source") {
