@@ -471,13 +471,81 @@ object StreamingQueries {
       |  AND r.r_ts <= l.ts + INTERVAL 30 MINUTE
       |ORDER BY l.event_id, r.r_event_id""".stripMargin
 
+  /** Streaming SCD-1 upsert sink through real micro-batches — the gate
+    * for `StreamingPipeline.upsertStream` + `Snapshot.mergeSnapshot`
+    * (the versioned-parquet MERGE shape).
+    *
+    * Construction: orders collapse to `k = o_orderkey div 4` with
+    * `ver = o_orderkey` (so each key sees up to 4 strictly-ordered
+    * versions, one per residue) and chunk by `o_orderkey % 4` — EXCEPT
+    * rows with `o_orderkey % 13 = 0`, which are bumped TWO chunks later
+    * (capped at 3). A bumped row arrives AFTER rows of the same key
+    * with HIGHER versions, so the merge must keep the snapshot row and
+    * discard the stale delta — version-wins-over-arrival, the SCD-1
+    * semantics a replayed or out-of-order feed depends on. The gate
+    * reads back the ENTIRE snapshot-version chain (v00000..v00003), not
+    * just the final state: snapshot b must equal keep-latest over
+    * chunks 0..b, which DuckDB restates directly — so a hash match
+    * proves every per-batch merge against the prior committed dir, not
+    * merely the endpoint.
+    */
+  private def q121(s: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_totalprice"))
+    val natural = col("o_orderkey") % 4
+    val delta = orders.select(
+      expr("o_orderkey div 4").as("k"),
+      col("o_orderkey").as("ver"), col("o_totalprice"),
+      when(col("o_orderkey") % 13 === 0, least(natural + 2, lit(3)))
+        .otherwise(natural).cast("int").as("b"))
+    val work = scratchDir("graft_q121")
+    val inDir = writeChunksPre(delta, work, 4)
+    val snapDir = new File(work, "snap").getPath
+    withGateConfs(s, 4) {
+      val stream = s.readStream.schema(delta.drop("b").schema)
+        .option("maxFilesPerTrigger", "1").parquet(inDir.getPath)
+      val q = StreamingPipeline.upsertStream(stream, Seq("k"), "ver",
+          snapDir)
+        .option("checkpointLocation", new File(work, "ckpt").getPath)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    (0 to 3).map { b =>
+      val d = new File(snapDir, f"v$b%05d")
+      require(d.isDirectory, s"missing snapshot version dir ${d.getPath}")
+      s.read.parquet(d.getPath).withColumn("snap", lit(b.toLong))
+    }.reduce(_ unionByName _)
+      .select(col("snap"), col("k"), col("ver"), col("o_totalprice"))
+      .orderBy(col("snap"), col("k"))
+  }
+
+  private val q121Sql =
+    """WITH d AS (
+      |  SELECT o_orderkey // 4 AS k, o_orderkey AS ver, o_totalprice,
+      |    CASE WHEN o_orderkey % 13 = 0
+      |         THEN LEAST(o_orderkey % 4 + 2, 3)
+      |         ELSE o_orderkey % 4 END AS b
+      |  FROM orders),
+      |s AS (SELECT unnest([0, 1, 2, 3]) AS snap),
+      |j AS (
+      |  SELECT s.snap, d.k, d.ver, d.o_totalprice,
+      |    row_number() OVER (PARTITION BY s.snap, d.k
+      |                       ORDER BY d.ver DESC) AS rn
+      |  FROM s JOIN d ON d.b <= s.snap)
+      |SELECT CAST(snap AS BIGINT) AS snap, k, ver, o_totalprice
+      |FROM j WHERE rn = 1
+      |ORDER BY snap, k""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q121_streaming_upsert" -> (q121 _),
     "q111_streaming_incr_dedup" -> (q111 _),
     "q113_streaming_semdedup" -> (q113 _),
     "q115_streaming_watermark" -> (q115 _),
     "q118_streaming_interval_join" -> (q118 _))
 
   val oracleSql: Map[String, String] = Map(
+    "q121_streaming_upsert" -> q121Sql,
     "q111_streaming_incr_dedup" -> q111Sql,
     "q113_streaming_semdedup" -> q113Sql,
     "q115_streaming_watermark" -> q115Sql,
