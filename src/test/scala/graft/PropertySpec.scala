@@ -510,4 +510,50 @@ class PropertySpec extends SparkSpec {
     assert(math.abs(weighted - corpusH) < 1e-5,
       s"decomposition off: $weighted vs $corpusH")
   }
+
+  test("chunking on random texts: brute-force parity for random " +
+    "window/stride, every token covered, chunk count formula holds") {
+    import graft.operators.Curation
+    val wordGen = Gen.oneOf("a", "bb", "ccc", "dddd", "тест", "字")
+    val textGen = for {
+      n <- Gen.chooseNum(0, 40)
+      ws <- Gen.listOfN(n, wordGen)
+      sep <- Gen.oneOf(" ", "  ", " \t ")
+    } yield ws.mkString(sep)
+    val texts = sample(textGen, 200).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }
+    for ((window, stride) <- Seq((5, 3), (7, 7), (4, 1), (16, 11))) {
+      val got = Curation
+        .chunkDocuments(texts.toDF("doc_id", "text"), "doc_id", "text",
+          window, stride)
+        .select("doc_id", "n_tokens", "chunk_idx", "chunk_tokens",
+          "chunk_hash")
+        .as[(Long, Long, Long, Long, String)].collect()
+        .sortBy(r => (r._1, r._3)).toSeq
+      def md5hex(s: String) =
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val want = texts.flatMap { case (id, text) =>
+        val toks = text.trim.split("\\s+", -1).toSeq
+        val chunks = math.ceil(
+          math.max(toks.length - window, 0) / stride.toDouble).toLong + 1
+        (0L until chunks).map { i =>
+          val c = toks.slice((i * stride).toInt,
+            (i * stride + window).toInt)
+          (id, toks.length.toLong, i, c.length.toLong,
+            md5hex(c.mkString(" ")))
+        }
+      }.sortBy(r => (r._1, r._3))
+      assert(got == want, s"window=$window stride=$stride")
+      // coverage: per doc, union of [i*stride, i*stride+chunk_tokens)
+      // spans [0, n_tokens)
+      for ((id, rows) <- got.groupBy(_._1)) {
+        val n = rows.head._2
+        val covered = rows.flatMap(r =>
+          (r._3 * stride) until (r._3 * stride + r._4)).toSet
+        assert(covered == (0L until n).toSet,
+          s"doc $id window=$window stride=$stride coverage hole")
+      }
+    }
+  }
 }

@@ -391,4 +391,38 @@ class SurfacePlanSpec extends SparkSpec {
         s"$name: cell join must not shuffle on the (few-valued) cell key")
     }
   }
+
+  test("q119 chunking is a single map-only stage: no join, no window, " +
+    "no aggregation — one explode over the chunk-index range (the gate's " +
+    "ORDER BY is the only exchange)") {
+    val qe = run("q119_doc_chunking").queryExecution
+    val plan = physical(run("q119_doc_chunking"))
+    val s = plan.toString
+    assert(!s.contains("Join"), "chunking must not plan any join")
+    assert(plan.collect { case w: WindowExec => w }.isEmpty,
+      "chunking must not plan a window pass")
+    assert(!s.contains("HashAggregate") && !s.contains("SortAggregate"),
+      "chunking must not plan an aggregation")
+    assert(qe.optimizedPlan.collect { case g: Generate => g }.size == 1,
+      "exactly one explode over the chunk-index range")
+    // every Exchange in the plan belongs to the output ORDER BY, i.e.
+    // range partitioning — the operator itself never shuffles
+    val exchanges = s.linesIterator.filter(_.contains("Exchange")).toSeq
+    assert(exchanges.forall(_.contains("rangepartitioning")),
+      s"non-sort exchange in a map-only operator:\n${exchanges.mkString("\n")}")
+  }
+
+  test("q120 DSIR: tf persisted once (both scorings read the cache), " +
+    "LM stats broadcast, no cartesian, no window pass") {
+    val plan = physical(run("q120_dsir_importance"))
+    val s = plan.toString
+    assert(!s.contains("CartesianProduct"),
+      "stats sides must broadcast, never a shuffled cartesian")
+    assert(s.contains("BroadcastNestedLoopJoin"),
+      s"one-row (T, V) stats must broadcast:\n${s.take(600)}")
+    assert(plan.collect { case w: WindowExec => w }.isEmpty,
+      "per-doc folds must not plan as window passes")
+    assert(s.contains("InMemoryTableScan"),
+      "tf must be persisted, not re-tokenized per scoring")
+  }
 }
