@@ -219,6 +219,46 @@ object WindowSetQueries {
       |GROUP BY l_returnflag
       |ORDER BY l_returnflag""".stripMargin
 
+  // --------------------------------------------------------------- q122
+  // Count-min frequency gate — q50's recipe for the THIRD sketch: the
+  // exact per-key counts hash-match DuckDB, and the sketch's two
+  // published contracts are emitted as booleans the oracle pins TRUE:
+  // estimates never undercount (a hard guarantee of the structure) and
+  // stay within eps*N of truth (w.h.p.; deterministic here because the
+  // sketch seed is fixed). The sketch bytes and the 6-row exact table
+  // are the only driver-side materialization (~112 KB + 6 rows — model
+  // scale); a deployment keeps just the sketch and skips the exact
+  // pass, which exists here only because a gate needs ground truth.
+  private def q122(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val eps = 0.001
+    val keyed = Tables.lineitem(s, dir)
+      .select(concat_ws("|", col("l_returnflag"), col("l_linestatus"))
+        .as("k"))
+    val bytes = keyed
+      .select(graft.operators.Sketches.countMin(col("k"), eps = eps))
+      .head().getAs[Array[Byte]](0)
+    val cms = org.apache.spark.util.sketch.CountMinSketch.readFrom(
+      new java.io.ByteArrayInputStream(bytes))
+    val exact = keyed.groupBy("k").agg(count(lit(1)).as("exact_cnt"))
+      .as[(String, Long)].collect().sortBy(_._1)
+    val n = exact.map(_._2).sum
+    exact.toSeq.map { case (k, c) =>
+      val est = cms.estimateCount(k)
+      (k, c, est >= c, est <= c + (eps * n).toLong + 1)
+    }.toDF("k", "exact_cnt", "cm_lower_ok", "cm_eps_ok")
+      .orderBy(col("k"))
+  }
+
+  private val q122Sql =
+    """SELECT concat_ws('|', l_returnflag, l_linestatus) AS k,
+      |  count(*) AS exact_cnt,
+      |  TRUE AS cm_lower_ok,
+      |  TRUE AS cm_eps_ok
+      |FROM lineitem
+      |GROUP BY 1
+      |ORDER BY k""".stripMargin
+
   // ---------------------------------------------------------------- q51
   // Transparent range join: the query is written as a PLAIN non-equi
   // inner join — no manual bucketing — and graft's RangeJoinRewrite
@@ -258,6 +298,7 @@ object WindowSetQueries {
     "q48_gapfill" -> (q48 _),
     "q49_array_explode" -> (q49 _),
     "q50_sketch_accuracy" -> (q50 _),
+    "q122_countmin_accuracy" -> (q122 _),
     "q51_range_join_auto" -> (q51 _))
 
   val oracleSql: Map[String, String] = Map(
@@ -267,5 +308,6 @@ object WindowSetQueries {
     "q48_gapfill" -> q48Sql,
     "q49_array_explode" -> q49Sql,
     "q50_sketch_accuracy" -> q50Sql,
+    "q122_countmin_accuracy" -> q122Sql,
     "q51_range_join_auto" -> q51Sql)
 }
