@@ -36,4 +36,35 @@ object Splits {
   def assignFolds(df: DataFrame, keyCol: String, folds: Int,
                   foldCol: String = "fold"): DataFrame =
     df.withColumn(foldCol, deterministicFold(col(keyCol), folds))
+
+  /** Reproducible global corpus shuffle — the "shuffle once, write S
+    * shard files" step every training run depends on: each row gets a
+    * shard (md5-fold of its id, so the assignment is engine-portable
+    * and stable under re-runs, repartitioning, and insertion order) and
+    * a position within that shard (rank by (md5 hex, id) — the hash
+    * makes the order pseudo-random, the id breaks the measure-zero
+    * hash-collision tie). Reading shard files in position order replays
+    * the exact same training order on any engine, any cluster size, any
+    * day.
+    *
+    * Scale shape: ONE hash shuffle on the shard key + a per-shard sort —
+    * the tera-sort pattern. `shards` is a deploy knob (thousands at
+    * 100 TB) bounding both the sort's partition size and the output
+    * file count; there is no global sort and no driver state. The rank
+    * is a window per shard, whose parallelism ceiling IS the shard
+    * count — size shards to the cluster exactly like q85's packing
+    * groups.
+    */
+  def corpusShuffle(df: DataFrame, idCol: String, shards: Int,
+                    shardCol: String = "shard",
+                    posCol: String = "pos"): DataFrame = {
+    require(shards > 0, "shards must be positive")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(shardCol))
+      .orderBy(col("_skey"), col(idCol))
+    df.withColumn(shardCol, deterministicFold(col(idCol), shards))
+      .withColumn("_skey", md5(col(idCol).cast("string")))
+      .withColumn(posCol, row_number().over(w).cast("long") - 1)
+      .drop("_skey")
+  }
 }

@@ -316,6 +316,30 @@ object TextQueries {
         graft.functions.OracleSafe.dsum(col("value")).as("total_value"))
       .orderBy(col("fold"))
 
+  // --------------------------------------------------------------- q123
+  // Reproducible corpus shuffle: every doc gets a shard (md5 fold) and
+  // a within-shard position (rank by md5 hex, id tiebreak) — replaying
+  // shard files in position order is the training order, on any engine.
+  // DuckDB restates the assignment verbatim.
+  private def q123(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Splits.corpusShuffle(
+        Tables.documents(s, dir).select(col("doc_id")), "doc_id",
+        shards = 8)
+      .select(col("doc_id"), col("shard"), col("pos"))
+      .orderBy(col("doc_id"))
+
+  private val q123Sql =
+    """WITH d AS (
+      |  SELECT doc_id,
+      |    CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+      |      AS BIGINT) % 8 AS shard,
+      |    md5(CAST(doc_id AS VARCHAR)) AS k
+      |  FROM documents)
+      |SELECT doc_id, shard,
+      |  row_number() OVER (PARTITION BY shard ORDER BY k, doc_id) - 1
+      |    AS pos
+      |FROM d ORDER BY doc_id""".stripMargin
+
   private val q44Sql =
     """SELECT CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
       |    AS BIGINT) % 5 AS fold,
@@ -600,6 +624,7 @@ object TextQueries {
     "q93_bm25" -> (q93 _),
     "q43_fold_split" -> (q43 _),
     "q44_grouped_split" -> (q44 _),
+    "q123_corpus_shuffle" -> (q123 _),
     "q20_exact_dedup" -> (q20 _),
     "q21_token_stats" -> (q21 _),
     "q22_quality_score" -> (q22 _),
@@ -618,6 +643,7 @@ object TextQueries {
     "q93_bm25" -> q93Sql,
     "q43_fold_split" -> q43Sql,
     "q44_grouped_split" -> q44Sql,
+    "q123_corpus_shuffle" -> q123Sql,
     "q20_exact_dedup" -> q20Sql,
     "q21_token_stats" -> q21Sql,
     "q22_quality_score" -> q22Sql,

@@ -86,4 +86,29 @@ class SplitsSpec extends SparkSpec {
     assert(out.columns.toSeq == Seq("id_a", "id_b", "sim"))
     assert(out.count() == 0)
   }
+
+  test("corpusShuffle: (shard, pos) is a bijection with contiguous " +
+    "per-shard positions, pseudo-random order, partition-independent") {
+    import spark.implicits._
+    val ids = spark.range(0, 5000).selectExpr("id AS doc_id")
+    val got = Splits.corpusShuffle(ids, "doc_id", shards = 8)
+      .select("doc_id", "shard", "pos")
+      .as[(Long, Long, Long)].collect()
+    assert(got.length == 5000)
+    // per shard: positions are exactly 0..n_s-1 (contiguous, no dup)
+    for ((s, rows) <- got.groupBy(_._2)) {
+      val ps = rows.map(_._3).sorted
+      assert(ps.toSeq == (0L until rows.length).toSeq, s"shard $s")
+    }
+    // pseudo-random: within a shard, position order must not equal id
+    // order (the point of hashing); astronomically unlikely by chance
+    val firstShard = got.filter(_._2 == got.head._2)
+    val byPos = firstShard.sortBy(_._3).map(_._1).toSeq
+    assert(byPos != byPos.sorted, "training order degenerated to id order")
+    // partition-independence: same assignment at any input partitioning
+    val again = Splits.corpusShuffle(ids.repartition(13), "doc_id", 8)
+      .select("doc_id", "shard", "pos")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(again == got.toSet)
+  }
 }
