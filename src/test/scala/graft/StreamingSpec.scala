@@ -170,6 +170,70 @@ class StreamingSpec extends SparkSpec {
     assert(store.distinct().count() == 3) // alpha, beta, gamma
   }
 
+  test("checkpoint recovery: a dedup stream stopped mid-corpus resumes " +
+    "from the same checkpoint, continues batch numbering, never " +
+    "reprocesses a chunk, and the combined emissions equal an " +
+    "uninterrupted run") {
+    val docs = (0L until 40L).map(i => (i, s"text${i % 10}"))
+    // chunk b holds ids with id % 4 == b; text i%10 repeats across
+    // chunks, so the dup mass SPANS the restart boundary (t0 first seen
+    // in chunk 0 must still be excluded in chunk 2, post-restart)
+    def writeChunks(inDir: java.io.File, bs: Range): Unit = bs.foreach {
+      b =>
+        val tmp = Files.createTempDirectory("graft-resume-tmp").toFile
+        docs.filter(_._1 % 4 == b).toDF("doc_id", "text")
+          .coalesce(1).write.mode("overwrite").parquet(tmp.getPath)
+        val part = tmp.listFiles().find(_.getName.endsWith(".parquet")).get
+        val dst = new java.io.File(inDir, s"c$b.parquet")
+        Files.copy(part.toPath, dst.toPath)
+        dst.setLastModified(1700000000000L + b * 60000L)
+    }
+    def runStream(inDir: java.io.File, digestDir: String, chk: String,
+                  sink: scala.collection.mutable.Map[Long,
+                    Set[(String, Long, Long)]]): Unit = {
+      val stream = spark.readStream
+        .schema(docs.toDF("doc_id", "text").schema)
+        .option("maxFilesPerTrigger", "1").parquet(inDir.getPath)
+      val q = StreamingPipeline.incrementalDedupStream(
+          stream, "doc_id", "text", digestDir) { (kept, id) =>
+          sink += id -> kept.as[(String, Long, Long)].collect().toSet
+        }
+        .option("checkpointLocation", chk)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    // interrupted run: chunks 0-1, stop, add 2-3, NEW query, same state
+    val work = Files.createTempDirectory("graft-resume").toFile
+    val inDir = new java.io.File(work, "in"); inDir.mkdirs()
+    val digests = new java.io.File(work, "digests").getPath
+    val chk = new java.io.File(work, "ckpt").getPath
+    val got = scala.collection.mutable.Map
+      .empty[Long, Set[(String, Long, Long)]]
+    writeChunks(inDir, 0 to 1)
+    runStream(inDir, digests, chk, got)
+    assert(got.keySet == Set(0L, 1L), s"pre-restart batches: ${got.keySet}")
+    writeChunks(inDir, 2 to 3)
+    runStream(inDir, digests, chk, got)
+    // batch ids CONTINUE from the checkpoint — chunks 0-1 not reprocessed
+    assert(got.keySet == Set(0L, 1L, 2L, 3L),
+      s"post-restart batches: ${got.keySet}")
+    // uninterrupted twin on fresh state
+    val work2 = Files.createTempDirectory("graft-resume2").toFile
+    val inDir2 = new java.io.File(work2, "in"); inDir2.mkdirs()
+    val got2 = scala.collection.mutable.Map
+      .empty[Long, Set[(String, Long, Long)]]
+    writeChunks(inDir2, 0 to 3)
+    runStream(inDir2, new java.io.File(work2, "digests").getPath,
+      new java.io.File(work2, "ckpt").getPath, got2)
+    assert(got.toMap == got2.toMap,
+      "restarted emissions diverge from the uninterrupted run")
+    // cross-restart dedup really happened: chunk 2's batch re-offers
+    // every text chunk 0 emitted, so it must emit nothing
+    assert(got(2L).isEmpty && got(3L).isEmpty,
+      s"store leaked across the restart: ${got(2L)} ${got(3L)}")
+  }
+
   test("streaming semDedup matches the batch q97 semantics over " +
     "monotone-id batches") {
     import graft.operators.Similarity
