@@ -458,7 +458,37 @@ object Curation {
                      addK: Double = 1.0,
                      tfStorage: org.apache.spark.storage.StorageLevel =
                        org.apache.spark.storage.StorageLevel
-                         .MEMORY_AND_DISK): DataFrame = {
+                         .MEMORY_AND_DISK): DataFrame =
+    dsirImportanceBuild(candidates, target, idCol, textCol, addK,
+      tfStorage)._1
+
+  /** [[dsirImportance]] with a SELF-ENFORCING cache lifetime (the
+    * [[unigramCrossEntropyScoped]] pattern): runs `action` on the
+    * result, then unpersists the internal tf cache before returning —
+    * the form a long-lived scoring service should call per batch, so
+    * corpus-sized cached frames never accumulate.
+    */
+  def dsirImportanceScoped[T](candidates: DataFrame, target: DataFrame,
+                              idCol: String, textCol: String,
+                              addK: Double = 1.0,
+                              tfStorage: org.apache.spark.storage
+                                .StorageLevel =
+                                org.apache.spark.storage.StorageLevel
+                                  .MEMORY_AND_DISK)
+                             (action: DataFrame => T): T = {
+    val (result, cached) =
+      dsirImportanceBuild(candidates, target, idCol, textCol, addK,
+        tfStorage)
+    try action(result)
+    finally cached.unpersist(blocking = true)
+  }
+
+  private def dsirImportanceBuild(candidates: DataFrame, target: DataFrame,
+                                  idCol: String, textCol: String,
+                                  addK: Double,
+                                  tfStorage: org.apache.spark.storage
+                                    .StorageLevel)
+      : (DataFrame, DataFrame) = {
     val tf = docTermFreq(candidates, idCol, textCol).persist(tfStorage)
     val tgtScore =
       unigramCrossEntropyAgainstTf(tf, unigramLm(target, textCol), addK)
@@ -468,10 +498,11 @@ object Curation {
     val rawScore =
       unigramCrossEntropyAgainstTf(tf, unigramLmOfTf(tf), addK)
         .select(col("id"), col("ce").as("ce_raw"))
-    tgtScore.join(rawScore, Seq("id"))
+    val result = tgtScore.join(rawScore, Seq("id"))
       .withColumn("log_weight",
         round(col("n_tokens") * (col("ce_raw") - col("ce_target")), 6))
       .withColumn("keep", col("log_weight") >= 0)
+    (result, tf)
   }
 
   // ------------------------------------------------------------------

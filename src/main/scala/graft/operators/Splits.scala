@@ -54,11 +54,29 @@ object Splits {
     * is a window per shard, whose parallelism ceiling IS the shard
     * count — size shards to the cluster exactly like q85's packing
     * groups.
+    *
+    * PRECONDITION: `idCol` must be UNIQUE. Two rows sharing an id share
+    * the whole sort key, so their relative positions are
+    * engine/partitioning-dependent — exactly the drift this operator
+    * exists to prevent. Dedup first (the id is usually a content hash
+    * or surrogate key, unique by construction); when the input's
+    * provenance is uncertain, pass `requireUniqueIds = true` to spend
+    * one aggregate proving it and fail loudly instead of silently
+    * emitting an irreproducible order.
     */
   def corpusShuffle(df: DataFrame, idCol: String, shards: Int,
                     shardCol: String = "shard",
-                    posCol: String = "pos"): DataFrame = {
+                    posCol: String = "pos",
+                    requireUniqueIds: Boolean = false): DataFrame = {
     require(shards > 0, "shards must be positive")
+    if (requireUniqueIds) {
+      val r = df.agg(count(col(idCol)).as("n"),
+        countDistinct(col(idCol)).as("d")).head()
+      require(r.getLong(0) == r.getLong(1),
+        s"corpusShuffle: $idCol is not unique (${r.getLong(0)} rows, " +
+          s"${r.getLong(1)} distinct) — positions would be " +
+          "partitioning-dependent; dedup before shuffling")
+    }
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(shardCol))
       .orderBy(col("_skey"), col(idCol))

@@ -123,9 +123,9 @@ object Soak {
     // a map-only or window-append query (q85 packing, q119 chunking)
     // times near-zero because the pruned plan never computes its output
     // columns. SPARK_GRAFT_FORCE=checksum evaluates every column of
-    // every row instead (sum of per-row hashes — unprunable, and the
-    // hash cost is linear in output mass, which such queries are
-    // anyway). Keep count() as the default so series measured with it
+    // every row instead (a bit_xor fold of per-row hashes — unprunable,
+    // and the hash cost is linear in output mass, which such queries
+    // are anyway). Keep count() as the default so series measured with it
     // stay comparable; checksum rows are labeled in SCALE.md.
     val force = sys.env.getOrElse("SPARK_GRAFT_FORCE", "count")
     def eval(df: DataFrame): Long = force match {

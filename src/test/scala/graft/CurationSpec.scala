@@ -296,6 +296,21 @@ class CurationSpec extends SparkSpec {
       assert(math.abs(r._6 - want) < 1e-12, s"doc ${r._1}")
       assert(r._7 == (r._6 >= 0))
     }
+    // the scoped form returns the same rows and releases its tf cache
+    // (the unigramCrossEntropyScoped lifetime contract). Note Spark's
+    // CacheManager is plan-keyed: an identical tf plan persisted twice
+    // shares one entry, so this must run on a clean slate to observe
+    // the release in isolation.
+    spark.catalog.clearCache()
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val scoped = Curation.dsirImportanceScoped(
+        candidates, target, "doc_id", "text") { res =>
+      res.select("id", "log_weight", "keep")
+        .as[(Long, Double, Boolean)].collect().toSet
+    }
+    assert(scoped == got.map(r => (r._1, r._6, r._7)).toSet)
+    assert(spark.sparkContext.getPersistentRDDs.keySet == before,
+      "dsirImportanceScoped leaked a cached RDD")
   }
 
   // --------------------------------------------------- mixture sampling

@@ -111,4 +111,24 @@ class SplitsSpec extends SparkSpec {
       .as[(Long, Long, Long)].collect().toSet
     assert(again == got.toSet)
   }
+
+  test("corpusShuffle with requireUniqueIds fails loudly on duplicate " +
+    "ids instead of emitting a partitioning-dependent order") {
+    val dup = spark.range(0, 100).selectExpr("(id % 50) AS doc_id")
+    val e = intercept[IllegalArgumentException] {
+      Splits.corpusShuffle(dup, "doc_id", 4, requireUniqueIds = true)
+    }
+    assert(e.getMessage.contains("not unique"))
+    // unique ids pass the check and produce the same assignment as the
+    // unchecked path
+    val ids = spark.range(0, 100).selectExpr("id AS doc_id")
+    val checked = Splits
+      .corpusShuffle(ids, "doc_id", 4, requireUniqueIds = true)
+      .select("doc_id", "shard", "pos")
+      .as[(Long, Long, Long)].collect().toSet
+    val unchecked = Splits.corpusShuffle(ids, "doc_id", 4)
+      .select("doc_id", "shard", "pos")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(checked == unchecked)
+  }
 }
