@@ -234,6 +234,77 @@ class StreamingSpec extends SparkSpec {
       s"store leaked across the restart: ${got(2L)} ${got(3L)}")
   }
 
+  test("checkpoint recovery: the semDedup cell-partitioned store " +
+    "survives a stop/restart — post-restart batches still dedup " +
+    "against pre-restart vectors, emissions match an uninterrupted run") {
+    val centroids = Seq(Seq(1.0, 0.0), Seq(0.0, 1.0))
+    // vec i: direction by i % 2 (its cell), near-identical within a
+    // cell, so every vector duplicates the min same-cell id; chunks by
+    // i % 4 → the canonical (ids 0 and 1) lands in chunks 0-1, and the
+    // post-restart chunks 2-3 must still point their dup_of at it
+    val vecs = (0L until 16L).map { i =>
+      val base = if (i % 2 == 0) Seq(1.0f, 0.001f * i) else
+        Seq(0.001f * i, 1.0f)
+      (i, base)
+    }
+    def writeChunks(inDir: java.io.File, bs: Range): Unit = bs.foreach {
+      b =>
+        val tmp = Files.createTempDirectory("graft-semres-tmp").toFile
+        vecs.filter(_._1 % 4 == b).toDF("vec_id", "embedding")
+          .coalesce(1).write.mode("overwrite").parquet(tmp.getPath)
+        val part = tmp.listFiles().find(_.getName.endsWith(".parquet")).get
+        val dst = new java.io.File(inDir, s"c$b.parquet")
+        Files.copy(part.toPath, dst.toPath)
+        dst.setLastModified(1700000000000L + b * 60000L)
+    }
+    def runStream(inDir: java.io.File, stateDir: String, chk: String,
+                  sink: scala.collection.mutable.Map[Long,
+                    Set[(Long, Long, Long, Boolean)]]): Unit = {
+      val stream = spark.readStream
+        .schema(vecs.toDF("vec_id", "embedding").schema)
+        .option("maxFilesPerTrigger", "1").parquet(inDir.getPath)
+      val q = StreamingPipeline.semDedupStream(
+          stream, centroids, threshold = 0.9, stateDir) { (res, id) =>
+          sink += id -> res
+            .select(col("vec_id"), col("cell"),
+              coalesce(col("dup_of"), lit(-1L)).as("dup_of"), col("kept"))
+            .as[(Long, Long, Long, Boolean)].collect().toSet
+        }
+        .option("checkpointLocation", chk)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    val work = Files.createTempDirectory("graft-semres").toFile
+    val inDir = new java.io.File(work, "in"); inDir.mkdirs()
+    val state = new java.io.File(work, "state").getPath
+    val chk = new java.io.File(work, "ckpt").getPath
+    val got = scala.collection.mutable.Map
+      .empty[Long, Set[(Long, Long, Long, Boolean)]]
+    writeChunks(inDir, 0 to 1)
+    runStream(inDir, state, chk, got)
+    writeChunks(inDir, 2 to 3)
+    runStream(inDir, state, chk, got)
+    assert(got.keySet == Set(0L, 1L, 2L, 3L))
+    // uninterrupted twin
+    val work2 = Files.createTempDirectory("graft-semres2").toFile
+    val inDir2 = new java.io.File(work2, "in"); inDir2.mkdirs()
+    val got2 = scala.collection.mutable.Map
+      .empty[Long, Set[(Long, Long, Long, Boolean)]]
+    writeChunks(inDir2, 0 to 3)
+    runStream(inDir2, new java.io.File(work2, "state").getPath,
+      new java.io.File(work2, "ckpt").getPath, got2)
+    assert(got.toMap == got2.toMap,
+      "restarted semDedup emissions diverge from the uninterrupted run")
+    // the cross-restart store really answered: every post-restart vector
+    // is a dup of its cell's pre-restart canonical (0 or 1)
+    for (b <- Seq(2L, 3L); (id, _, dupOf, kept) <- got(b)) {
+      assert(!kept && dupOf == id % 2,
+        s"batch $b vec $id: dup_of=$dupOf kept=$kept — store lost " +
+          "pre-restart state")
+    }
+  }
+
   test("streaming semDedup matches the batch q97 semantics over " +
     "monotone-id batches") {
     import graft.operators.Similarity
