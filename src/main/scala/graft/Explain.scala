@@ -28,7 +28,9 @@ object Explain {
         "q88_curate_corpus", "q90_repeated_spans", "q91_vec_centroids",
         "q93_bm25", "q94_weighted_sample", "q96_span_removal_keepfirst",
         "q97_semantic_dedup", "q98_unigram_ce", "q101_unigram_ce_frozen",
-        "q103_semantic_dedup_increment", "q104_knn_ivf_adaptive")
+        "q103_semantic_dedup_increment", "q104_knn_ivf_adaptive",
+        "q117_image_dedup_corpus", "q119_doc_chunking",
+        "q120_dsir_importance", "q123_corpus_shuffle")
     names.foreach { n =>
       println(s"\n========== $n ==========")
       SparkEntry.queries.get(n) match {
