@@ -676,6 +676,43 @@ object Curation {
           .as("chunk_hash"))
   }
 
+  /** Content-defined chunking (the FastCDC/rsync family's idea at token
+    * granularity): a chunk boundary falls AFTER every token whose
+    * md5-derived 60-bit hash is ≡ 0 mod `divisor`, so expected chunk
+    * length is `divisor` tokens and — the point — boundaries depend on
+    * CONTENT, not position. Inserting or deleting a token perturbs only
+    * the chunk it lands in; downstream chunk hashes re-synchronize
+    * immediately, which is what makes CDC chunk-hash dedup robust to
+    * edits where [[chunkDocuments]]'s fixed windows (every boundary
+    * shifts) are not. Pair the emitted `chunk_hash` with the q82/q111
+    * digest store for sub-document incremental dedup.
+    *
+    * Scale shape: one explode, one doc-partitioned prefix-count window
+    * (parallelism = #docs — corpus-scale by construction, and the
+    * per-doc window is bounded by the same bounded-doc assumption the
+    * tokenizer explode makes), one hash aggregate. The boundary hash is
+    * the house md5-60bit recipe, so any engine reproduces the chunking
+    * bit-for-bit.
+    */
+  def cdcChunks(df: DataFrame, idCol: String, textCol: String,
+                divisor: Int = 8): DataFrame = {
+    require(divisor > 0, "divisor must be positive")
+    val h60 = conv(substring(md5(col("token")), 1, 15), 16, 10)
+      .cast("long")
+    val w = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.select(col(idCol), posexplode(TextAnalysis.tokens(col(textCol)))
+        .as(Seq("pos", "token")))
+      .withColumn("flag", (pmod(h60, lit(divisor)) === 0).cast("long"))
+      .withColumn("chunk_id", coalesce(sum(col("flag")).over(w), lit(0L)))
+      .groupBy(col(idCol), col("chunk_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        md5(array_join(
+          transform(
+            array_sort(collect_list(struct(col("pos"), col("token")))),
+            s => s.getField("token")), " ")).as("chunk_hash"))
+  }
+
   // ------------------------------------------------------------------
   // Mixture-weighted sampling (executes a mixture plan)
   // ------------------------------------------------------------------

@@ -669,7 +669,38 @@ object CurationQueries {
        |    list_slice(toks, i * 48 + 1, i * 48 + 64), ' ')) AS chunk_hash
        |FROM x ORDER BY doc_id, chunk_idx""".stripMargin
 
+  // --------------------------------------------------------------- q124
+  // Content-defined chunking: boundary after every token whose md5-60bit
+  // hash ≡ 0 mod 8; chunk id = prefix count of boundary flags among
+  // PRECEDING tokens. DuckDB restates the flags, the prefix window, and
+  // the md5 of every in-order re-joined chunk.
+  private def q124(s: SparkSession, dir: String): DataFrame =
+    Curation.cdcChunks(Tables.documents(s, dir), "doc_id", "text",
+        divisor = 8)
+      .orderBy(col("doc_id"), col("chunk_id"))
+
+  private val q124Sql =
+    s"""WITH d AS (SELECT doc_id, $toksSql AS toks FROM documents),
+       |t AS (
+       |  SELECT doc_id, i, toks[i] AS token,
+       |    (CAST(concat('0x', substr(md5(toks[i]), 1, 15)) AS BIGINT)
+       |       % 8 = 0) AS flag
+       |  FROM d, UNNEST(generate_series(1, len(toks))) AS u(i)),
+       |c AS (
+       |  SELECT doc_id, i, token,
+       |    COALESCE(SUM(CASE WHEN flag THEN 1 ELSE 0 END) OVER (
+       |      PARTITION BY doc_id ORDER BY i
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |      AS chunk_id
+       |  FROM t)
+       |SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+       |  count(*) AS n_tokens,
+       |  md5(string_agg(token, ' ' ORDER BY i)) AS chunk_hash
+       |FROM c GROUP BY doc_id, chunk_id
+       |ORDER BY doc_id, chunk_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q124_cdc_chunks" -> (q124 _),
     "q119_doc_chunking" -> (q119 _),
     "q102_span_removal_runvote" -> (q102 _),
     "q79_contamination" -> (q79 _),
@@ -690,6 +721,7 @@ object CurationQueries {
     "q96_span_removal_keepfirst" -> (q96 _))
 
   val oracleSql: Map[String, String] = Map(
+    "q124_cdc_chunks" -> q124Sql,
     "q119_doc_chunking" -> q119Sql,
     "q79_contamination" -> q79Sql,
     "q80_repetition" -> q80Sql,

@@ -265,6 +265,44 @@ class CurationSpec extends SparkSpec {
       assert(got.count(_._1 == id) == 1, s"doc $id")
   }
 
+  test("cdcChunks: edit-resistance — one inserted token perturbs at " +
+    "most the chunks touching the edit, while fixed windows shift " +
+    "every downstream boundary") {
+    import scala.util.Random
+    val rnd = new Random(7)
+    val words = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta",
+      "eta", "theta", "iota", "kappa")
+    val base = Seq.fill(400)(words(rnd.nextInt(words.length)))
+    val edited = (base.take(100) :+ "INSERTED") ++ base.drop(100)
+    val df = Seq((1L, base.mkString(" ")), (2L, edited.mkString(" ")))
+      .toDF("doc_id", "text")
+    def hashes(out: org.apache.spark.sql.DataFrame, id: Long) = out
+      .filter(col("doc_id") === id).select("chunk_hash")
+      .as[String].collect().toSeq
+    val cdc = Curation.cdcChunks(df, "doc_id", "text", divisor = 8)
+    val cdcBase = hashes(cdc, 1L)
+    val cdcEdit = hashes(cdc, 2L)
+    // multiset intersection: all but the chunk(s) touching the edit are
+    // bit-identical — the insert changes ONE chunk (or splits it in two)
+    def multisetShared(a: Seq[String], b: Seq[String]): Int = {
+      val bc = b.groupBy(identity).view.mapValues(_.size).toMap
+      a.groupBy(identity)
+        .map { case (k, v) => math.min(v.size, bc.getOrElse(k, 0)) }.sum
+    }
+    val shared = multisetShared(cdcBase, cdcEdit)
+    assert(cdcBase.size - shared <= 1 && cdcEdit.size - shared <= 2,
+      s"CDC lost sync: ${cdcBase.size} base / ${cdcEdit.size} edited / " +
+        s"$shared shared")
+    // the fixed-window counterpart desynchronizes everything downstream
+    val fixed = Curation.chunkDocuments(df, "doc_id", "text",
+      window = 8, stride = 8)
+    val fb = hashes(fixed, 1L)
+    val fe = hashes(fixed, 2L)
+    val fShared = (fb.toSet intersect fe.toSet).size
+    assert(fShared < fb.size / 2,
+      s"fixed windows unexpectedly edit-resistant: $fShared of ${fb.size}")
+  }
+
   test("dsirImportance: target-like candidates score positive, " +
     "disjoint-vocabulary candidates negative, and the log weight is the " +
     "documented ce identity") {
