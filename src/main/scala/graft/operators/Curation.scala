@@ -687,12 +687,20 @@ object Curation {
     * shifts) are not. Pair the emitted `chunk_hash` with the q82/q111
     * digest store for sub-document incremental dedup.
     *
-    * Scale shape: one explode, one doc-partitioned prefix-count window
-    * (parallelism = #docs — corpus-scale by construction, and the
-    * per-doc window is bounded by the same bounded-doc assumption the
-    * tokenizer explode makes), one hash aggregate. The boundary hash is
-    * the house md5-60bit recipe, so any engine reproduces the chunking
-    * bit-for-bit.
+    * Scale shape: one explode, one DOC-PARTITIONED prefix-count window,
+    * one hash aggregate. The window sorts the token stream on
+    * (hash(doc), pos) — a linear-volume distributed sort whose
+    * parallelism is the doc count, NOT q90's corpus-wide
+    * single-partition hazard (PlanHealthSpec would flag an
+    * unpartitioned window here). A fully map-only formulation exists
+    * (per-doc array lambdas computing cut positions and chunk spans)
+    * and was measured: Catalyst evaluates higher-order-function bodies
+    * interpreted per element, so the md5-per-token inside a lambda ran
+    * a multiple (~2-9× across probes, on a co-tenant-noisy box) slower
+    * than this codegen'd exploded form at every scale tried — the
+    * shuffle is cheaper than leaving whole-stage codegen.
+    * The boundary hash is the house md5-60bit recipe, so any engine
+    * reproduces the chunking bit-for-bit.
     */
   def cdcChunks(df: DataFrame, idCol: String, textCol: String,
                 divisor: Int = 8): DataFrame = {

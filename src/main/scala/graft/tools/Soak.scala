@@ -46,7 +46,8 @@ object Soak {
     "q88_curate_corpus", "q90_repeated_spans", "q93_bm25",
     "q98_unigram_ce", "q104_knn_ivf_adaptive", "q105_knn_ivfpq",
     "q109_image_near_dup", "q117_image_dedup_corpus",
-    "q119_doc_chunking", "q120_dsir_importance", "q123_corpus_shuffle")
+    "q119_doc_chunking", "q120_dsir_importance", "q123_corpus_shuffle",
+    "q124_cdc_chunks")
 
   /** Same co-tenant preflight as [[graft.Bench]]: exponent fits across
     * scale runs are meaningless if one run raced a loaded box, so wait
