@@ -194,7 +194,17 @@ object Bench {
       // the driver's BENCH_r files keep only a truncated tail, so this is
       // the one complete per-query record across runs. tools/bench_diff.py
       // diffs its last two lines to separate real moves from load noise.
-      Files.write(Paths.get("BENCH_HISTORY.jsonl"),
+      // Resolved NEXT TO the BENCH_SELF output (overridable), never a bare
+      // cwd-relative path — runs launched from another directory must not
+      // scatter or silently split the history the diff tool depends on.
+      val hist = sys.env.get("SPARK_GRAFT_BENCH_HISTORY")
+        .map(Paths.get(_))
+        .getOrElse {
+          val dir = out.toAbsolutePath.getParent
+          if (dir == null) Paths.get("BENCH_HISTORY.jsonl")
+          else dir.resolve("BENCH_HISTORY.jsonl")
+        }
+      Files.write(hist,
         (line + "\n").getBytes(StandardCharsets.UTF_8),
         StandardOpenOption.CREATE, StandardOpenOption.APPEND)
     } catch { case e: Throwable =>

@@ -24,19 +24,26 @@ object Tables {
     * pctRank auto threshold) a full `count()` action is a complete pass
     * over the fact table charged to every invocation; the footers carry
     * the exact count for free. Driver-side O(files) footer reads,
-    * memoized per path (the testdata is immutable for a session; a
-    * mutable warehouse would key the memo on modification time).
+    * memoized per (path, listing signature): the signature folds every
+    * file's name, length, and mtime, so a dataset REGENERATED in-session
+    * invalidates its entry instead of driving a strategy pick off a
+    * stale count. The listing itself is re-read per call — that is the
+    * cheap part; the memo only skips the O(files) footer OPENS.
     */
-  def rowCount(spark: SparkSession, sfDir: String, name: String): Long =
-    rowCountCache.computeIfAbsent(s"$sfDir/$name.parquet", { path =>
-      val hPath = new org.apache.hadoop.fs.Path(path)
-      val conf = spark.sparkContext.hadoopConfiguration
-      val fs = hPath.getFileSystem(conf)
-      val files =
-        if (fs.getFileStatus(hPath).isDirectory)
-          fs.listStatus(hPath).toSeq
-            .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
-        else Seq(fs.getFileStatus(hPath))
+  def rowCount(spark: SparkSession, sfDir: String, name: String): Long = {
+    val path = s"$sfDir/$name.parquet"
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = hPath.getFileSystem(conf)
+    val files =
+      if (fs.getFileStatus(hPath).isDirectory)
+        fs.listStatus(hPath).toSeq
+          .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+      else Seq(fs.getFileStatus(hPath))
+    val sig = files.map(f =>
+        s"${f.getPath.getName}:${f.getLen}:${f.getModificationTime}")
+      .sorted.mkString(path + "|", ",", "")
+    rowCountCache.computeIfAbsent(sig, { _ =>
       files.map { st =>
         val in = org.apache.parquet.hadoop.util.HadoopInputFile
           .fromStatus(st, conf)
@@ -44,6 +51,7 @@ object Tables {
         try r.getRecordCount finally r.close()
       }.sum
     })
+  }
 
   private val rowCountCache =
     new java.util.concurrent.ConcurrentHashMap[String, Long]()

@@ -255,13 +255,28 @@ object Audio {
     * the same pigeonhole-blocked Hamming join as text SimHash and image
     * dHash ([[graft.operators.Dedup.simHashPairsBlocked]] unchanged);
     * only 16-byte (id, fp) rows ever shuffle.
+    *
+    * ROUTE GUARD: above `routeThreshold` clips the call REFUSES and
+    * points at [[dedupCorpus]] — same rationale and pattern as
+    * [[graft.multimodal.ImageHash.nearDuplicates]] (the pair list is the
+    * superlinear object; the corpus rollup is the deployment form).
     */
   def nearDuplicates(media: Dataset[MediaRow], maxHamming: Int,
                      codec: AudioCodec = WavCodec,
-                     numBlocks: Int = -1): DataFrame =
+                     numBlocks: Int = -1,
+                     routeThreshold: Long = 1L << 23): DataFrame = {
+    val n = media.count()
+    require(n <= routeThreshold,
+      s"Audio.nearDuplicates: corpus has $n clips > " +
+        s"routeThreshold=$routeThreshold. The Hamming PAIR LIST has an " +
+        "N²-scale candidate floor (SCALE.md q109); at this scale use " +
+        "Audio.dedupCorpus (exact-code collapse + distinct-code join — " +
+        "the q117 deployment form), or raise routeThreshold explicitly " +
+        "to accept the pair-join cost.")
     graft.operators.Dedup.simHashPairsBlocked(
       fingerprints(media, codec), "media_id", "fp", maxHamming,
       fp = identity, numBlocks = numBlocks)
+  }
 
   /** Corpus-scale perceptual audio dedup: exact-code grouping, blocked
     * Hamming join over DISTINCT envelope hashes, connected components —

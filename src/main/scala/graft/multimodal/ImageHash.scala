@@ -119,14 +119,32 @@ object ImageHash {
     * ∝ C(m,a)·N²/2^(keyBits+1), so a corpus-scale run may buy a wider
     * compound key (more blocks → more index rows, fewer candidates) —
     * measured tradeoff in SCALE.md (q109 ×1000).
+    *
+    * ROUTE GUARD (the s33 / cosineNearDupPairsAuto house pattern): above
+    * `routeThreshold` images the call REFUSES — the pair LIST is the
+    * superlinear object (candidate floor above, and a k-copy cluster
+    * emits k²/2 pairs), while the dedup-semantics answer at corpus scale
+    * is [[dedupCorpus]] (exact-code collapse first; measured 4× cheaper
+    * at 5M images, SCALE.md q117). Callers that truly want pairs at
+    * scale raise the threshold explicitly and own the cost.
     */
   def nearDuplicates(media: Dataset[MediaRow], maxHamming: Int,
                      codec: ImageCodec = Codecs.AutoCodec,
                      hash: Image => Long = dHash64,
-                     numBlocks: Int = -1): DataFrame =
+                     numBlocks: Int = -1,
+                     routeThreshold: Long = 1L << 23): DataFrame = {
+    val n = media.count()
+    require(n <= routeThreshold,
+      s"ImageHash.nearDuplicates: corpus has $n images > " +
+        s"routeThreshold=$routeThreshold. The Hamming PAIR LIST has an " +
+        "N²-scale candidate floor (SCALE.md q109); at this scale use " +
+        "ImageHash.dedupCorpus (exact-code collapse + distinct-code " +
+        "join, measured 4x cheaper — q117), or raise routeThreshold " +
+        "explicitly to accept the pair-join cost.")
     Dedup.simHashPairsBlocked(
       fingerprints(media, codec, hash), "media_id", "fp", maxHamming,
       fp = identity, numBlocks = numBlocks)
+  }
 
   /** Corpus-scale perceptual image dedup: exact-code grouping, blocked
     * Hamming join over DISTINCT codes, connected components — one

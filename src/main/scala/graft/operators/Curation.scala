@@ -269,13 +269,23 @@ object Curation {
     finally cached.unpersist(blocking = true)
   }
 
-  /** Vocabulary-size ceiling for broadcasting the unigram model into the
-    * scoring join. 2²² terms ≈ a few hundred MB of (term, cf) rows —
-    * generous for any natural-language vocabulary (Heaps' law puts even
-    * web-scale corpora in the tens of millions), tiny next to shuffling
-    * the corpus-sized tf frame.
+  /** Byte ceiling for broadcasting the unigram model into the scoring
+    * join: the smaller of 512 MB and an eighth of the driver heap. The
+    * hint bypasses `autoBroadcastJoinThreshold`, so the ceiling must be
+    * a MEASURED size, not a row count — a hash-polluted or binary-token
+    * "vocabulary" with huge terms could fit 2²² rows yet dwarf the
+    * driver. The estimate is the summed UTF-8 term bytes plus a
+    * per-row constant for the hashed-relation row overhead; above the
+    * ceiling the join falls back to shuffle (correct, just slower).
     */
-  private val BroadcastVocabMax = 1L << 22
+  private val BroadcastVocabMaxBytes: Long =
+    math.min(512L << 20, Runtime.getRuntime.maxMemory() / 8)
+
+  /** Per-row overhead (bytes) of a broadcast hashed-relation entry on
+    * top of the raw term bytes: UnsafeRow header + long cf + hash-map
+    * slot, rounded up generously.
+    */
+  private val BroadcastRowOverhead = 48L
 
   private def unigramCrossEntropyBuild(df: DataFrame, idCol: String,
                                        textCol: String,
@@ -294,10 +304,13 @@ object Curation {
     // skewed term keys (the ×1000 soak measured q98 at p = 1.63; the
     // model is vocabulary-sized and belongs on the map side, the same
     // lesson as the IVF cell join and the incremental-dedup store probe).
-    val stats = cf.agg(count(lit(1)).as("v"), sum(col("cf")).as("t")).head()
+    val stats = cf.agg(count(lit(1)).as("v"), sum(col("cf")).as("t"),
+      sum(octet_length(col("term"))).as("b")).head()
     val vocabN = stats.getLong(0)
     val tTotal = if (stats.isNullAt(1)) 0.0 else stats.getLong(1).toDouble
-    val cfSide = if (vocabN <= BroadcastVocabMax) broadcast(cf) else cf
+    val termBytes = if (stats.isNullAt(2)) 0L else stats.getLong(2)
+    val estBytes = termBytes + vocabN * BroadcastRowOverhead
+    val cfSide = if (estBytes <= BroadcastVocabMaxBytes) broadcast(cf) else cf
     val scored = tf.join(cfSide, "term")
       .withColumn("_nll", col("tf").cast("double") *
         -log(col("cf").cast("double") / lit(tTotal)))

@@ -359,6 +359,10 @@ object Dedup {
     */
   def repeatedSpans(df: DataFrame, idCol: String, textCol: String,
                     k: Int, minDocs: Int = 2): DataFrame = {
+    // minDocs = 1 would mark EVERY gram covered (each occurs in its own
+    // doc) — a degenerate all-spans request nobody means; fail loudly
+    // rather than silently behaving like minDocs = 2 via the fast path.
+    require(minDocs >= 2, s"minDocs must be >= 2 (got $minDocs)")
     val grams = widen(df).select(col(idCol).as("id"),
         posexplode(graft.plans.SetExpressions.positionalWordShingles(
           col(textCol), k)))
@@ -371,7 +375,7 @@ object Dedup {
     // to a two-phase (h, id)-distinct shuffle of the whole gram stream
     // (the ×1000 soak measured the difference as part of q90's p = 1.61).
     val dup =
-      if (minDocs <= 2)
+      if (minDocs == 2)
         grams.groupBy(col("h"))
           .agg(min(col("id")).as("_mn"), max(col("id")).as("_mx"))
           .filter(col("_mn") =!= col("_mx"))
@@ -591,10 +595,34 @@ object Dedup {
     * list (a cluster of k exact copies contributes k rows, not k²/2
     * pairs). The fingerprint frame is persisted internally (it feeds the
     * code rollup and the final mapping join); lifetime follows the
-    * session-LRU contract of [[Similarity.semDedup]].
+    * session-LRU contract of [[Similarity.semDedup]] — use
+    * [[hammingDedupCorpusScoped]] to bound it to an action instead.
     */
   def hammingDedupCorpus(fps: DataFrame, idCol: String, fpCol: String,
-                         maxHamming: Int, numBlocks: Int = -1): DataFrame = {
+                         maxHamming: Int, numBlocks: Int = -1): DataFrame =
+    hammingDedupCorpusBuild(fps, idCol, fpCol, maxHamming, numBlocks)._1
+
+  /** [[hammingDedupCorpus]] with caller-scoped cache lifetime: runs
+    * `action` on the result, then unpersists the internal fingerprint
+    * frame — the twin [[graft.operators.Curation.dsirImportanceScoped]]/
+    * `unigramCrossEntropyScoped` pattern, for long-lived sessions where
+    * repeated corpus-dedup calls would otherwise accumulate
+    * MEMORY_AND_DISK blocks until LRU pressure.
+    */
+  def hammingDedupCorpusScoped[T](fps: DataFrame, idCol: String,
+                                  fpCol: String, maxHamming: Int,
+                                  numBlocks: Int = -1)
+                                 (action: DataFrame => T): T = {
+    val (result, cached) =
+      hammingDedupCorpusBuild(fps, idCol, fpCol, maxHamming, numBlocks)
+    try action(result)
+    finally cached.unpersist(blocking = true)
+  }
+
+  private def hammingDedupCorpusBuild(fps: DataFrame, idCol: String,
+                                      fpCol: String, maxHamming: Int,
+                                      numBlocks: Int)
+      : (DataFrame, DataFrame) = {
     val f = fps.select(col(idCol).cast("long").as("id"),
         col(fpCol).cast("long").as("fp"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -609,11 +637,12 @@ object Dedup {
     // min id of its code)
     val comps = connectedComponents(codes.select(col("cid").as("id")),
       codePairs)
-    f.join(codes, "fp")
+    val result = f.join(codes, "fp")
       .join(comps.withColumnRenamed("id", "cid"), Seq("cid"))
       .select(col("id").as(idCol), col("fp"),
         col("label").as("canonical_id"),
         (col("id") === col("label")).as("kept"))
+    (result, f)
   }
 
   /** SimHash over whitespace tokens: per-bit majority vote of token hashes,

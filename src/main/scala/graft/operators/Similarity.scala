@@ -712,22 +712,40 @@ object Similarity {
     * seeding), so the model is reproducible across runs and partitionings.
     *
     * Scale: each subspace fit keeps only model-scale state on the driver
-    * (k × dim/m doubles). At corpus scale, train on a SAMPLE — codebook
-    * quality tracks the distribution, not the row count; pass
-    * `df.sample(...)` (FAISS trains PQ on ~100k–1M vectors regardless of
-    * index size).
+    * (k × dim/m doubles), and training is CAPPED at `trainSampleMax`
+    * vectors by default — codebook quality tracks the distribution, not
+    * the row count (FAISS trains PQ on ~100k–1M vectors regardless of
+    * index size), so fitting on the full corpus buys nothing and makes
+    * training cost grow with the index. The sample is a deterministic
+    * hash-order prefix (`xxhash64(id)` asc, id asc tie-break), so the
+    * model is independent of partitioning, row order, AND corpus growth
+    * beyond the cap is absorbed as long as the hash prefix is stable.
+    * Pass `trainSampleMax = 0` to force full-corpus training (the old
+    * behavior — only sensible for small corpora / oracle replay).
     */
   def pqTrain(df: DataFrame, dim: Int, m: Int, ksub: Int, iters: Int = 5,
               idCol: String = "vec_id",
-              vecCol: String = "embedding"): Seq[Seq[Seq[Double]]] = {
+              vecCol: String = "embedding",
+              trainSampleMax: Int = 1 << 20): Seq[Seq[Seq[Double]]] = {
     require(m >= 1 && dim % m == 0, "dim must divide evenly into m subspaces")
+    require(trainSampleMax >= 0, "trainSampleMax must be >= 0 (0 = uncapped)")
     val dsub = dim / m
-    (0 until m).map { j =>
-      val sub = df.select(col(idCol).as("id"),
-        slice(col(vecCol).cast("array<double>"), j * dsub + 1, dsub)
-          .as("sub"))
-      kmeansFit(sub, ksub, iters, idCol = "id", vecCol = "sub")
-    }
+    // One shared sample for every subspace fit: a global hash-ordered
+    // prefix (TakeOrdered — per-partition top-n, no full sort/shuffle),
+    // persisted so the m × iters k-means scans hit the bounded sample,
+    // not the corpus.
+    val base =
+      if (trainSampleMax == 0) df
+      else df.orderBy(xxhash64(col(idCol)), col(idCol)).limit(trainSampleMax)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      (0 until m).map { j =>
+        val sub = base.select(col(idCol).as("id"),
+          slice(col(vecCol).cast("array<double>"), j * dsub + 1, dsub)
+            .as("sub"))
+        kmeansFit(sub, ksub, iters, idCol = "id", vecCol = "sub")
+      }
+    } finally if (trainSampleMax != 0) base.unpersist()
   }
 
   /** PQ codes for one vector column: per subspace, the 1-based index of
@@ -804,6 +822,39 @@ object Similarity {
                nprobe: Int = 1,
                idCol: String = "vec_id",
                vecCol: String = "embedding"): DataFrame = {
+    val scored = ivfPqParts(queries, corpus, centroids, codebooks, nprobe,
+      idCol, vecCol)._2
+    // Bounded top-k AGGREGATE, not a rank window: the window form sorts
+    // every query's full candidate slice (O(candidates log candidates)
+    // per task) and shuffles it to a per-query partition; the aggregate
+    // keeps a k-element heap per query per task (O(candidates log k)),
+    // map-side-combines, and shuffles only tasks × queries × k rows.
+    // Output identical — (adist asc, neighbor_id asc) is a total order,
+    // so "the k best" does not depend on how they are found (TopKAggSpec
+    // pins agg == window on random data; SimilaritySpec pins this path).
+    // ×1000 probe (tools.Q105Prof): the agg form cut the post-scan cost,
+    // and the remaining wall is the LINEAR candidate-scan kernel.
+    val ranked = scored.groupBy(col("query_id"))
+      .agg(graft.plans.AggExpressions
+        .topKByScore(-col("adist"), col("neighbor_id"), k).as("_top"))
+      .select(col("query_id"), posexplode(col("_top")))
+    ranked.select(col("query_id"), (col("pos") + 1).as("rank"),
+      col("col.id").as("neighbor_id"), (-col("col.score")).as("adist"))
+  }
+
+  /** The two internal stages of [[ivfPqKnn]], exposed for stage bisection
+    * (tools.Q105Prof): `_1` = the encoded corpus (cell, neighbor_id,
+    * codes), `_2` = the ADC-scored candidate stream (query_id,
+    * neighbor_id, adist) BEFORE any top-k — callers that want a bounded
+    * top-k without a window sort can aggregate `_2` with
+    * [[graft.plans.AggExpressions.topKByScore]].
+    */
+  def ivfPqParts(queries: DataFrame, corpus: DataFrame,
+                 centroids: Seq[Seq[Double]],
+                 codebooks: Seq[Seq[Seq[Double]]],
+                 nprobe: Int = 1,
+                 idCol: String = "vec_id",
+                 vecCol: String = "embedding"): (DataFrame, DataFrame) = {
     require(nprobe >= 1 && nprobe <= centroids.size, "nprobe in [1, cells]")
     val m = codebooks.size
     val ctLit = typedLit(centroids.map(_.toSeq))
@@ -827,20 +878,16 @@ object Similarity {
           s => s.getField("idx").cast("long"))))
       .withColumn("lut", pqLutCol(col("qv"), codebooks))
       .select(col("cell"), col("query_id"), col("lut"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("adist").asc, col("neighbor_id").asc)
     // broadcast the probe side: queries × nprobe rows vs the corpus — a
     // shuffle join here hashes a handful of distinct cell ids into very
     // few post-shuffle partitions (the ×100 soak measured a 45 s stage
     // with TWO tasks); broadcasting keeps the corpus in place and the
     // per-candidate kernel running at full scan parallelism.
-    broadcast(q).join(c, Seq("cell"))
+    val scored = broadcast(q).join(c, Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("adist", round(adcCol(col("lut"), col("codes"), m), 6))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("neighbor_id"),
-        col("adist"))
+      .select(col("query_id"), col("neighbor_id"), col("adist"))
+    (c, scored)
   }
 
   /** IVF-PQ with an exact re-rank tail (FAISS's standard recipe): take

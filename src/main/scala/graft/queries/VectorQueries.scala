@@ -112,6 +112,11 @@ object VectorQueries {
     */
   def centroidsForProfiling: Seq[Seq[Double]] = q32Centroids
 
+  /** The q105 constant PQ codebooks, shared with profiling tools
+    * (Q105Prof) so stage bisection measures the exact registered plan.
+    */
+  def codebooksForProfiling: Seq[Seq[Seq[Double]]] = q105Codebooks
+
   /** DuckDB SQL fragment for the squared-L2 distance list to `centroids`
     * — shared with StreamingQueries q113 so the streaming oracle assigns
     * cells with the exact same fp expansion as q32/q103.

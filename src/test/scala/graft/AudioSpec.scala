@@ -231,6 +231,20 @@ class AudioSpec extends SparkSpec {
     assert(pairs == Set((1L, 2L)), s"got $pairs")
   }
 
+  test("audio nearDuplicates refuses above routeThreshold, routing to " +
+    "dedupCorpus") {
+    val rows = (1 to 3).map(i =>
+      MediaRow(i.toLong, "audio",
+        WavCodec.encode(AudioClip(i.toLong, 8000, 1, modulated(800, 0.1, i))),
+        "wav")).toDS()
+    Audio.nearDuplicates(rows, maxHamming = 6, routeThreshold = 3L).count()
+    val ex = intercept[IllegalArgumentException] {
+      Audio.nearDuplicates(rows, maxHamming = 6, routeThreshold = 2L)
+    }
+    assert(ex.getMessage.contains("dedupCorpus"), ex.getMessage)
+    assert(ex.getMessage.contains("routeThreshold"), ex.getMessage)
+  }
+
   test("segment splits clips and audioMeta/audioFeatures run per partition") {
     val clips = Seq(
       MediaRow(1L, "audio",

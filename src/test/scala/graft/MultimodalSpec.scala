@@ -122,6 +122,23 @@ class MultimodalSpec extends SparkSpec {
       s"expected the planted near-dup cluster, got $pairs")
   }
 
+  test("image nearDuplicates refuses above routeThreshold, routing to " +
+    "dedupCorpus") {
+    import graft.multimodal.{Codecs, ImageHash}
+    val rows = (1 to 4).map(i =>
+      MediaRow(i.toLong, "image",
+        Codecs.BmpCodec.encode(scene(16, 12, i)), "bmp")).toDS()
+    // at the threshold: runs fine (same pairs as an unguarded call)
+    ImageHash.nearDuplicates(rows, maxHamming = 6, routeThreshold = 4L)
+      .count()
+    // above it: loud refusal naming the corpus-rollup deployment form
+    val ex = intercept[IllegalArgumentException] {
+      ImageHash.nearDuplicates(rows, maxHamming = 6, routeThreshold = 3L)
+    }
+    assert(ex.getMessage.contains("dedupCorpus"), ex.getMessage)
+    assert(ex.getMessage.contains("routeThreshold"), ex.getMessage)
+  }
+
   test("imageStats reports exact integer channel sums and pixel extremes") {
     import graft.multimodal.Codecs
     // 2×1 RGB: (10,20,30), (250,0,128) — hand-checkable sums/extremes

@@ -556,4 +556,46 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("CDC edit locality: one random insert/delete changes O(1) chunk " +
+    "hashes — the property that IS the operator's reason to exist") {
+    import graft.operators.Curation
+    val words = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta",
+      "eta", "theta", "iota", "kappa", "lambda", "mu")
+    val caseGen = for {
+      n <- Gen.chooseNum(5, 120)
+      toks <- Gen.listOfN(n, Gen.oneOf(words))
+      pos <- Gen.chooseNum(0, n - 1)
+      ins <- Gen.oneOf(true, false)
+      w <- Gen.oneOf(words)
+    } yield (toks, pos, ins, w)
+    val cases = sample(caseGen, 120)
+    val docs = cases.zipWithIndex.flatMap { case ((toks, pos, ins, w), i) =>
+      val edited =
+        if (ins) toks.take(pos) ++ (w :: toks.drop(pos))
+        else toks.take(pos) ++ toks.drop(pos + 1)
+      Seq((2L * i, toks.mkString(" ")), (2L * i + 1, edited.mkString(" ")))
+    }
+    // every (base, edited) pair chunked in ONE job
+    val out = Curation.cdcChunks(docs.toDF("doc_id", "text"),
+        "doc_id", "text", divisor = 8)
+      .select("doc_id", "chunk_hash").as[(Long, String)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+    def shared(a: Seq[String], b: Seq[String]): Int = {
+      val bc = b.groupBy(identity).view.mapValues(_.size).toMap
+      a.groupBy(identity)
+        .map { case (k, v) => math.min(v.size, bc.getOrElse(k, 0)) }.sum
+    }
+    cases.indices.foreach { i =>
+      val base = out(2L * i)
+      val edit = out(2L * i + 1)
+      val s = shared(base, edit)
+      // boundaries are content-defined, so only the chunk CONTAINING the
+      // edit changes: it is replaced (diff 1/1), split by an inserted
+      // boundary token (diff 1/2), or merged by deleting one (diff 2/1)
+      assert(base.size - s <= 2 && edit.size - s <= 2,
+        s"case $i (${cases(i)._3}): ${base.size} base / ${edit.size} " +
+          s"edited / $s shared — CDC lost sync")
+    }
+  }
 }

@@ -399,4 +399,54 @@ class SimilaritySpec extends SparkSpec {
     assert(reranked > 0.8, s"rerank recall $reranked implausibly low")
     assert(adc > 0.2, s"raw ADC recall $adc implausibly low")
   }
+
+  test("ivfPqKnn's topK-aggregate ranking == the window rank-filter " +
+    "formulation on real embeddings") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val cents = graft.queries.VectorQueries.centroidsForProfiling
+    val cbs = graft.queries.VectorQueries.codebooksForProfiling
+    val q = emb.filter(col("vec_id") < 50)
+    val got = Similarity.ivfPqKnn(q, emb, 10, cents, cbs)
+      .as[(Long, Int, Long, Double)].collect().toSet
+    // reference: explicit window rank over the same scored candidates
+    val scored = Similarity.ivfPqParts(q, emb, cents, cbs)._2
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("adist").asc, col("neighbor_id").asc)
+    val win = scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 10)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        col("adist"))
+      .as[(Long, Int, Long, Double)].collect().toSet
+    assert(got == win, s"agg/window diverge: ${got.diff(win).take(5)} / " +
+      s"${win.diff(got).take(5)}")
+    assert(got.nonEmpty)
+  }
+
+  test("pqTrain's trainSampleMax cap is deterministic across partitionings " +
+    "and equals training on the hash-prefix sample directly") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val cap = 256
+    val capped = Similarity.pqTrain(emb, dim = 64, m = 4, ksub = 8,
+      iters = 2, trainSampleMax = cap)
+    // partitioning must not change the model: the sample is a global
+    // hash-ordered prefix, not a per-partition artifact
+    val repart = Similarity.pqTrain(emb.repartition(7), dim = 64, m = 4,
+      ksub = 8, iters = 2, trainSampleMax = cap)
+    assert(capped == repart, "capped pqTrain depends on partitioning")
+    // the cap means exactly "train on the first `cap` ids in xxhash64
+    // order": training on that subset uncapped gives the same codebooks
+    val prefix = emb.orderBy(xxhash64(col("vec_id")), col("vec_id"))
+      .limit(cap)
+    val direct = Similarity.pqTrain(prefix, dim = 64, m = 4, ksub = 8,
+      iters = 2, trainSampleMax = 0)
+    assert(capped == direct, "cap != hash-prefix subset training")
+    // a cap >= N is a no-op: identical to full-corpus training
+    val n = emb.count().toInt
+    val wide = Similarity.pqTrain(emb, dim = 64, m = 4, ksub = 8,
+      iters = 2, trainSampleMax = n + 1)
+    val full = Similarity.pqTrain(emb, dim = 64, m = 4, ksub = 8,
+      iters = 2, trainSampleMax = 0)
+    assert(wide == full, "cap >= N must equal uncapped training")
+  }
 }
