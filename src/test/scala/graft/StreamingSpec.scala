@@ -839,6 +839,78 @@ class StreamingSpec extends SparkSpec {
     assert(v0 == Set((1L, "a"), (2L, "b")))
   }
 
+  test("checkpoint recovery: the upsert sink's versioned snapshot chain " +
+    "survives a stop/restart — batch numbering continues, no version " +
+    "dir is recommitted, and every per-batch snapshot equals the " +
+    "uninterrupted run's") {
+    // rows: (k, v, version); chunk b carries keys 0..5 with version = b+1
+    // except key b which STAYS at version 1 — so later chunks both
+    // overwrite (higher version) and lose (replayed lower version) across
+    // the restart boundary, exercising the merge in both directions.
+    def chunkRows(b: Int): Seq[(Long, String, Int)] =
+      (0L to 5L).map(k =>
+        (k, s"v${if (k == b) 1 else b + 1}-k$k",
+          if (k == b) 1 else b + 1))
+    def writeChunks(inDir: java.io.File, bs: Range): Unit = bs.foreach {
+      b =>
+        val tmp = Files.createTempDirectory("graft-upsert-tmp").toFile
+        chunkRows(b).toDF("k", "v", "version")
+          .coalesce(1).write.mode("overwrite").parquet(tmp.getPath)
+        val part = tmp.listFiles().find(_.getName.endsWith(".parquet")).get
+        val dst = new java.io.File(inDir, s"c$b.parquet")
+        Files.copy(part.toPath, dst.toPath)
+        dst.setLastModified(1700000000000L + b * 60000L)
+    }
+    val schema = chunkRows(0).toDF("k", "v", "version").schema
+    def runStream(inDir: java.io.File, snapDir: String, chk: String): Unit = {
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(inDir.getPath)
+      val q = StreamingPipeline.upsertStream(stream, Seq("k"), "version",
+          snapDir)
+        .option("checkpointLocation", chk)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    def chain(snapDir: String): Map[String, Set[(Long, String, Int)]] =
+      Option(new java.io.File(snapDir).listFiles()).getOrElse(Array.empty)
+        .filter(f => f.isDirectory && f.getName.startsWith("v"))
+        .map(d => d.getName -> spark.read.parquet(d.getPath)
+          .select("k", "v", "version").as[(Long, String, Int)]
+          .collect().toSet)
+        .toMap
+    // interrupted run: chunks 0-1, stop ("kill after batch 2 of 4"),
+    // add 2-3, NEW query on the same checkpoint + snapshot dir
+    val work = Files.createTempDirectory("graft-upsert-rec").toFile
+    val inDir = new java.io.File(work, "in"); inDir.mkdirs()
+    val snap = new java.io.File(work, "snap").getPath
+    val chk = new java.io.File(work, "ckpt").getPath
+    writeChunks(inDir, 0 to 1)
+    runStream(inDir, snap, chk)
+    assert(chain(snap).keySet == Set("v00000", "v00001"),
+      s"pre-restart versions: ${chain(snap).keySet}")
+    writeChunks(inDir, 2 to 3)
+    runStream(inDir, snap, chk)
+    val got = chain(snap)
+    // batch ids continue — v00000/v00001 not recommitted, 2 new versions
+    assert(got.keySet == Set("v00000", "v00001", "v00002", "v00003"),
+      s"post-restart versions: ${got.keySet}")
+    // uninterrupted twin on fresh state
+    val work2 = Files.createTempDirectory("graft-upsert-rec2").toFile
+    val inDir2 = new java.io.File(work2, "in"); inDir2.mkdirs()
+    val snap2 = new java.io.File(work2, "snap").getPath
+    writeChunks(inDir2, 0 to 3)
+    runStream(inDir2, snap2, new java.io.File(work2, "ckpt").getPath)
+    assert(got == chain(snap2),
+      "restarted snapshot chain diverges from the uninterrupted run")
+    // version-wins semantics really crossed the restart: key 0 upgraded
+    // to chunk 3's version 4, while key 3's version-1 row in chunk 3
+    // LOSES to the version 3 written before the restart
+    val fin = got("v00003").map(r => r._1 -> r._3).toMap
+    assert(fin(0L) == 4 && fin(3L) == 3,
+      s"merge-across-restart broke version-wins: $fin")
+  }
+
   test("statement file stream refines micro-batches with the batch pipeline") {
     val in = Files.createTempDirectory("graft-stream-in").toString
     val chk = Files.createTempDirectory("graft-stream-chk").toString
