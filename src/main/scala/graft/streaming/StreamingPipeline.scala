@@ -144,23 +144,69 @@ object StreamingPipeline {
     * its own subdir from `seen` (same anti-join as the first attempt) and
     * overwrites it (no double-append).
     */
+  /** Digest-prefix partition column: the first hex char of the md5, so
+    * each batch subdir splits into ≤16 buckets and the per-batch store
+    * probe can PRUNE to the buckets the batch actually touches — the
+    * "bucketed/sorted by digest prefix" layout the map-side probe's
+    * scaladoc prescribes for 100 TB stores. One hex char is the
+    * store-side sweet spot here: pruning caps at scan/16 per bucket
+    * while directory fan-out stays bounded (16 dirs × batches); a
+    * trickle-ingest deployment with tiny batches would widen to two
+    * chars (256 buckets).
+    */
+  private def digestPfx: org.apache.spark.sql.Column =
+    substring(col("content_hash"), 1, 1).as("pfx")
+
   private[graft] def incrementalDedupBatch(
       batch: DataFrame, batchId: Long, idCol: String, textCol: String,
       digestDir: String)(onBatch: (DataFrame, Long) => Unit): Unit = {
     val s = batch.sparkSession
     val seenDirs = batchDirsBefore(digestDir, "b", Long.MaxValue)
       .filterNot(_.getName == f"b$batchId%05d")
+    // per-dir reads + union (not one multi-root read): batch subdirs mix
+    // layouts legitimately — pfx-bucketed (normal batches), flat (empty
+    // batches, pre-bucketing stores) — and multi-root partition
+    // discovery rejects the mix (CONFLICTING_DIRECTORY_STRUCTURES).
+    // Filters still push through the Union into every child scan.
     val seen =
-      if (seenDirs.nonEmpty) s.read.parquet(seenDirs.map(_.getPath): _*)
-      else s.range(0).select(lit("").as("content_hash"))
+      if (seenDirs.nonEmpty)
+        seenDirs.map(d => s.read.parquet(d.getPath))
+          .reduce(_.unionByName(_, allowMissingColumns = true))
+      else s.range(0).select(lit("").as("content_hash"),
+        lit("").as("pfx"))
+    // Bucket pruning: only store partitions whose digest prefix appears
+    // in THIS batch can contain a match. The touched-prefix list is
+    // model-scale (≤16 values, one tiny job over the small batch side),
+    // and the filter lands on each bucketed scan as a partition filter —
+    // O(touched buckets) files read instead of O(store). Rows from flat
+    // (legacy/empty) subdirs carry a null pfx and are kept — correct,
+    // just unpruned.
+    val touched = batch.select(
+        substring(md5(col(textCol)), 1, 1).as("pfx"))
+      .distinct().collect().map(_.getString(0)).toSeq
+    val pruned =
+      if (seen.columns.contains("pfx"))
+        seen.filter(col("pfx").isNull || col("pfx").isin(touched: _*))
+          .drop("pfx")
+      else seen
     // map-side form: the historical store never shuffles, whatever its
     // size — the per-batch cost a long-lived stream actually pays
     val kept = graft.operators.Curation
-      .incrementalDedupDigestsMapSide(batch, seen, idCol, textCol)
+      .incrementalDedupDigestsMapSide(batch, pruned, idCol, textCol)
       .persist()
-    kept.count() // pin results BEFORE the store grows (self-read safety)
+    val nKept = kept.count() // pin results BEFORE the store grows
     onBatch(kept, batchId)
-    kept.select("content_hash").write.mode("overwrite")
+    // a PARTITIONED write of zero rows leaves a schemaless dir parquet
+    // cannot re-read (the semDedupBatch lesson) — empty batches write
+    // flat, with pfx as a DATA column so the schema still unions.
+    // repartition(pfx) first: without it every task writes every bucket
+    // (tasks × 16 small files per batch); with it each bucket is ONE
+    // file, so the probe's per-bucket read cost is footers it actually
+    // needs. The shuffle is batch-digest-sized — the store never moves.
+    val out = kept.select(col("content_hash"), digestPfx)
+    (if (nKept > 0)
+       out.repartition(col("pfx")).write.mode("overwrite").partitionBy("pfx")
+     else out.write.mode("overwrite"))
       .parquet(f"$digestDir/b$batchId%05d")
     kept.unpersist()
     ()
@@ -266,10 +312,16 @@ object StreamingPipeline {
     else None
   }
 
-  /** The full digest store as one DataFrame (union of all batch subdirs). */
+  /** The full digest store as one DataFrame (union of all batch subdirs).
+    * The `pfx` bucket column is a LAYOUT detail — consumers see only the
+    * digest column.
+    */
   def digestStore(spark: SparkSession, digestDir: String): DataFrame = {
     val dirs = batchDirsBefore(digestDir, "b", Long.MaxValue)
-    if (dirs.nonEmpty) spark.read.parquet(dirs.map(_.getPath): _*)
+    if (dirs.nonEmpty)
+      dirs.map(d => spark.read.parquet(d.getPath))
+        .reduce(_.unionByName(_, allowMissingColumns = true))
+        .select("content_hash")
     else spark.range(0).select(lit("").as("content_hash"))
   }
 
@@ -294,19 +346,30 @@ object StreamingPipeline {
     *
     * Returns the number of subdirs removed. `partitionCols` preserves
     * the store's layout (pass `Seq("cell")` for the semDedup store so
-    * touched-cell pruning keeps working on the compacted dir).
+    * touched-cell pruning keeps working on the compacted dir); when left
+    * empty, partition columns are INFERRED from the first source dir's
+    * `k=v` subdirs, so compacting a bucketed store (the digest store's
+    * `pfx` layout) keeps its pruning without the caller knowing the
+    * layout.
     */
   def compactStateDirs(spark: SparkSession, dir: String, beforeId: Long,
                        prefix: String = "b",
                        partitionCols: Seq[String] = Nil): Int = {
     val dirs = batchDirsBefore(dir, prefix, beforeId)
     if (dirs.length < 2) return 0
+    val layout =
+      if (partitionCols.nonEmpty) partitionCols
+      else dirs.iterator.flatMap(d =>
+          Option(d.listFiles()).getOrElse(Array.empty)
+            .filter(f => f.isDirectory && f.getName.contains("="))
+            .map(_.getName.takeWhile(_ != '=')))
+        .distinct.toSeq
     val merged = dirs.map(d => spark.read.parquet(d.getPath))
-      .reduce(_.unionByName(_))
+      .reduce(_.unionByName(_, allowMissingColumns = true))
       .persist()
     merged.count() // pin the union BEFORE overwriting a source dir
     val writer = merged.write.mode("overwrite")
-    (if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*)
+    (if (layout.nonEmpty) writer.partitionBy(layout: _*)
      else writer).parquet(dirs.last.getPath)
     merged.unpersist()
     // sources drop only AFTER the merged dir is fully in place; a crash
