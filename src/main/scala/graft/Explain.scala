@@ -30,7 +30,9 @@ object Explain {
         "q97_semantic_dedup", "q98_unigram_ce", "q101_unigram_ce_frozen",
         "q103_semantic_dedup_increment", "q104_knn_ivf_adaptive",
         "q117_image_dedup_corpus", "q119_doc_chunking",
-        "q120_dsir_importance", "q123_corpus_shuffle")
+        "q120_dsir_importance", "q123_corpus_shuffle",
+        "q125_gopher_rules", "q126_rrf_hybrid", "q127_prototype_prune",
+        "q128_semantic_decontam")
     names.foreach { n =>
       println(s"\n========== $n ==========")
       SparkEntry.queries.get(n) match {

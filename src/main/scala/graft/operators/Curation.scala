@@ -121,6 +121,56 @@ object Curation {
         topTokFrac > lit(maxTopTokenFrac)).as("repetitive"))
   }
 
+  /** Gopher-style document STOP RULES as one shuffle-free projection:
+    * the doc-level keep/drop battery (Rae et al. 2021 "Scaling Language
+    * Models" §A1.1; FineWeb keeps the same shape) — word-count bounds,
+    * mean-word-length window, minimum type/token diversity, and a
+    * minimum stop-word fraction (real prose contains function words;
+    * keyword-stuffed or boilerplate text does not). Emits every metric,
+    * every per-rule verdict, and the composite `keep` — pipelines filter
+    * on `keep` but LOG the rule columns (knowing WHY mass was dropped is
+    * what makes threshold tuning possible at corpus scale).
+    *
+    * Defaults are the paper's; pass corpus-appropriate bounds (the q125
+    * gate tunes them to its synthetic corpus so every rule exercises
+    * both verdicts). All metrics are exact-integer ratios evaluated in
+    * one fixed expression shape — deterministic across engines and
+    * partitionings. Scale: map-only (no explode, no shuffle); the token
+    * array lives once per row in the projection.
+    */
+  def gopherQualityFilter(df: DataFrame, idCol: String, textCol: String,
+                          minWords: Int = 50, maxWords: Int = 100000,
+                          minMeanWordLen: Double = 3.0,
+                          maxMeanWordLen: Double = 10.0,
+                          minUniqueFrac: Double = 0.2,
+                          minStopwordFrac: Double = 0.0,
+                          stopwords: Seq[String] =
+                            Seq("the", "a", "and", "of", "to", "in", "is",
+                              "for", "on", "with")): DataFrame = {
+    val base = df.select(col(idCol),
+      TextAnalysis.tokens(col(textCol)).as("_toks"))
+    val n = size(col("_toks"))
+    val nD = greatest(n, lit(1)).cast("double")
+    val sw = array(stopwords.map(lit): _*)
+    val meanLen = aggregate(transform(col("_toks"), t => length(t)),
+      lit(0L), (acc, x) => acc + x.cast("long")).cast("double") / nD
+    val uniqueFrac = size(array_distinct(col("_toks"))).cast("double") / nD
+    val stopFrac = size(filter(col("_toks"),
+      t => array_contains(sw, t))).cast("double") / nD
+    val okWords = n >= minWords && n <= maxWords
+    val okLen = meanLen >= minMeanWordLen && meanLen <= maxMeanWordLen
+    val okUnique = uniqueFrac >= minUniqueFrac
+    val okStop = stopFrac >= minStopwordFrac
+    base.select(col(idCol),
+      n.as("n_words"),
+      round(meanLen, 6).as("mean_word_len"),
+      round(uniqueFrac, 6).as("unique_frac"),
+      round(stopFrac, 6).as("stopword_frac"),
+      okWords.as("ok_words"), okLen.as("ok_word_len"),
+      okUnique.as("ok_unique"), okStop.as("ok_stopwords"),
+      (okWords && okLen && okUnique && okStop).as("keep"))
+  }
+
   // ------------------------------------------------------------------
   // Duplicated-span diagnostic (corpus-level duplication rate)
   // ------------------------------------------------------------------

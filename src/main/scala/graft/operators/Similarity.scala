@@ -417,6 +417,87 @@ object Similarity {
         col("min_d2"), col("max_d2"))
   }
 
+  /** Prototypicality pruning (SSL-prototypes / D4 — Sorscher et al.
+    * 2022, Abbas et al. 2024): per cluster, rank vectors by closeness
+    * to their centroid and DROP the most prototypical `dropFrac` — the
+    * cluster-center mass is the most redundant training signal, and
+    * pruning it beats random pruning at equal token budget. Emits one
+    * row per vector: (vec_id, cell, d2, proto_rank, n_cell, kept) —
+    * rank 1 = most prototypical; kept = rank > ceil(dropFrac · n_cell).
+    * Ranks use the 6-dp-rounded distance (id tie-break), so the keep
+    * set is engine- and partitioning-independent.
+    *
+    * Scale: one shuffle on cell for the two same-partitioning windows.
+    * Deployment sizes k with the corpus (D4 uses ~11k clusters; k ∝ √N
+    * is common), so per-cell window slices stay corpus/k-bounded — with
+    * a handful of demo cells this would be a q90-style corpus-wide sort
+    * hazard, with real k it is not. The per-cell rank could also run as
+    * the range-partitioned prefix-sum rank (PandasRank) if a single
+    * cluster outgrows a task.
+    */
+  def prototypicalityPrune(df: DataFrame, centroids: Seq[Seq[Double]],
+                           dropFrac: Double,
+                           idCol: String = "vec_id",
+                           vecCol: String = "embedding"): DataFrame = {
+    require(centroids.nonEmpty, "centroids must be non-empty")
+    require(dropFrac >= 0.0 && dropFrac < 1.0, "dropFrac in [0, 1)")
+    val ctLit = typedLit(centroids.map(_.toSeq))
+    val assigned = Partitioning.widen(df)
+      .select(col(idCol).as("vec_id"),
+        col(vecCol).cast("array<double>").as("v"))
+      .withColumn("_dists", transform(ctLit, ct => l2sq(col("v"), ct)))
+      .select(col("vec_id"),
+        array_position(col("_dists"), array_min(col("_dists")))
+          .as("cell"),
+        round(array_min(col("_dists")), 6).as("d2"))
+    val byCell = Window.partitionBy(col("cell"))
+    val rankW = byCell.orderBy(col("d2").asc, col("vec_id").asc)
+    assigned
+      .withColumn("proto_rank", row_number().over(rankW))
+      .withColumn("n_cell", count(lit(1)).over(byCell))
+      .withColumn("kept",
+        col("proto_rank") > ceil(lit(dropFrac) * col("n_cell")))
+  }
+
+  /** Semantic benchmark decontamination — the embedding-space complement
+    * of n-gram decontamination ([[graft.operators.Curation]]'s
+    * contamination report): flag every train vector whose cosine to ANY
+    * benchmark vector in its IVF cell reaches `threshold` (paraphrased
+    * or re-tokenized test leakage that shares no 4-gram). Emits one row
+    * per CONTAMINATED train vector: (vec_id, cell, contaminated_by =
+    * lowest matching benchmark id, n_hits, max_sim).
+    *
+    * Cell confinement is the [[semDedup]] recall trade stated in its
+    * contract: candidates are same-cell only, so recall < 1 by
+    * construction and rises with coarser cells / multi-probe. Scale: the
+    * benchmark side is benchmark-sized (broadcast — benchmarks are
+    * thousands of rows, not corpora); the train side never shuffles.
+    */
+  def semanticContamination(train: DataFrame, bench: DataFrame,
+                            centroids: Seq[Seq[Double]],
+                            threshold: Double,
+                            idCol: String = "vec_id",
+                            vecCol: String = "embedding"): DataFrame = {
+    require(centroids.nonEmpty, "centroids must be non-empty")
+    require(threshold > 0 && threshold < 1, "threshold in (0,1)")
+    val ctLit = typedLit(centroids.map(_.toSeq))
+    def assign(df: DataFrame, id: String, v: String): DataFrame =
+      df.select(col(idCol).as(id), col(vecCol).cast("array<double>").as(v))
+        .withColumn("_dists", transform(ctLit, ct => l2sq(col(v), ct)))
+        .withColumn("cell",
+          array_position(col("_dists"), array_min(col("_dists"))))
+        .drop("_dists")
+    val t = assign(Partitioning.widen(train), "vec_id", "tv")
+    val b = assign(bench, "bench_id", "bv")
+    t.join(broadcast(b), Seq("cell"))
+      .withColumn("sim", round(cosine(col("tv"), col("bv")), 6))
+      .filter(col("sim") >= threshold)
+      .groupBy(col("vec_id"), col("cell"))
+      .agg(min(col("bench_id")).as("contaminated_by"),
+        count(lit(1)).as("n_hits"),
+        max(col("sim")).as("max_sim"))
+  }
+
   /** Deterministic distributed k-means for IVF centroid training.
     *
     * Two sources of nondeterminism plague distributed k-means, and both

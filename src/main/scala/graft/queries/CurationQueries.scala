@@ -699,7 +699,52 @@ object CurationQueries {
        |FROM c GROUP BY doc_id, chunk_id
        |ORDER BY doc_id, chunk_id""".stripMargin
 
+  // --------------------------------------------------------------- q125
+  // Gopher/FineWeb document stop rules (Rae et al. 2021 §A1.1) as one
+  // map-only projection: word-count bounds, mean-word-length window,
+  // type/token diversity floor, stop-word-fraction floor, per-rule
+  // verdicts + composite keep. Bounds are tuned to the synthetic corpus
+  // (measured sf0.01 quantiles) so EVERY rule exercises both verdicts —
+  // a gate where a rule never fires would pin nothing. All metrics are
+  // exact-integer ratios with one division each, so both engines compute
+  // the same doubles and the boolean comparisons cannot diverge.
+  private def q125(s: SparkSession, dir: String): DataFrame =
+    Curation.gopherQualityFilter(Tables.documents(s, dir),
+        "doc_id", "text",
+        minWords = 20, maxWords = 90,
+        minMeanWordLen = 3.9, maxMeanWordLen = 5.1,
+        minUniqueFrac = 0.35, minStopwordFrac = 0.02,
+        stopwords = Seq("the", "a"))
+      .orderBy(col("doc_id"))
+
+  private val q125Sql =
+    s"""WITH t AS (
+       |  SELECT doc_id, $toksSql AS toks FROM documents),
+       |m AS (
+       |  SELECT doc_id,
+       |    len(toks) AS n_words,
+       |    CAST(list_sum(list_transform(toks, x -> CAST(length(x) AS BIGINT)))
+       |      AS DOUBLE) / CAST(greatest(len(toks), 1) AS DOUBLE)
+       |      AS mwl,
+       |    CAST(len(list_distinct(toks)) AS DOUBLE)
+       |      / CAST(greatest(len(toks), 1) AS DOUBLE) AS uf,
+       |    CAST(len(list_filter(toks, w -> list_contains(['the','a'], w)))
+       |      AS DOUBLE) / CAST(greatest(len(toks), 1) AS DOUBLE) AS sf
+       |  FROM t)
+       |SELECT doc_id, CAST(n_words AS INT) AS n_words,
+       |  round(mwl, 6) AS mean_word_len,
+       |  round(uf, 6) AS unique_frac,
+       |  round(sf, 6) AS stopword_frac,
+       |  (n_words >= 20 AND n_words <= 90) AS ok_words,
+       |  (mwl >= 3.9 AND mwl <= 5.1) AS ok_word_len,
+       |  (uf >= 0.35) AS ok_unique,
+       |  (sf >= 0.02) AS ok_stopwords,
+       |  ((n_words >= 20 AND n_words <= 90) AND (mwl >= 3.9 AND mwl <= 5.1)
+       |    AND uf >= 0.35 AND sf >= 0.02) AS keep
+       |FROM m ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q125_gopher_rules" -> (q125 _),
     "q124_cdc_chunks" -> (q124 _),
     "q119_doc_chunking" -> (q119 _),
     "q102_span_removal_runvote" -> (q102 _),
@@ -721,6 +766,7 @@ object CurationQueries {
     "q96_span_removal_keepfirst" -> (q96 _))
 
   val oracleSql: Map[String, String] = Map(
+    "q125_gopher_rules" -> q125Sql,
     "q124_cdc_chunks" -> q124Sql,
     "q119_doc_chunking" -> q119Sql,
     "q79_contamination" -> q79Sql,

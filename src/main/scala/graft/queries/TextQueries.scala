@@ -616,7 +616,115 @@ object TextQueries {
       |    AS n_phone
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  // --------------------------------------------------------------- q126
+  // Hybrid retrieval by reciprocal-rank fusion (Cormack et al. 2009):
+  // BM25 (q93's probabilistic ranker) and Dirichlet query likelihood
+  // (Zhai & Lafferty 2001 — the LM ranker) each produce a top-50 for the
+  // same query bag; RRF(d) = Σ 1/(60 + rank_sys(d)) fuses them, summed
+  // in sorted system-name order on both engines. Ranks are assigned on
+  // 6-dp-ROUNDED scores (doc_id tie-break) — q93 proves rounded-BM25
+  // engine parity, and rounding absorbs last-ulp ln() differences in the
+  // QL scores. The rank windows run AFTER a TakeOrdered top-50, so no
+  // corpus-sized single-partition window exists in the plan.
+  private def rankTop50(scored: DataFrame): DataFrame = {
+    val top = scored.orderBy(col("score").desc, col("id").asc).limit(50)
+    top.select(col("id"),
+      row_number().over(org.apache.spark.sql.expressions.Window
+        .orderBy(col("score").desc, col("id").asc)).as("rank"))
+  }
+
+  private def q126(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val bm = graft.operators.Retrieval
+      .bm25(docs, "doc_id", "text", Bm25Terms)
+      .select(col("id"), round(col("bm25"), 6).as("score"))
+    val ql = graft.operators.Retrieval
+      .queryLikelihood(docs, "doc_id", "text", Bm25Terms)
+      .select(col("id"), round(col("ql"), 6).as("score"))
+    graft.operators.Retrieval
+      .rrfFuse(Seq("bm25" -> rankTop50(bm), "ql" -> rankTop50(ql)))
+      .select(col("id").as("doc_id"), col("n_systems"),
+        round(col("rrf"), 6).as("rrf"))
+      .orderBy(col("rrf").desc, col("doc_id").asc)
+      .limit(80)
+  }
+
+  private val q126Sql = {
+    val termsSorted = Bm25Terms.distinct.sorted
+    val termsList = Bm25Terms.map(t => s"'$t'").mkString("[", ", ", "]")
+    val tfCols = termsSorted.map(t =>
+      s"count(*) FILTER (WHERE term = '$t') AS tf_$t").mkString(",\n    ")
+    val cfCols = termsSorted.map(t =>
+      s"sum(CAST(tf_$t AS BIGINT)) AS cf_$t").mkString(", ")
+    // QL score: fold in sorted term order, mirroring the Column form's
+    // mu * (cf/C) driver-side division then scalar ops
+    val qlSum = termsSorted.map(t =>
+      s"""ln((CAST(c.tf_$t AS DOUBLE) +
+         |      (300.0 * (CAST(s.cf_$t AS DOUBLE) / CAST(s.c_total AS DOUBLE))))
+         |     / (CAST(c.dl AS DOUBLE) + 300.0))""".stripMargin)
+      .mkString("(", "\n  + ", ")")
+    s"""WITH toks AS (
+       |  SELECT doc_id, len($toksSql) AS dl,
+       |    unnest(list_filter($toksSql, t -> list_contains($termsList, t)))
+       |      AS term
+       |  FROM documents),
+       |stats AS (
+       |  SELECT count(*) AS n_docs,
+       |    CAST(sum(CAST(len($toksSql) AS BIGINT)) AS DOUBLE) /
+       |      count(*) AS avgdl
+       |  FROM documents),
+       |tf AS (SELECT doc_id, dl, term, count(*) AS tf
+       |       FROM toks GROUP BY doc_id, dl, term),
+       |dft AS (SELECT term, count(*) AS doc_freq FROM tf GROUP BY term),
+       |bscored AS (
+       |  SELECT tf.doc_id, tf.term,
+       |    ln((CAST(s.n_docs AS DOUBLE) - dft.doc_freq + 0.5) /
+       |        (CAST(dft.doc_freq AS DOUBLE) + 0.5) + 1.0) *
+       |      (CAST(tf.tf AS DOUBLE) * (1.2 + 1.0)) /
+       |      (CAST(tf.tf AS DOUBLE) +
+       |        (1.2 * ((1.0 - 0.75) +
+       |          (0.75 * CAST(tf.dl AS DOUBLE) / s.avgdl)))) AS ts
+       |  FROM tf JOIN dft USING (term) CROSS JOIN stats s),
+       |bagg AS (
+       |  SELECT doc_id, round(list_inner_product(
+       |      list(ts ORDER BY term),
+       |      list_transform(list(ts ORDER BY term), x -> 1.0)), 6)
+       |    AS score
+       |  FROM bscored GROUP BY doc_id),
+       |bmr AS (
+       |  SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id)
+       |    AS rank
+       |  FROM (SELECT * FROM bagg ORDER BY score DESC, doc_id LIMIT 50)),
+       |cand AS (
+       |  SELECT doc_id, any_value(dl) AS dl,
+       |    $tfCols
+       |  FROM toks GROUP BY doc_id),
+       |qstats AS (
+       |  SELECT sum(CAST(len($toksSql) AS BIGINT)) AS c_total
+       |  FROM documents),
+       |cf AS (SELECT $cfCols FROM cand),
+       |qls AS (
+       |  SELECT c.doc_id,
+       |    round($qlSum, 6) AS score
+       |  FROM cand c CROSS JOIN (SELECT q.c_total, f.* FROM qstats q
+       |    CROSS JOIN cf f) s),
+       |qlr AS (
+       |  SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id)
+       |    AS rank
+       |  FROM (SELECT * FROM qls ORDER BY score DESC, doc_id LIMIT 50))
+       |SELECT coalesce(b.doc_id, q.doc_id) AS doc_id,
+       |  CAST((CASE WHEN b.rank IS NOT NULL THEN 1 ELSE 0 END) +
+       |       (CASE WHEN q.rank IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_systems,
+       |  round(coalesce(1.0 / (60.0 + CAST(b.rank AS DOUBLE)), 0.0) +
+       |        coalesce(1.0 / (60.0 + CAST(q.rank AS DOUBLE)), 0.0), 6)
+       |    AS rrf
+       |FROM bmr b FULL JOIN qlr q ON b.doc_id = q.doc_id
+       |ORDER BY rrf DESC, doc_id LIMIT 80""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q126_rrf_hybrid" -> (q126 _),
     "q110_pii_redaction" -> (q110 _),
     "q98_unigram_ce" -> (q98 _),
     "q101_unigram_ce_frozen" -> (q101 _),
@@ -636,6 +744,7 @@ object TextQueries {
     "q28_dedup_corpus" -> (q28 _))
 
   val oracleSql: Map[String, String] = Map(
+    "q126_rrf_hybrid" -> q126Sql,
     "q110_pii_redaction" -> q110Sql,
     "q98_unigram_ce" -> q98Sql,
     "q101_unigram_ce_frozen" -> q101Sql,

@@ -496,7 +496,76 @@ object VectorQueries {
        |ORDER BY query_id, rank""".stripMargin
   }
 
+  // --------------------------------------------------------------- q127
+  // Prototypicality pruning (SSL-prototypes / D4): rank vectors within
+  // their cell by rounded distance-to-centroid (the q32-proven l2sq
+  // expansion + argmin cell rule), drop the closest 25%. The oracle
+  // replays rank, cell size, and the ceil() keep boundary closed-form.
+  private def q127(s: SparkSession, dir: String): DataFrame =
+    Similarity.prototypicalityPrune(
+        Tables.embeddings(s, dir), q32Centroids, dropFrac = 0.25)
+      .orderBy(col("vec_id"))
+
+  private val q127Sql = {
+    val dists = distsSqlFor(q32Centroids)
+    s"""WITH vecs AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |b AS (SELECT vec_id,
+       |        list_position(dists, list_min(dists)) AS cell,
+       |        round(list_min(dists), 6) AS d2
+       |      FROM (SELECT vec_id, v, $dists AS dists FROM vecs)),
+       |r AS (SELECT vec_id, CAST(cell AS BIGINT) AS cell, d2,
+       |        row_number() OVER (PARTITION BY cell
+       |                           ORDER BY d2 ASC, vec_id ASC)
+       |          AS proto_rank,
+       |        count(*) OVER (PARTITION BY cell) AS n_cell
+       |      FROM b)
+       |SELECT vec_id, cell, d2, proto_rank, n_cell,
+       |  proto_rank > CAST(ceil(0.25 * n_cell) AS BIGINT) AS kept
+       |FROM r ORDER BY vec_id""".stripMargin
+  }
+
+  // --------------------------------------------------------------- q128
+  // Semantic benchmark decontamination: the embedding-space complement
+  // of q79's n-gram report — train vectors (vec_id % 20 != 0) whose
+  // same-cell cosine to any "benchmark" vector (vec_id % 20 == 0)
+  // reaches 0.35. Same centroid model and cosine fp expansion as
+  // q32/q113; the oracle restates the flag set closed-form.
+  private def q128(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    Similarity.semanticContamination(
+        emb.filter(col("vec_id") % 20 =!= 0),
+        emb.filter(col("vec_id") % 20 === 0),
+        q32Centroids, threshold = 0.32)
+      .orderBy(col("vec_id"))
+  }
+
+  private val q128Sql = {
+    val dists = distsSqlFor(q32Centroids)
+    val sim = "round(list_inner_product(t.v, bn.v) / " +
+      "(sqrt(list_inner_product(t.v, t.v)) * " +
+      "sqrt(list_inner_product(bn.v, bn.v))), 6)"
+    s"""WITH vecs AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |b AS (SELECT vec_id, v,
+       |        list_position(dists, list_min(dists)) AS cell
+       |      FROM (SELECT vec_id, v, $dists AS dists FROM vecs)),
+       |t AS (SELECT * FROM b WHERE vec_id % 20 <> 0),
+       |bn AS (SELECT * FROM b WHERE vec_id % 20 = 0),
+       |hits AS (
+       |  SELECT t.vec_id, CAST(t.cell AS BIGINT) AS cell,
+       |    bn.vec_id AS bench_id, $sim AS sim
+       |  FROM t JOIN bn ON t.cell = bn.cell
+       |  WHERE $sim >= 0.32)
+       |SELECT vec_id, cell, min(bench_id) AS contaminated_by,
+       |  count(*) AS n_hits, max(sim) AS max_sim
+       |FROM hits GROUP BY vec_id, cell
+       |ORDER BY vec_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q127_prototype_prune" -> (q127 _),
+    "q128_semantic_decontam" -> (q128 _),
     "q30_knn_bruteforce" -> (q30 _),
     "q31_knn_lsh" -> (q31 _),
     "q32_knn_ivf" -> (q32 _),
@@ -510,6 +579,8 @@ object VectorQueries {
     "q105_knn_ivfpq" -> (q105 _))
 
   val oracleSql: Map[String, String] = Map(
+    "q127_prototype_prune" -> q127Sql,
+    "q128_semantic_decontam" -> q128Sql,
     "q30_knn_bruteforce" -> q30Sql,
     "q31_knn_lsh" -> q31Sql,
     "q32_knn_ivf" -> q32Sql,

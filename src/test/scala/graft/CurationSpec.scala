@@ -265,6 +265,33 @@ class CurationSpec extends SparkSpec {
       assert(got.count(_._1 == id) == 1, s"doc $id")
   }
 
+  test("gopherQualityFilter: each rule fires independently and keep is " +
+    "their conjunction") {
+    val docs = Seq(
+      (1L, "the cat sat on a mat with the dog and a bird near the door"),
+      (2L, "a b"), // too few words
+      (3L, ("the quick brown fox jumps over lazy dogs " * 40).trim), // too many
+      (4L, "the " + Seq.fill(15)("extraordinarily").mkString(" ")), // long words + low diversity
+      (5L, "cat dog bird fish lion tiger bear wolf deer hawk owl bat")
+      // no stopwords
+    ).toDF("doc_id", "text")
+    val got = Curation.gopherQualityFilter(docs, "doc_id", "text",
+        minWords = 5, maxWords = 100, minMeanWordLen = 2.0,
+        maxMeanWordLen = 8.0, minUniqueFrac = 0.5,
+        minStopwordFrac = 0.05, stopwords = Seq("the", "a"))
+      .select("doc_id", "ok_words", "ok_word_len", "ok_unique",
+        "ok_stopwords", "keep")
+      .as[(Long, Boolean, Boolean, Boolean, Boolean, Boolean)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(got(1L) == ((1L, true, true, true, true, true)))
+    assert(!got(2L)._2 && !got(2L)._6) // word count floor
+    assert(!got(3L)._2) // word count ceiling
+    assert(!got(4L)._3 && !got(4L)._4) // word length + diversity
+    assert(!got(5L)._5 && got(5L)._2 && got(5L)._4) // stopword floor only
+    got.values.foreach(r =>
+      assert(r._6 == (r._2 && r._3 && r._4 && r._5), s"keep != AND: $r"))
+  }
+
   test("cdcChunks: edit-resistance — one inserted token perturbs at " +
     "most the chunks touching the edit, while fixed windows shift " +
     "every downstream boundary") {

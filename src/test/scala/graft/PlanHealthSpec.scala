@@ -44,11 +44,15 @@ class PlanHealthSpec extends SparkSpec {
   //   q84/q86/q100 — mixture planning: windows over the per-domain table
   //         (#domains rows, ~20);
   //   q87/q88 — vocabulary: cumulative coverage over the top-k survivors of
-  //         a TakeOrderedAndProject (k rows by construction).
+  //         a TakeOrderedAndProject (k rows by construction);
+  //   q126 — hybrid retrieval: each ranker's rank window runs over the
+  //         top-50 survivors of a TakeOrderedAndProject (50 rows by
+  //         construction — the q87 shape, twice).
   // Everything else must be window-clean.
   private val windowExempt = Set("q05_pct_rank", "q06_rfm_card_style",
     "q07_rfm_dual_window", "q84_mixture_plan", "q86_mixture_sample",
-    "q87_vocabulary", "q88_curate_corpus", "q100_mixture_temperature")
+    "q87_vocabulary", "q88_curate_corpus", "q100_mixture_temperature",
+    "q126_rrf_hybrid")
 
   test("no query outside the bounded-input exemption list plans an " +
     "unpartitioned WindowExec") {

@@ -37,4 +37,60 @@ class RetrievalSpec extends SparkSpec {
         .as[(Long, Double)].collect().toSeq
     assert(run(docs.repartition(1)) == run(docs.repartition(7)))
   }
+
+  test("queryLikelihood equals the brute-force Dirichlet LM score and " +
+    "only ranks candidates") {
+    val mu = 300.0
+    val terms = Seq("spark", "vector")
+    val got = Retrieval.queryLikelihood(docs, "doc_id", "text", terms, mu)
+      .select("id", "n_terms", "ql")
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(got.keySet == Set(1L, 2L, 3L)) // candidates only
+    // brute force, driver-side
+    val toks = docs.as[(Long, String)].collect()
+      .map { case (id, t) => id -> t.trim.split("\\s+").toSeq }.toMap
+    val cTotal = toks.values.map(_.size).sum.toDouble
+    val sorted = terms.distinct.sorted
+    def score(id: Long): Double = {
+      val ts = toks(id)
+      sorted.map { t =>
+        val tf = ts.count(_ == t).toDouble
+        val cf = toks.values.map(_.count(_ == t)).sum.toDouble
+        math.log((tf + mu * (cf / cTotal)) / (ts.size + mu))
+      }.reduceLeft(_ + _)
+    }
+    got.keys.foreach { id =>
+      assert(math.abs(got(id)._3 - score(id)) < 1e-12,
+        s"doc $id: ${got(id)._3} != ${score(id)}")
+    }
+    // the doc with more query-term mass scores higher
+    assert(got(1L)._3 > got(2L)._3)
+    // invariant to partitioning
+    val re = Retrieval.queryLikelihood(docs.repartition(7), "doc_id",
+        "text", terms, mu)
+      .select("id", "ql").as[(Long, Double)].collect().toMap
+    got.keys.foreach(id => assert(re(id) == got(id)._3))
+  }
+
+  test("rrfFuse sums 1/(k+rank) over systems in name order and is " +
+    "input-order independent") {
+    val a = Seq((1L, 1), (2L, 2), (3L, 3)).toDF("id", "rank")
+    val b = Seq((2L, 1), (3L, 2), (4L, 3)).toDF("id", "rank")
+    def run(rs: Seq[(String, org.apache.spark.sql.DataFrame)]) =
+      Retrieval.rrfFuse(rs, k = 60)
+        .select("id", "n_systems", "rrf")
+        .as[(Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    val got = run(Seq("a" -> a, "b" -> b))
+    assert(got(1L) == ((1L, 1L, 1.0 / 61)))
+    assert(got(4L) == ((4L, 1L, 1.0 / 63)))
+    assert(got(2L)._2 == 2L &&
+      got(2L)._3 == 1.0 / 62 + 1.0 / 61) // a-term first (name order)
+    assert(got(3L)._3 == 1.0 / 63 + 1.0 / 62)
+    // reversing the input list changes nothing (sorted-name fold)
+    assert(run(Seq("b" -> b, "a" -> a)) == got)
+    // duplicate system names refuse
+    intercept[IllegalArgumentException] {
+      Retrieval.rrfFuse(Seq("a" -> a, "a" -> b))
+    }
+  }
 }

@@ -400,6 +400,71 @@ class SimilaritySpec extends SparkSpec {
     assert(adc > 0.2, s"raw ADC recall $adc implausibly low")
   }
 
+  test("prototypicalityPrune drops exactly ceil(dropFrac·n_cell) closest " +
+    "vectors per cell, partition-independently") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val cents = graft.queries.VectorQueries.centroidsForProfiling
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Similarity.prototypicalityPrune(df, cents, dropFrac = 0.3)
+        .select("vec_id", "cell", "proto_rank", "n_cell", "kept")
+        .as[(Long, Long, Int, Long, Boolean)].collect().toSeq
+    val got = run(emb)
+    // totality: one row per vector
+    assert(got.size == emb.count())
+    // per cell: dropped = ranks 1..ceil(0.3 n), kept = the rest
+    got.groupBy(_._2).foreach { case (cell, rows) =>
+      val n = rows.head._4
+      assert(rows.forall(_._4 == n))
+      val cut = math.ceil(0.3 * n).toLong
+      rows.foreach { r =>
+        assert(r._5 == (r._3 > cut), s"cell $cell row $r cut=$cut")
+      }
+      assert(rows.map(_._3).sorted == (1 to rows.size).toSeq)
+    }
+    assert(run(emb.repartition(7)).toSet == got.toSet)
+  }
+
+  test("semanticContamination flags exactly the same-cell pairs over " +
+    "threshold, with min-id attribution") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+      .filter(col("vec_id") < 600)
+    val cents = graft.queries.VectorQueries.centroidsForProfiling
+    val bench = emb.filter(col("vec_id") % 20 === 0)
+    val train = emb.filter(col("vec_id") % 20 =!= 0)
+    val thr = 0.3
+    val got = Similarity.semanticContamination(train, bench, cents, thr)
+      .select("vec_id", "contaminated_by", "n_hits")
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    // brute-force truth, driver-side: same-cell cosine >= thr
+    val all = emb.select(col("vec_id"),
+        col("embedding").cast("array<double>"))
+      .as[(Long, Seq[Double])].collect()
+    def dot(a: Seq[Double], b: Seq[Double]) =
+      a.zip(b).map { case (x, y) => x * y }.sum
+    def cell(v: Seq[Double]) = {
+      val d = cents.map(c =>
+        v.zip(c).map { case (x, y) => (x - y) * (x - y) }.sum)
+      d.indexOf(d.min)
+    }
+    val cells = all.map { case (id, v) => id -> cell(v) }.toMap
+    val want = all.filter(_._1 % 20 != 0).flatMap { case (id, v) =>
+      val hits = all.filter { case (bid, bv) =>
+        bid % 20 == 0 && cells(bid) == cells(id) &&
+          math.rint(dot(v, bv) / (math.sqrt(dot(v, v)) *
+            math.sqrt(dot(bv, bv))) * 1e6) / 1e6 >= thr
+      }
+      if (hits.isEmpty) None
+      else Some(id -> ((id, hits.map(_._1).min, hits.size.toLong)))
+    }.toMap
+    assert(got.keySet == want.keySet,
+      s"flag set diverges: ${got.keySet.diff(want.keySet).take(5)} / " +
+        s"${want.keySet.diff(got.keySet).take(5)}")
+    want.foreach { case (id, w) =>
+      assert(got(id)._2 == w._2 && got(id)._3 == w._3, s"doc $id")
+    }
+    assert(got.nonEmpty, "threshold too high to exercise the operator")
+  }
+
   test("ivfPqKnn's topK-aggregate ranking == the window rank-filter " +
     "formulation on real embeddings") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
