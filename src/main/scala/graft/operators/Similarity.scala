@@ -310,13 +310,10 @@ object Similarity {
                                  idCol: String,
                                  vecCol: String): DataFrame = {
     require(centroids.nonEmpty, "centroids must be non-empty")
-    val ctLit = typedLit(centroids.map(_.toSeq))
     Partitioning.widen(df)
       .select(col(idCol).as("vec_id"), col(vecCol).as("v"))
-      .withColumn("_dists", transform(ctLit, ct => l2sq(col("v"), ct)))
       .withColumn("cell",
-        array_position(col("_dists"), array_min(col("_dists"))))
-      .drop("_dists")
+        graft.plans.CentroidExpressions.nearestCentroid(col("v"), centroids))
   }
 
   /** SemDeDup for an INCREMENT: scores `batch` against an accumulated
@@ -395,13 +392,12 @@ object Similarity {
                    idCol: String = "vec_id",
                    vecCol: String = "embedding"): DataFrame = {
     require(centroids.nonEmpty, "centroids must be non-empty")
-    val ctLit = typedLit(centroids.map(_.toSeq))
     Partitioning.widen(df)
       .select(col(idCol).as("vec_id"), col(vecCol).as("v"))
-      .withColumn("_dists", transform(ctLit, ct => l2sq(col("v"), ct)))
-      .withColumn("_d2", array_min(col("_dists")))
+      .withColumn("_d2",
+        graft.plans.CentroidExpressions.minCentroidDist(col("v"), centroids))
       .withColumn("cell",
-        array_position(col("_dists"), array_min(col("_dists"))))
+        graft.plans.CentroidExpressions.nearestCentroid(col("v"), centroids))
       .groupBy(col("cell"))
       // decimal(38,0) accumulator: the per-row quantized d2 can reach
       // ~1e18 (d2 ~1e12 × 2^20), so a long sum would wrap silently after
@@ -441,15 +437,14 @@ object Similarity {
                            vecCol: String = "embedding"): DataFrame = {
     require(centroids.nonEmpty, "centroids must be non-empty")
     require(dropFrac >= 0.0 && dropFrac < 1.0, "dropFrac in [0, 1)")
-    val ctLit = typedLit(centroids.map(_.toSeq))
     val assigned = Partitioning.widen(df)
       .select(col(idCol).as("vec_id"),
         col(vecCol).cast("array<double>").as("v"))
-      .withColumn("_dists", transform(ctLit, ct => l2sq(col("v"), ct)))
       .select(col("vec_id"),
-        array_position(col("_dists"), array_min(col("_dists")))
+        graft.plans.CentroidExpressions.nearestCentroid(col("v"), centroids)
           .as("cell"),
-        round(array_min(col("_dists")), 6).as("d2"))
+        round(graft.plans.CentroidExpressions
+          .minCentroidDist(col("v"), centroids), 6).as("d2"))
     val byCell = Window.partitionBy(col("cell"))
     val rankW = byCell.orderBy(col("d2").asc, col("vec_id").asc)
     assigned
@@ -480,13 +475,10 @@ object Similarity {
                             vecCol: String = "embedding"): DataFrame = {
     require(centroids.nonEmpty, "centroids must be non-empty")
     require(threshold > 0 && threshold < 1, "threshold in (0,1)")
-    val ctLit = typedLit(centroids.map(_.toSeq))
     def assign(df: DataFrame, id: String, v: String): DataFrame =
       df.select(col(idCol).as(id), col(vecCol).cast("array<double>").as(v))
-        .withColumn("_dists", transform(ctLit, ct => l2sq(col(v), ct)))
         .withColumn("cell",
-          array_position(col("_dists"), array_min(col("_dists"))))
-        .drop("_dists")
+          graft.plans.CentroidExpressions.nearestCentroid(col(v), centroids))
     val t = assign(Partitioning.widen(train), "vec_id", "tv")
     val b = assign(bench, "bench_id", "bv")
     t.join(broadcast(b), Seq("cell"))
@@ -586,11 +578,9 @@ object Similarity {
     }
     if (cand.size <= k) return cand
     // weight candidates by their attracted point count (one map pass)
-    val ctLit = typedLit(cand.map(_.toSeq))
     val weights = base
-      .withColumn("_dists", transform(ctLit, ct => l2sq(col("v"), ct)))
       .withColumn("cell",
-        array_position(col("_dists"), array_min(col("_dists"))))
+        graft.plans.CentroidExpressions.nearestCentroid(col("v"), cand))
       .groupBy(col("cell")).agg(count(lit(1)).as("w"))
       .collect().map(row => row.getLong(0).toInt - 1 -> row.getLong(1)).toMap
     val w = cand.indices.map(i => weights.getOrElse(i, 0L).toDouble)
@@ -640,11 +630,10 @@ object Similarity {
     centroids = centroids.take(kEff)
     var it = 0
     while (it < iters) {
-      val ctLit = typedLit(centroids.map(_.toSeq))
       val assigned = base
-        .withColumn("_dists", transform(ctLit, ct => l2sq(col("v"), ct)))
         .withColumn("cell",
-          array_position(col("_dists"), array_min(col("_dists"))))
+          graft.plans.CentroidExpressions.nearestCentroid(col("v"),
+            centroids))
         .select(col("cell"), col("v"))
       val updated = Vectors.centroids(assigned, Seq("cell"), "v")
         .select(col("cell"), col("centroid")).collect()
@@ -676,12 +665,13 @@ object Similarity {
     val ctLit = typedLit(centroids.map(_.toSeq))
     def withDists(df: DataFrame, vec: String): DataFrame =
       df.withColumn("_dists", transform(ctLit, ct => l2sq(col(vec), ct)))
-    // corpus: single nearest cell (array_position = first min, 1-based)
-    val c = withDists(Partitioning.widen(corpus)
-        .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv")), "cv")
+    // corpus: single nearest cell, ONE fused native pass (first-argmin,
+    // 1-based — parity with the HOF argmin pinned in CodegenKernelSpec)
+    val c = Partitioning.widen(corpus)
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
       .withColumn("cell",
-        array_position(col("_dists"), array_min(col("_dists"))))
-      .drop("_dists")
+        graft.plans.CentroidExpressions.nearestCentroid(col("cv"),
+          centroids))
     // queries: the nprobe nearest cells — sort (dist, idx) structs so the
     // tie-break matches array_position's first-occurrence rule
     val q = withDists(queries.select(col(idCol).as("query_id"),
@@ -745,11 +735,11 @@ object Similarity {
       (1 to centroids.size).map(i => cellCounts.getOrElse(i.toLong, 0L)))
     def withDists(df: DataFrame, vec: String): DataFrame =
       df.withColumn("_dists", transform(ctLit, ct => l2sq(col(vec), ct)))
-    val c = withDists(Partitioning.widen(corpus)
-        .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv")), "cv")
+    val c = Partitioning.widen(corpus)
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
       .withColumn("cell",
-        array_position(col("_dists"), array_min(col("_dists"))))
-      .drop("_dists")
+        graft.plans.CentroidExpressions.nearestCentroid(col("cv"),
+          centroids))
     // distance-ordered cells, folded left-to-right: take while the
     // running population is still under budget (first cell always in)
     val sortedCells = slice(array_sort(transform(
@@ -941,12 +931,18 @@ object Similarity {
     val ctLit = typedLit(centroids.map(_.toSeq))
     def withDists(df: DataFrame, vec: String): DataFrame =
       df.withColumn("_dists", transform(ctLit, ct => l2sq(col(vec), ct)))
-    val c = withDists(Partitioning.widen(corpus)
-        .select(col(idCol).as("neighbor_id"),
-          col(vecCol).cast("array<double>").as("cv")), "cv")
+    // corpus encode: cell + PQ codes in two fused native passes — the
+    // per-corpus-row hot path (and, via the pushed-down isnotnull(cell)
+    // join filter, per-row once more; the HOF form re-ran the k×dim
+    // transform interpreted at every one of those call sites)
+    val c = Partitioning.widen(corpus)
+      .select(col(idCol).as("neighbor_id"),
+        col(vecCol).cast("array<double>").as("cv"))
       .withColumn("cell",
-        array_position(col("_dists"), array_min(col("_dists"))))
-      .withColumn("codes", pqCodesCol(col("cv"), codebooks))
+        graft.plans.CentroidExpressions.nearestCentroid(col("cv"),
+          centroids))
+      .withColumn("codes",
+        graft.plans.CentroidExpressions.pqCodes(col("cv"), codebooks))
       .select(col("cell"), col("neighbor_id"), col("codes"))
     val q = withDists(queries.select(col(idCol).as("query_id"),
         col(vecCol).cast("array<double>").as("qv")), "qv")
@@ -966,7 +962,8 @@ object Similarity {
     // per-candidate kernel running at full scan parallelism.
     val scored = broadcast(q).join(c, Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("adist", round(adcCol(col("lut"), col("codes"), m), 6))
+      .withColumn("adist", round(
+        graft.plans.CentroidExpressions.pqAdc(col("lut"), col("codes")), 6))
       .select(col("query_id"), col("neighbor_id"), col("adist"))
     (c, scored)
   }

@@ -51,6 +51,10 @@ object Q105Prof {
     time("(a) corpus encode only")(parts._1.count())
     time("(b) join+adc, no rank")(parts._2.count())
     val full = Similarity.ivfPqKnn(q, emb, 10, cents, cbs)
+    if (sys.env.contains("SPARK_GRAFT_EXPLAIN")) {
+      parts._2.explain("formatted")
+      return
+    }
     time("(c) full window form (run 1)")(full.count())
     time("(c) full window form (run 2)") {
       Similarity.ivfPqKnn(q, emb, 10, cents, cbs).count()

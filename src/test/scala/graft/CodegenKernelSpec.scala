@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-import graft.plans.{SetExpressions, VectorExpressions}
+import graft.plans.{CentroidExpressions, SetExpressions, VectorExpressions}
 
 /** Regression guard for the raw-local codegen collision (round-5 verdict):
   * when inputs are NON-nullable, `nullSafeCodeGen` splices a kernel body
@@ -57,7 +57,16 @@ class CodegenKernelSpec extends SparkSpec {
       split(lit("t1 t2 t3 t4 t5"), " ").as("toks"),
       array(lit(2L), lit(4L)).as("cov"),
       array(col("id").cast("double"), lit(2.0), lit(3.0)).as("va"),
-      array(lit(1.5), col("id").cast("double"), lit(0.5)).as("vb"))
+      array(lit(1.5), col("id").cast("double"), lit(0.5)).as("vb"),
+      array(array(col("id").cast("double"), lit(2.0)),
+        array(lit(1.0), lit(3.0))).as("lut"),
+      array(lit(1L), lit(2L)).as("codes"))
+
+  /** Tiny centroid/codebook models for the centroid-scan kernels. */
+  private val testCentroids =
+    Seq(Seq(1.0, 2.0, 3.0), Seq(0.0, 0.0, 0.0), Seq(5.0, 5.0, 5.0))
+  private val testCodebooks = // 3 subspaces of width 1, 2 sub-centroids
+    Seq.fill(3)(Seq(Seq(0.5), Seq(2.5)))
 
   /** Every custom kernel, composed in a single projection. */
   private def allKernels(df: DataFrame): DataFrame =
@@ -70,7 +79,13 @@ class CodegenKernelSpec extends SparkSpec {
       SetExpressions.joinTokensExceptSorted(col("toks"), col("cov")).as("k5"),
       SetExpressions.sortedLastLeq(col("la"), col("id") + 6L).as("k6"),
       VectorExpressions.dot(col("va"), col("vb")).as("k7"),
-      VectorExpressions.l2sq(col("va"), col("vb")).as("k8"))
+      VectorExpressions.l2sq(col("va"), col("vb")).as("k8"),
+      CentroidExpressions.nearestCentroid(col("va"), testCentroids)
+        .as("k9"),
+      CentroidExpressions.minCentroidDist(col("va"), testCentroids)
+        .as("k10"),
+      CentroidExpressions.pqCodes(col("va"), testCodebooks).as("k11"),
+      CentroidExpressions.pqAdc(col("lut"), col("codes")).as("k12"))
 
   test("kernel inputs are genuinely non-nullable (the collision shape)") {
     val bad = inputs.schema.fields.filter(_.nullable).map(_.name)
@@ -124,7 +139,11 @@ class CodegenKernelSpec extends SparkSpec {
       d => SetExpressions.joinTokensExceptSorted(d("toks"), d("cov")),
       d => SetExpressions.sortedLastLeq(d("la"), d("id") + 6L),
       d => VectorExpressions.dot(d("va"), d("vb")),
-      d => VectorExpressions.l2sq(d("va"), d("vb")))
+      d => VectorExpressions.l2sq(d("va"), d("vb")),
+      d => CentroidExpressions.nearestCentroid(d("va"), testCentroids),
+      d => CentroidExpressions.minCentroidDist(d("va"), testCentroids),
+      d => CentroidExpressions.pqCodes(d("va"), testCodebooks),
+      d => CentroidExpressions.pqAdc(d("lut"), d("codes")))
     val df = inputs
     withFactoryMode("CODEGEN_ONLY") {
       for (i <- ks.indices; j <- ks.indices if i < j) {
@@ -132,5 +151,50 @@ class CodegenKernelSpec extends SparkSpec {
         assert(n == 40, s"pair ($i,$j)")
       }
     }
+  }
+
+  test("centroid-scan kernels are bit-equal to the HOF argmin forms on " +
+    "real embeddings (the oracle-parity contract)") {
+    import graft.functions.VectorFunctions.l2sq
+    val cents = graft.queries.VectorQueries.centroidsForProfiling
+    val cbs = graft.queries.VectorQueries.codebooksForProfiling
+    val dsub = cbs.head.head.size
+    val emb = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val ctLit = typedLit(cents.map(_.toSeq))
+    val cbLit = typedLit(cbs.map(_.map(_.toSeq)))
+    val hofDists = transform(ctLit, ct => l2sq(col("v"), ct))
+    val hofCodes = transform(sequence(lit(1), lit(cbs.size)), j => {
+      val sub = slice(col("v"), (j - lit(1)) * lit(dsub) + lit(1), lit(dsub))
+      val dists = transform(element_at(cbLit, j), cb => l2sq(sub, cb))
+      array_position(dists, array_min(dists))
+    })
+    val both = emb.select(col("vec_id"),
+      graft.plans.CentroidExpressions.nearestCentroid(col("v"), cents)
+        .as("n_cell"),
+      array_position(hofDists, array_min(hofDists)).as("h_cell"),
+      graft.plans.CentroidExpressions.minCentroidDist(col("v"), cents)
+        .as("n_d2"),
+      array_min(hofDists).as("h_d2"),
+      graft.plans.CentroidExpressions.pqCodes(col("v"), cbs).as("n_codes"),
+      hofCodes.as("h_codes"))
+    val diverged = both.filter(
+      col("n_cell") =!= col("h_cell") || col("n_d2") =!= col("h_d2") ||
+        col("n_codes") =!= col("h_codes"))
+    assert(diverged.count() == 0,
+      s"kernel/HOF divergence: ${diverged.take(3).mkString("; ")}")
+    // ADC fold parity on the real lut/codes shapes
+    val lutCol = transform(sequence(lit(1), lit(cbs.size)), j => {
+      val sub = slice(col("v"), (j - lit(1)) * lit(dsub) + lit(1), lit(dsub))
+      transform(element_at(cbLit, j), cb => l2sq(sub, cb))
+    })
+    val adcBoth = emb.select(
+      graft.plans.CentroidExpressions.pqAdc(lutCol,
+        graft.plans.CentroidExpressions.pqCodes(col("v"), cbs)).as("n_adc"),
+      aggregate(sequence(lit(1), lit(cbs.size)), lit(0.0), (acc, j) =>
+        acc + element_at(element_at(lutCol, j),
+          element_at(hofCodes, j).cast("int"))).as("h_adc"))
+    assert(adcBoth.filter(col("n_adc") =!= col("h_adc")).count() == 0)
   }
 }
