@@ -30,20 +30,46 @@ object Similarity {
                     idCol: String = "vec_id",
                     vecCol: String = "embedding",
                     broadcastQueries: Boolean = true): DataFrame = {
-    val q0 = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val q0 = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      norm(col(vecCol)).as("_qn"))
     val q = if (broadcastQueries) broadcast(q0) else q0
     // widen: a small corpus file scans as one split, serializing the
     // |Q|x|C| dot products on one core; see Partitioning.widen
     val c = Partitioning.widen(corpus)
-      .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("sim").desc, col("neighbor_id").asc)
-    q.join(c, col("query_id") =!= col("neighbor_id"))
-      .withColumn("sim", round(cosine(col("qv"), col("cv")), 6))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("neighbor_id"), col("sim"))
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+        norm(col(vecCol)).as("_cn"))
+    rankTopKBySim(
+      q.join(c, col("query_id") =!= col("neighbor_id"))
+        .withColumn("sim", simHoisted), k)
   }
+
+  /** Bounded top-k ranking of a scored candidate stream, as an AGGREGATE
+    * rather than a rank window (the [[graft.plans.AggExpressions]]
+    * rationale): every KNN tail shares this. The window form sorts each
+    * map task's full candidate slice before WindowGroupLimit can cap it
+    * — at the ×1000 probes the per-task sort of tens of millions of
+    * candidates was the dominant stage; the aggregate keeps a k-element
+    * heap per query per task (O(candidates·log k), no sort) and shuffles
+    * only tasks × queries × k rows. Output is IDENTICAL: (sim desc,
+    * neighbor_id asc) is a total order, so the k best do not depend on
+    * how they are found (TopKAggSpec + SimilaritySpec pin agg == window).
+    */
+  /** Cosine from side-hoisted norms: `dot(qv,cv) / (_qn * _cn)` with
+    * `_qn`/`_cn` = `norm(v)` computed ONCE per query/corpus row on the
+    * join sides — the same expression tree as `cosine(qv, cv)` (which is
+    * dot / (sqrt(selfdot) * sqrt(selfdot))), so values are bit-identical,
+    * but the per-CANDIDATE work drops from three vector folds to one.
+    */
+  private def simHoisted: Column =
+    round(dot(col("qv"), col("cv")) / (col("_qn") * col("_cn")), 6)
+
+  private def rankTopKBySim(scored: DataFrame, k: Int): DataFrame =
+    scored.groupBy(col("query_id"))
+      .agg(graft.plans.AggExpressions
+        .topKByScore(col("sim"), col("neighbor_id"), k).as("_top"))
+      .select(col("query_id"), posexplode(col("_top")))
+      .select(col("query_id"), (col("pos") + 1).as("rank"),
+        col("col.id").as("neighbor_id"), col("col.score").as("sim"))
 
   /** Embedding-cosine near-duplicate pairs (the vector-space member of the
     * dedup family): all (a < b) pairs with cosine >= threshold. Exact
@@ -83,24 +109,22 @@ object Similarity {
                        tables: Seq[Seq[Seq[Double]]],
                        idCol: String = "vec_id",
                        vecCol: String = "embedding"): DataFrame = {
-    def bucketed(df: DataFrame, id: String, vec: String) =
+    def bucketed(df: DataFrame, id: String, vec: String, n: String) =
       df.select(col(idCol).as(id), col(vecCol).as(vec),
+        norm(col(vecCol)).as(n),
         explode(array(tables.zipWithIndex.map { case (planes, t) =>
           struct(lit(t).as("t"), rhpBucket(col(vecCol), planes).as("b"))
         }: _*)).as("tb"))
-        .select(col(id), col(vec), col("tb.t").as("t"), col("tb.b").as("b"))
-    val q = bucketed(queries, "query_id", "qv")
-    val c = bucketed(Partitioning.widen(corpus), "neighbor_id", "cv")
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("sim").desc, col("neighbor_id").asc)
-    q.join(c, Seq("t", "b"))
-      .filter(col("query_id") =!= col("neighbor_id"))
-      .select("query_id", "qv", "neighbor_id", "cv")
-      .dropDuplicates("query_id", "neighbor_id")
-      .withColumn("sim", round(cosine(col("qv"), col("cv")), 6))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("neighbor_id"), col("sim"))
+        .select(col(id), col(vec), col(n), col("tb.t").as("t"),
+          col("tb.b").as("b"))
+    val q = bucketed(queries, "query_id", "qv", "_qn")
+    val c = bucketed(Partitioning.widen(corpus), "neighbor_id", "cv", "_cn")
+    rankTopKBySim(
+      q.join(c, Seq("t", "b"))
+        .filter(col("query_id") =!= col("neighbor_id"))
+        .select("query_id", "qv", "_qn", "neighbor_id", "cv", "_cn")
+        .dropDuplicates("query_id", "neighbor_id")
+        .withColumn("sim", simHoisted), k)
   }
 
   /** Scale path for [[cosineNearDupPairs]]: multi-table random-hyperplane
@@ -668,14 +692,15 @@ object Similarity {
     // corpus: single nearest cell, ONE fused native pass (first-argmin,
     // 1-based — parity with the HOF argmin pinned in CodegenKernelSpec)
     val c = Partitioning.widen(corpus)
-      .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+        norm(col(vecCol)).as("_cn"))
       .withColumn("cell",
         graft.plans.CentroidExpressions.nearestCentroid(col("cv"),
           centroids))
     // queries: the nprobe nearest cells — sort (dist, idx) structs so the
     // tie-break matches array_position's first-occurrence rule
     val q = withDists(queries.select(col(idCol).as("query_id"),
-        col(vecCol).as("qv")), "qv")
+        col(vecCol).as("qv"), norm(col(vecCol)).as("_qn")), "qv")
       .withColumn("cell",
         explode(transform(
           slice(array_sort(transform(
@@ -684,19 +709,15 @@ object Similarity {
               i.as("idx")))), 1, nprobe),
           s => s.getField("idx").cast("long"))))
       .drop("_dists")
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("sim").desc, col("neighbor_id").asc)
     // broadcast the probe side: queries × nprobe rows vs the corpus — a
     // shuffle join here hashes a handful of distinct cell ids into very
     // few post-shuffle partitions (the ×100 soak measured a 45 s stage
     // with TWO tasks); broadcasting keeps the corpus in place and the
     // per-candidate kernel running at full scan parallelism.
-    broadcast(q).join(c, Seq("cell"))
-      .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("sim", round(cosine(col("qv"), col("cv")), 6))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("neighbor_id"), col("sim"))
+    rankTopKBySim(
+      broadcast(q).join(c, Seq("cell"))
+        .filter(col("query_id") =!= col("neighbor_id"))
+        .withColumn("sim", simHoisted), k)
   }
 
   /** IVF top-k with ADAPTIVE per-query probing: instead of a fixed
@@ -736,7 +757,8 @@ object Similarity {
     def withDists(df: DataFrame, vec: String): DataFrame =
       df.withColumn("_dists", transform(ctLit, ct => l2sq(col(vec), ct)))
     val c = Partitioning.widen(corpus)
-      .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+        norm(col(vecCol)).as("_cn"))
       .withColumn("cell",
         graft.plans.CentroidExpressions.nearestCentroid(col("cv"),
           centroids))
@@ -756,22 +778,18 @@ object Similarity {
             array(s.getField("idx").cast("long"))).as("cells")))
         .otherwise(acc))
     val q = withDists(queries.select(col(idCol).as("query_id"),
-        col(vecCol).as("qv")), "qv")
+        col(vecCol).as("qv"), norm(col(vecCol)).as("_qn")), "qv")
       .withColumn("cell", explode(probed.getField("cells")))
       .drop("_dists")
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("sim").desc, col("neighbor_id").asc)
     // broadcast the probe side: queries × nprobe rows vs the corpus — a
     // shuffle join here hashes a handful of distinct cell ids into very
     // few post-shuffle partitions (the ×100 soak measured a 45 s stage
     // with TWO tasks); broadcasting keeps the corpus in place and the
     // per-candidate kernel running at full scan parallelism.
-    broadcast(q).join(c, Seq("cell"))
-      .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("sim", round(cosine(col("qv"), col("cv")), 6))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("neighbor_id"), col("sim"))
+    rankTopKBySim(
+      broadcast(q).join(c, Seq("cell"))
+        .filter(col("query_id") =!= col("neighbor_id"))
+        .withColumn("sim", simHoisted), k)
   }
 
   // ------------------------------------------------------- product quant

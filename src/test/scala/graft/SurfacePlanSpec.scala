@@ -348,9 +348,14 @@ class SurfacePlanSpec extends SparkSpec {
     // plan literal, NOT a second join
     assert(qe.optimizedPlan.collect { case j: Join => j }.size == 1,
       "cell counts must ride as a literal, not a join")
-    // the top-k rank filter keeps its two-phase partial
-    assert(s.contains("WindowGroupLimit"),
-      s"rank filter lost its partial top-k:\n${s.take(600)}")
+    // the top-k is the bounded-heap AGGREGATE with a map-side partial —
+    // not a rank window (which would sort every map task's candidate
+    // slice; the r10 ×1000 probe measured that sort as the dominant
+    // stage and the agg rewrite cut q104 120 s → 42.6 s same-day)
+    assert(s.contains("partial_topk"),
+      s"top-k lost its map-side partial aggregate:\n${s.take(600)}")
+    assert(!s.contains("WindowExec") && !s.contains("WindowGroupLimit"),
+      s"top-k regressed to a rank window:\n${s.take(600)}")
   }
 
   test("q99 ivf cell stats: join-free single-scan aggregation with " +
