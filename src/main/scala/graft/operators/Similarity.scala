@@ -490,7 +490,13 @@ object Similarity {
     * contract: candidates are same-cell only, so recall < 1 by
     * construction and rises with coarser cells / multi-probe. Scale: the
     * benchmark side is benchmark-sized (broadcast — benchmarks are
-    * thousands of rows, not corpora); the train side never shuffles.
+    * thousands of rows, not corpora); the train side never shuffles, and
+    * candidate work is |train| × |bench| / k — LINEAR in the corpus as
+    * long as the benchmark is fixed-size. A benchmark that grows with
+    * the corpus makes the scan quadratic by the caller's own choice
+    * (the q128 gate's ×100 soak measured exactly that, bench = N/20 →
+    * p = 1.56; the fixed-bench s128 soak row is linear), so a
+    * corpus-sized bench logs a loud warning.
     */
   def semanticContamination(train: DataFrame, bench: DataFrame,
                             centroids: Seq[Seq[Double]],
@@ -499,6 +505,13 @@ object Similarity {
                             vecCol: String = "embedding"): DataFrame = {
     require(centroids.nonEmpty, "centroids must be non-empty")
     require(threshold > 0 && threshold < 1, "threshold in (0,1)")
+    val nBench = bench.count()
+    if (nBench > (1L << 20))
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"semanticContamination: benchmark side has $nBench rows — " +
+          "candidate work is |train| x |bench| / cells, so a " +
+          "corpus-sized benchmark makes this scan quadratic. " +
+          "Benchmarks are fixed-size by nature; check the inputs.")
     def assign(df: DataFrame, id: String, v: String): DataFrame =
       df.select(col(idCol).as(id), col(vecCol).cast("array<double>").as(v))
         .withColumn("cell",

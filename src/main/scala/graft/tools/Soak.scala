@@ -47,7 +47,8 @@ object Soak {
     "q98_unigram_ce", "q104_knn_ivf_adaptive", "q105_knn_ivfpq",
     "q109_image_near_dup", "q117_image_dedup_corpus",
     "q119_doc_chunking", "q120_dsir_importance", "q123_corpus_shuffle",
-    "q124_cdc_chunks")
+    "q124_cdc_chunks", "q125_gopher_rules", "q126_rrf_hybrid",
+    "q127_prototype_prune", "q128_semantic_decontam")
 
   /** Same co-tenant preflight as [[graft.Bench]]: exponent fits across
     * scale runs are meaningless if one run raced a loaded box, so wait
@@ -102,6 +103,18 @@ object Soak {
         Dedup.dedupCorpus(docs, "doc_id",
           Dedup.minHashLsh(docs, "doc_id", "text", n = 3, threshold = 0.4,
             numHashes = 64, bands = 32))),
+      "s128_decontam_fixedbench" -> (() =>
+        // the DEPLOYMENT shape of q128: a FIXED-size benchmark (1000
+        // vectors — vec_id < 20000 covers the same ids at every scale
+        // from x10 up) against the full train corpus. The registered
+        // q128's bench is N/20 (so its oracle stays tractable), which
+        // makes its soak quadratic BY CONSTRUCTION; this row shows the
+        // fixed-bench form is linear in the corpus.
+        graft.operators.Similarity.semanticContamination(
+          embs.filter(col("vec_id") % 20 =!= 0),
+          embs.filter(col("vec_id") % 20 === 0)
+            .filter(col("vec_id") < 20000),
+          graft.queries.VectorQueries.centroidsForProfiling, 0.32)),
       "s33_embed_neardup_full" -> (() =>
         // 0.7, not q33's 0.45: cross-replica cosines under ScaleGen's sign
         // flip are ~N(0, 1/sqrt(64)) = sigma 0.125, so 0.45 is only 3.6
