@@ -562,7 +562,162 @@ object StreamingQueries {
       |FROM j WHERE rn = 1
       |ORDER BY snap, k""".stripMargin
 
+  /** Streaming gap-based sessionization through real micro-batches — the
+    * gate for `StreamingPipeline.sessionize` (flatMapGroupsWithState +
+    * EventTimeTimeout), the one stateful-API family (arbitrary state)
+    * the other gates don't touch.
+    *
+    * Construction (q115's sentinel recipe, adapted to ms precision):
+    *   - events (minus any landing exactly on a second boundary in ms —
+    *     the q115 minute-59 trick, which makes every tie against the
+    *     second-aligned watermark impossible: the 30-minute gap is a
+    *     whole number of seconds, so session-end + gap keeps the event's
+    *     nonzero ms fraction while sentinels/watermarks have none) are
+    *     split into 4 hour-quartile time chunks, NO late bumps — arrival
+    *     order equals event-time order, so the state machine replays the
+    *     batch q12 session semantics exactly;
+    *   - per-chunk `__wm` sentinel user −(b+1) at chunkEnd − 1 s pins the
+    *     watermark trajectory; a far-future flush user closes everything
+    *     by the no-data batch.
+    *
+    * What the oracle checks per emitted session: the session set itself
+    * (= batch gap semantics over the filtered events) AND the EMISSION
+    * BATCH — a session closes inline in the batch where the same user's
+    * next (> gap) event arrives, or by event-time TIMEOUT in the first
+    * batch whose start-of-batch watermark passed sessionEnd + gap
+    * (whichever comes first; the 1 h watermark delay > 30 min gap
+    * guarantees a continuation always arrives before its session could
+    * time out, so cross-batch merges are never cut short). That is the
+    * flatMapGroupsWithState timeout contract, closed-form.
+    */
+  private def q129(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .withColumn("ms", expr("ts div 1000000"))
+      .filter(col("ms") % 1000L =!= 0L)
+      .select(col("user_id").as("userId"), col("ms"), col("ts_utc"))
+    val head = ev.agg(
+      date_trunc("hour", min(col("ts_utc"))).as("t0"),
+      max(col("ts_utc")).as("mx")).head()
+    val t0s = head.getTimestamp(0).getTime / 1000L
+    val nH = (head.getTimestamp(1).getTime / 1000L - t0s) / 3600L + 1L
+    def hcut(b: Int): Long = (b + 1).toLong * nH / 4
+    def chunkEnd(b: Int): Long = t0s + hcut(b) * 3600L
+    val h = floor((col("ms") / 1000L - t0s) / 3600L)
+    val natural = when(h < hcut(0), 0).when(h < hcut(1), 1)
+      .when(h < hcut(2), 2).otherwise(3)
+    val chunked = ev.select(col("userId"), col("ms"),
+      natural.cast("int").as("b"))
+    val sentinels = s.createDataFrame(
+      ((0 to 3).map(b => org.apache.spark.sql.Row(
+        -(b + 1).toLong, (chunkEnd(b) - 1) * 1000L, b)) :+
+        org.apache.spark.sql.Row(
+          -100L, (chunkEnd(3) + 3600L * 1000) * 1000L, 4)).asJava,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("userId",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("ms",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("b",
+          org.apache.spark.sql.types.IntegerType))))
+    val work = scratchDir("graft_q129")
+    val inDir = cachedChunks(s"q129|$dir|5")(
+      writeChunksPre(chunked.unionByName(sentinels), _, 5))
+    val outDir = new File(work, "out")
+    outDir.mkdirs()
+    withGateConfs(s, 4) {
+      import s.implicits._
+      val stream = s.readStream
+        .schema(chunked.drop("b").schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(inDir.getPath)
+        .as[graft.streaming.StreamingPipeline.UserEvent]
+      val q = graft.streaming.StreamingPipeline
+        .sessionize(stream, gapMs = 1800000L)
+        .toDF()
+        .writeStream
+        .outputMode("append")
+        .foreachBatch { (df: DataFrame, batchId: Long) =>
+          df.withColumn("batch_id", lit(batchId))
+            .write.mode("append").parquet(outDir.getPath)
+          ()
+        }
+        .option("checkpointLocation", new File(work, "ckpt").getPath)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    s.read.parquet(outDir.getPath)
+      .filter(col("userId") >= 0L)
+      .select(col("batch_id"), col("userId").as("user_id"),
+        col("sessionStart").as("session_start_ms"),
+        col("sessionEnd").as("session_end_ms"),
+        col("nEvents").as("n_events"))
+      .orderBy(col("user_id"), col("session_start_ms"))
+  }
+
+  private val q129Sql =
+    """WITH ev AS (
+      |  SELECT user_id, epoch_us(ts) // 1000 AS ms, ts FROM events
+      |  WHERE (epoch_us(ts) // 1000) % 1000 <> 0),
+      |p AS (
+      |  SELECT date_trunc('hour', min(ts)) AS t0,
+      |    CAST(epoch(date_trunc('hour', min(ts))) AS BIGINT) AS t0s,
+      |    CAST(datediff('hour', date_trunc('hour', min(ts)), max(ts)) + 1
+      |      AS BIGINT) AS nh
+      |  FROM ev),
+      |e2 AS (
+      |  SELECT e.user_id, e.ms, p.t0s, p.nh,
+      |    CAST(datediff('hour', p.t0, e.ts) AS BIGINT) AS h
+      |  FROM ev e, p),
+      |e3 AS (
+      |  SELECT *, CASE WHEN h < (1*nh)//4 THEN 0 WHEN h < (2*nh)//4 THEN 1
+      |    WHEN h < (3*nh)//4 THEN 2 ELSE 3 END AS c
+      |  FROM e2),
+      |o AS (
+      |  SELECT *, lag(ms) OVER (PARTITION BY user_id ORDER BY ms) AS prev
+      |  FROM e3),
+      |m AS (
+      |  SELECT *, CASE WHEN prev IS NULL OR ms - prev > 1800000
+      |    THEN 1 ELSE 0 END AS brk
+      |  FROM o),
+      |sfd AS (
+      |  SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ms
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      |  FROM m),
+      |sess AS (
+      |  SELECT user_id, sid, min(ms) AS start_ms, max(ms) AS end_ms,
+      |    count(*) AS n, min(t0s) AS t0s, min(nh) AS nh,
+      |    min(CASE WHEN brk = 1 THEN c END) AS first_chunk
+      |  FROM sfd GROUP BY user_id, sid),
+      |-- inline closure: the batch where the user's NEXT session opens
+      |nx AS (
+      |  SELECT *, lead(first_chunk) OVER (PARTITION BY user_id
+      |    ORDER BY sid) AS next_chunk
+      |  FROM sess),
+      |-- timeout closure: first batch whose start-of-batch watermark
+      |-- (= prior chunk's sentinel − 1 h) passed end + gap; else the
+      |-- no-data flush batch (id 5)
+      |tb AS (
+      |  SELECT *, CASE
+      |    WHEN ((t0s + ((1*nh)//4)*3600 - 1) - 3600) * 1000
+      |      > end_ms + 1800000 THEN 1
+      |    WHEN ((t0s + ((2*nh)//4)*3600 - 1) - 3600) * 1000
+      |      > end_ms + 1800000 THEN 2
+      |    WHEN ((t0s + ((3*nh)//4)*3600 - 1) - 3600) * 1000
+      |      > end_ms + 1800000 THEN 3
+      |    WHEN ((t0s + ((4*nh)//4)*3600 - 1) - 3600) * 1000
+      |      > end_ms + 1800000 THEN 4
+      |    ELSE 5 END AS timeout_batch
+      |  FROM nx)
+      |SELECT CAST(LEAST(coalesce(next_chunk, 5), timeout_batch) AS BIGINT)
+      |    AS batch_id,
+      |  user_id, start_ms AS session_start_ms, end_ms AS session_end_ms,
+      |  n AS n_events
+      |FROM tb
+      |ORDER BY user_id, session_start_ms""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q129_streaming_sessionize" -> (q129 _),
     "q121_streaming_upsert" -> (q121 _),
     "q111_streaming_incr_dedup" -> (q111 _),
     "q113_streaming_semdedup" -> (q113 _),
@@ -570,6 +725,7 @@ object StreamingQueries {
     "q118_streaming_interval_join" -> (q118 _))
 
   val oracleSql: Map[String, String] = Map(
+    "q129_streaming_sessionize" -> q129Sql,
     "q121_streaming_upsert" -> q121Sql,
     "q111_streaming_incr_dedup" -> q111Sql,
     "q113_streaming_semdedup" -> q113Sql,
