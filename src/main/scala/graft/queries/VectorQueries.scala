@@ -563,7 +563,77 @@ object VectorQueries {
        |ORDER BY vec_id""".stripMargin
   }
 
+  // --------------------------------------------------------------- q130
+  // Engine-exact distributed power iteration: 3 iterations of v ← A·v /
+  // ‖A·v‖ over A = Σ xxᵀ, each iteration one map pass + one exact
+  // quantized vector-sum aggregation (the q91 fixed-point recipe applied
+  // to a MATVEC — bit-stable across partitionings and engines). The
+  // oracle replays all three iterations as chained single-row CTEs: the
+  // per-row dot against the previous iterate, the per-dim quantized
+  // sums, the left-assoc norm fold, and the element divisions are the
+  // same scalar IEEE arithmetic on both sides, so every component and
+  // eigenvalue estimate hash-matches to the last bit before rounding.
+  private val PiDims = 64
+  private val PiIters = 3
+
+  private def q130(s: SparkSession, dir: String): DataFrame = {
+    val trace = graft.operators.Vectors.powerIterationTrace(
+      Tables.embeddings(s, dir), "embedding", dims = PiDims,
+      iters = PiIters)
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val rows = trace.zipWithIndex.flatMap { case ((v, lam), i) =>
+      v.zipWithIndex.map { case (c, d) =>
+        ((i + 1).toLong, (d + 1).toLong, r6(c), r6(lam))
+      }
+    }
+    import s.implicits._
+    rows.toDF("iter", "dim", "component", "lambda_est")
+      .orderBy(col("iter"), col("dim"))
+  }
+
+  private val q130Sql = {
+    val dims = PiDims
+    val sc = "1048576.0"
+    // left-assoc dot of the row vector against iterate components
+    def dotOf(comp: Int => String): String =
+      (1 to dims).map(d => s"(v[$d]*(${comp(d)}))")
+        .mkString("(", " + ", ")")
+    def iterCte(k: Int, comp: Int => String): String = {
+      val sums = (1 to dims).map(d =>
+        s"sum(CAST(round(v[$d] * s * $sc) AS BIGINT)) AS w$d")
+        .mkString(",\n      ")
+      val normTerms = (1 to dims).map(d =>
+        s"CAST(w$d AS DOUBLE)*CAST(w$d AS DOUBLE)")
+        .mkString("(0.0 + ", " + ", ")")
+      val comps = (1 to dims).map(d =>
+        s"CAST(w$d AS DOUBLE)/nrm AS c$d").mkString(", ")
+      s"""w$k AS (
+         |  SELECT $sums
+         |  FROM (SELECT v, ${dotOf(comp)} AS s FROM vecs${
+             if (k == 1) "" else s", i${k - 1}"})),
+         |n$k AS (SELECT *, sqrt($normTerms) AS nrm FROM w$k),
+         |i$k AS (SELECT $comps, nrm / $sc AS lam FROM n$k)""".stripMargin
+    }
+    val ctes = (1 to PiIters).map { k =>
+      iterCte(k, d => if (k == 1) "0.125" else s"i${k - 1}.c$d")
+    }.mkString(",\n")
+    val unions = (1 to PiIters).map { k =>
+      val lst = (1 to dims).map(d => s"c$d").mkString("[", ", ", "]")
+      s"SELECT $k AS it, $lst AS comps, lam FROM i$k"
+    }.mkString("\n      UNION ALL ")
+    s"""WITH vecs AS (
+       |  SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |$ctes
+       |SELECT CAST(it AS BIGINT) AS iter, CAST(gs.d AS BIGINT) AS dim,
+       |  round(comps[gs.d], 6) AS component, round(lam, 6) AS lambda_est
+       |FROM ($unions),
+       |  generate_series(1, $dims) AS gs(d)
+       |ORDER BY iter, dim""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q130_power_iteration" -> (q130 _),
     "q127_prototype_prune" -> (q127 _),
     "q128_semantic_decontam" -> (q128 _),
     "q30_knn_bruteforce" -> (q30 _),
@@ -579,6 +649,7 @@ object VectorQueries {
     "q105_knn_ivfpq" -> (q105 _))
 
   val oracleSql: Map[String, String] = Map(
+    "q130_power_iteration" -> q130Sql,
     "q127_prototype_prune" -> q127Sql,
     "q128_semantic_decontam" -> q128Sql,
     "q30_knn_bruteforce" -> q30Sql,

@@ -68,4 +68,36 @@ class VectorsSpec extends SparkSpec {
       .as[Seq[Long]].head()
     assert(got == Seq(11L, 22L, 30L))
   }
+
+  test("powerIterationTrace converges to a planted dominant direction " +
+    "and is bit-identical under any partitioning") {
+    // 200 vectors along ±e1 (norm 10) + 20 small noise vectors: the top
+    // principal direction of sum(x x^T) is e1 by construction
+    val rnd = new scala.util.Random(7)
+    val rows = (0 until 200).map { i =>
+      val sign = if (i % 2 == 0) 1.0 else -1.0
+      Seq(10.0 * sign, rnd.nextGaussian() * 0.01,
+        rnd.nextGaussian() * 0.01, rnd.nextGaussian() * 0.01)
+    } ++ (0 until 20).map(_ => Seq.fill(4)(rnd.nextGaussian() * 0.1))
+    val df = rows.map(v => Tuple1(v)).toDF("embedding")
+    val trace = graft.operators.Vectors.powerIterationTrace(
+      df, "embedding", dims = 4, iters = 4)
+    assert(trace.size == 4)
+    val (vLast, lamLast) = trace.last
+    assert(math.abs(math.abs(vLast.head) - 1.0) < 1e-3,
+      s"did not converge to e1: $vLast")
+    assert(vLast.tail.forall(c => math.abs(c) < 0.05), s"off-axis: $vLast")
+    // eigenvalue estimate ~ sum of squared projections onto e1 = 200*100
+    assert(math.abs(lamLast - 20000.0) / 20000.0 < 0.01, s"lambda $lamLast")
+    // every iterate is a unit vector
+    trace.foreach { case (v, _) =>
+      val n = math.sqrt(v.map(c => c * c).sum)
+      assert(math.abs(n - 1.0) < 1e-9, s"iterate not unit: $n")
+    }
+    // exact partition-independence: the quantized long sums make the
+    // whole trace (a chain of float-sensitive steps) bit-stable
+    val re = graft.operators.Vectors.powerIterationTrace(
+      df.repartition(7), "embedding", dims = 4, iters = 4)
+    assert(re == trace, "trace depends on partitioning")
+  }
 }
