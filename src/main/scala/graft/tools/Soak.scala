@@ -48,7 +48,8 @@ object Soak {
     "q109_image_near_dup", "q117_image_dedup_corpus",
     "q119_doc_chunking", "q120_dsir_importance", "q123_corpus_shuffle",
     "q124_cdc_chunks", "q125_gopher_rules", "q126_rrf_hybrid",
-    "q127_prototype_prune", "q128_semantic_decontam")
+    "q127_prototype_prune", "q128_semantic_decontam",
+    "q130_power_iteration")
 
   /** Same co-tenant preflight as [[graft.Bench]]: exponent fits across
     * scale runs are meaningless if one run raced a loaded box, so wait
