@@ -178,6 +178,46 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
+  /** Asymmetric CONTAINMENT near-dup pairs: C(a→b) = |S(a)∩S(b)| / |S(a)|
+    * over distinct word-n-gram shingle sets — the quote/subset detector
+    * Jaccard structurally misses (a paragraph fully quoted inside a much
+    * longer document has high containment but low Jaccard, because the
+    * union is dominated by the longer side). Emits ORDERED pairs (a, b)
+    * with a ≠ b and C(a→b) ≥ `threshold` — (a,b) and (b,a) are different
+    * claims with different denominators.
+    *
+    * Shape: shingles travel as 8-byte xxhash64 values; candidates come
+    * from one equi-join on shared shingles with |S(a)∩S(b)| as a COUNT
+    * aggregate (shingle sets are distinct, so each shared shingle
+    * contributes exactly one joined row — no verify rejoin needed).
+    *
+    * Scale: candidate mass is Σ_gram df(gram)² — the Zipf hazard the
+    * Jaccard join's df-ascending prefix filter exists for. Containment
+    * admits no symmetric size filter (the contained side can be tiny),
+    * so at corpus scale generate candidates with [[minHashLsh]] banding
+    * first and verify containment on the candidate set, or collapse
+    * exact duplicates before joining ([[dedupCorpus]] recipe); this
+    * exact form is the correctness baseline and the bounded-input path.
+    */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
+                       n: Int, threshold: Double): DataFrame = {
+    require(threshold > 0 && threshold <= 1, "threshold in (0,1]")
+    val s = hashedShingleSets(widen(df), idCol, textCol, n)
+      .filter(size(col("shingles")) > 0)
+      .withColumn("sz", size(col("shingles")))
+    val toks = s.select(col("id"), explode(col("shingles")).as("tok"))
+    val inter = toks.as("a").join(toks.as("b"),
+        col("a.tok") === col("b.tok") && col("a.id") =!= col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter.join(s.select(col("id").as("id_a"), col("sz")), "id_a")
+      .withColumn("containment",
+        col("inter").cast("double") / col("sz").cast("double"))
+      .filter(col("containment") >= threshold)
+      .select(col("id_a"), col("id_b"),
+        round(col("containment"), 6).as("containment"))
+  }
+
   /** MinHash signature: k-wide one-pass native expression using the
     * Broder construction h_i = (h1 + i*h2) mod P
     * (graft.plans.MinHashArray) — one traversal of the shingle set

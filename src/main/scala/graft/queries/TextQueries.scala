@@ -723,7 +723,43 @@ object TextQueries {
        |ORDER BY rrf DESC, doc_id LIMIT 80""".stripMargin
   }
 
+  // --------------------------------------------------------------- q131
+  // Asymmetric containment near-dup (the quote/subset detector): ordered
+  // pairs with |S(a)∩S(b)|/|S(a)| >= 0.15 over word-3-gram sets (0.15, not higher: the synthetic corpus is bimodal — replicas at ~1.0 and noise below — and 0.15 keeps the mid-band partial-overlap pairs in the gate). Same
+  // capped-id construction as q25 (oracle cross-join tractability); the
+  // hashed-shingle join in Spark vs the string-gram join in DuckDB
+  // agree absent 2^-65 hash collisions (the q79 argument).
+  private def q131(s: SparkSession, dir: String): DataFrame =
+    Dedup.containmentPairs(
+      Tables.documents(s, dir).filter(col("doc_id") < JaccardMaxId),
+      "doc_id", "text", n = 3, threshold = 0.15)
+      .orderBy(col("id_a"), col("id_b"))
+
+  private val q131Sql = {
+    val sh =
+      s"""list_distinct(list_transform(
+         |    generate_series(1, greatest(len($toksSql) - 2, 0)),
+         |    i -> concat_ws(' ', $toksSql[i], $toksSql[i+1],
+         |                   $toksSql[i+2])))""".stripMargin
+    s"""WITH sets AS (
+       |  SELECT doc_id AS id, $sh AS sh
+       |  FROM documents WHERE doc_id < $JaccardMaxId),
+       |tok AS (SELECT id, unnest(sh) AS g FROM sets),
+       |inter AS (
+       |  SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter
+       |  FROM tok a JOIN tok b ON a.g = b.g AND a.id <> b.id
+       |  GROUP BY 1, 2),
+       |sz AS (SELECT id, len(sh) AS sz FROM sets)
+       |SELECT i.id_a, i.id_b,
+       |  round(CAST(i.inter AS DOUBLE) / CAST(s.sz AS DOUBLE), 6)
+       |    AS containment
+       |FROM inter i JOIN sz s ON i.id_a = s.id
+       |WHERE CAST(i.inter AS DOUBLE) / CAST(s.sz AS DOUBLE) >= 0.15
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q131_containment" -> (q131 _),
     "q126_rrf_hybrid" -> (q126 _),
     "q110_pii_redaction" -> (q110 _),
     "q98_unigram_ce" -> (q98 _),
@@ -744,6 +780,7 @@ object TextQueries {
     "q28_dedup_corpus" -> (q28 _))
 
   val oracleSql: Map[String, String] = Map(
+    "q131_containment" -> q131Sql,
     "q126_rrf_hybrid" -> q126Sql,
     "q110_pii_redaction" -> q110Sql,
     "q98_unigram_ce" -> q98Sql,

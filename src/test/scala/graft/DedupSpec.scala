@@ -420,4 +420,44 @@ class DedupSpec extends SparkSpec {
       assert(blocked == all, s"maxHamming=$k")
     }
   }
+
+  test("containmentPairs equals the brute-force definition, is " +
+    "asymmetric, and catches the quote Jaccard misses") {
+    // doc 2 is a verbatim quote of doc 1 inside a much longer document:
+    // containment(1 -> 2) = 1.0 while Jaccard stays low
+    val quote = "alpha beta gamma delta epsilon zeta"
+    val docs = Seq(
+      (1L, quote),
+      (2L, quote + " " + (1 to 30).map(i => s"filler$i").mkString(" ")),
+      (3L, "totally unrelated words only here"),
+      (4L, "alpha beta gamma nothing shared beyond this prefix")
+    ).toDF("doc_id", "text")
+    val got = Dedup.containmentPairs(docs, "doc_id", "text", n = 3,
+        threshold = 0.2)
+      .select("id_a", "id_b", "containment")
+      .as[(Long, Long, Double)].collect().map(r => (r._1, r._2) -> r._3)
+      .toMap
+    // brute force
+    def sh(t: String) = t.split("\\s+").sliding(3).map(_.mkString(" ")).toSet
+    val all = Map(1L -> sh(quote),
+      2L -> sh(docs.as[(Long, String)].collect().find(_._1 == 2L).get._2),
+      3L -> sh("totally unrelated words only here"),
+      4L -> sh("alpha beta gamma nothing shared beyond this prefix"))
+    val want = (for {
+      a <- all.keys; b <- all.keys if a != b
+      c = (all(a) & all(b)).size.toDouble / all(a).size
+      if c >= 0.2
+    } yield (a, b) -> math.rint(c * 1e6) / 1e6).toMap
+    assert(got == want, s"got $got want $want")
+    assert(got((1L, 2L)) == 1.0) // full quote
+    // asymmetric denominators: the long document is NOT contained in
+    // its own quote
+    assert(!got.contains((2L, 1L)), s"containment lost its direction: $got")
+    // the Jaccard twin misses the quote at the same bar
+    val jac = Dedup.jaccardPairs(docs, "doc_id", "text", n = 3,
+        threshold = 0.2)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(!jac.contains((1L, 2L)) && !jac.contains((2L, 1L)),
+      s"jaccard unexpectedly caught the quote: $jac")
+  }
 }
