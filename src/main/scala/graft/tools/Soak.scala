@@ -44,7 +44,8 @@ object Soak {
     "q65_session_window", "q67_equidepth_hist", "q79_contamination",
     "q81_tfidf", "q85_sequence_pack", "q87_vocabulary",
     "q88_curate_corpus", "q90_repeated_spans", "q93_bm25",
-    "q98_unigram_ce", "q104_knn_ivf_adaptive", "q105_knn_ivfpq",
+    "q98_unigram_ce", "q30_knn_bruteforce", "q32_knn_ivf",
+    "q104_knn_ivf_adaptive", "q105_knn_ivfpq",
     "q109_image_near_dup", "q117_image_dedup_corpus",
     "q119_doc_chunking", "q120_dsir_importance", "q123_corpus_shuffle",
     "q124_cdc_chunks", "q125_gopher_rules", "q126_rrf_hybrid",
