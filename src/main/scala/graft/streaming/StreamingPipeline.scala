@@ -123,14 +123,17 @@ object StreamingPipeline {
     * column.
     */
   def incrementalDedupStream(docs: DataFrame, idCol: String, textCol: String,
-                             digestDir: String)(
+                             digestDir: String,
+                             bucketMinStoreBytes: Long =
+                               DigestBucketMinStoreBytes,
+                             compactMinDirs: Int = DigestCompactMinDirs)(
       onBatch: (DataFrame, Long) => Unit) = {
     new java.io.File(digestDir).mkdirs()
     docs.writeStream
       .outputMode(OutputMode.Append)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        incrementalDedupBatch(batch, batchId, idCol, textCol, digestDir)(
-          onBatch)
+        incrementalDedupBatch(batch, batchId, idCol, textCol, digestDir,
+          bucketMinStoreBytes, compactMinDirs)(onBatch)
       }
   }
 
@@ -157,12 +160,53 @@ object StreamingPipeline {
   private def digestPfx: org.apache.spark.sql.Column =
     substring(col("content_hash"), 1, 1).as("pfx")
 
+  /** Store-size threshold (bytes) below which batches write FLAT and the
+    * probe skips bucket pruning. The bucketed layout is a measured win at
+    * multi-million-digest stores (DigestPruneProbe: 59.2MB/6 files vs
+    * 157.7MB/16 per batch at 5M digests) but pure overhead below it —
+    * every batch would pay a touched-prefix distinct job, a
+    * repartition(pfx) shuffle, and 16-bucket partition discovery to
+    * prune a store a single flat scan reads faster. 32 MiB ≈ 10⁶ md5
+    * digests in snappy parquet — the crossover region; both layouts are
+    * correct on both sides of it (the read path unions mixed layouts by
+    * design), so the threshold only has to be order-of-magnitude right.
+    */
+  private[graft] val DigestBucketMinStoreBytes: Long = 32L << 20
+
+  /** Auto-compaction cadence: once the store accumulates this many
+    * batch subdirs, the batch merges all COMMITTED subdirs (ids strictly
+    * below its own — micro-batches run serially, so every lower id is
+    * checkpoint-committed) into one. Without it a trickle stream's
+    * per-batch probe union-reads O(batches) directories and its planning
+    * cost grows without bound; with it dir count stays ≤ this bound + 1.
+    */
+  private[graft] val DigestCompactMinDirs: Int = 16
+
+  /** Recursive byte size of a local store dir — O(files) metadata, no
+    * Spark job. (On a cluster store this is one
+    * `FileSystem.getContentSummary` call — same O(files) namenode
+    * metadata, still no job.)
+    */
+  private def treeBytes(f: java.io.File): Long =
+    if (f.isDirectory)
+      Option(f.listFiles()).getOrElse(Array.empty).map(treeBytes).sum
+    else f.length()
+
   private[graft] def incrementalDedupBatch(
       batch: DataFrame, batchId: Long, idCol: String, textCol: String,
-      digestDir: String)(onBatch: (DataFrame, Long) => Unit): Unit = {
+      digestDir: String,
+      bucketMinStoreBytes: Long = DigestBucketMinStoreBytes,
+      compactMinDirs: Int = DigestCompactMinDirs)(
+      onBatch: (DataFrame, Long) => Unit): Unit = {
     val s = batch.sparkSession
     val seenDirs = batchDirsBefore(digestDir, "b", Long.MaxValue)
       .filterNot(_.getName == f"b$batchId%05d")
+    // ADAPTIVE layout (the house adaptive-threshold pattern): bucket
+    // only once the store is big enough that touched-bucket pruning
+    // pays for its per-batch jobs. The decision is per-batch from the
+    // CURRENT store size, so a growing store transitions flat→bucketed
+    // mid-stream and the mixed layout reads fine.
+    val bucketed = seenDirs.iterator.map(treeBytes).sum >= bucketMinStoreBytes
     // per-dir reads + union (not one multi-root read): batch subdirs mix
     // layouts legitimately — pfx-bucketed (normal batches), flat (empty
     // batches, pre-bucketing stores) — and multi-root partition
@@ -179,16 +223,20 @@ object StreamingPipeline {
     // model-scale (≤16 values, one tiny job over the small batch side),
     // and the filter lands on each bucketed scan as a partition filter —
     // O(touched buckets) files read instead of O(store). Rows from flat
-    // (legacy/empty) subdirs carry a null pfx and are kept — correct,
-    // just unpruned.
-    val touched = batch.select(
-        substring(md5(col(textCol)), 1, 1).as("pfx"))
-      .distinct().collect().map(_.getString(0)).toSeq
+    // (legacy/empty/below-threshold) subdirs carry a null pfx or a data
+    // pfx and are kept — correct, just unpruned. Below the bucketing
+    // threshold the whole pruning step is SKIPPED: the touched-prefix
+    // job costs more than the flat scan it would save.
     val pruned =
-      if (seen.columns.contains("pfx"))
+      if (!seen.columns.contains("pfx")) seen
+      else if (!bucketed) seen.drop("pfx")
+      else {
+        val touched = batch.select(
+            substring(md5(col(textCol)), 1, 1).as("pfx"))
+          .distinct().collect().map(_.getString(0)).toSeq
         seen.filter(col("pfx").isNull || col("pfx").isin(touched: _*))
           .drop("pfx")
-      else seen
+      }
     // map-side form: the historical store never shuffles, whatever its
     // size — the per-batch cost a long-lived stream actually pays
     val kept = graft.operators.Curation
@@ -197,18 +245,30 @@ object StreamingPipeline {
     val nKept = kept.count() // pin results BEFORE the store grows
     onBatch(kept, batchId)
     // a PARTITIONED write of zero rows leaves a schemaless dir parquet
-    // cannot re-read (the semDedupBatch lesson) — empty batches write
-    // flat, with pfx as a DATA column so the schema still unions.
-    // repartition(pfx) first: without it every task writes every bucket
-    // (tasks × 16 small files per batch); with it each bucket is ONE
-    // file, so the probe's per-bucket read cost is footers it actually
-    // needs. The shuffle is batch-digest-sized — the store never moves.
+    // cannot re-read (the semDedupBatch lesson) — empty and
+    // below-threshold batches write flat, with pfx as a DATA column so
+    // the schema still unions. Bucketed batches repartition(pfx) first:
+    // without it every task writes every bucket (tasks × 16 small files
+    // per batch); with it each bucket is ONE file, so the probe's
+    // per-bucket read cost is footers it actually needs. The shuffle is
+    // batch-digest-sized — the store never moves. Flat batches coalesce
+    // to one file (the store is < bucketMinStoreBytes by definition).
     val out = kept.select(col("content_hash"), digestPfx)
-    (if (nKept > 0)
+    (if (nKept > 0 && bucketed)
        out.repartition(col("pfx")).write.mode("overwrite").partitionBy("pfx")
+     else if (nKept > 0) out.coalesce(1).write.mode("overwrite")
      else out.write.mode("overwrite"))
       .parquet(f"$digestDir/b$batchId%05d")
     kept.unpersist()
+    // Auto-compaction: keep the probe's per-batch directory count
+    // bounded. Everything strictly below batchId is checkpoint-committed
+    // (micro-batches run serially), so merging those dirs is replay-safe
+    // — a replay of THIS batch still finds its own subdir excluded and
+    // the compacted history intact. Layout is inferred from the source
+    // dirs, so a store that has crossed the bucketing threshold keeps
+    // its pfx pruning through compaction.
+    if (seenDirs.length + 1 >= compactMinDirs)
+      compactStateDirs(s, digestDir, beforeId = batchId)
     ()
   }
 
@@ -367,9 +427,17 @@ object StreamingPipeline {
     val merged = dirs.map(d => spark.read.parquet(d.getPath))
       .reduce(_.unionByName(_, allowMissingColumns = true))
       .persist()
-    merged.count() // pin the union BEFORE overwriting a source dir
-    val writer = merged.write.mode("overwrite")
-    (if (layout.nonEmpty) writer.partitionBy(layout: _*)
+    val nRows = merged.count() // pin the union BEFORE overwriting a source
+    // zero rows → write FLAT even if the sources were partitioned (a
+    // partitioned zero-row write leaves a schemaless unreadable dir);
+    // otherwise repartition on the layout so the compacted store has one
+    // file per partition value, not sourceTasks × partitions small files
+    val toWrite =
+      if (layout.nonEmpty && nRows > 0)
+        merged.repartition(layout.map(col): _*)
+      else merged
+    val writer = toWrite.write.mode("overwrite")
+    (if (layout.nonEmpty && nRows > 0) writer.partitionBy(layout: _*)
      else writer).parquet(dirs.last.getPath)
     merged.unpersist()
     // sources drop only AFTER the merged dir is fully in place; a crash

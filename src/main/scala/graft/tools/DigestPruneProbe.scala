@@ -38,8 +38,11 @@ object DigestPruneProbe {
     val bucketed = new java.io.File(work, "bucketed").getPath
     // seed the bucketed store through the real writer (batch 0)
     time(s"seed bucketed store (${sfDir})") {
+      // bucketMinStoreBytes=0: the seed batch must write the bucketed
+      // layout regardless of (empty) prior-store size — the probe's
+      // whole point is measuring that layout
       StreamingPipeline.incrementalDedupBatch(docs, 0L, "doc_id", "text",
-        bucketed) { (_, _) => () }
+        bucketed, bucketMinStoreBytes = 0L) { (_, _) => () }
     }
     // flat twin: same digests, no buckets
     val flat = new java.io.File(work, "flat").getPath

@@ -84,9 +84,11 @@ class StoreRobustnessSpec extends SparkSpec {
     def run(rows: Seq[(Long, String)], batchId: Long)
         (onBatch: (org.apache.spark.sql.DataFrame, Long) => Unit =
           (_, _) => ()): Unit =
+      // bucketMinStoreBytes = 0 forces the ABOVE-threshold layout the
+      // test pins (adaptive default writes flat at this toy store size)
       StreamingPipeline.incrementalDedupBatch(
         rows.toDF("doc_id", "text"), batchId, "doc_id", "text",
-        digestDir)(onBatch)
+        digestDir, bucketMinStoreBytes = 0L)(onBatch)
     // enough rows that every hex prefix bucket materializes
     run((0L until 300L).map(i => (i, s"seed doc $i")), 0L)()
     val b0 = new java.io.File(digestDir, "b00000")

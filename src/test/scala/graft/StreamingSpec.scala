@@ -532,6 +532,44 @@ class StreamingSpec extends SparkSpec {
     assert(kept == Set(6L)) // alpha was in compacted batch 0
   }
 
+  test("digest store auto-compacts on cadence: dir count stays bounded " +
+    "over a long stream and semantics are unchanged") {
+    val digestDir = Files.createTempDirectory("graft-digests-ac").toString
+    val minDirs = 6
+    var dirCounts = List.empty[Int]
+    def dirs() = Option(new java.io.File(digestDir).listFiles())
+      .getOrElse(Array.empty).count(_.getName.startsWith("b"))
+    // 20 batches; every doc also re-sent in the NEXT batch, so each
+    // batch's survivors prove the store (compacted or not) still
+    // excludes all history
+    var emitted = Map.empty[Long, Set[Long]]
+    (0 until 20).foreach { b =>
+      val rows = Seq((b.toLong * 2, s"doc $b"), (b.toLong * 2 + 1,
+        s"doc ${b - 1}")) // second row duplicates the previous batch
+      StreamingPipeline.incrementalDedupBatch(
+        rows.toDF("doc_id", "text"), b.toLong, "doc_id", "text",
+        digestDir, compactMinDirs = minDirs) { (res, id) =>
+        emitted += id -> res.select("keep_id").as[Long].collect().toSet
+      }
+      dirCounts ::= dirs()
+    }
+    // bounded: compaction fires whenever the count reaches the cadence,
+    // so it never exceeds minDirs + 1 (history-merged dir + recents)
+    assert(dirCounts.max <= minDirs + 1,
+      s"dir count grew unbounded: ${dirCounts.reverse}")
+    assert(dirCounts.last <= minDirs + 1)
+    // semantics: batch 0 emits both rows ("doc -1" is novel); every
+    // later batch emits ONLY its novel doc — the re-sent duplicate is
+    // excluded by the (possibly compacted) store
+    assert(emitted(0L) == Set(0L, 1L))
+    (1 until 20).foreach { b =>
+      assert(emitted(b.toLong) == Set(b.toLong * 2),
+        s"batch $b emitted ${emitted(b.toLong)}")
+    }
+    // store contents survived every compaction: 21 distinct texts
+    assert(StreamingPipeline.digestStore(spark, digestDir).count() == 21L)
+  }
+
   test("state-store compaction preserves the semDedup store's cell " +
     "partitioning") {
     val stateDir = Files.createTempDirectory("graft-semdedup-cp").toString
