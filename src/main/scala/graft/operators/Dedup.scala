@@ -194,14 +194,29 @@ object Dedup {
     * Scale: candidate mass is Σ_gram df(gram)² — the Zipf hazard the
     * Jaccard join's df-ascending prefix filter exists for. Containment
     * admits no symmetric size filter (the contained side can be tiny),
-    * so at corpus scale generate candidates with [[minHashLsh]] banding
-    * first and verify containment on the candidate set, or collapse
-    * exact duplicates before joining ([[dedupCorpus]] recipe); this
-    * exact form is the correctness baseline and the bounded-input path.
+    * so this exact form is the CORRECTNESS BASELINE and the
+    * bounded-input path only: above `routeThreshold` documents the call
+    * REFUSES (require) and names [[containmentJoin]] — the
+    * candidate-verified scale form with identical output. The refusal
+    * bar is the same n²/2 worst-case-candidate argument as
+    * [[jaccardSimilarityJoin]]'s 8192-doc adaptive threshold: below it
+    * even every-pair-collides is join-sized; above it Zipfian shingle
+    * frequencies make Σdf² unbounded relative to the corpus.
     */
   def containmentPairs(df: DataFrame, idCol: String, textCol: String,
-                       n: Int, threshold: Double): DataFrame = {
+                       n: Int, threshold: Double,
+                       routeThreshold: Long = 1L << 13): DataFrame = {
     require(threshold > 0 && threshold <= 1, "threshold in (0,1]")
+    val nDocs = df.count()
+    require(nDocs <= routeThreshold,
+      s"containmentPairs: corpus has $nDocs documents > " +
+        s"routeThreshold=$routeThreshold. The exact form joins ALL " +
+        "shared shingle occurrences (candidate mass ~ sum df(gram)^2 — " +
+        "unbounded under Zipfian shingle frequencies; the pre-fix q25 " +
+        "failure mode). At this scale use Dedup.containmentJoin (prefix-" +
+        "filtered candidates, identical output), and collapse exact " +
+        "duplicates first (dedupCorpus recipe) if the corpus is replica-" +
+        "heavy.")
     val s = hashedShingleSets(widen(df), idCol, textCol, n)
       .filter(size(col("shingles")) > 0)
       .withColumn("sz", size(col("shingles")))
@@ -213,6 +228,86 @@ object Dedup {
     inter.join(s.select(col("id").as("id_a"), col("sz")), "id_a")
       .withColumn("containment",
         col("inter").cast("double") / col("sz").cast("double"))
+      .filter(col("containment") >= threshold)
+      .select(col("id_a"), col("id_b"),
+        round(col("containment"), 6).as("containment"))
+  }
+
+  /** [[containmentPairs]] at corpus scale: identical output (exact
+    * containment, 100% recall), candidates from an ASYMMETRIC prefix
+    * filter instead of the all-shared-shingles join.
+    *
+    * Prefix bound (one-sided PPJoin, Xiao et al. WWW'08 §3 adapted to
+    * containment): C(a→b) ≥ t forces |S(a)∩S(b)| ≥ ⌈t·|S(a)|⌉, and a set
+    * whose intersection with ANYTHING is ≥ k must expose an intersection
+    * element within its first |S(a)|−k+1 elements under any fixed total
+    * order. So only the CONTAINED side indexes a prefix; the container
+    * side indexes all its shingles (its overlap bound t·|S(a)| says
+    * nothing about |S(b)|, so no symmetric prefix exists — the structural
+    * difference from the Jaccard join). One size filter survives:
+    * overlap ≤ |S(b)| forces |S(b)| ≥ t·|S(a)|.
+    *
+    * Canonical order = df-ascending (rare shingles first), so candidate
+    * mass is Σ_gram df_prefix(gram)·df(gram) with frequent shingles
+    * pushed out of every prefix — the same Zipf protection the ×100 soak
+    * forced on [[jaccardSimilarityJoin]]. Candidates are then verified
+    * with ONE codegen'd sorted-set intersect per pair on the cached
+    * hashed arrays.
+    *
+    * Why not [[minHashLsh]] banding for candidates: banding recall is a
+    * function of JACCARD (p ≈ J^rows per band), and the pairs this
+    * operator exists for — a small quote inside a much larger document —
+    * have high containment but arbitrarily LOW Jaccard (J =
+    * t·|a|/(|a|+|b|−t·|a|) → 0 as |b| grows), exactly where banding goes
+    * blind. Size-partitioned banding (LSH Ensemble, Zhu et al. VLDB'16)
+    * repairs that approximately; the prefix filter needs no partitioning
+    * and is lossless.
+    */
+  def containmentJoin(df: DataFrame, idCol: String, textCol: String,
+                      n: Int, threshold: Double): DataFrame = {
+    require(threshold > 0 && threshold <= 1, "threshold in (0,1]")
+    // cache: feeds the df agg, the prefix/full indexes, and the verify
+    // rejoins — five consumers of one tokenize+shingle pass
+    val s = hashedShingleSets(widen(df), idCol, textCol, n)
+      .filter(size(col("shingles")) > 0)
+      .withColumn("sz", size(col("shingles")))
+      .cache()
+    val prefLen = (col("sz") - ceil(col("sz") * threshold) + 1).cast("int")
+    val freq = s.select(explode(col("shingles")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("df"))
+    // per-document window: partitioned by id, bounded by shingles/doc —
+    // no corpus-sized partition. ONLY the contained-side prefix pays the
+    // df join + rank window; the container-side index is the raw explode
+    // (it indexes every token, so canonical order is irrelevant to it —
+    // routing it through the ranked subtree would both double that
+    // subtree's work, since Spark shares no plan subtrees across join
+    // sides, and drag a corpus-tokens × df shuffle into the probe side:
+    // measured 349 s at ×100 before the split, ~linear after).
+    val byRarity = Window.partitionBy(col("id"))
+      .orderBy(col("df"), col("tok"))
+    val pref = s.select(col("id"), col("sz"), prefLen.as("prefLen"),
+        explode(col("shingles")).as("tok"))
+      .join(freq, "tok")
+      .withColumn("pos", row_number().over(byRarity) - 1)
+      .filter(col("pos") < col("prefLen"))
+      .select(col("id"), col("sz"), col("tok"))
+    val full = s.select(col("id"), col("sz"),
+      explode(col("shingles")).as("tok"))
+    val cand = pref.as("a").join(full.as("b"),
+        col("a.tok") === col("b.tok") && col("a.id") =!= col("b.id") &&
+          col("b.sz") >= col("a.sz") * threshold)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    val sets = s.select(col("id"), col("shingles"), col("sz"))
+    cand
+      .join(sets.select(col("id").as("id_a"), col("shingles").as("sh_a"),
+        col("sz").as("sz_a")), "id_a")
+      .join(sets.select(col("id").as("id_b"), col("shingles").as("sh_b")),
+        "id_b")
+      .withColumn("inter",
+        graft.plans.SetExpressions.sortedLongIntersectCount(
+          col("sh_a"), col("sh_b")).cast("double"))
+      .withColumn("containment", col("inter") / col("sz_a").cast("double"))
       .filter(col("containment") >= threshold)
       .select(col("id_a"), col("id_b"),
         round(col("containment"), 6).as("containment"))

@@ -105,6 +105,20 @@ object Soak {
         Dedup.dedupCorpus(docs, "doc_id",
           Dedup.minHashLsh(docs, "doc_id", "text", n = 3, threshold = 0.4,
             numHashes = 64, bands = 32))),
+      "s131_containment_full" -> (() =>
+        // containmentJoin (the scale form containmentPairs' route guard
+        // names), FULL corpus. 0.65, NOT q131's 0.15: containment is
+        // asymmetric, so ScaleGen's marker-every-4th-word splice — which
+        // kills cross-replica JACCARD (shared/union ≈ 0.28) — does NOT
+        // kill cross-replica containment: 2 of every 4 base trigram
+        // windows survive the splice, so C(base→replica) ≈ 0.5 against
+        // the base's smaller denominator (measured: 0.4 admitted every
+        // replica-cluster pair, 512 → 487k rows at ×10 — quadratic
+        // output mass, the s33/s27 lesson). 0.65 sits above the ≈0.5
+        // plateau; surviving pairs are base-corpus quotes and exact-dup
+        // replicas (C = 1.0), both linear in the corpus.
+        Dedup.containmentJoin(docs, "doc_id", "text", n = 3,
+          threshold = 0.65)),
       "s128_decontam_fixedbench" -> (() =>
         // the DEPLOYMENT shape of q128: a FIXED-size benchmark (1000
         // vectors — vec_id < 20000 covers the same ids at every scale

@@ -460,4 +460,48 @@ class DedupSpec extends SparkSpec {
     assert(!jac.contains((1L, 2L)) && !jac.contains((2L, 1L)),
       s"jaccard unexpectedly caught the quote: $jac")
   }
+
+  test("containmentPairs refuses above routeThreshold and names the " +
+    "scale path") {
+    val docs = (0L until 20L).map(i => (i, s"doc $i words $i end"))
+      .toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.containmentPairs(docs, "doc_id", "text", n = 3,
+        threshold = 0.2, routeThreshold = 10L)
+    }
+    assert(e.getMessage.contains("containmentJoin"), e.getMessage)
+    // and passes untouched just below the bar
+    assert(Dedup.containmentPairs(docs, "doc_id", "text", n = 3,
+      threshold = 0.2, routeThreshold = 20L).columns.toSeq ==
+      Seq("id_a", "id_b", "containment"))
+  }
+
+  test("containmentJoin (prefix-filtered) emits EXACTLY the baseline " +
+    "pairs on a randomized corpus with quotes, replicas and noise") {
+    val rnd = new scala.util.Random(131)
+    val vocab = (0 until 40).map(i => s"w$i")
+    def doc(len: Int) =
+      (0 until len).map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    val bases = (0L until 12L).map(i => (i, doc(8 + rnd.nextInt(40))))
+    val quotes = bases.take(4).map { case (i, t) =>
+      // a verbatim slice of a base doc embedded in fresh filler —
+      // high containment toward the quote, low Jaccard
+      val words = t.split(" ")
+      val q = words.slice(0, math.max(3, words.length / 2)).mkString(" ")
+      (100L + i, q + " " + doc(30))
+    }
+    val replicas = bases.slice(4, 7).map { case (i, t) => (200L + i, t) }
+    val docs = (bases ++ quotes ++ replicas).toDF("doc_id", "text")
+    for (t <- Seq(0.15, 0.4, 0.8)) {
+      def run(f: => org.apache.spark.sql.DataFrame) =
+        f.select("id_a", "id_b", "containment")
+          .as[(Long, Long, Double)].collect().toSet
+      val base = run(Dedup.containmentPairs(docs, "doc_id", "text", 3, t))
+      val pfx = run(Dedup.containmentJoin(docs, "doc_id", "text", 3, t))
+      assert(pfx == base,
+        s"t=$t: prefix-filtered lost/invented pairs: " +
+          s"missing=${base -- pfx} extra=${pfx -- base}")
+      assert(base.nonEmpty, s"t=$t: degenerate fixture, nothing matched")
+    }
+  }
 }
