@@ -71,6 +71,90 @@ class StreamingSpec extends SparkSpec {
     assert(got.contains(Session(2, b + 100, b + 100, 1)))
   }
 
+  test("PROPERTY: streaming sessionize == batch gap semantics on random " +
+    "event streams, including watermark-dropped tails (q12 ~ q129)") {
+    implicit val sqlCtx = spark.sqlContext
+    val gap = 1000L
+    val wmDelay = 3600000L // sessionize's hard-coded "1 hour"
+    // the q12 lag+running-sum semantics, closed-form
+    def batchSessions(evs: Seq[UserEvent]): Set[Session] =
+      evs.groupBy(_.userId).flatMap { case (u, es) =>
+        es.map(_.ms).sorted.foldLeft(List.empty[Session]) {
+          case (s :: tail, ms) if ms - s.sessionEnd <= gap =>
+            s.copy(sessionEnd = ms, nEvents = s.nEvents + 1) :: tail
+          case (acc, ms) => Session(u, ms, ms, 1) :: acc
+        }
+      }.toSet
+    for (seed <- Seq(7, 21, 42); withFlush <- Seq(true, false)) {
+      val rnd = new scala.util.Random(seed)
+      val base = 86400000L
+      // mixed gaps: sub-gap continuations, >gap new sessions, and
+      // occasional >>wmDelay jumps so the watermark actually moves and
+      // mid-stream event-time timeouts fire
+      val events = (1L to 4L).flatMap { u =>
+        var t = base + rnd.nextInt(5000)
+        (0 until 40).map { _ =>
+          t += (rnd.nextInt(4) match {
+            case 0 => 600000L + rnd.nextInt(7200000)
+            case 1 => gap + 1 + rnd.nextInt(5000)
+            case _ => rnd.nextInt(900).toLong + 1
+          })
+          UserEvent(u, t)
+        }
+      }.sortBy(e => (e.ms, e.userId))
+      // 4 event-time-ordered chunks: arrival order = event-time order, so
+      // no late drops — the tails under test are the UNEMITTED kind
+      // (sessions the watermark never closed), q129's construction
+      val chunks = events.grouped((events.size + 3) / 4).toSeq
+      // Effective final watermark = max event time − 1h: Spark appends
+      // NO-DATA micro-batches whenever the watermark advances
+      // (SPARK-24156), so event-time timeouts fire against the max-seen
+      // watermark even after the last data batch — emission MEMBERSHIP
+      // (not timing) depends only on this final value
+      val wmMax = events.map(_.ms).max - wmDelay
+      val all = batchSessions(events)
+      // fixture guard: the timeout contract is STRICT (wm > end+gap);
+      // an exact tie would pin engine tie-breaking, not semantics
+      assert(!all.exists(s => s.sessionEnd + gap == wmMax),
+        s"seed $seed: fixture ties a session timeout to the watermark")
+      val mem = MemoryStream[UserEvent]
+      val qname = s"sess_prop_${seed}_$withFlush"
+      val q = StreamingPipeline.sessionize(mem.toDS(), gapMs = gap)
+        .writeStream.format("memory").queryName(qname)
+        .outputMode("append").start()
+      chunks.foreach { c => mem.addData(c: _*); q.processAllAvailable() }
+      if (withFlush) {
+        // two far-future batches: the first raises the watermark, the
+        // second fires every remaining event-time timeout under it
+        val flushMs = events.map(_.ms).max + 10 * wmDelay
+        mem.addData(UserEvent(-100L, flushMs)); q.processAllAvailable()
+        mem.addData(UserEvent(-100L, flushMs + wmDelay))
+        q.processAllAvailable()
+      }
+      q.stop()
+      val got = spark.table(qname).as[Session].collect()
+        .filter(_.userId > 0).toSet
+      if (withFlush)
+        assert(got == all,
+          s"seed $seed flushed: missing=${all -- got} extra=${got -- all}")
+      else {
+        // no flush: a session emits iff closed INLINE (its user has a
+        // later >gap event — arrival is guaranteed, order is event-time)
+        // or by TIMEOUT (the final watermark passed end+gap); the rest
+        // are the watermark-dropped tails, never emitted
+        val expect = all.filter(s =>
+          events.exists(e =>
+            e.userId == s.userId && e.ms - s.sessionEnd > gap) ||
+            wmMax > s.sessionEnd + gap)
+        assert(got == expect,
+          s"seed $seed tails: missing=${expect -- got} " +
+            s"extra=${got -- expect} tails=${all -- expect}")
+        assert((all -- expect).nonEmpty,
+          s"seed $seed: degenerate fixture — no tail sessions")
+      }
+    }
+  }
+
   test("streaming exact dedup drops repeated content within the watermark") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, Long, String)]
