@@ -164,12 +164,23 @@ object Bench {
           }
           if (times.min > bound.get) suspect ::= name
         }
-        name -> (if (times.nonEmpty) times.min else Double.NaN)
+        name -> times
     }
     val loadEnd = proc1("/proc/loadavg")
     val uptime = proc1("/proc/uptime")
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val mins = results.map { case (k, ts) =>
+      k -> (if (ts.nonEmpty) ts.min else Double.NaN)
+    }
+    val qs = mins.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    // ALL timed draws per query (not just the min): two runs' draw
+    // intervals define the run-pair noise envelope — tools/bench_diff.py
+    // flags a move as SIGNAL only when the intervals don't overlap, so
+    // ±20% co-tenant noise stops tripping the 1.5x gate (r10: four runs
+    // on near-identical surfaces spanned 61.6→79.1 s)
+    val drawsJson = results.map { case (k, ts) =>
+      s"\"" + k + "\":" + ts.mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
     def jstr(s: String): String =
       "\"" + s.flatMap {
         case '"' => "\\\""; case '\\' => "\\\\"
@@ -179,10 +190,10 @@ object Bench {
     val errJson = errors.reverse
       .map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).filterNot(_.isNaN).sum else 0.0
+    val total = if (mins.nonEmpty) mins.map(_._2).filterNot(_.isNaN).sum else 0.0
     val retriedJson = retried.reverse.map(jstr).mkString("[", ",", "]")
     val suspectJson = suspect.reverse.map(jstr).mkString("[", ",", "]")
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir","loadavg_start":${jstr(loadStart)},"loadavg_end":${jstr(loadEnd)},"uptime":${jstr(uptime)},"preflight":$preflight,"retried":$retriedJson,"suspect":$suspectJson}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"draws":$drawsJson,"errors":$errJson,"sf":"$sfDir","loadavg_start":${jstr(loadStart)},"loadavg_end":${jstr(loadEnd)},"uptime":${jstr(uptime)},"preflight":$preflight,"retried":$retriedJson,"suspect":$suspectJson}"""
     println(line)
     // self-contained artifact: the driver's tail-capture truncated r2's JSON;
     // this file always holds the complete line.

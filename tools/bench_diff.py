@@ -1,9 +1,17 @@
 #!/usr/bin/env python3
-"""Diff two bench runs and flag real per-query moves.
+"""Diff two bench runs and separate real per-query moves from noise.
 
-Separates genuine regressions from loadavg noise without archaeology:
-any query whose time moved by more than THRESH x (default 1.5) in either
-direction is flagged, everything else is summarized as a band.
+Two noise defenses on top of the raw 1.5x ratio gate:
+
+  1. RUN DRIFT: the box's co-tenant load moves WHOLE runs by +/-20%
+     (r10: four runs on near-identical surfaces spanned 61.6..79.1s).
+     Per-query ratios are normalized by the run-pair median ratio before
+     the gate, so a uniformly-slower run doesn't flag everything.
+  2. DRAW ENVELOPE: graft.Bench records every timed draw per query
+     ("draws": best-of-N inputs, not just the min). A flagged move whose
+     two draw intervals [min..max] OVERLAP is classified as noise --
+     the runs' own spread already contains the "move". Runs recorded
+     before the draws field fall back to the ratio gate alone.
 
 Usage:
   python3 tools/bench_diff.py              # last two BENCH_HISTORY.jsonl runs
@@ -43,6 +51,12 @@ def last_two_history():
     return json.loads(lines[-2]), json.loads(lines[-1])
 
 
+def median(xs):
+    xs = sorted(xs)
+    n = len(xs)
+    return xs[n // 2] if n % 2 else (xs[n // 2 - 1] + xs[n // 2]) / 2
+
+
 def main():
     if len(sys.argv) > 2:
         old_path, new_path = sys.argv[1], sys.argv[2]
@@ -52,32 +66,49 @@ def main():
                               "BENCH_HISTORY.jsonl[-1]")
         old, new = last_two_history()
     oq, nq = old["queries"], new["queries"]
-    flagged, band = [], []
+    od, nd = old.get("draws", {}), new.get("draws", {})
+    ratios = [nq[q] / oq[q] for q in set(oq) & set(nq)
+              if oq.get(q, 0) > 0 and max(oq[q], nq[q]) >= MIN_SEC]
+    drift = median(ratios) if ratios else 1.0
+    signal, noise, band = [], [], []
     for q in sorted(set(oq) | set(nq)):
         a, b = oq.get(q), nq.get(q)
         if a is None or b is None:
-            flagged.append((q, a, b, "added" if a is None else "removed"))
+            signal.append((q, a, b, "added" if a is None else "removed"))
             continue
         if max(a, b) < MIN_SEC:
             continue
-        ratio = b / a if a > 0 else float("inf")
-        if ratio > THRESH or ratio < 1 / THRESH:
-            flagged.append((q, a, b,
-                            f"{'slower' if ratio > 1 else 'faster'} {ratio:.2f}x"))
+        raw = b / a if a > 0 else float("inf")
+        norm = raw / drift
+        if norm <= THRESH and norm >= 1 / THRESH:
+            band.append(raw)
+            continue
+        why = (f"{'slower' if raw > 1 else 'faster'} {raw:.2f}x "
+               f"({norm:.2f}x drift-adj)")
+        da, db = od.get(q), nd.get(q)
+        if da and db and min(da) <= max(db) and min(db) <= max(da):
+            noise.append((q, a, b, why + " [draw intervals overlap]"))
         else:
-            band.append(ratio)
+            signal.append((q, a, b, why))
     print(f"old: {old_path} total={old['value']:.2f}s "
           f"({len(oq)} queries)")
     print(f"new: {new_path} total={new['value']:.2f}s "
-          f"({len(nq)} queries)")
+          f"({len(nq)} queries)  run-drift={drift:.2f}x")
     if band:
         lo, hi = min(band), max(band)
-        print(f"in-band ({len(band)} queries): ratios {lo:.2f}x..{hi:.2f}x")
-    if not flagged:
-        print(f"no moves beyond {THRESH}x — all within the noise band")
+        print(f"in-band ({len(band)} queries): raw ratios "
+              f"{lo:.2f}x..{hi:.2f}x")
+    if noise:
+        print(f"\nnoise ({len(noise)} — beyond {THRESH}x but inside the "
+              "run-pair draw envelope):")
+        for q, a, b, why in noise:
+            print(f"  {q:35s} {a:8.3f}s -> {b:8.3f}s  {why}")
+    if not signal:
+        print(f"\nno SIGNAL moves beyond {THRESH}x (drift-adjusted)")
         return
-    print(f"\nflagged (> {THRESH}x move, or added/removed):")
-    for q, a, b, why in flagged:
+    print(f"\nSIGNAL (> {THRESH}x drift-adjusted move, draw intervals "
+          "disjoint, or added/removed):")
+    for q, a, b, why in signal:
         fa = "-" if a is None else f"{a:.3f}s"
         fb = "-" if b is None else f"{b:.3f}s"
         print(f"  {q:35s} {fa:>9} -> {fb:>9}  {why}")
