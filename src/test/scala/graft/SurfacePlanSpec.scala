@@ -417,6 +417,26 @@ class SurfacePlanSpec extends SparkSpec {
       s"non-sort exchange in a map-only operator:\n${exchanges.mkString("\n")}")
   }
 
+  test("q127/q128 centroid assignment runs the native codegen kernels " +
+    "(nearest_centroid / min_centroid_dist), never the CodegenFallback " +
+    "HOF tree") {
+    // the r10 rewrite replaced argmin-over-transform(...) lambdas with
+    // fused doGenCode kernels (5x on the x1000 IVF-PQ probe; HOFs are
+    // CodegenFallback AND get re-inlined below join filters with no
+    // CSE). This pin fails any refactor that reintroduces transform()
+    // into either hot scan — the q90/q98 plan-pin discipline.
+    for (name <- Seq("q127_prototype_prune", "q128_semantic_decontam")) {
+      val s = physical(run(name)).toString
+      assert(s.contains("nearest_centroid"),
+        s"$name: native cell-assignment kernel missing:\n${s.take(800)}")
+      assert(!s.contains("transform("),
+        s"$name: interpreted HOF fallback reappeared in the plan")
+    }
+    val s127 = physical(run("q127_prototype_prune")).toString
+    assert(s127.contains("min_centroid_dist"),
+      "q127: prototypicality distance must use the fused min-dist kernel")
+  }
+
   test("q120 DSIR: tf persisted once (both scorings read the cache), " +
     "LM stats broadcast, no cartesian, no window pass") {
     val plan = physical(run("q120_dsir_importance"))
