@@ -703,6 +703,74 @@ object Curation {
         expr(s"_start % $ctxTokens").as("window_offset"))
   }
 
+  /** Best-fit-decreasing sequence packing — the BIN-PACKING counterpart
+    * of [[packSequences]]: documents never straddle context boundaries;
+    * each lands whole in exactly one `ctxTokens`-capacity bin, and the
+    * packer minimizes wasted tail tokens (the no-cross-document-
+    * attention training recipe — Krell et al. 2021's FFD/best-fit
+    * packing — where [[packSequences]] is the concatenate-then-chunk
+    * one).
+    *
+    * Algorithm, per hash group: visit documents in first-fit-decreasing
+    * order (token count desc, id asc — the classic 11/9·OPT+1 order),
+    * place each into the open bin with the SMALLEST remaining capacity
+    * that still fits (best fit; lowest bin index on ties), else open a
+    * new bin. A document longer than `ctxTokens` gets its own bin
+    * (negative remainder — it can never receive a second document), so
+    * no input is silently dropped; callers chunk oversized docs first
+    * ([[chunkDocuments]]) if truncation is wanted.
+    *
+    * Scale shape: bin packing is inherently sequential (each placement
+    * reads the running bin state), so — exactly like [[packSequences]]'s
+    * total-order problem — the corpus is split into `numGroups`
+    * independent packing groups by id hash and each group packs alone:
+    * one shuffle on the group key, then one linear in-memory pass per
+    * group holding only (id, count) pairs and the bin-remainder array,
+    * never document text. Size numGroups to the cluster (thousands at
+    * 100 TB) and a group stays ~corpus/numGroups rows; packing quality
+    * is unaffected by the split beyond one partial tail bin per group.
+    * Typed flatMapGroups is the honest Spark form here — the state is a
+    * genuinely mutable array no Column composition expresses.
+    *
+    * Determinism: group, visit order, and tie-breaks all derive from
+    * (md5(id), token count), so the layout replays identically on any
+    * partitioning/engine — pinned by the q132 DuckDB oracle, which
+    * replays the same fold as a recursive CTE.
+    */
+  def packBestFit(df: DataFrame, idCol: String, tokenCount: Column,
+                  ctxTokens: Int, numGroups: Int): DataFrame = {
+    require(ctxTokens > 0, s"ctxTokens must be positive, got $ctxTokens")
+    require(numGroups > 0, s"numGroups must be positive, got $numGroups")
+    val s = df.sparkSession
+    import s.implicits._
+    df.select(col(idCol).cast("long").as("id"),
+        tokenCount.cast("long").as("n_tokens"),
+        Splits.deterministicFold(col(idCol), numGroups).cast("int")
+          .as("pack_group"))
+      .as[(Long, Long, Int)]
+      .groupByKey(_._3)
+      .flatMapGroups { (grp: Int, rows: Iterator[(Long, Long, Int)]) =>
+        val docs = rows.map(r => (r._1, r._2)).toArray
+        // FFD visit order: largest first, id tie-break
+        java.util.Arrays.sort(docs,
+          Ordering.by[(Long, Long), (Long, Long)](d => (-d._2, d._1)))
+        val rem = scala.collection.mutable.ArrayBuffer.empty[Long]
+        docs.iterator.map { case (id, n) =>
+          var best = -1
+          var i = 0
+          while (i < rem.length) {
+            if (rem(i) >= n && (best < 0 || rem(i) < rem(best))) best = i
+            i += 1
+          }
+          val bin =
+            if (best >= 0) { rem(best) -= n; best }
+            else { rem += ctxTokens.toLong - n; rem.length - 1 }
+          (id, grp, n, bin.toLong)
+        }
+      }
+      .toDF("doc_id", "pack_group", "n_tokens", "bin_idx")
+  }
+
   /** Overlapping token-window chunking — each document sliced
     * independently into fixed-size windows of `window` tokens advancing
     * by `stride` (stride < window ⇒ adjacent chunks overlap by

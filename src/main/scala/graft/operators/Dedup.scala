@@ -285,15 +285,26 @@ object Dedup {
     // measured 349 s at ×100 before the split, ~linear after).
     val byRarity = Window.partitionBy(col("id"))
       .orderBy(col("df"), col("tok"))
+    // EVERY join side below is corpus-derived (token index, shingle-set
+    // frame, df table — all grow with the corpus), so every join is
+    // hinted sort-merge: Catalyst's static size estimate of an
+    // exploded+filtered cached subtree undershoots by orders of
+    // magnitude and planned all four as BroadcastHashJoin — fine at
+    // ×10, an executor OOM building a multi-GB hashed relation at ×100
+    // (the r9 model-table lesson mirrored: derived-frame estimates
+    // can't be trusted in either direction at scale; corpus-sized
+    // sides must be pinned to shuffle just as model-sized ones must be
+    // pinned to broadcast).
     val pref = s.select(col("id"), col("sz"), prefLen.as("prefLen"),
         explode(col("shingles")).as("tok"))
-      .join(freq, "tok")
+      .join(freq.hint("merge"), "tok")
       .withColumn("pos", row_number().over(byRarity) - 1)
       .filter(col("pos") < col("prefLen"))
       .select(col("id"), col("sz"), col("tok"))
     val full = s.select(col("id"), col("sz"),
       explode(col("shingles")).as("tok"))
-    val cand = pref.as("a").join(full.as("b"),
+    val cand = pref.hint("merge").as("a")
+      .join(full.hint("merge").as("b"),
         col("a.tok") === col("b.tok") && col("a.id") =!= col("b.id") &&
           col("b.sz") >= col("a.sz") * threshold)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
@@ -301,9 +312,9 @@ object Dedup {
     val sets = s.select(col("id"), col("shingles"), col("sz"))
     cand
       .join(sets.select(col("id").as("id_a"), col("shingles").as("sh_a"),
-        col("sz").as("sz_a")), "id_a")
-      .join(sets.select(col("id").as("id_b"), col("shingles").as("sh_b")),
-        "id_b")
+        col("sz").as("sz_a")).hint("merge"), "id_a")
+      .join(sets.select(col("id").as("id_b"), col("shingles").as("sh_b"))
+        .hint("merge"), "id_b")
       .withColumn("inter",
         graft.plans.SetExpressions.sortedLongIntersectCount(
           col("sh_a"), col("sh_b")).cast("double"))

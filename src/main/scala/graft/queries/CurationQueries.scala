@@ -252,6 +252,55 @@ object CurationQueries {
        |ORDER BY doc_id""".stripMargin
   }
 
+  // --------------------------------------------------------------- q132
+  // Best-fit-decreasing sequence packing: docs never straddle context
+  // boundaries — FFD visit order, best-fit bin choice, 8 independent
+  // hash groups. The oracle replays the same sequential fold as a
+  // DuckDB recursive CTE over a bin-remainder LIST (one recursion step
+  // per doc per group; list_position(min(filter(...))) is exactly the
+  // lowest-index-smallest-fit tie-break).
+  private def q132(s: SparkSession, dir: String): DataFrame =
+    Curation.packBestFit(Tables.documents(s, dir), "doc_id",
+        TextAnalysis.tokenCount(col("text")), ctxTokens = 512,
+        numGroups = 8)
+      .orderBy(col("doc_id"))
+
+  private val q132Sql = {
+    val h60 = "CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), " +
+      "1, 15)) AS BIGINT)"
+    s"""WITH RECURSIVE d AS (
+       |  SELECT doc_id, CAST(len($toksSql) AS BIGINT) AS n,
+       |    $h60 % 8 AS grp
+       |  FROM documents),
+       |o AS (
+       |  SELECT *, row_number() OVER (PARTITION BY grp
+       |    ORDER BY n DESC, doc_id) AS pos
+       |  FROM d),
+       |pack AS (
+       |  SELECT grp, CAST(0 AS BIGINT) AS step,
+       |    CAST([] AS BIGINT[]) AS rems, CAST(NULL AS BIGINT) AS doc_id,
+       |    CAST(NULL AS BIGINT) AS n, CAST(NULL AS BIGINT) AS bin_idx
+       |  FROM (SELECT DISTINCT grp FROM o)
+       |  UNION ALL
+       |  SELECT grp, step,
+       |    CASE WHEN fit IS NULL THEN list_append(old_rems, 512 - n)
+       |         ELSE old_rems[1:fit-1] || [old_rems[fit] - n]
+       |              || old_rems[fit+1:len(old_rems)] END AS rems,
+       |    doc_id, n,
+       |    CASE WHEN fit IS NULL THEN len(old_rems)
+       |         ELSE fit - 1 END AS bin_idx
+       |  FROM (
+       |    SELECT p.grp, p.step + 1 AS step, nx.doc_id, nx.n,
+       |      list_position(p.rems,
+       |        list_min(list_filter(p.rems, r -> r >= nx.n))) AS fit,
+       |      p.rems AS old_rems
+       |    FROM pack p JOIN o nx ON nx.grp = p.grp AND nx.pos = p.step + 1
+       |  ) t)
+       |SELECT doc_id, grp AS pack_group, n AS n_tokens, bin_idx
+       |FROM pack WHERE step >= 1
+       |ORDER BY doc_id""".stripMargin
+  }
+
   // ---------------------------------------------------------------- q86
   // Mixture-weighted sampling: q84's plan executed as a deterministic
   // Bernoulli keep (md5(id)/2^60 < rounded rate) — reproducible corpus
@@ -756,6 +805,7 @@ object CurationQueries {
     "q84_mixture_plan" -> (q84 _),
     "q100_mixture_temperature" -> (q100 _),
     "q85_sequence_pack" -> (q85 _),
+    "q132_bestfit_pack" -> (q132 _),
     "q86_mixture_sample" -> (q86 _),
     "q87_vocabulary" -> (q87 _),
     "q88_curate_corpus" -> (q88 _),
@@ -777,6 +827,7 @@ object CurationQueries {
     "q84_mixture_plan" -> q84Sql,
     "q100_mixture_temperature" -> q100Sql,
     "q85_sequence_pack" -> q85Sql,
+    "q132_bestfit_pack" -> q132Sql,
     "q86_mixture_sample" -> q86Sql,
     "q87_vocabulary" -> q87Sql,
     "q88_curate_corpus" -> q88Sql,

@@ -293,14 +293,15 @@ object StreamingPipeline {
   def semDedupStream(vecs: DataFrame, centroids: Seq[Seq[Double]],
                      threshold: Double, stateDir: String,
                      idCol: String = "vec_id",
-                     vecCol: String = "embedding")(
+                     vecCol: String = "embedding",
+                     compactMinDirs: Int = DigestCompactMinDirs)(
       onBatch: (DataFrame, Long) => Unit) = {
     new java.io.File(stateDir).mkdirs()
     vecs.writeStream
       .outputMode(OutputMode.Append)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         semDedupBatch(batch, batchId, centroids, threshold, stateDir,
-          idCol, vecCol)(onBatch)
+          idCol, vecCol, compactMinDirs)(onBatch)
       }
   }
 
@@ -312,7 +313,8 @@ object StreamingPipeline {
     */
   private[graft] def semDedupBatch(
       batch: DataFrame, batchId: Long, centroids: Seq[Seq[Double]],
-      threshold: Double, stateDir: String, idCol: String, vecCol: String)(
+      threshold: Double, stateDir: String, idCol: String, vecCol: String,
+      compactMinDirs: Int = DigestCompactMinDirs)(
       onBatch: (DataFrame, Long) => Unit): Unit = {
     val s = batch.sparkSession
     def tick(label: String, t0: Long): Long = {
@@ -359,6 +361,15 @@ object StreamingPipeline {
     t = tick("stateWrite", t)
     assigned.unpersist()
     result.unpersist()
+    // same auto-compaction cadence as the digest store: the per-batch
+    // prior is a union over O(batches) subdirs, so a long-lived stream's
+    // planning cost grows without bound unless committed history merges.
+    // Seq("cell") pins the layout so touched-cell pruning keeps working
+    // on the compacted dir.
+    if (dirs.length + 1 >= compactMinDirs)
+      compactStateDirs(s, stateDir, beforeId = batchId,
+        partitionCols = Seq("cell"))
+    t = tick("compact", t)
     ()
   }
 

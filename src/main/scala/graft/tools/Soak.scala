@@ -44,6 +44,7 @@ object Soak {
     "q65_session_window", "q67_equidepth_hist", "q79_contamination",
     "q81_tfidf", "q85_sequence_pack", "q87_vocabulary",
     "q88_curate_corpus", "q90_repeated_spans", "q93_bm25",
+    "q132_bestfit_pack",
     "q98_unigram_ce", "q30_knn_bruteforce", "q32_knn_ivf",
     "q104_knn_ivf_adaptive", "q105_knn_ivfpq",
     "q109_image_near_dup", "q117_image_dedup_corpus",
@@ -174,6 +175,14 @@ object Soak {
       .map { case (name, mk) =>
         try eval(mk()) catch { case _: Throwable => () } // warm/codegen
         spark.catalog.clearCache()
+        // shuffle files live until ContextCleaner GCs their dependency —
+        // at big factors the warm run's spill alone is tens of GB, and
+        // warm+timed on disk together ENOSPC'd the s131 ×100 run (the
+        // box has ~54 GB scratch). A forced GC sweeps the warm run's
+        // shuffles BEFORE the timed run starts; the timed region itself
+        // is unaffected (the GC runs outside it).
+        System.gc()
+        Thread.sleep(2000)
         val t0 = System.nanoTime()
         val n =
           try eval(mk()) catch {

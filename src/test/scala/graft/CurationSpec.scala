@@ -574,4 +574,50 @@ class CurationSpec extends SparkSpec {
     assert(byId(1L) == byId(5L))
     assert(byId(3L) == byId.values.min)
   }
+
+  test("packBestFit: bins never overflow, every doc lands once, layout " +
+    "is partitioning-invariant, and fill beats concatenate-order") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(132)
+    val ctx = 128
+    // sizes spanning the interesting shapes: tiny fillers, near-half
+    // (pairing matters), near-full, and two oversized docs
+    val sizes = Seq(200L, 140L) ++
+      (0 until 60).map(_ => 1L + rnd.nextInt(127).toLong)
+    val docsDf = sizes.zipWithIndex
+      .map { case (n, i) => (i.toLong, ("w " * n.toInt).trim) }
+      .toDF("doc_id", "text")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Curation.packBestFit(df, "doc_id",
+        graft.functions.TextAnalysis.tokenCount(col("text")), ctx,
+        numGroups = 4)
+    val got = run(docsDf).as[(Long, Int, Long, Long)].collect()
+    assert(got.length == sizes.length, "every doc packed exactly once")
+    // capacity invariant: a bin with >1 doc never exceeds ctx; oversized
+    // docs sit ALONE in their bin
+    val byBin = got.groupBy(r => (r._2, r._4)).values
+    byBin.foreach { bin =>
+      if (bin.length > 1)
+        assert(bin.map(_._3).sum <= ctx, s"overfull bin: ${bin.toSeq}")
+    }
+    got.filter(_._3 > ctx).foreach { over =>
+      assert(byBin.exists(b => b.length == 1 && b.head == over),
+        s"oversized doc ${over._1} shares a bin")
+    }
+    // determinism: same layout from a differently-partitioned input
+    val again = run(docsDf.repartition(13)).as[(Long, Int, Long, Long)]
+      .collect()
+    assert(got.sortBy(_._1).toSeq == again.sortBy(_._1).toSeq)
+    // packing quality: per group, bin count stays within FFD's
+    // 11/9·OPT+1 guarantee of the ceil(total/ctx) lower bound
+    got.groupBy(_._2).foreach { case (_, rows) =>
+      val fits = rows.filter(_._3 <= ctx)
+      if (fits.nonEmpty) {
+        val bins = fits.map(_._4).distinct.length
+        val lower = math.ceil(fits.map(_._3).sum.toDouble / ctx)
+        assert(bins <= (11.0 * lower / 9.0 + 1).toInt + 1,
+          s"bins=$bins far above lower bound $lower")
+      }
+    }
+  }
 }

@@ -654,6 +654,51 @@ class StreamingSpec extends SparkSpec {
     assert(StreamingPipeline.digestStore(spark, digestDir).count() == 21L)
   }
 
+  test("semDedup store auto-compacts on cadence: dir count stays " +
+    "bounded over a long stream and dedup decisions are unchanged") {
+    val stateDir = Files.createTempDirectory("graft-semdedup-ac").toString
+    val centroids = Seq(Seq(1.0, 0.0), Seq(0.0, 1.0))
+    val minDirs = 5
+    def dirs() = Option(new java.io.File(stateDir).listFiles())
+      .getOrElse(Array.empty).count(_.getName.startsWith("b"))
+    var dirCounts = List.empty[Int]
+    var emitted = Map.empty[Long, Set[(Long, Boolean)]]
+    // 15 batches, one vector each, all in cell 0 and near-identical:
+    // batch 0's vector is the eternal canonical; every later batch's
+    // vector must be flagged dup against the (possibly compacted) store
+    (0 until 15).foreach { b =>
+      val df = Seq((b.toLong, Seq(1.0f, 0.0001f * b)))
+        .toDF("vec_id", "embedding")
+      StreamingPipeline.semDedupBatch(df, b.toLong, centroids,
+        threshold = 0.9, stateDir, "vec_id", "embedding",
+        compactMinDirs = minDirs) { (res, id) =>
+        emitted += id -> res.select(col("vec_id"), col("kept"))
+          .as[(Long, Boolean)].collect().toSet
+      }
+      dirCounts ::= dirs()
+    }
+    assert(dirCounts.max <= minDirs + 1,
+      s"dir count grew unbounded: ${dirCounts.reverse}")
+    assert(emitted(0L) == Set((0L, true)))
+    (1 until 15).foreach { b =>
+      assert(emitted(b.toLong) == Set((b.toLong, false)),
+        s"batch $b: ${emitted(b.toLong)} — compaction lost store state")
+    }
+    // compacted store kept its cell layout (partition pruning intact)
+    val live = StreamingPipeline.semDedupStore(spark, stateDir)
+    assert(live.map(_.count()) == Some(15L))
+    val b0 = batchDirsUnder(stateDir).head
+    assert(Option(b0.listFiles()).getOrElse(Array.empty)
+      .exists(f => f.isDirectory && f.getName.startsWith("cell=")),
+      "compacted dir lost the cell=... partition layout")
+  }
+
+  private def batchDirsUnder(dir: String): Array[java.io.File] =
+    Option(new java.io.File(dir).listFiles())
+      .getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("b"))
+      .sortBy(_.getName)
+
   test("state-store compaction preserves the semDedup store's cell " +
     "partitioning") {
     val stateDir = Files.createTempDirectory("graft-semdedup-cp").toString
