@@ -754,17 +754,34 @@ object Curation {
         // FFD visit order: largest first, id tie-break
         java.util.Arrays.sort(docs,
           Ordering.by[(Long, Long), (Long, Long)](d => (-d._2, d._1)))
-        val rem = scala.collection.mutable.ArrayBuffer.empty[Long]
+        // bins indexed by remaining capacity: best fit = ceilingEntry
+        // (smallest remainder that fits), TreeSet.first = lowest bin
+        // index on remainder ties — the same choice rule as a linear
+        // scan, O(log bins) per doc instead of O(bins) (the naive scan
+        // measured QUADRATIC at ×1000: 625k docs × ~122k bins per
+        // group → 210 s; this form is ~N log N)
+        val byRem = new java.util.TreeMap[Long, java.util.TreeSet[Int]]()
+        def fileUnder(remaining: Long, idx: Int): Unit = {
+          byRem.computeIfAbsent(remaining,
+            _ => new java.util.TreeSet[Int]()).add(idx)
+          ()
+        }
+        var nBins = 0
         docs.iterator.map { case (id, n) =>
-          var best = -1
-          var i = 0
-          while (i < rem.length) {
-            if (rem(i) >= n && (best < 0 || rem(i) < rem(best))) best = i
-            i += 1
-          }
+          val e = byRem.ceilingEntry(n)
           val bin =
-            if (best >= 0) { rem(best) -= n; best }
-            else { rem += ctxTokens.toLong - n; rem.length - 1 }
+            if (e != null) {
+              val idx = e.getValue.first()
+              e.getValue.remove(idx)
+              if (e.getValue.isEmpty) byRem.remove(e.getKey)
+              fileUnder(e.getKey - n, idx)
+              idx
+            } else {
+              val idx = nBins
+              nBins += 1
+              fileUnder(ctxTokens.toLong - n, idx)
+              idx
+            }
           (id, grp, n, bin.toLong)
         }
       }
