@@ -72,11 +72,16 @@ object Dedup {
       col("sz").as("sz_a"))
     val b = s.select(col("id").as("id_b"), col("shingles").as("sh_b"),
       col("sz").as("sz_b"))
-    // size-bound prune: J >= t forces t*|A| <= |B| and t*|B| <= |A|, so
-    // mismatched sizes never reach the (expensive) intersect
+    // size-bound prune: J >= t forces t*|A| <= |B| and t*|B| <= |A|.
+    // Tested in the VERIFY's own functional form — max achievable J for
+    // these sizes is min/(szA+szB-min) (at inter = min), and double
+    // division is monotone in both operands, so this compare can never
+    // disagree with the downstream jaccard filter the way independent
+    // products (sz_a >= sz_b*t) can at 1-ulp boundaries
     a.join(b, col("id_a") < col("id_b") &&
-        col("sz_a") >= col("sz_b") * threshold &&
-        col("sz_b") >= col("sz_a") * threshold)
+        least(col("sz_a"), col("sz_b")).cast("double") /
+          (col("sz_a") + col("sz_b") -
+            least(col("sz_a"), col("sz_b"))).cast("double") >= threshold)
       .withColumn("inter",
         graft.plans.SetExpressions.sortedIntersectCount(
           col("sh_a"), col("sh_b")).cast("double"))
@@ -109,7 +114,14 @@ object Dedup {
       .filter(size(col("shingles")) > 0)
       .withColumn("sz", size(col("shingles")))
       .cache()
-    val prefLen = (col("sz") - ceil(col("sz") * threshold) + 1).cast("int")
+    // +1 slack on the textbook sz − ceil(t·sz) + 1: ceil(sz*t) can land
+    // one high OR one low of the true integer bound when the product
+    // rounds across an integer (100*0.07 = 7.000…001), and the verify
+    // here is the two-sided jaccard compare, not k/sz — one extra prefix
+    // element makes recall robust to every 1-ulp case at the cost of a
+    // sliver of extra (exactly-verified) candidates
+    val prefLen =
+      (col("sz") - ceil(col("sz") * threshold) + 2).cast("int")
     // Canonical order = ASCENDING corpus document frequency (PPJoin as
     // published — Xiao et al., WWW'08 §3: the prefix bound holds under any
     // fixed total order, but only the rare-tokens-first order keeps prefix
@@ -150,17 +162,23 @@ object Dedup {
           .select(col("id"), col("sz"), col("pos"), col("tok"))
       }
     // positional refinement (PPJoin): a shared prefix token at 0-based
-    // positions (i, j) caps the overlap at 1 + min(szA−i−1, szB−j−1),
-    // which must still reach the Jaccard lower bound t/(1+t)·(szA+szB)
-    val overlapBound =
-      (col("a.sz") + col("b.sz")) * (threshold / (1 + threshold))
+    // positions (i, j) caps the overlap at 1 + min(szA−i−1, szB−j−1).
+    // Both this cap and the size prune are tested in the VERIFY's own
+    // functional form — f(o) = o/(szA+szB−o) is monotone in o under
+    // IEEE division, so f(cap) < t (or f(min sz) < t) exactly implies
+    // no achievable overlap passes the downstream jaccard filter; the
+    // textbook product forms (posCap >= (szA+szB)·t/(1+t), szA >=
+    // szB·t) round independently of the verify and can disagree with
+    // it by 1 ulp at exact-threshold boundaries.
     val posCap = lit(1) + least(
       col("a.sz") - col("a.pos") - 1, col("b.sz") - col("b.pos") - 1)
+    def maxJ(o: org.apache.spark.sql.Column) =
+      o.cast("double") /
+        (col("a.sz") + col("b.sz") - o).cast("double") >= threshold
     val cand = pref.as("a").join(pref.as("b"),
         col("a.tok") === col("b.tok") && col("a.id") < col("b.id") &&
-          col("a.sz") >= col("b.sz") * threshold &&
-          col("b.sz") >= col("a.sz") * threshold &&
-          posCap >= overlapBound)
+          maxJ(least(col("a.sz"), col("b.sz"))) &&
+          maxJ(posCap))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
     val sets = s.select(col("id"), col("shingles"), col("sz"))
@@ -207,10 +225,15 @@ object Dedup {
                        n: Int, threshold: Double,
                        routeThreshold: Long = 1L << 13): DataFrame = {
     require(threshold > 0 && threshold <= 1, "threshold in (0,1]")
-    val nDocs = df.count()
+    // limit-bounded probe, not df.count(): the guard must not pay a
+    // full-corpus scan to refuse a huge corpus (or tax every small call
+    // with an unbounded job) — counting routeThreshold+1 rows decides
+    // the same predicate at O(routeThreshold) cost
+    val cap = math.min(routeThreshold, Int.MaxValue - 1L).toInt
+    val nDocs = df.limit(cap + 1).count()
     require(nDocs <= routeThreshold,
-      s"containmentPairs: corpus has $nDocs documents > " +
-        s"routeThreshold=$routeThreshold. The exact form joins ALL " +
+      s"containmentPairs: corpus exceeds " +
+        s"routeThreshold=$routeThreshold documents. The exact form joins ALL " +
         "shared shingle occurrences (candidate mass ~ sum df(gram)^2 — " +
         "unbounded under Zipfian shingle frequencies; the pre-fix q25 " +
         "failure mode). At this scale use Dedup.containmentJoin (prefix-" +
@@ -272,7 +295,20 @@ object Dedup {
       .filter(size(col("shingles")) > 0)
       .withColumn("sz", size(col("shingles")))
       .cache()
-    val prefLen = (col("sz") - ceil(col("sz") * threshold) + 1).cast("int")
+    // k_min = smallest integer overlap passing the VERIFY compare
+    // (inter/sz >= t as doubles). ceil(sz*t) alone is off by one when
+    // the product rounds across an integer (100*0.07 = 7.000…001 →
+    // ceil 8, but 7/100 >= 0.07 passes), which would shorten the prefix
+    // and silently drop boundary pairs the exact baseline keeps — so
+    // the candidate k0±1 window is re-tested with the verify's own
+    // division, making prefix recall bit-consistent with the filter.
+    val k0 = ceil(col("sz") * threshold)
+    def passes(k: org.apache.spark.sql.Column) =
+      k.cast("double") / col("sz").cast("double") >= threshold
+    val kMin = when(passes(k0 - 1), k0 - 1)
+      .when(passes(k0), k0)
+      .otherwise(k0 + 1)
+    val prefLen = (col("sz") - kMin + 1).cast("int")
     val freq = s.select(explode(col("shingles")).as("tok"))
       .groupBy("tok").agg(count(lit(1)).as("df"))
     // per-document window: partitioned by id, bounded by shingles/doc —
@@ -303,10 +339,15 @@ object Dedup {
       .select(col("id"), col("sz"), col("tok"))
     val full = s.select(col("id"), col("sz"),
       explode(col("shingles")).as("tok"))
+    // size filter in the VERIFY's own form (overlap <= |S(b)|, so a pair
+    // can pass only if szB/szA >= t as doubles — double division is
+    // monotone in the numerator, so this is exact, unlike szB >= szA*t
+    // whose product rounds independently of the verify compare)
     val cand = pref.hint("merge").as("a")
       .join(full.hint("merge").as("b"),
         col("a.tok") === col("b.tok") && col("a.id") =!= col("b.id") &&
-          col("b.sz") >= col("a.sz") * threshold)
+          col("b.sz").cast("double") / col("a.sz").cast("double") >=
+            threshold)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
     val sets = s.select(col("id"), col("shingles"), col("sz"))

@@ -428,6 +428,25 @@ object StreamingPipeline {
                        partitionCols: Seq[String] = Nil): Int = {
     val dirs = batchDirsBefore(dir, prefix, beforeId)
     if (dirs.length < 2) return 0
+    // CRASH SAFETY: a source dir is deleted ONLY while a complete,
+    // reader-visible merged dir covering it exists. The merge is written
+    // to an invisible `t<id>` scratch dir, atomically renamed to the
+    // visible `c<id>` compacted slot (same-parent dir rename), and only
+    // then are sources dropped; readers union b- and c-dirs and tolerate
+    // the duplicate-rows window between rename and deletes (the digest
+    // anti-join distincts; the semDedup dup rollup is a min). The old
+    // form overwrote the highest SOURCE dir in place — mode("overwrite")
+    // deletes the target before the write commits, so a crash mid-merge
+    // lost that dir's rows.
+    val lastId = dirId(dirs.last)
+    val target = new java.io.File(dir, f"c$lastId%05d")
+    if (dirs.last.getName == target.getName) {
+      // replay of a completed compaction (the rename landed; a crash
+      // then left some sources behind): everything with id <= lastId is
+      // covered by the target, so just finish the deletes
+      dirs.init.foreach(deleteRecursively)
+      return dirs.length - 1
+    }
     val layout =
       if (partitionCols.nonEmpty) partitionCols
       else dirs.iterator.flatMap(d =>
@@ -437,8 +456,8 @@ object StreamingPipeline {
         .distinct.toSeq
     val merged = dirs.map(d => spark.read.parquet(d.getPath))
       .reduce(_.unionByName(_, allowMissingColumns = true))
-      .persist()
-    val nRows = merged.count() // pin the union BEFORE overwriting a source
+      .persist() // one source read feeds both the count and the write
+    val nRows = merged.count()
     // zero rows → write FLAT even if the sources were partitioned (a
     // partitioned zero-row write leaves a schemaless unreadable dir);
     // otherwise repartition on the layout so the compacted store has one
@@ -447,16 +466,20 @@ object StreamingPipeline {
       if (layout.nonEmpty && nRows > 0)
         merged.repartition(layout.map(col): _*)
       else merged
+    val scratch = new java.io.File(dir, f"t$lastId%05d")
+    deleteRecursively(scratch) // stale scratch from a crashed attempt
     val writer = toWrite.write.mode("overwrite")
     (if (layout.nonEmpty && nRows > 0) writer.partitionBy(layout: _*)
-     else writer).parquet(dirs.last.getPath)
+     else writer).parquet(scratch.getPath)
     merged.unpersist()
-    // sources drop only AFTER the merged dir is fully in place; a crash
-    // between the write and any delete leaves duplicated rows, which
-    // both stores' readers tolerate
-    dirs.init.foreach(deleteRecursively)
+    require(scratch.renameTo(target),
+      s"compactStateDirs: rename $scratch -> $target failed")
+    dirs.foreach(deleteRecursively)
     dirs.length - 1
   }
+
+  private def dirId(f: java.io.File): Long =
+    f.getName.dropWhile(!_.isDigit).toLong
 
   private def deleteRecursively(f: java.io.File): Unit = {
     Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRecursively)
@@ -465,18 +488,29 @@ object StreamingPipeline {
   }
 
   /** Versioned state subdirs `<prefix><paddedId>` with id strictly below
-    * `beforeId`, name-sorted (ids are zero-padded, so name order = id
-    * order up to 99999 batches; the numeric parse keeps it exact beyond).
+    * `beforeId`, id-sorted. For the append-history stores (prefix "b")
+    * this ALSO accepts `c<paddedId>` compacted dirs — a compaction
+    * merges b-dirs into one c-dir (see [[compactStateDirs]]) and the
+    * readers must see both; `t<paddedId>` scratch dirs stay invisible.
+    * At equal id, `c` sorts AFTER `b` so a half-finished compaction
+    * (rename landed, source b-dir not yet deleted) resolves to the
+    * replay branch of compactStateDirs, never a rename collision.
     */
   private def batchDirsBefore(dir: String, prefix: String, beforeId: Long)
-      : Array[java.io.File] =
+      : Array[java.io.File] = {
+    val prefixes = if (prefix == "b") Seq("b", "c") else Seq(prefix)
     Option(new java.io.File(dir).listFiles())
       .getOrElse(Array.empty)
-      .filter(f => f.isDirectory &&
-        f.getName.startsWith(prefix) &&
-        f.getName.stripPrefix(prefix).forall(_.isDigit) &&
-        f.getName.stripPrefix(prefix).toLong < beforeId)
-      .sortBy(f => f.getName.stripPrefix(prefix).toLong)
+      .filter { f =>
+        f.isDirectory && prefixes.exists { p =>
+          f.getName.startsWith(p) &&
+            f.getName.stripPrefix(p).nonEmpty &&
+            f.getName.stripPrefix(p).forall(_.isDigit) &&
+            f.getName.stripPrefix(p).toLong < beforeId
+        }
+      }
+      .sortBy(f => (f.getName.dropWhile(!_.isDigit).toLong, f.getName))
+  }
 
   /** Per-micro-batch benchmark contamination (q79 semantics): the
     * benchmark gram set is static and broadcast, each batch probes it

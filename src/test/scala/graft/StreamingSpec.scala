@@ -601,8 +601,11 @@ class StreamingSpec extends SparkSpec {
       beforeId = 2L)
     assert(removed == 1)
     val dirNames = new java.io.File(digestDir).listFiles()
-      .map(_.getName).filter(_.startsWith("b")).sorted.toSeq
-    assert(dirNames == Seq("b00001", "b00002"))
+      .map(_.getName)
+      .filter(n => n.startsWith("b") || n.startsWith("c")).sorted.toSeq
+    // merge lands in the compacted c-slot (crash-safe publish); the
+    // uncompacted batch-2 dir survives
+    assert(dirNames == Seq("b00002", "c00001"))
     val after = StreamingPipeline.digestStore(spark, digestDir)
       .as[String].collect().sorted.toSeq
     assert(after == before)
@@ -622,7 +625,8 @@ class StreamingSpec extends SparkSpec {
     val minDirs = 6
     var dirCounts = List.empty[Int]
     def dirs() = Option(new java.io.File(digestDir).listFiles())
-      .getOrElse(Array.empty).count(_.getName.startsWith("b"))
+      .getOrElse(Array.empty)
+      .count(f => f.getName.startsWith("b") || f.getName.startsWith("c"))
     // 20 batches; every doc also re-sent in the NEXT batch, so each
     // batch's survivors prove the store (compacted or not) still
     // excludes all history
@@ -660,7 +664,8 @@ class StreamingSpec extends SparkSpec {
     val centroids = Seq(Seq(1.0, 0.0), Seq(0.0, 1.0))
     val minDirs = 5
     def dirs() = Option(new java.io.File(stateDir).listFiles())
-      .getOrElse(Array.empty).count(_.getName.startsWith("b"))
+      .getOrElse(Array.empty)
+      .count(f => f.getName.startsWith("b") || f.getName.startsWith("c"))
     var dirCounts = List.empty[Int]
     var emitted = Map.empty[Long, Set[(Long, Boolean)]]
     // 15 batches, one vector each, all in cell 0 and near-identical:
@@ -696,7 +701,8 @@ class StreamingSpec extends SparkSpec {
   private def batchDirsUnder(dir: String): Array[java.io.File] =
     Option(new java.io.File(dir).listFiles())
       .getOrElse(Array.empty)
-      .filter(f => f.isDirectory && f.getName.startsWith("b"))
+      .filter(f => f.isDirectory &&
+        (f.getName.startsWith("b") || f.getName.startsWith("c")))
       .sortBy(_.getName)
 
   test("state-store compaction preserves the semDedup store's cell " +
@@ -715,7 +721,7 @@ class StreamingSpec extends SparkSpec {
     assert(StreamingPipeline.compactStateDirs(spark, stateDir,
       beforeId = 2L, partitionCols = Seq("cell")) == 1)
     // partition layout survives: the compacted dir has cell=N subdirs
-    val compacted = new java.io.File(stateDir, "b00001")
+    val compacted = new java.io.File(stateDir, "c00001")
     assert(compacted.listFiles().exists(_.getName.startsWith("cell=")),
       "compaction lost the cell partitioning")
     val after = StreamingPipeline.semDedupStore(spark, stateDir).get

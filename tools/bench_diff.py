@@ -23,7 +23,9 @@ keep only a truncated tail), so the no-arg form compares the last run
 against the one before it.
 """
 import json
+import math
 import sys
+from statistics import median
 
 THRESH = 1.5
 MIN_SEC = 0.05  # ignore ratio churn under this floor (timer noise)
@@ -51,10 +53,8 @@ def last_two_history():
     return json.loads(lines[-2]), json.loads(lines[-1])
 
 
-def median(xs):
-    xs = sorted(xs)
-    n = len(xs)
-    return xs[n // 2] if n % 2 else (xs[n // 2 - 1] + xs[n // 2]) / 2
+def ok_num(x):
+    return isinstance(x, (int, float)) and not math.isnan(x)
 
 
 def main():
@@ -67,14 +67,26 @@ def main():
         old, new = last_two_history()
     oq, nq = old["queries"], new["queries"]
     od, nd = old.get("draws", {}), new.get("draws", {})
+    # a query whose draws Bench itself flagged as outlier-contaminated
+    # ("retried": extra draws were taken because best-of-N exceeded the
+    # prior-round bound) has a noise-widened interval — using it as an
+    # envelope would let one old-run co-tenant spike silence a genuine
+    # new-run regression, so those queries fall back to the ratio gate
+    tainted = set(old.get("retried", [])) | set(new.get("retried", []))
+    # NaN times (a query whose every timed draw errored) must not reach
+    # the drift median — NaN poisons sorted() and the division chain
     ratios = [nq[q] / oq[q] for q in set(oq) & set(nq)
-              if oq.get(q, 0) > 0 and max(oq[q], nq[q]) >= MIN_SEC]
+              if ok_num(oq[q]) and ok_num(nq[q]) and oq[q] > 0
+              and max(oq[q], nq[q]) >= MIN_SEC]
     drift = median(ratios) if ratios else 1.0
     signal, noise, band = [], [], []
     for q in sorted(set(oq) | set(nq)):
         a, b = oq.get(q), nq.get(q)
-        if a is None or b is None:
-            signal.append((q, a, b, "added" if a is None else "removed"))
+        if a is None or b is None or not ok_num(a) or not ok_num(b):
+            why = ("added" if a is None else
+                   "removed" if b is None else "errored (NaN time)")
+            signal.append((q, a if ok_num(a) else None,
+                           b if ok_num(b) else None, why))
             continue
         if max(a, b) < MIN_SEC:
             continue
@@ -86,7 +98,8 @@ def main():
         why = (f"{'slower' if raw > 1 else 'faster'} {raw:.2f}x "
                f"({norm:.2f}x drift-adj)")
         da, db = od.get(q), nd.get(q)
-        if da and db and min(da) <= max(db) and min(db) <= max(da):
+        if (q not in tainted and da and db
+                and min(da) <= max(db) and min(db) <= max(da)):
             noise.append((q, a, b, why + " [draw intervals overlap]"))
         else:
             signal.append((q, a, b, why))
