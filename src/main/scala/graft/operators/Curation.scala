@@ -728,7 +728,11 @@ object Curation {
     * group holding only (id, count) pairs and the bin-remainder array,
     * never document text. Size numGroups to the cluster (thousands at
     * 100 TB) and a group stays ~corpus/numGroups rows; packing quality
-    * is unaffected by the split beyond one partial tail bin per group.
+    * is unaffected by the split beyond one partial tail bin per group —
+    * so numGroups ≫ corpus degrades consolidation (the degenerate limit
+    * is one bin per document: a valid packing, just no pairing), while
+    * numGroups too small serializes the fold. Size it between cluster
+    * parallelism and ~corpus/10⁴.
     * Typed flatMapGroups is the honest Spark form here — the state is a
     * genuinely mutable array no Column composition expresses.
     *

@@ -105,7 +105,32 @@ object Dedup {
     */
   def jaccardSimilarityJoin(df: DataFrame, idCol: String, textCol: String,
                             n: Int, threshold: Double,
-                            prefixDfThreshold: Long = 8192L): DataFrame = {
+                            prefixDfThreshold: Long = 8192L): DataFrame =
+    jaccardSimilarityJoinBuild(df, idCol, textCol, n, threshold,
+      prefixDfThreshold)._1
+
+  /** [[jaccardSimilarityJoin]] with a SELF-ENFORCING cache lifetime
+    * (the unigramCrossEntropyScoped house pattern): runs `action` on
+    * the result, then unpersists the internal hashed-shingle cache
+    * before returning — even when the action throws. Use in long-lived
+    * sessions; the plain form's cache entry otherwise lives until
+    * something clears the session cache.
+    */
+  def jaccardSimilarityJoinScoped[T](df: DataFrame, idCol: String,
+                                     textCol: String, n: Int,
+                                     threshold: Double,
+                                     prefixDfThreshold: Long = 8192L)
+                                    (action: DataFrame => T): T = {
+    val (result, cached) = jaccardSimilarityJoinBuild(df, idCol, textCol,
+      n, threshold, prefixDfThreshold)
+    try action(result)
+    finally cached.unpersist(blocking = true)
+  }
+
+  private def jaccardSimilarityJoinBuild(
+      df: DataFrame, idCol: String, textCol: String, n: Int,
+      threshold: Double, prefixDfThreshold: Long)
+      : (DataFrame, DataFrame) = {
     // cache: the shingle plan feeds the frequency agg, the prefix
     // self-join, AND two verify rejoins — without it, tokenization
     // recomputes 5x per query. Hashed (long) shingles: the prefix index,
@@ -182,7 +207,7 @@ object Dedup {
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
     val sets = s.select(col("id"), col("shingles"), col("sz"))
-    cand
+    val result = cand
       .join(sets.select(col("id").as("id_a"), col("shingles").as("sh_a"),
         col("sz").as("sz_a")), "id_a")
       .join(sets.select(col("id").as("id_b"), col("shingles").as("sh_b"),
@@ -194,6 +219,7 @@ object Dedup {
         col("inter") / (col("sz_a") + col("sz_b") - col("inter")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+    (result, s)
   }
 
   /** Asymmetric CONTAINMENT near-dup pairs: C(a→b) = |S(a)∩S(b)| / |S(a)|
@@ -287,7 +313,27 @@ object Dedup {
     * and is lossless.
     */
   def containmentJoin(df: DataFrame, idCol: String, textCol: String,
-                      n: Int, threshold: Double): DataFrame = {
+                      n: Int, threshold: Double): DataFrame =
+    containmentJoinBuild(df, idCol, textCol, n, threshold)._1
+
+  /** [[containmentJoin]] with a SELF-ENFORCING cache lifetime: runs
+    * `action` on the result, then unpersists the internal
+    * hashed-shingle cache before returning, even when the action
+    * throws (the unigramCrossEntropyScoped house pattern).
+    */
+  def containmentJoinScoped[T](df: DataFrame, idCol: String,
+                               textCol: String, n: Int, threshold: Double)
+                              (action: DataFrame => T): T = {
+    val (result, cached) =
+      containmentJoinBuild(df, idCol, textCol, n, threshold)
+    try action(result)
+    finally cached.unpersist(blocking = true)
+  }
+
+  private def containmentJoinBuild(df: DataFrame, idCol: String,
+                                   textCol: String, n: Int,
+                                   threshold: Double)
+      : (DataFrame, DataFrame) = {
     require(threshold > 0 && threshold <= 1, "threshold in (0,1]")
     // cache: feeds the df agg, the prefix/full indexes, and the verify
     // rejoins — five consumers of one tokenize+shingle pass
@@ -351,7 +397,7 @@ object Dedup {
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
     val sets = s.select(col("id"), col("shingles"), col("sz"))
-    cand
+    val result = cand
       .join(sets.select(col("id").as("id_a"), col("shingles").as("sh_a"),
         col("sz").as("sz_a")).hint("merge"), "id_a")
       .join(sets.select(col("id").as("id_b"), col("shingles").as("sh_b"))
@@ -363,6 +409,7 @@ object Dedup {
       .filter(col("containment") >= threshold)
       .select(col("id_a"), col("id_b"),
         round(col("containment"), 6).as("containment"))
+    (result, s)
   }
 
   /** MinHash signature: k-wide one-pass native expression using the
@@ -383,7 +430,26 @@ object Dedup {
     */
   def minHashLsh(df: DataFrame, idCol: String, textCol: String, n: Int,
                  threshold: Double, numHashes: Int = 64,
-                 bands: Int = 16): DataFrame = {
+                 bands: Int = 16): DataFrame =
+    minHashLshBuild(df, idCol, textCol, n, threshold, numHashes, bands)._1
+
+  /** [[minHashLsh]] with a SELF-ENFORCING cache lifetime: runs `action`
+    * on the result, then unpersists the internal signature cache before
+    * returning, even when the action throws.
+    */
+  def minHashLshScoped[T](df: DataFrame, idCol: String, textCol: String,
+                          n: Int, threshold: Double, numHashes: Int = 64,
+                          bands: Int = 16)(action: DataFrame => T): T = {
+    val (result, cached) =
+      minHashLshBuild(df, idCol, textCol, n, threshold, numHashes, bands)
+    try action(result)
+    finally cached.unpersist(blocking = true)
+  }
+
+  private def minHashLshBuild(df: DataFrame, idCol: String,
+                              textCol: String, n: Int, threshold: Double,
+                              numHashes: Int, bands: Int)
+      : (DataFrame, DataFrame) = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val s = hashedShingleSets(widen(df), idCol, textCol, n)
       .filter(size(col("shingles")) > 0)
@@ -415,7 +481,7 @@ object Dedup {
       }: _*)).as("bb"))
       .select(col("id"), col("shingles"),
         col("bb.band").as("band"), col("bb.bh").as("bh"))
-    banded.as("a")
+    val result = banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
           col("a.id") < col("b.id"))
@@ -429,6 +495,7 @@ object Dedup {
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         round(col("jaccard"), 6).as("jaccard"))
       .dropDuplicates("id_a", "id_b")
+    (result, s)
   }
 
   /** Connected components over near-dup pairs: every document gets the

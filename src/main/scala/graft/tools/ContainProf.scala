@@ -37,6 +37,38 @@ object ContainProf {
     out.explain("formatted")
     val n = time(s"containmentJoin t=$threshold")(out.count())
     System.err.println(s"[cprof] rows=$n")
+    // stage decomposition for the exponent attribution (SCALE.md s131):
+    // the same subtrees the operator builds, timed in isolation on a
+    // fresh (uncached) plan each — shingle+freq, the prefix index (df
+    // join + per-doc rank window), and the candidate join+distinct
+    import graft.plans.SetExpressions
+    val sh = graft.operators.Dedup
+      .hashedShingleSets(docs, "doc_id", "text", 3)
+      .filter(size(col("shingles")) > 0)
+      .withColumn("sz", size(col("shingles")))
+    time("stage: shingle sets (count)")(sh.count())
+    val toks = sh.select(col("id"), col("sz"),
+      explode(col("shingles")).as("tok"))
+    time("stage: explode+freq agg")(
+      toks.groupBy("tok").agg(count(lit(1)).as("df")).count())
+    val freq = toks.groupBy("tok").agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id")).orderBy(col("df"), col("tok"))
+    val pref = toks.join(freq.hint("merge"), "tok")
+      .withColumn("pos", row_number().over(w) - 1)
+      .filter(col("pos") <
+        (col("sz") - ceil(col("sz") * threshold) + 1).cast("int"))
+    time("stage: prefix index (df join + rank window)")(pref.count())
+    val cand = pref.select(col("id").as("id_a"), col("sz").as("sz_a"),
+        col("tok")).hint("merge").as("a")
+      .join(toks.select(col("id").as("id_b"), col("sz").as("sz_b"),
+        col("tok")).hint("merge").as("b"),
+        col("a.tok") === col("b.tok") && col("a.id_a") =!= col("b.id_b") &&
+          col("b.sz_b").cast("double") / col("a.sz_a").cast("double") >=
+            threshold)
+      .select(col("a.id_a"), col("b.id_b"))
+    time("stage: candidate join (pre-distinct rows)")(cand.count())
+    time("stage: candidate distinct pairs")(cand.distinct().count())
     spark.stop()
   }
 }
