@@ -19,7 +19,8 @@ import graft.streaming.StreamingPipeline
 object DigestPruneProbe {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "target/scale/x10")
-    val batchRows = args.headOption.map(_.toInt).getOrElse(8)
+    val batchRows =
+      args.headOption.filter(_.forall(_.isDigit)).map(_.toInt).getOrElse(8)
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -35,6 +36,42 @@ object DigestPruneProbe {
     }
     val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
     val work = java.nio.file.Files.createTempDirectory("graft-dprobe").toFile
+    // ---- trickle mode: per-batch planning-cost trend over a long stream
+    // with vs without the auto-compaction cadence. Without it the probe
+    // union-reads O(batches) subdirs and per-batch wall grows; with the
+    // cadence dir count stays bounded and the trend is flat.
+    // Usage: runMain graft.tools.DigestPruneProbe trickle [nBatches]
+    if (args.headOption.contains("trickle")) {
+      val n = args.lift(1).map(_.toInt).getOrElse(50)
+      def series(cadence: Int, label: String): (Seq[Double], Int) = {
+        val dir = new java.io.File(work, label).getPath
+        val times = (0 until n).map { b =>
+          val rows = docs.filter(col("doc_id") % n === b).limit(4)
+            .withColumn("text", concat(col("text"), lit(s" T$b")))
+          val t0 = System.nanoTime()
+          StreamingPipeline.incrementalDedupBatch(rows, b.toLong,
+            "doc_id", "text", dir, compactMinDirs = cadence) {
+            (res, _) => res.count(); ()
+          }
+          (System.nanoTime() - t0) / 1e9
+        }
+        val nDirs = Option(new java.io.File(dir).listFiles())
+          .getOrElse(Array.empty)
+          .count(f => f.getName.startsWith("b") || f.getName.startsWith("c"))
+        (times, nDirs)
+      }
+      def mean(xs: Seq[Double]) = xs.sum / xs.length
+      val (tc, dc) = series(16, "cadence16")
+      val (tn, dn) = series(Int.MaxValue, "nocompact")
+      def head10(xs: Seq[Double]) = f"${mean(xs.slice(1, 11))}%.3f"
+      def tail10(xs: Seq[Double]) = f"${mean(xs.takeRight(10))}%.3f"
+      println(s"""{"mode":"trickle","batches":$n,""" +
+        s""""cadence16":{"head10_sec":${head10(tc)},"tail10_sec":${tail10(tc)},"final_dirs":$dc},""" +
+        s""""nocompact":{"head10_sec":${head10(tn)},"tail10_sec":${tail10(tn)},"final_dirs":$dn},""" +
+        s""""sf":"$sfDir"}""")
+      spark.stop()
+      return
+    }
     val bucketed = new java.io.File(work, "bucketed").getPath
     // seed the bucketed store through the real writer (batch 0)
     time(s"seed bucketed store (${sfDir})") {
