@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{AnalyticsQueries, CurationQueries, ExtendedQueries, MultimodalQueries, RelationalQueries, ScaleQueries, StreamingQueries, TextQueries, VectorQueries, WindowSetQueries}
+import graft.queries.{AnalyticsQueries, CurationQueries, ExtendedQueries, MultimodalQueries, RelationalQueries, ScaleQueries, StreamingQueries, TextQueries, VectorQueries, WebQueries, WindowSetQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -28,7 +28,8 @@ object SparkEntry {
       VectorQueries.queries ++ ScaleQueries.queries ++
       AnalyticsQueries.queries ++ WindowSetQueries.queries ++
       ExtendedQueries.queries ++ CurationQueries.queries ++
-      MultimodalQueries.queries ++ StreamingQueries.queries
+      MultimodalQueries.queries ++ StreamingQueries.queries ++
+      WebQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops →
@@ -39,5 +40,6 @@ object SparkEntry {
       VectorQueries.oracleSql ++ ScaleQueries.oracleSql ++
       AnalyticsQueries.oracleSql ++ WindowSetQueries.oracleSql ++
       ExtendedQueries.oracleSql ++ CurationQueries.oracleSql ++
-      MultimodalQueries.oracleSql ++ StreamingQueries.oracleSql
+      MultimodalQueries.oracleSql ++ StreamingQueries.oracleSql ++
+      WebQueries.oracleSql
 }

@@ -157,4 +157,45 @@ object ImageHash {
                   numBlocks: Int = -1): DataFrame =
     Dedup.hammingDedupCorpus(fingerprints(media, codec, hash),
       "media_id", "fp", maxHamming, numBlocks)
+
+  /** JOINT image + caption near-dup dedup for paired (image, text)
+    * corpora: a pair of documents is a duplicate edge only when BOTH the
+    * image perceptual hash ([[dHash64]], ≤ maxImageHamming bits) AND the
+    * caption SimHash (≤ maxTextHamming of 60 md5 bits) say near-dup —
+    * the conjunction kills each modality's false positives (an image
+    * meme reposted with unrelated text, boilerplate text over unrelated
+    * images), the standard curation recipe for image-text training
+    * pairs. Connected components over the joint edges, min-id canonical
+    * per component: one (id, canonical_id, kept) row per pair, never a
+    * pair list in the output.
+    *
+    * Scale shape: the two pair generators are the existing blocked
+    * scale paths (pigeonhole Hamming for both modalities — never
+    * all-pairs; [[nearDuplicates]]' route guard applies), the
+    * conjunction is one equi-join on the (id_a, id_b) pair key (pairs
+    * are canonically ordered id_a < id_b on both sides, so no
+    * orientation normalization is needed), and the component step is
+    * [[Dedup.connectedComponents]]' O(log diameter) label propagation.
+    * `captions` must carry one row per media id (idCol matching
+    * MediaRow.mediaId).
+    */
+  def jointDedup(media: Dataset[MediaRow], captions: DataFrame,
+                 idCol: String, textCol: String,
+                 maxImageHamming: Int, maxTextHamming: Int,
+                 codec: ImageCodec = Codecs.AutoCodec,
+                 hash: Image => Long = dHash64,
+                 routeThreshold: Long = 1L << 23): DataFrame = {
+    val imgPairs = nearDuplicates(media, maxImageHamming, codec, hash,
+        routeThreshold = routeThreshold)
+      .select(col("id_a"), col("id_b"),
+        col("hamming").as("image_hamming"))
+    val txtPairs = Dedup.simHashPairsBlocked(captions, idCol, textCol,
+        maxTextHamming, fp = Dedup.simHashMd5, bits = 60)
+      .select(col("id_a"), col("id_b"), col("hamming").as("text_hamming"))
+    val joint = imgPairs.join(txtPairs, Seq("id_a", "id_b"))
+    val ids = captions.select(col(idCol).cast("long").as("id"))
+    Dedup.connectedComponents(ids, joint.select(col("id_a"), col("id_b")))
+      .select(col("id"), col("label").as("canonical_id"),
+        (col("id") === col("label")).as("kept"))
+  }
 }

@@ -1,0 +1,232 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** URL / domain-level corpus curation (beyond-reference; the C4 /
+  * RefinedWeb web-pipeline family — Raffel et al. JMLR'20 §2.2, Penedo
+  * et al. NeurIPS'23 §3.1): URL canonicalization, public-suffix-list
+  * registrable-domain extraction, domain blocklist/allowlist filtering,
+  * canonical-URL exact dedup, and per-domain quota caps.
+  *
+  * Scale shape: every operator here is a pure per-row PROJECTION (plus,
+  * for dedup/quota, the one unavoidable shuffle on the canonical key) —
+  * no explode-and-join-back, no driver round-trips. The PSL rule set
+  * rides along as plan literals ([[typedLit]] maps), so domain
+  * extraction is shuffle-free and partition-parallel. The shipped rule
+  * set is a subset (resource `graft/public_suffix_subset.dat`, real PSL
+  * file format incl. wildcard and exception rules); with the full ~9k
+  * rule publicsuffix.org list, `GetMapValue` over a literal map is an
+  * O(rules) linear scan per lookup — at that size swap the literal maps
+  * for an executor-side static hash map behind a native Expression (the
+  * [[graft.plans.CentroidExpressions]] pattern). The algorithm itself is
+  * unchanged.
+  */
+object WebCuration {
+
+  // ------------------------------------------------------------------
+  // URL canonicalization (RFC 3986 §6 normalization subset)
+  // ------------------------------------------------------------------
+
+  /** Canonical form of an absolute http(s)-style URL:
+    *
+    *   - strip the fragment (`#…` — never sent to the server);
+    *   - lowercase the scheme and the host (RFC 3986 §6.2.2.1 case
+    *     normalization; the path stays case-SENSITIVE);
+    *   - drop the port when absent, empty, or equal to the scheme
+    *     default (http:80, https:443 — §6.2.3), and strip leading
+    *     zeros otherwise (`:08080` ≡ `:8080`);
+    *   - empty path → `/` (§6.2.3);
+    *   - sort `&`-separated query parameters byte-lexicographically
+    *     (the C4/crawl-dedup convention — param order is almost never
+    *     semantics-bearing; duplicate keys keep their multiplicity);
+    *     empty query (`?` or none) is dropped.
+    *
+    * Pure composition of codegen'd built-ins (regexp_extract / lower /
+    * array_sort) — stays inside WholeStageCodegen, no UDF.
+    */
+  def canonicalizeUrl(url: Column): Column = {
+    val u = regexp_replace(trim(url), "#.*$", "") // fragment off first
+    val scheme = lower(regexp_extract(u, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val hostPort = lower(regexp_extract(u, "^[^:/?#]+://([^/?#]*)", 1))
+    val host = regexp_extract(hostPort, "^([^:]*)", 1)
+    val rawPort = regexp_extract(hostPort, ":([0-9]+)$", 1)
+    val defPort = when(scheme === "http", lit(80))
+      .when(scheme === "https", lit(443))
+      .otherwise(lit(-1))
+    val portN = when(rawPort === "", lit(-1))
+      .otherwise(rawPort.cast("int"))
+    val port = when(portN === -1 || portN === defPort, lit(""))
+      .otherwise(concat(lit(":"), portN.cast("string")))
+    val rawPath = regexp_extract(u, "^[^:/?#]+://[^/?#]*([^?#]*)", 1)
+    val path = when(rawPath === "", lit("/")).otherwise(rawPath)
+    val rawQ = regexp_extract(u, "\\?([^#]*)", 1)
+    val query = when(rawQ === "", lit(""))
+      .otherwise(concat(lit("?"), array_join(array_sort(split(rawQ, "&")),
+        "&")))
+    concat(scheme, lit("://"), host, port, path, query)
+  }
+
+  /** Lowercased host of an absolute URL (no port, no userinfo split —
+    * the synthetic corpus carries none; extend the regex if needed). */
+  def urlHost(url: Column): Column =
+    regexp_extract(lower(trim(url)), "^[^:/?#]+://([^:/?#]*)", 1)
+
+  // ------------------------------------------------------------------
+  // Public-suffix list → registrable domain
+  // ------------------------------------------------------------------
+
+  /** One publicsuffix.org rule. `name` is the rule with any `*.` / `!`
+    * marker stripped, lowercase; label counts are derived. */
+  final case class PslRule(name: String, isWildcard: Boolean,
+                           isException: Boolean) {
+    def labelCount: Int = name.count(_ == '.') + 1
+  }
+
+  /** Parse the public PSL file format (publicsuffix.org/list): one rule
+    * per line; `//` comments and blank lines skipped; `*.` prefix marks
+    * a wildcard rule, `!` prefix an exception rule. Only the rule-name
+    * token (up to the first whitespace) is read, per the spec.
+    */
+  def parsePsl(lines: Iterator[String]): Seq[PslRule] =
+    lines.map(_.trim)
+      .filter(l => l.nonEmpty && !l.startsWith("//"))
+      .map(_.split("\\s+")(0).toLowerCase)
+      .map {
+        case l if l.startsWith("!")  => PslRule(l.drop(1), isWildcard = false,
+          isException = true)
+        case l if l.startsWith("*.") => PslRule(l.drop(2), isWildcard = true,
+          isException = false)
+        case l                       => PslRule(l, isWildcard = false,
+          isException = false)
+      }
+      .toSeq
+
+  /** The shipped rule subset (resource file, PSL format). */
+  lazy val defaultPsl: Seq[PslRule] = {
+    val in = getClass.getResourceAsStream("/graft/public_suffix_subset.dat")
+    require(in != null, "missing resource graft/public_suffix_subset.dat")
+    val src = scala.io.Source.fromInputStream(in, "UTF-8")
+    try parsePsl(src.getLines()) finally src.close()
+  }
+
+  /** Registrable ("eTLD+1") domain of a lowercase host column, per the
+    * publicsuffix.org algorithm:
+    *
+    *   1. among all rules matching a suffix of the host, the prevailing
+    *      rule is the exception rule if any matched, else the longest;
+    *   2. exception rule `!x.y` → public suffix is `y` (the rule minus
+    *      its leftmost label); wildcard `*.y` matches any host suffix
+    *      one label longer than `y`; no match → default rule `*` (the
+    *      last label is the public suffix);
+    *   3. registrable domain = public suffix plus one host label; NULL
+    *      when the host IS a public suffix (nothing was registered).
+    *
+    * Delegates to the native codegen'd kernel
+    * ([[graft.plans.WebExpressions.registrableDomain]]): one
+    * right-to-left walk over the host with O(1) hash-set probes,
+    * ~0.2 µs/row — the Column-composition twin
+    * ([[registrableDomainColumnForm]]) is algorithmically identical but
+    * ~116 µs/row (candidate subtrees duplicated across ~18 probe sites
+    * with no CSE), and a domain that becomes a filter/join key gets the
+    * whole expression re-inlined below the projection by predicate
+    * pushdown, multiplying that cost. WebCurationSpec pins the two
+    * forms equal row-for-row. Zero shuffle, partition-parallel, and the
+    * hash maps scale to the full ~9k-rule publicsuffix.org list
+    * unchanged.
+    *
+    * @param maxDepth deepest public suffix considered, in labels
+    *                 (default 5 — the full PSL's deepest rules are 5).
+    */
+  def registrableDomain(host: Column, psl: Seq[PslRule] = defaultPsl,
+                        maxDepth: Int = 5): Column =
+    graft.plans.WebExpressions.registrableDomain(host, psl, maxDepth)
+
+  /** The pure-Column composition of the same algorithm — the kernel's
+    * parity twin (kept for the spec's cross-check and as documentation
+    * of the declarative form; do NOT use in hot paths, see
+    * [[registrableDomain]]).
+    */
+  private[graft] def registrableDomainColumnForm(
+      host: Column, psl: Seq[PslRule] = defaultPsl,
+      maxDepth: Int = 5): Column = {
+    require(maxDepth >= 1, s"maxDepth must be >= 1, got $maxDepth")
+    val normal = psl.filter(r => !r.isWildcard && !r.isException)
+      .map(r => r.name -> r.labelCount).toMap
+    val wildcard = psl.filter(_.isWildcard).map(r => r.name -> 1).toMap
+    val exception = psl.filter(_.isException)
+      .map(r => r.name -> r.labelCount).toMap
+    val normalM = typedLit(normal)
+    val wildM = typedLit(wildcard)
+    val excM = typedLit(exception)
+
+    val labels = split(host, "\\.")
+    val n = size(labels)
+    // candidate i = last i labels of the host, null when i > n; one
+    // extra slot (maxDepth+1) so the registrable domain itself is a
+    // candidate lookup
+    val cands: Seq[Column] = (1 to (maxDepth + 1)).map { i =>
+      when(n >= i, array_join(slice(labels, -i, i), "."))
+    }
+    // priority of candidate i: exception 1000+(i-1), else match length i
+    val prios: Seq[Column] = (1 to maxDepth).flatMap { i =>
+      val c = cands(i - 1)
+      val exc = when(c.isNotNull && element_at(excM, c).isNotNull,
+        lit(1000 + i - 1))
+      val norm = when(c.isNotNull && element_at(normalM, c).isNotNull,
+        lit(i))
+      val wild =
+        if (i >= 2)
+          Seq(when(cands(i - 2).isNotNull &&
+            element_at(wildM, cands(i - 2)).isNotNull, lit(i)))
+        else Nil
+      Seq(exc, norm) ++ wild
+    }
+    val prio = greatest((prios :+ lit(1)): _*) // default rule `*` → 1
+    val ps = prio % 1000
+    // ps+1 ≤ maxDepth+1 = array length, so element_at is always in
+    // bounds; the slot is null when the host has ≤ ps labels (host IS
+    // a public suffix) — exactly the NULL the algorithm calls for
+    element_at(array(cands: _*), (ps + 1).cast("int"))
+  }
+
+  // ------------------------------------------------------------------
+  // Operators over a corpus with a URL column
+  // ------------------------------------------------------------------
+
+  /** Canonical-URL exact dedup: canonicalize, group, keep the smallest
+    * id as survivor. One hash-aggregate shuffle on the canonical key;
+    * map-side partial aggregation bounds shuffle volume by the number
+    * of DISTINCT canonical URLs per task, not by row count. */
+  def urlDedup(df: DataFrame, urlCol: String, idCol: String): DataFrame =
+    df.select(canonicalizeUrl(col(urlCol)).as("canonical_url"),
+        col(idCol))
+      .groupBy(col("canonical_url"))
+      .agg(min(col(idCol)).as("survivor_id"),
+        count(lit(1)).as("n_dups"))
+
+  /** Blocklist (and optional allowlist) filter on a registrable-domain
+    * column. NULL domains (host is itself a public suffix) are dropped —
+    * a crawl row with no registrant is unattributable and every web
+    * pipeline discards it. Lists are tiny plan literals; the filter is
+    * a scan-level predicate, pushdown-eligible. */
+  def domainFilter(df: DataFrame, domainCol: String, blocked: Seq[String],
+                   allowed: Option[Seq[String]] = None): DataFrame = {
+    val d = col(domainCol)
+    val base = d.isNotNull && !d.isin(blocked.map(_.toLowerCase): _*)
+    val full = allowed match {
+      case Some(a) => base && d.isin(a.map(_.toLowerCase): _*)
+      case None    => base
+    }
+    df.filter(full)
+  }
+
+  /** Per-domain quota cap: at most `quota` docs per registrable domain,
+    * chosen by the deterministic content-free md5-of-id order — the
+    * [[Curation.quotaSample]] draw keyed on domain. Plans as two-phase
+    * WindowGroupLimit: at most `quota` rows per domain per input
+    * partition cross the shuffle. */
+  def domainQuotaCap(df: DataFrame, domainCol: String, idCol: String,
+                     quota: Int): DataFrame =
+    Curation.quotaSample(df, domainCol, idCol, quota)
+}

@@ -398,13 +398,116 @@ object MultimodalQueries {
       |  doc_id = MIN(doc_id) OVER (PARTITION BY doc_id // 8) AS kept
       |FROM f ORDER BY doc_id""".stripMargin
 
+  /** Joint image+caption dedup (`ImageHash.jointDedup`): an edge needs
+    * BOTH the image dHash (≤ 8 bits, the q109 bit model) AND the caption
+    * SimHash (≤ 12 of 60 md5 bits, the q27 fingerprint) to agree.
+    *
+    * Construction: images reuse q109's 4-doc groups (all 6 within-group
+    * pairs are image-near at Hamming 4/8); captions are the GROUP BASE
+    * doc's text, verbatim for members 0–1 and with one appended marker
+    * token for members 2–3 — so (0,1) are caption-exact (SimHash 0,
+    * always a joint edge), while pairs involving 2/3 have a
+    * data-dependent caption distance the oracle recomputes exactly from
+    * the same token votes. Cross-group pairs fail the image filter
+    * (~Binomial(60,½) distances), one-token caption noise fails or
+    * passes per the votes — the conjunction is exercised in both
+    * directions. Capped at 2000 docs for oracle tractability (the
+    * DuckDB twin joins all pairs; Spark runs the blocked joins).
+    */
+  private val JointCapId = 2000L
+
+  /** The q136 fixture (shared with the Soak's uncapped `s136` row):
+    * q109 bit-model staircase images + group-base-derived captions. */
+  private[graft] def jointFixture(s: SparkSession, dir: String,
+      cap: Option[Long]): (org.apache.spark.sql.Dataset[MediaRow],
+      DataFrame) = {
+    import s.implicits._
+    val docs = cap.foldLeft(Tables.documents(s, dir))(
+      (d, c) => d.filter(col("doc_id") < c))
+    val media = docs.select(col("doc_id")).as[Long].mapPartitions(_.map {
+      d => MediaRow(d, "image", staircaseBmp(d, groupFp(d)), "bmp")
+    })
+    val captions = docs.select(col("doc_id"),
+        expr("(doc_id div 4) * 4").as("bid"))
+      .join(docs.select(col("doc_id").as("bid"), col("text").as("btext")),
+        Seq("bid"))
+      .select(col("doc_id"),
+        when(col("doc_id") % 4 >= 2,
+            concat(col("btext"), lit(" xtra"),
+              (col("doc_id") % 4).cast("string")))
+          .otherwise(col("btext")).as("caption"))
+    (media, captions)
+  }
+
+  private def q136(s: SparkSession, dir: String): DataFrame = {
+    val (media, captions) = jointFixture(s, dir, Some(JointCapId))
+    ImageHash.jointDedup(media, captions, "doc_id", "caption",
+        maxImageHamming = 8, maxTextHamming = 12)
+      .select(col("id").as("doc_id"), col("canonical_id"), col("kept"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val q136Sql =
+    s"""WITH RECURSIVE d AS (
+       |  SELECT doc_id, text FROM documents WHERE doc_id < $JointCapId),
+       |f AS (
+       |  SELECT doc_id,
+       |    xor(CAST(concat('0x',
+       |          substr(md5(CAST(doc_id // 4 AS VARCHAR)), 1, 15)) AS BIGINT),
+       |        CASE WHEN doc_id % 4 = 0 THEN 0
+       |             ELSE 35185445863425 *
+       |                  (CAST(1 AS BIGINT) <<
+       |                   CAST(5 * (doc_id % 4) - 4 AS INTEGER)) END) AS fp
+       |  FROM d),
+       |caps AS (
+       |  SELECT a.doc_id,
+       |    CASE WHEN a.doc_id % 4 >= 2
+       |         THEN b.text || ' xtra' || CAST(a.doc_id % 4 AS VARCHAR)
+       |         ELSE b.text END AS caption
+       |  FROM d a JOIN d b ON b.doc_id = (a.doc_id // 4) * 4),
+       |toks AS (
+       |  SELECT doc_id,
+       |    unnest(string_split_regex(trim(caption), '\\s+')) AS tok
+       |  FROM caps),
+       |h AS (SELECT doc_id,
+       |        CAST(concat('0x', substr(md5(tok), 1, 15)) AS BIGINT) AS th
+       |      FROM toks),
+       |bits AS (SELECT unnest(range(60)) AS b),
+       |votes AS (
+       |  SELECT doc_id, b,
+       |    SUM(CASE WHEN (th >> b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+       |  FROM h CROSS JOIN bits GROUP BY doc_id, b),
+       |sfp AS (SELECT doc_id,
+       |          CAST(SUM(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << b)
+       |            ELSE 0 END) AS BIGINT) AS sfp
+       |        FROM votes GROUP BY doc_id),
+       |pairs AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM f a JOIN f b ON a.doc_id < b.doc_id
+       |  JOIN sfp sa ON sa.doc_id = a.doc_id
+       |  JOIN sfp sb ON sb.doc_id = b.doc_id
+       |  WHERE bit_count(xor(a.fp, b.fp)) <= 8
+       |    AND bit_count(xor(sa.sfp, sb.sfp)) <= 12),
+       |edges AS (
+       |  SELECT id_a AS src, id_b AS dst FROM pairs
+       |  UNION SELECT id_b, id_a FROM pairs),
+       |reach(id, r) AS (
+       |  SELECT doc_id, doc_id FROM d
+       |  UNION
+       |  SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id),
+       |labels AS (SELECT id, MIN(r) AS label FROM reach GROUP BY id)
+       |SELECT id AS doc_id, label AS canonical_id, id = label AS kept
+       |FROM labels
+       |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q106_image_stats" -> (q106(_, _)),
     "q107_audio_stats" -> (q107(_, _)),
     "q108_video_frame_stats" -> (q108(_, _)),
     "q109_image_near_dup" -> (q109(_, _)),
     "q116_audio_near_dup" -> (q116(_, _)),
-    "q117_image_dedup_corpus" -> (q117(_, _)))
+    "q117_image_dedup_corpus" -> (q117(_, _)),
+    "q136_joint_image_text_dedup" -> (q136(_, _)))
 
   val oracleSql: Map[String, String] = Map(
     "q106_image_stats" -> q106Sql,
@@ -412,5 +515,6 @@ object MultimodalQueries {
     "q108_video_frame_stats" -> q108Sql,
     "q109_image_near_dup" -> q109Sql,
     "q116_audio_near_dup" -> q116Sql,
-    "q117_image_dedup_corpus" -> q117Sql)
+    "q117_image_dedup_corpus" -> q117Sql,
+    "q136_joint_image_text_dedup" -> q136Sql)
 }

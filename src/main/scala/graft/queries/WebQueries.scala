@@ -1,0 +1,235 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.WebCuration
+
+/** URL / domain-level curation queries (the C4/RefinedWeb web-pipeline
+  * family) over `documents`. The test table carries no URL column, so
+  * each query derives one deterministically from md5(doc_id) — mixed
+  * radix digits pick host / scheme / port / path / query / fragment
+  * variants, identically in Spark and in the DuckDB oracle (the house
+  * q85/q86 h60 construction). The variant space is built so that
+  * canonicalization MERGES rows (case, default ports, query order,
+  * fragments) and the host list walks every public-suffix-list rule
+  * shape (plain, multi-label, private-registry, wildcard, exception).
+  */
+object WebQueries {
+
+  // hosts: 12 raw forms → 11 canonical hosts → 8 registrable domains.
+  // Indices 0/1 differ only by case; 10/11 share a domain with distinct
+  // hosts; 8 hits the PSL exception rule (!www.ck), 9 the wildcard
+  // (*.ck), 6/7 the private-registry suffix (github.io).
+  private val hosts = Seq(
+    "www.example.com", "WWW.Example.COM", "news.example.com",
+    "blog.example.co.uk", "Sub.Blog.Example.co.uk", "docs.example.org",
+    "alpha.github.io", "beta.github.io", "www.ck", "foo.bar.ck",
+    "cdn.example.net", "static.example.net")
+  private val schemes = Seq("http", "HTTP", "https", "HTTPS")
+  private val paths = Seq("", "/", "/a/b", "/a/B", "/index.html")
+
+  /** Spark-side URL synthesis. Each variant digit comes from its OWN
+    * md5-hex substring (host 15 hex chars, scheme/path/port 4, query 3,
+    * fragment 2) — disjoint substrings, exact long arithmetic in both
+    * engines. (A single 60-bit int with `h / radix` digit extraction is
+    * NOT portable: Spark's `Column./` on longs is DOUBLE division, and
+    * above 2^53 the quotient loses bits.) */
+  private def synthUrl: Column = {
+    val d = md5(col("doc_id").cast("string"))
+    def hex(pos: Int, len: Int): Column =
+      conv(substring(d, pos, len), 16, 10).cast("long")
+    val host = element_at(array(hosts.map(lit): _*),
+      (hex(1, 15) % 12).cast("int") + 1)
+    val scheme = element_at(array(schemes.map(lit): _*),
+      (hex(16, 4) % 4).cast("int") + 1)
+    val path = element_at(array(paths.map(lit): _*),
+      (hex(20, 4) % 5).cast("int") + 1)
+    val portSel = hex(24, 4) % 3
+    val port = when(portSel === 1,
+        when(lower(scheme) === "http", lit(":80")).otherwise(lit(":443")))
+      .when(portSel === 2, lit(":8080"))
+      .otherwise(lit(""))
+    val qSel = hex(28, 3) % 3
+    val query = when(qSel === 1, lit("?b=2&a=1"))
+      .when(qSel === 2, lit("?a=1&b=2"))
+      .otherwise(lit(""))
+    val frag = when(hex(31, 2) % 2 === 1, lit("#sec")).otherwise(lit(""))
+    concat(scheme, lit("://"), host, port, path, query, frag)
+  }
+
+  /** DuckDB-side synthesis of the same URL (list-literal indexing over
+    * the same per-digit md5 substrings). */
+  private val synthUrlSql: String = {
+    def arr(xs: Seq[String]) = xs.map(x => s"'$x'").mkString("([", ", ", "])")
+    def hex(pos: Int, len: Int) =
+      s"CAST(concat('0x', substr(d, $pos, $len)) AS BIGINT)"
+    s"""WITH hh AS (
+       |  SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS d
+       |  FROM documents),
+       |uu AS (
+       |  SELECT doc_id,
+       |    ${arr(schemes)}[CAST(${hex(16, 4)} % 4 AS INT) + 1] ||
+       |    '://' ||
+       |    ${arr(hosts)}[CAST(${hex(1, 15)} % 12 AS INT) + 1] ||
+       |    CASE ${hex(24, 4)} % 3
+       |         WHEN 1 THEN CASE WHEN lower(${arr(schemes)}[
+       |             CAST(${hex(16, 4)} % 4 AS INT) + 1]) = 'http'
+       |           THEN ':80' ELSE ':443' END
+       |         WHEN 2 THEN ':8080' ELSE '' END ||
+       |    ${arr(paths)}[CAST(${hex(20, 4)} % 5 AS INT) + 1] ||
+       |    CASE ${hex(28, 3)} % 3
+       |         WHEN 1 THEN '?b=2&a=1' WHEN 2 THEN '?a=1&b=2'
+       |         ELSE '' END ||
+       |    CASE WHEN ${hex(31, 2)} % 2 = 1 THEN '#sec' ELSE '' END
+       |    AS url
+       |  FROM hh)""".stripMargin
+  }
+
+  /** DuckDB canonicalization of `url` (mirrors
+    * [[WebCuration.canonicalizeUrl]]); defines CTE `canon(doc_id,
+    * scheme, host, canonical_url)`. */
+  private val canonSql: String =
+    """cparts AS (
+      |  SELECT doc_id,
+      |    lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
+      |      AS scheme,
+      |    lower(regexp_extract(url, '^[^:/?#]+://([^/?#]*)', 1))
+      |      AS hostport,
+      |    regexp_extract(url, '^[^:/?#]+://[^/?#]*([^?#]*)', 1)
+      |      AS rawpath,
+      |    regexp_extract(regexp_replace(url, '#.*$', ''), '\?([^#]*)', 1)
+      |      AS rawq
+      |  FROM uu),
+      |canon AS (
+      |  SELECT doc_id, scheme,
+      |    regexp_extract(hostport, '^([^:]*)', 1) AS host,
+      |    scheme || '://' || regexp_extract(hostport, '^([^:]*)', 1) ||
+      |    CASE WHEN regexp_extract(hostport, ':([0-9]+)$', 1) = ''
+      |           THEN ''
+      |         WHEN CAST(regexp_extract(hostport, ':([0-9]+)$', 1) AS INT)
+      |           = CASE scheme WHEN 'http' THEN 80 WHEN 'https' THEN 443
+      |             ELSE -1 END THEN ''
+      |         ELSE ':' || CAST(CAST(regexp_extract(hostport,
+      |           ':([0-9]+)$', 1) AS INT) AS VARCHAR) END ||
+      |    CASE WHEN rawpath = '' THEN '/' ELSE rawpath END ||
+      |    CASE WHEN rawq = '' THEN ''
+      |         ELSE '?' || array_to_string(list_sort(
+      |           string_split(rawq, '&')), '&') END
+      |    AS canonical_url
+      |  FROM cparts)""".stripMargin
+
+  /** Hand-derived PSL ground truth for the 11 canonical hosts — an
+    * oracle INDEPENDENT of the Scala algorithm (the algorithm itself is
+    * additionally pinned against publicsuffix.org test vectors in
+    * WebCurationSpec). */
+  private val domainCaseSql: String =
+    """CASE host
+      |  WHEN 'www.example.com'        THEN 'example.com'
+      |  WHEN 'news.example.com'       THEN 'example.com'
+      |  WHEN 'blog.example.co.uk'     THEN 'example.co.uk'
+      |  WHEN 'sub.blog.example.co.uk' THEN 'example.co.uk'
+      |  WHEN 'docs.example.org'       THEN 'example.org'
+      |  WHEN 'alpha.github.io'        THEN 'alpha.github.io'
+      |  WHEN 'beta.github.io'         THEN 'beta.github.io'
+      |  WHEN 'www.ck'                 THEN 'www.ck'
+      |  WHEN 'foo.bar.ck'             THEN 'foo.bar.ck'
+      |  WHEN 'cdn.example.net'        THEN 'example.net'
+      |  WHEN 'static.example.net'     THEN 'example.net'
+      |END""".stripMargin
+
+  private val blocked = Seq("beta.github.io", "example.net")
+
+  // --------------------------------------------------------------- q133
+  // Canonical-URL exact dedup: 4320 raw URL variants collapse to ≤ 704
+  // canonical groups (case, default-port, query-order, and fragment
+  // noise merges; path case and :8080 stay distinct). Output is one row
+  // per canonical URL with the min-id survivor — the C4-style "keep one
+  // page per URL" pass.
+  private def q133(s: SparkSession, dir: String): DataFrame =
+    WebCuration.urlDedup(
+        Tables.documents(s, dir).withColumn("url", synthUrl),
+        "url", "doc_id")
+      .orderBy(col("canonical_url"))
+
+  private val q133Sql =
+    s"""$synthUrlSql,
+       |$canonSql
+       |SELECT canonical_url, min(doc_id) AS survivor_id,
+       |  count(*) AS n_dups
+       |FROM canon
+       |GROUP BY canonical_url
+       |ORDER BY canonical_url""".stripMargin
+
+  // --------------------------------------------------------------- q134
+  // Registrable-domain rollup behind a blocklist: canonical host → PSL
+  // eTLD+1 (wildcard *.ck, exception !www.ck, private-registry
+  // github.io all exercised) → drop blocklisted domains → per-domain
+  // doc and distinct-host counts.
+  private def q134(s: SparkSession, dir: String): DataFrame = {
+    val withDomain = Tables.documents(s, dir)
+      .withColumn("url", synthUrl)
+      .withColumn("host", WebCuration.urlHost(col("url")))
+      .withColumn("domain", WebCuration.registrableDomain(col("host")))
+    WebCuration.domainFilter(withDomain, "domain", blocked)
+      .groupBy(col("domain"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("host")).as("n_hosts"))
+      .orderBy(col("domain"))
+  }
+
+  private val q134Sql =
+    s"""$synthUrlSql,
+       |$canonSql,
+       |dom AS (
+       |  SELECT doc_id, host, $domainCaseSql AS domain
+       |  FROM canon)
+       |SELECT domain, count(*) AS n_docs,
+       |  count(DISTINCT host) AS n_hosts
+       |FROM dom
+       |WHERE domain IS NOT NULL
+       |  AND domain NOT IN (${blocked.map(b => s"'$b'").mkString(", ")})
+       |GROUP BY domain
+       |ORDER BY domain""".stripMargin
+
+  // --------------------------------------------------------------- q135
+  // Per-domain quota cap: at most 25 docs per registrable domain by the
+  // deterministic md5-of-id draw — the RefinedWeb "cap any single
+  // domain's share of the corpus" pass. Fixed 8×25-row output at every
+  // scale ≥ sf0.001.
+  private def q135(s: SparkSession, dir: String): DataFrame = {
+    val withDomain = Tables.documents(s, dir)
+      .withColumn("url", synthUrl)
+      .withColumn("domain",
+        WebCuration.registrableDomain(WebCuration.urlHost(col("url"))))
+    WebCuration.domainQuotaCap(withDomain, "domain", "doc_id", quota = 25)
+      .select(col("domain"), col("doc_id"), col("sample_rank"))
+      .orderBy(col("domain"), col("sample_rank"))
+  }
+
+  private val q135Sql =
+    s"""$synthUrlSql,
+       |$canonSql,
+       |dom AS (
+       |  SELECT doc_id, $domainCaseSql AS domain
+       |  FROM canon),
+       |rk AS (
+       |  SELECT domain, doc_id, row_number() OVER (PARTITION BY domain
+       |    ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC)
+       |    AS sample_rank
+       |  FROM dom)
+       |SELECT domain, doc_id, sample_rank
+       |FROM rk WHERE sample_rank <= 25
+       |ORDER BY domain, sample_rank""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q133_url_dedup" -> (q133 _),
+    "q134_domain_rollup" -> (q134 _),
+    "q135_domain_quota" -> (q135 _))
+
+  val oracleSql: Map[String, String] = Map(
+    "q133_url_dedup" -> q133Sql,
+    "q134_domain_rollup" -> q134Sql,
+    "q135_domain_quota" -> q135Sql)
+}

@@ -51,7 +51,9 @@ object Soak {
     "q119_doc_chunking", "q120_dsir_importance", "q123_corpus_shuffle",
     "q124_cdc_chunks", "q125_gopher_rules", "q126_rrf_hybrid",
     "q127_prototype_prune", "q128_semantic_decontam",
-    "q130_power_iteration")
+    "q130_power_iteration",
+    // URL/domain family (r12): all three run UNCAPPED over documents
+    "q133_url_dedup", "q134_domain_rollup", "q135_domain_quota")
 
   /** Same co-tenant preflight as [[graft.Bench]]: exponent fits across
     * scale runs are meaningless if one run raced a loaded box, so wait
@@ -142,7 +144,19 @@ object Soak {
         // measures bucketing + verify cost against a stable pair density.
         // Auto geometry: bucket bits grow with log2(N), tables with the
         // recall target — the scale path the fixed 6-bit version is not.
-        Similarity.cosineNearDupPairsAuto(embs, 0.7)))
+        Similarity.cosineNearDupPairsAuto(embs, 0.7)),
+      "s136_joint_full" -> (() => {
+        // q136's joint image+caption dedup UNCAPPED (the registered form
+        // caps at 2000 docs purely for the DuckDB all-pairs oracle).
+        // Both pair generators are blocked; ScaleGen replica groups keep
+        // within-group image distances 4/8 while the caption splice
+        // keeps per-group caption structure, so joint pair mass stays
+        // linear in the corpus.
+        val (media, captions) = graft.queries.MultimodalQueries
+          .jointFixture(spark, sfDir, None)
+        graft.multimodal.ImageHash.jointDedup(media, captions,
+          "doc_id", "caption", maxImageHamming = 8, maxTextHamming = 12)
+      }))
 
     val workloads: Seq[(String, () => DataFrame)] =
       registered.map { n =>
