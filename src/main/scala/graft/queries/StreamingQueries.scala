@@ -102,9 +102,9 @@ object StreamingQueries {
     * values after (the streaming plan captures the conf at start()).
     *
     *   - `spark.sql.shuffle.partitions` → `n`: the gates' micro-batches
-    *     are chunk-sized (corpus/4), so the session-wide 32 partitions
+    *     are chunk-sized (corpus/3), so the session-wide 32 partitions
     *     buy nothing and multiply per-batch task-scheduling overhead
-    *     across every stateful stage × 4 batches. Correctness is
+    *     across every stateful stage × batch. Correctness is
     *     partition-count-independent (hash partitioning is just
     *     narrower).
     *   - `spark.sql.codegen.wholeStage` → false: every micro-batch
@@ -133,8 +133,8 @@ object StreamingQueries {
   /** Streaming incremental dedup over a file-chunked corpus (q82's
     * continuous form, `StreamingPipeline.incrementalDedupStream`).
     *
-    * The documents table is split into 4 parquet chunk files by
-    * `doc_id % 4` with strictly ascending modification times, then
+    * The documents table is split into 3 parquet chunk files by
+    * `doc_id % 3` with strictly ascending modification times, then
     * streamed through a real file source (`maxFilesPerTrigger=1`,
     * AvailableNow) — so micro-batch b processes exactly chunk b, and the
     * batchId→chunk mapping is deterministic (the file source admits
@@ -143,25 +143,28 @@ object StreamingQueries {
     * (hashes unseen in batches 0..b−1, min-id + dup-count per hash)
     * appends to one result dir; the final output is the full emission
     * history. DuckDB recomputes it closed-form: a hash is emitted in the
-    * FIRST chunk (by `doc_id % 4`) that contains it, with the min id and
+    * FIRST chunk (by `doc_id % 3`) that contains it, with the min id and
     * count within that chunk — exactly the cross-batch anti-join
     * semantics, so a hash match proves the digest store accumulates,
     * excludes, and never re-admits across micro-batches.
     *
     * Bench note: this query's wall time is dominated by Structured
-    * Streaming FIXED overhead (4 checkpointed micro-batch commits +
+    * Streaming FIXED overhead (3 checkpointed micro-batch commits +
     * per-batch digest-store round-trips), not data-plane work — it is a
     * pipeline-correctness gate, not a throughput probe; the per-batch
     * data cost is q82's (digest-only, map-side, store never shuffles).
+    * 3 chunks is the semantics floor: batch 0 seeds an empty store,
+    * batch 1 probes a single-dir store, batch 2 probes a UNION of prior
+    * dirs — fewer would leave the multi-dir store path ungated.
     */
   private def q111(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
     val work = scratchDir("graft_q111")
-    val inDir = cachedChunks(s"q111|$dir|4")(writeChunks(docs, "doc_id", _, 4))
+    val inDir = cachedChunks(s"q111|$dir|3")(writeChunks(docs, "doc_id", _, 3))
     val digestDir = new File(work, "digests").getPath
     val outDir = new File(work, "out")
     outDir.mkdirs()
-    withGateConfs(s, 4) {
+    withGateConfs(s, 3) {
       val stream = s.readStream
         .schema(docs.schema)
         .option("maxFilesPerTrigger", "1")
@@ -183,7 +186,7 @@ object StreamingQueries {
   }
 
   private val q111Sql =
-    """WITH d AS (SELECT doc_id, doc_id % 4 AS b, md5(text) AS h
+    """WITH d AS (SELECT doc_id, doc_id % 3 AS b, md5(text) AS h
       |           FROM documents),
       |fb AS (SELECT h, min(b) AS fb FROM d GROUP BY h)
       |SELECT CAST(d.b AS BIGINT) AS batch_id, d.h AS content_hash,
@@ -194,8 +197,8 @@ object StreamingQueries {
 
   /** Streaming SemDeDup over a file-chunked embedding corpus (q103's
     * continuous form, `StreamingPipeline.semDedupStream`) — the q111
-    * recipe applied to the VECTOR store: embeddings split into 4 chunks
-    * by `vec_id % 4` with ascending mtimes, streamed one file per
+    * recipe applied to the VECTOR store: embeddings split into 3 chunks
+    * by `vec_id % 3` with ascending mtimes, streamed one file per
     * micro-batch (AvailableNow), each batch semantic-deduped against the
     * union of all PRIOR batches' cell-partitioned state plus itself.
     * The oracle recomputes the whole emission history closed-form: a
@@ -208,11 +211,11 @@ object StreamingQueries {
     val emb = Tables.embeddings(s, dir)
       .select(col("vec_id"), col("embedding"))
     val work = scratchDir("graft_q113")
-    val inDir = cachedChunks(s"q113|$dir|4")(writeChunks(emb, "vec_id", _, 4))
+    val inDir = cachedChunks(s"q113|$dir|3")(writeChunks(emb, "vec_id", _, 3))
     val stateDir = new File(work, "state").getPath
     val outDir = new File(work, "out")
     outDir.mkdirs()
-    withGateConfs(s, 4) {
+    withGateConfs(s, 3) {
       val stream = s.readStream
         .schema(emb.schema)
         .option("maxFilesPerTrigger", "1")
@@ -244,7 +247,7 @@ object StreamingQueries {
        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
        |b AS (SELECT vec_id, v, list_position(dists, list_min(dists)) AS cell
        |      FROM (SELECT vec_id, v, $dists AS dists FROM vecs)),
-       |d AS (SELECT *, vec_id % 4 AS chunk FROM b),
+       |d AS (SELECT *, vec_id % 3 AS chunk FROM b),
        |dups AS (
        |  SELECT y.vec_id AS vec_id, MIN(x.vec_id) AS dup_of
        |  FROM d x JOIN d y ON x.cell = y.cell AND x.vec_id < y.vec_id
@@ -263,7 +266,7 @@ object StreamingQueries {
     *
     * Construction (all closed-form, so DuckDB can replay it):
     *   - events (minus any in minute 59 of their hour, see below) are
-    *     split into 4 time-range chunks by hour quartile; rows with
+    *     split into 3 time-range chunks by hour tertile; rows with
     *     `event_id % 13 == 0` are bumped TWO chunks later than their
     *     time range — late arrivals landing both in and after their
     *     window's eviction batch, so both halves of the late-data
@@ -273,7 +276,7 @@ object StreamingQueries {
     *     rows are excluded to guarantee this) and the watermark after
     *     batch b is EXACTLY chunkEnd(b) − 1 s − 2 h — no dependence on
     *     which real row happens to be latest;
-    *   - a 5th flush chunk holds one far-future `__flush` row, pushing
+    *   - a 4th flush chunk holds one far-future `__flush` row, pushing
     *     the final watermark past every real window so append mode emits
     *     them all (the flush row's own window never emits).
     *
@@ -300,20 +303,20 @@ object StreamingQueries {
       max(col("ts_utc")).as("mx")).head()
     val t0s = head.getTimestamp(0).getTime / 1000L
     val nH = ((head.getTimestamp(1).getTime / 1000L - t0s) / 3600L + 1L)
-    def hcut(b: Int): Long = (b + 1).toLong * nH / 4 // chunk b covers hours [hcut(b-1), hcut(b))
+    def hcut(b: Int): Long = (b + 1).toLong * nH / 3 // chunk b covers hours [hcut(b-1), hcut(b))
     def chunkEnd(b: Int): Long = t0s + hcut(b) * 3600L
     val h = floor((unix_seconds(col("ts_utc")) - t0s) / 3600L)
     val natural = when(h < hcut(0), 0).when(h < hcut(1), 1)
-      .when(h < hcut(2), 2).otherwise(3)
+      .otherwise(2)
     val chunked = ev.withColumn("b",
-      when(col("event_id") % 13 === 0, least(natural + 2, lit(3)))
+      when(col("event_id") % 13 === 0, least(natural + 2, lit(2)))
         .otherwise(natural))
     val sentinels = s.createDataFrame(
-      ((0 to 3).map(b => org.apache.spark.sql.Row(
+      ((0 to 2).map(b => org.apache.spark.sql.Row(
         -(b + 1).toLong, new java.sql.Timestamp((chunkEnd(b) - 1) * 1000L),
         "__wm", 0.0, b)) :+ org.apache.spark.sql.Row(
-        -100L, new java.sql.Timestamp((chunkEnd(3) + 3600L * 1000) * 1000L),
-        "__flush", 0.0, 4)).asJava,
+        -100L, new java.sql.Timestamp((chunkEnd(2) + 3600L * 1000) * 1000L),
+        "__flush", 0.0, 3)).asJava,
       org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField("event_id",
           org.apache.spark.sql.types.LongType),
@@ -326,11 +329,11 @@ object StreamingQueries {
         org.apache.spark.sql.types.StructField("b",
           org.apache.spark.sql.types.IntegerType))))
     val work = scratchDir("graft_q115")
-    val inDir = cachedChunks(s"q115|$dir|5")(
-      writeChunksPre(chunked.unionByName(sentinels), _, 5))
+    val inDir = cachedChunks(s"q115|$dir|4")(
+      writeChunksPre(chunked.unionByName(sentinels), _, 4))
     val outDir = new File(work, "out")
     outDir.mkdirs()
-    withGateConfs(s, 4) {
+    withGateConfs(s, 3) {
       val stream = s.readStream
         .schema(chunked.drop("b").schema)
         .option("maxFilesPerTrigger", "1")
@@ -359,7 +362,7 @@ object StreamingQueries {
     * chunkEnd(b−1) − 7201 s (sentinel max − 2 h delay), a row is dropped
     * iff its window end ≤ that, and a surviving window emits in the
     * first batch whose watermark passed its end (else the no-data flush
-    * batch, id 5). All offsets are chosen so no comparison can tie.
+    * batch, id 4). All offsets are chosen so no comparison can tie.
     */
   private val q115Sql =
     """WITH ev AS (
@@ -376,21 +379,20 @@ object StreamingQueries {
       |    CAST(datediff('hour', p.t0, e.ts) AS BIGINT) AS h
       |  FROM ev e, p),
       |e3 AS (
-      |  SELECT *, CASE WHEN h < (1*nh)//4 THEN 0 WHEN h < (2*nh)//4 THEN 1
-      |    WHEN h < (3*nh)//4 THEN 2 ELSE 3 END AS c
+      |  SELECT *, CASE WHEN h < (1*nh)//3 THEN 0 WHEN h < (2*nh)//3 THEN 1
+      |    ELSE 2 END AS c
       |  FROM e2),
       |e4 AS (
       |  SELECT *,
-      |    CASE WHEN event_id % 13 = 0 THEN LEAST(c + 2, 3) ELSE c END AS b,
+      |    CASE WHEN event_id % 13 = 0 THEN LEAST(c + 2, 2) ELSE c END AS b,
       |    t0s + (h + 1) * 3600 AS w_end
       |  FROM e3),
       |e5 AS (
       |  SELECT *, CASE
-      |    WHEN t0s + ((1*nh)//4)*3600 - 7201 > w_end THEN 1
-      |    WHEN t0s + ((2*nh)//4)*3600 - 7201 > w_end THEN 2
-      |    WHEN t0s + ((3*nh)//4)*3600 - 7201 > w_end THEN 3
-      |    WHEN t0s + ((4*nh)//4)*3600 - 7201 > w_end THEN 4
-      |    ELSE 5 END AS evict_batch
+      |    WHEN t0s + ((1*nh)//3)*3600 - 7201 > w_end THEN 1
+      |    WHEN t0s + ((2*nh)//3)*3600 - 7201 > w_end THEN 2
+      |    WHEN t0s + ((3*nh)//3)*3600 - 7201 > w_end THEN 3
+      |    ELSE 4 END AS evict_batch
       |  FROM e4),
       |-- a late row is dropped iff it arrives AFTER its window's eviction
       |-- batch; one arriving IN the eviction batch still merges (Spark's
@@ -405,11 +407,10 @@ object StreamingQueries {
       |    MIN(w_end) AS w_end
       |  FROM kept GROUP BY date_trunc('hour', ts), event_type)
       |SELECT CAST(CASE
-      |    WHEN t0s + ((1*nh)//4)*3600 - 7201 > w_end THEN 1
-      |    WHEN t0s + ((2*nh)//4)*3600 - 7201 > w_end THEN 2
-      |    WHEN t0s + ((3*nh)//4)*3600 - 7201 > w_end THEN 3
-      |    WHEN t0s + ((4*nh)//4)*3600 - 7201 > w_end THEN 4
-      |    ELSE 5 END AS BIGINT) AS batch_id,
+      |    WHEN t0s + ((1*nh)//3)*3600 - 7201 > w_end THEN 1
+      |    WHEN t0s + ((2*nh)//3)*3600 - 7201 > w_end THEN 2
+      |    WHEN t0s + ((3*nh)//3)*3600 - 7201 > w_end THEN 3
+      |    ELSE 4 END AS BIGINT) AS batch_id,
       |  hour, event_type, n, total_value
       |FROM agg ORDER BY hour, event_type""".stripMargin
 
@@ -417,8 +418,8 @@ object StreamingQueries {
     * for `StreamingPipeline.intervalJoin` (the click-attribution shape).
     *
     * Construction: events split even/odd into a LEFT and a RIGHT stream,
-    * each chunked into 4 single-file parquet chunks by `event_id div 2
-    * mod 4` (covers every chunk on both sides) with ascending mtimes;
+    * each chunked into 3 single-file parquet chunks by `event_id div 2
+    * mod 3` (covers every chunk on both sides) with ascending mtimes;
     * two independent file sources each admit one file per trigger, so
     * micro-batch b processes left chunk b AND right chunk b. The join
     * pairs same-user events with `r_ts ∈ [ts − 5 min, ts + 30 min]` —
@@ -436,22 +437,22 @@ object StreamingQueries {
     val ev = Tables.events(s, dir)
     val left = ev.filter(col("event_id") % 2 === 0)
       .select(col("event_id"), col("ts_utc"), col("user_id"))
-      .withColumn("b", expr("(event_id div 2) % 4"))
+      .withColumn("b", expr("(event_id div 2) % 3"))
     val right = ev.filter(col("event_id") % 2 === 1)
       .select(col("event_id").as("r_event_id"),
         col("ts_utc").as("r_ts_utc"), col("user_id").as("r_user_id"))
-      .withColumn("b", expr("((r_event_id - 1) div 2) % 4"))
+      .withColumn("b", expr("((r_event_id - 1) div 2) % 3"))
     val work = scratchDir("graft_q118")
-    val both = cachedChunks(s"q118|$dir|4") { w =>
-      writeChunksPre(left, new File(w, "l"), 4)
-      writeChunksPre(right, new File(w, "r"), 4)
+    val both = cachedChunks(s"q118|$dir|3") { w =>
+      writeChunksPre(left, new File(w, "l"), 3)
+      writeChunksPre(right, new File(w, "r"), 3)
       w
     }
     val lIn = new File(both, "l/in")
     val rIn = new File(both, "r/in")
     val outDir = new File(work, "out")
     outDir.mkdirs()
-    withGateConfs(s, 4) {
+    withGateConfs(s, 3) {
       val ls = s.readStream.schema(left.drop("b").schema)
         .option("maxFilesPerTrigger", "1").parquet(lIn.getPath)
       val rs = s.readStream.schema(right.drop("b").schema)
@@ -482,11 +483,11 @@ object StreamingQueries {
 
   private val q118Sql =
     """WITH l AS (
-      |  SELECT event_id, user_id, ts, (event_id // 2) % 4 AS bl
+      |  SELECT event_id, user_id, ts, (event_id // 2) % 3 AS bl
       |  FROM events WHERE event_id % 2 = 0),
       |r AS (
       |  SELECT event_id AS r_event_id, user_id AS r_user_id, ts AS r_ts,
-      |    ((event_id - 1) // 2) % 4 AS br
+      |    ((event_id - 1) // 2) % 3 AS br
       |  FROM events WHERE event_id % 2 = 1)
       |SELECT CAST(GREATEST(l.bl, r.br) AS BIGINT) AS batch_id,
       |  l.event_id, r.r_event_id, l.user_id,
@@ -502,31 +503,32 @@ object StreamingQueries {
     *
     * Construction: orders collapse to `k = o_orderkey div 4` with
     * `ver = o_orderkey` (so each key sees up to 4 strictly-ordered
-    * versions, one per residue) and chunk by `o_orderkey % 4` — EXCEPT
+    * versions, one per residue) and chunk by `o_orderkey % 3` — EXCEPT
     * rows with `o_orderkey % 13 = 0`, which are bumped TWO chunks later
-    * (capped at 3). A bumped row arrives AFTER rows of the same key
+    * (capped at 2). A bumped row arrives AFTER rows of the same key
     * with HIGHER versions, so the merge must keep the snapshot row and
     * discard the stale delta — version-wins-over-arrival, the SCD-1
     * semantics a replayed or out-of-order feed depends on. The gate
-    * reads back the ENTIRE snapshot-version chain (v00000..v00003), not
+    * reads back the ENTIRE snapshot-version chain (v00000..v00002), not
     * just the final state: snapshot b must equal keep-latest over
     * chunks 0..b, which DuckDB restates directly — so a hash match
     * proves every per-batch merge against the prior committed dir, not
-    * merely the endpoint.
+    * merely the endpoint. (3 chunks is the semantics floor: seed merge,
+    * merge-into-snapshot, and merge-into-merged-snapshot.)
     */
   private def q121(s: SparkSession, dir: String): DataFrame = {
     val orders = Tables.orders(s, dir)
       .select(col("o_orderkey"), col("o_totalprice"))
-    val natural = col("o_orderkey") % 4
+    val natural = col("o_orderkey") % 3
     val delta = orders.select(
       expr("o_orderkey div 4").as("k"),
       col("o_orderkey").as("ver"), col("o_totalprice"),
-      when(col("o_orderkey") % 13 === 0, least(natural + 2, lit(3)))
+      when(col("o_orderkey") % 13 === 0, least(natural + 2, lit(2)))
         .otherwise(natural).cast("int").as("b"))
     val work = scratchDir("graft_q121")
-    val inDir = cachedChunks(s"q121|$dir|4")(writeChunksPre(delta, _, 4))
+    val inDir = cachedChunks(s"q121|$dir|3")(writeChunksPre(delta, _, 3))
     val snapDir = new File(work, "snap").getPath
-    withGateConfs(s, 4) {
+    withGateConfs(s, 3) {
       val stream = s.readStream.schema(delta.drop("b").schema)
         .option("maxFilesPerTrigger", "1").parquet(inDir.getPath)
       val q = StreamingPipeline.upsertStream(stream, Seq("k"), "ver",
@@ -536,7 +538,7 @@ object StreamingQueries {
         .start()
       q.awaitTermination()
     }
-    (0 to 3).map { b =>
+    (0 to 2).map { b =>
       val d = new File(snapDir, f"v$b%05d")
       require(d.isDirectory, s"missing snapshot version dir ${d.getPath}")
       s.read.parquet(d.getPath).withColumn("snap", lit(b.toLong))
@@ -549,10 +551,10 @@ object StreamingQueries {
     """WITH d AS (
       |  SELECT o_orderkey // 4 AS k, o_orderkey AS ver, o_totalprice,
       |    CASE WHEN o_orderkey % 13 = 0
-      |         THEN LEAST(o_orderkey % 4 + 2, 3)
-      |         ELSE o_orderkey % 4 END AS b
+      |         THEN LEAST(o_orderkey % 3 + 2, 2)
+      |         ELSE o_orderkey % 3 END AS b
       |  FROM orders),
-      |s AS (SELECT unnest([0, 1, 2, 3]) AS snap),
+      |s AS (SELECT unnest([0, 1, 2]) AS snap),
       |j AS (
       |  SELECT s.snap, d.k, d.ver, d.o_totalprice,
       |    row_number() OVER (PARTITION BY s.snap, d.k
@@ -573,7 +575,7 @@ object StreamingQueries {
     *     second-aligned watermark impossible: the 30-minute gap is a
     *     whole number of seconds, so session-end + gap keeps the event's
     *     nonzero ms fraction while sentinels/watermarks have none) are
-    *     split into 4 hour-quartile time chunks, NO late bumps — arrival
+    *     split into 3 hour-tertile time chunks, NO late bumps — arrival
     *     order equals event-time order, so the state machine replays the
     *     batch q12 session semantics exactly;
     *   - per-chunk `__wm` sentinel user −(b+1) at chunkEnd − 1 s pins the
@@ -600,18 +602,18 @@ object StreamingQueries {
       max(col("ts_utc")).as("mx")).head()
     val t0s = head.getTimestamp(0).getTime / 1000L
     val nH = (head.getTimestamp(1).getTime / 1000L - t0s) / 3600L + 1L
-    def hcut(b: Int): Long = (b + 1).toLong * nH / 4
+    def hcut(b: Int): Long = (b + 1).toLong * nH / 3
     def chunkEnd(b: Int): Long = t0s + hcut(b) * 3600L
     val h = floor((col("ms") / 1000L - t0s) / 3600L)
     val natural = when(h < hcut(0), 0).when(h < hcut(1), 1)
-      .when(h < hcut(2), 2).otherwise(3)
+      .otherwise(2)
     val chunked = ev.select(col("userId"), col("ms"),
       natural.cast("int").as("b"))
     val sentinels = s.createDataFrame(
-      ((0 to 3).map(b => org.apache.spark.sql.Row(
+      ((0 to 2).map(b => org.apache.spark.sql.Row(
         -(b + 1).toLong, (chunkEnd(b) - 1) * 1000L, b)) :+
         org.apache.spark.sql.Row(
-          -100L, (chunkEnd(3) + 3600L * 1000) * 1000L, 4)).asJava,
+          -100L, (chunkEnd(2) + 3600L * 1000) * 1000L, 3)).asJava,
       org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField("userId",
           org.apache.spark.sql.types.LongType),
@@ -620,11 +622,11 @@ object StreamingQueries {
         org.apache.spark.sql.types.StructField("b",
           org.apache.spark.sql.types.IntegerType))))
     val work = scratchDir("graft_q129")
-    val inDir = cachedChunks(s"q129|$dir|5")(
-      writeChunksPre(chunked.unionByName(sentinels), _, 5))
+    val inDir = cachedChunks(s"q129|$dir|4")(
+      writeChunksPre(chunked.unionByName(sentinels), _, 4))
     val outDir = new File(work, "out")
     outDir.mkdirs()
-    withGateConfs(s, 4) {
+    withGateConfs(s, 3) {
       import s.implicits._
       val stream = s.readStream
         .schema(chunked.drop("b").schema)
@@ -670,8 +672,8 @@ object StreamingQueries {
       |    CAST(datediff('hour', p.t0, e.ts) AS BIGINT) AS h
       |  FROM ev e, p),
       |e3 AS (
-      |  SELECT *, CASE WHEN h < (1*nh)//4 THEN 0 WHEN h < (2*nh)//4 THEN 1
-      |    WHEN h < (3*nh)//4 THEN 2 ELSE 3 END AS c
+      |  SELECT *, CASE WHEN h < (1*nh)//3 THEN 0 WHEN h < (2*nh)//3 THEN 1
+      |    ELSE 2 END AS c
       |  FROM e2),
       |o AS (
       |  SELECT *, lag(ms) OVER (PARTITION BY user_id ORDER BY ms) AS prev
@@ -696,20 +698,18 @@ object StreamingQueries {
       |  FROM sess),
       |-- timeout closure: first batch whose start-of-batch watermark
       |-- (= prior chunk's sentinel − 1 h) passed end + gap; else the
-      |-- no-data flush batch (id 5)
+      |-- no-data flush batch (id 4)
       |tb AS (
       |  SELECT *, CASE
-      |    WHEN ((t0s + ((1*nh)//4)*3600 - 1) - 3600) * 1000
+      |    WHEN ((t0s + ((1*nh)//3)*3600 - 1) - 3600) * 1000
       |      > end_ms + 1800000 THEN 1
-      |    WHEN ((t0s + ((2*nh)//4)*3600 - 1) - 3600) * 1000
+      |    WHEN ((t0s + ((2*nh)//3)*3600 - 1) - 3600) * 1000
       |      > end_ms + 1800000 THEN 2
-      |    WHEN ((t0s + ((3*nh)//4)*3600 - 1) - 3600) * 1000
+      |    WHEN ((t0s + ((3*nh)//3)*3600 - 1) - 3600) * 1000
       |      > end_ms + 1800000 THEN 3
-      |    WHEN ((t0s + ((4*nh)//4)*3600 - 1) - 3600) * 1000
-      |      > end_ms + 1800000 THEN 4
-      |    ELSE 5 END AS timeout_batch
+      |    ELSE 4 END AS timeout_batch
       |  FROM nx)
-      |SELECT CAST(LEAST(coalesce(next_chunk, 5), timeout_batch) AS BIGINT)
+      |SELECT CAST(LEAST(coalesce(next_chunk, 4), timeout_batch) AS BIGINT)
       |    AS batch_id,
       |  user_id, start_ms AS session_start_ms, end_ms AS session_end_ms,
       |  n AS n_events

@@ -8,10 +8,14 @@ Two noise defenses on top of the raw 1.5x ratio gate:
      Per-query ratios are normalized by the run-pair median ratio before
      the gate, so a uniformly-slower run doesn't flag everything.
   2. DRAW ENVELOPE: graft.Bench records every timed draw per query
-     ("draws": best-of-N inputs, not just the min). A flagged move whose
-     two draw intervals [min..max] OVERLAP is classified as noise --
-     the runs' own spread already contains the "move". Runs recorded
-     before the draws field fall back to the ratio gate alone.
+     ("draws": best-of-N inputs, not just the min). A flagged move is
+     classified as noise only when the two draw intervals [min..max]
+     overlap by >= OVERLAP_FRAC of the narrower interval -- a mere
+     touch at the edge of a wide old-run spread no longer silently
+     demotes a genuine regression (each noise line prints the overlap
+     fraction and both interval widths so the call is auditable).
+     Runs recorded before the draws field fall back to the ratio gate
+     alone.
 
 Usage:
   python3 tools/bench_diff.py              # last two BENCH_HISTORY.jsonl runs
@@ -29,6 +33,7 @@ from statistics import median
 
 THRESH = 1.5
 MIN_SEC = 0.05  # ignore ratio churn under this floor (timer noise)
+OVERLAP_FRAC = 0.5  # min overlap share of the narrower draw interval
 
 
 def load(path):
@@ -98,9 +103,20 @@ def main():
         why = (f"{'slower' if raw > 1 else 'faster'} {raw:.2f}x "
                f"({norm:.2f}x drift-adj)")
         da, db = od.get(q), nd.get(q)
-        if (q not in tainted and da and db
-                and min(da) <= max(db) and min(db) <= max(da)):
-            noise.append((q, a, b, why + " [draw intervals overlap]"))
+        if q not in tainted and da and db:
+            ov = min(max(da), max(db)) - max(min(da), min(db))
+            wa, wb = max(da) - min(da), max(db) - min(db)
+            wmin = min(wa, wb)
+            # degenerate (single-draw) interval: "overlap" means the
+            # point sits inside the other interval
+            frac = (ov / wmin if wmin > 0 else
+                    (1.0 if ov >= 0 else 0.0))
+            detail = (f" [draw overlap {max(frac, 0):.2f} of narrower; "
+                      f"widths {wa:.3f}s/{wb:.3f}s]")
+            if frac >= OVERLAP_FRAC:
+                noise.append((q, a, b, why + detail))
+            else:
+                signal.append((q, a, b, why + detail))
         else:
             signal.append((q, a, b, why))
     print(f"old: {old_path} total={old['value']:.2f}s "
@@ -112,15 +128,15 @@ def main():
         print(f"in-band ({len(band)} queries): raw ratios "
               f"{lo:.2f}x..{hi:.2f}x")
     if noise:
-        print(f"\nnoise ({len(noise)} — beyond {THRESH}x but inside the "
-              "run-pair draw envelope):")
+        print(f"\nnoise ({len(noise)} — beyond {THRESH}x but draw "
+              f"intervals overlap >= {OVERLAP_FRAC} of the narrower):")
         for q, a, b, why in noise:
             print(f"  {q:35s} {a:8.3f}s -> {b:8.3f}s  {why}")
     if not signal:
         print(f"\nno SIGNAL moves beyond {THRESH}x (drift-adjusted)")
         return
-    print(f"\nSIGNAL (> {THRESH}x drift-adjusted move, draw intervals "
-          "disjoint, or added/removed):")
+    print(f"\nSIGNAL (> {THRESH}x drift-adjusted move with draw overlap "
+          f"< {OVERLAP_FRAC}, or added/removed):")
     for q, a, b, why in signal:
         fa = "-" if a is None else f"{a:.3f}s"
         fb = "-" if b is None else f"{b:.3f}s"
