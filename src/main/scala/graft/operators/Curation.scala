@@ -732,7 +732,15 @@ object Curation {
     * so numGroups ≫ corpus degrades consolidation (the degenerate limit
     * is one bin per document: a valid packing, just no pairing), while
     * numGroups too small serializes the fold. Size it between cluster
-    * parallelism and ~corpus/10⁴.
+    * parallelism and ~corpus/10⁴; a numGroups above the observed doc
+    * count is CLAMPED to it (probed with a limit-bounded count —
+    * O(numGroups) rows scanned, never the corpus), so the degenerate
+    * call packs like numGroups = docs instead of one bin per document.
+    *
+    * The id column must be integral (it rides through the typed
+    * `flatMapGroups` as a long, like [[Splits.deterministicFold]]'s
+    * input contract) — asserted, not silently null-cast; hash string
+    * ids to a surrogate first ([[graft.etl.Load.transactionId]] style).
     * Typed flatMapGroups is the honest Spark form here — the state is a
     * genuinely mutable array no Column composition expresses.
     *
@@ -745,11 +753,20 @@ object Curation {
                   ctxTokens: Int, numGroups: Int): DataFrame = {
     require(ctxTokens > 0, s"ctxTokens must be positive, got $ctxTokens")
     require(numGroups > 0, s"numGroups must be positive, got $numGroups")
+    import org.apache.spark.sql.types._
+    val idType = df.schema(idCol).dataType
+    require(Seq[DataType](ByteType, ShortType, IntegerType, LongType)
+        .contains(idType),
+      s"packBestFit id column '$idCol' must be integral, got $idType — " +
+        "a lossy cast would silently null string ids; hash to a " +
+        "surrogate id first")
+    val seenDocs = df.select(col(idCol)).limit(numGroups).count()
+    val groups = math.max(1L, math.min(numGroups.toLong, seenDocs)).toInt
     val s = df.sparkSession
     import s.implicits._
     df.select(col(idCol).cast("long").as("id"),
         tokenCount.cast("long").as("n_tokens"),
-        Splits.deterministicFold(col(idCol), numGroups).cast("int")
+        Splits.deterministicFold(col(idCol), groups).cast("int")
           .as("pack_group"))
       .as[(Long, Long, Int)]
       .groupByKey(_._3)

@@ -173,6 +173,12 @@ object StreamingPipeline {
     */
   private[graft] val DigestBucketMinStoreBytes: Long = 32L << 20
 
+  /** Estimated on-disk bytes per stored digest row (md5 hex + pfx in
+    * snappy parquet — the density behind the 32 MiB ≈ 10⁶ digests
+    * calibration). Used to fold the CURRENT batch's size into the write
+    * layout choice; order-of-magnitude accuracy suffices. */
+  private[graft] val DigestBytesPerRowEst: Long = 33L
+
   /** Auto-compaction cadence: once the store accumulates this many
     * batch subdirs, the batch merges all COMMITTED subdirs (ids strictly
     * below its own — micro-batches run serially, so every lower id is
@@ -206,7 +212,8 @@ object StreamingPipeline {
     // pays for its per-batch jobs. The decision is per-batch from the
     // CURRENT store size, so a growing store transitions flat→bucketed
     // mid-stream and the mixed layout reads fine.
-    val bucketed = seenDirs.iterator.map(treeBytes).sum >= bucketMinStoreBytes
+    val storeBytes = seenDirs.iterator.map(treeBytes).sum
+    val bucketed = storeBytes >= bucketMinStoreBytes
     // per-dir reads + union (not one multi-root read): batch subdirs mix
     // layouts legitimately — pfx-bucketed (normal batches), flat (empty
     // batches, pre-bucketing stores) — and multi-root partition
@@ -252,9 +259,17 @@ object StreamingPipeline {
     // per batch); with it each bucket is ONE file, so the probe's
     // per-bucket read cost is footers it actually needs. The shuffle is
     // batch-digest-sized — the store never moves. Flat batches coalesce
-    // to one file (the store is < bucketMinStoreBytes by definition).
+    // to one file (small by definition — see writeBucketed).
+    // The WRITE layout also counts the batch's own digests (~33 B each
+    // in snappy parquet, the same density behind the 32 MiB ≈ 10⁶
+    // threshold): a large first/backfill micro-batch against an empty
+    // store would otherwise take the flat path and funnel everything
+    // through a single coalesce(1) write task.
+    val writeBucketed =
+      bucketed || storeBytes + nKept * DigestBytesPerRowEst >=
+        bucketMinStoreBytes
     val out = kept.select(col("content_hash"), digestPfx)
-    (if (nKept > 0 && bucketed)
+    (if (nKept > 0 && writeBucketed)
        out.repartition(col("pfx")).write.mode("overwrite").partitionBy("pfx")
      else if (nKept > 0) out.coalesce(1).write.mode("overwrite")
      else out.write.mode("overwrite"))
@@ -406,22 +421,26 @@ object StreamingPipeline {
     *
     * Safety: pass `beforeId` ≤ the stream's last COMMITTED batchId
     * (ids only move forward, so no replay will ever rewrite a compacted
-    * subdir). Crash-safe by construction: the merged dir is OVERWRITTEN
-    * into place BEFORE sources are deleted, and a leftover source after
-    * a crash merely duplicates rows — both stores' readers tolerate
-    * duplicates (the digest anti-join distincts; the semDedup dup
-    * rollup is a min, idempotent under row duplication). NOT for the
-    * latest-version stores (mixture inventory / LM / upsert snapshots),
-    * which already keep O(1) live state per version and prune by
-    * "latest strictly below".
+    * subdir). Crash-safe: the merge is written to an invisible
+    * `t<id>` scratch dir, atomically RENAMED to the visible `c<id>`
+    * compacted slot, and only then are the source dirs deleted — a
+    * crash at any point leaves either the originals intact (before the
+    * rename) or a complete compacted dir plus leftover sources (after
+    * it). A replay that finds `c<id>` already present just finishes the
+    * deletes. The duplicate-rows window between rename and deletes is
+    * harmless: both stores' readers tolerate duplicates (the digest
+    * anti-join distincts; the semDedup dup rollup is a min, idempotent
+    * under row duplication). NOT for the latest-version stores (mixture
+    * inventory / LM / upsert snapshots), which already keep O(1) live
+    * state per version and prune by "latest strictly below".
     *
     * Returns the number of subdirs removed. `partitionCols` preserves
     * the store's layout (pass `Seq("cell")` for the semDedup store so
     * touched-cell pruning keeps working on the compacted dir); when left
-    * empty, partition columns are INFERRED from the first source dir's
-    * `k=v` subdirs, so compacting a bucketed store (the digest store's
-    * `pfx` layout) keeps its pruning without the caller knowing the
-    * layout.
+    * empty, partition columns are INFERRED from the union of ALL source
+    * dirs' `k=v` subdirs (sources legitimately mix flat and bucketed
+    * layouts), so compacting a bucketed store (the digest store's `pfx`
+    * layout) keeps its pruning without the caller knowing the layout.
     */
   def compactStateDirs(spark: SparkSession, dir: String, beforeId: Long,
                        prefix: String = "b",

@@ -620,4 +620,28 @@ class CurationSpec extends SparkSpec {
       }
     }
   }
+
+  test("packBestFit: degenerate numGroups clamps to the doc count and " +
+    "non-integral ids are rejected") {
+    import spark.implicits._
+    val docs = (0L until 10L).map(i => (i, "w " * 20)).toDF("doc_id", "text")
+    // numGroups ≫ docs: without the clamp, deterministicFold(1000) would
+    // scatter 10 docs into ~10 singleton groups of one bin each; clamped
+    // to 10 groups the packing is still valid AND pairs docs (6 tokens
+    // of 20 fit 3-per-128-bin when groups collide)
+    val out = Curation.packBestFit(docs, "doc_id",
+        graft.functions.TextAnalysis.tokenCount(col("text")), 128,
+        numGroups = 1000)
+      .collect()
+    assert(out.length == 10, "every doc packed exactly once")
+    assert(out.map(_.getInt(1)).distinct.forall(g => g >= 0 && g < 10),
+      "groups clamped to the observed doc count")
+    // string ids: loud failure, not silent null-cast data loss
+    val strIds = Seq(("a", "w w w"), ("b", "w w")).toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      Curation.packBestFit(strIds, "doc_id",
+        graft.functions.TextAnalysis.tokenCount(col("text")), 128, 2)
+    }
+    assert(e.getMessage.contains("must be integral"))
+  }
 }

@@ -124,6 +124,61 @@ class StoreRobustnessSpec extends SparkSpec {
     assert(kept == Set(1001L), s"pruned probe broke dedup: $kept")
   }
 
+  test("adaptive layout transition: a stream crossing the flat→bucketed " +
+    "threshold mid-run — with and without compaction across the " +
+    "transition — keeps byte-identical dedup decisions") {
+    // every batch mixes FRESH texts (ids divisible by 3 — so every batch
+    // emits and the store keeps growing) with texts repeating mod 130 —
+    // cross-batch dups whose exclusion depends on the WHOLE prior store
+    def batchRows(b: Int): Seq[(Long, String)] =
+      (0 until 100).map { i =>
+        val id = (b * 100 + i).toLong
+        (id, if (id % 3 == 0) s"fresh $id" else s"doc ${id % 130}")
+      }
+    def emissions(bucketMin: Long, compactMin: Int)
+        : (Seq[(Long, String, Long, Long)], java.io.File) = {
+      val dir = Files.createTempDirectory("graft-transition").toFile
+      var out = List.empty[(Long, String, Long, Long)]
+      (0 until 6).foreach { b =>
+        StreamingPipeline.incrementalDedupBatch(
+          batchRows(b).toDF("doc_id", "text"), b.toLong, "doc_id", "text",
+          dir.getPath, bucketMinStoreBytes = bucketMin,
+          compactMinDirs = compactMin) { (res, bid) =>
+          out :::= res.select("content_hash", "keep_id", "batch_dups")
+            .collect().map(r =>
+              (bid, r.getString(0), r.getLong(1), r.getLong(2))).toList
+        }
+      }
+      (out.sorted, dir)
+    }
+    // reference: permanently flat, never compacts
+    val (ref, _) = emissions(Long.MaxValue, Int.MaxValue)
+    assert(ref.nonEmpty && ref.map(_._1).distinct.size == 6)
+    // transition mid-run: first batches below the byte threshold write
+    // flat, later ones bucketed (threshold above batch 0's own ~3.3 KB
+    // write estimate — so the stream STARTS flat — but below the
+    // accumulated store size a few batches in)
+    val (trans, tDir) = emissions(4000L, Int.MaxValue)
+    def isBucketed(d: java.io.File): Boolean =
+      Option(d.listFiles()).getOrElse(Array.empty)
+        .exists(f => f.isDirectory && f.getName.startsWith("pfx="))
+    val tDirs = Option(tDir.listFiles()).get
+      .filter(_.getName.startsWith("b")).sortBy(_.getName)
+    assert(!isBucketed(tDirs.head) && isBucketed(tDirs.last),
+      s"no mid-run transition: ${tDirs.map(d =>
+        d.getName -> isBucketed(d)).toSeq}")
+    assert(trans == ref, "flat→bucketed transition changed decisions")
+    // compaction ACROSS the transition: cadence 3 merges flat dirs, then
+    // later merges the mixed flat+bucketed history
+    val (comp, cDir) = emissions(4000L, 3)
+    val cDirs = Option(cDir.listFiles()).get
+      .filter(f => f.getName.startsWith("b") || f.getName.startsWith("c"))
+    assert(cDirs.exists(_.getName.startsWith("c")),
+      s"compaction never fired: ${cDirs.map(_.getName).toSeq}")
+    assert(comp == ref,
+      "compaction across the layout transition changed decisions")
+  }
+
   test("semDedup store reads prune files by touched cell") {
     val stateDir = Files.createTempDirectory("graft-prune").toString
     val centroids = Seq(Seq(1.0, 0.0, 0.0), Seq(0.0, 1.0, 1.0))
