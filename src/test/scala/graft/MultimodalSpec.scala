@@ -122,6 +122,34 @@ class MultimodalSpec extends SparkSpec {
       s"expected the planted near-dup cluster, got $pairs")
   }
 
+  test("jointDedup: only pairs near-dup in BOTH modalities merge") {
+    import graft.multimodal.{Codecs, ImageHash}
+    // images: 1,2,3 same scene (near-dup cluster), 4 distinct scene.
+    // captions: 1,2 share text; 3's caption is unrelated (image-near but
+    // caption-far → must NOT merge); 4 shares 1's caption (caption-near
+    // but image-far → must NOT merge either).
+    val rows = Seq(
+      MediaRow(1, "image", Codecs.BmpCodec.encode(scene(64, 48)), "bmp"),
+      MediaRow(2, "image", Codecs.BmpCodec.encode(scene(32, 24)), "bmp"),
+      MediaRow(3, "image",
+        Codecs.BmpCodec.encode(noised(scene(64, 48), 10)), "bmp"),
+      MediaRow(4, "image", Codecs.BmpCodec.encode(scene(64, 48, 3)), "bmp")
+    ).toDS().repartition(2)
+    val caps = Seq(
+      (1L, "a shared caption about the same thing"),
+      (2L, "a shared caption about the same thing"),
+      (3L, "entirely unrelated words describing another subject matter"),
+      (4L, "a shared caption about the same thing")).toDF("id", "caption")
+    val out = ImageHash.jointDedup(rows, caps, "id", "caption",
+        maxImageHamming = 6, maxTextHamming = 12)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2)))
+      .toMap
+    assert(out(1L) == (1L, true))
+    assert(out(2L) == (1L, false), s"1-2 (both-near) should merge: $out")
+    assert(out(3L) == (3L, true), s"3 (caption-far) must survive: $out")
+    assert(out(4L) == (4L, true), s"4 (image-far) must survive: $out")
+  }
+
   test("image nearDuplicates refuses above routeThreshold, routing to " +
     "dedupCorpus") {
     import graft.multimodal.{Codecs, ImageHash}

@@ -598,4 +598,59 @@ class PropertySpec extends SparkSpec {
           s"edited / $s shared — CDC lost sync")
     }
   }
+
+  test("URL canonicalization is idempotent and case/order/fragment " +
+    "insensitive on random URLs") {
+    import graft.operators.WebCuration
+    val schemeGen = Gen.oneOf("http", "HTTP", "https", "HtTpS")
+    val hostGen = Gen.oneOf("a.Example.COM", "www.b.co.uk", "X.Y.io",
+      "single", "deep.a.b.c.org")
+    val portGen = Gen.oneOf("", ":80", ":443", ":8080", ":08080")
+    val pathGen = Gen.oneOf("", "/", "/p", "/A/b", "/x/y/z.html")
+    val qGen = Gen.someOf(Seq("b=2", "a=1", "c=3", "e="))
+      .map(ps => if (ps.isEmpty) "" else "?" + ps.mkString("&"))
+    val fragGen = Gen.oneOf("", "#f", "#sec2")
+    val urls = sample(for {
+      s <- schemeGen; h <- hostGen; p <- portGen; pa <- pathGen
+      q <- qGen; f <- fragGen
+    } yield s"$s://$h$p$pa$q$f", 300)
+    val out = urls.toDF("url")
+      .select(col("url"), WebCuration.canonicalizeUrl(col("url")).as("c1"))
+      .withColumn("c2", WebCuration.canonicalizeUrl(col("c1")))
+      .collect()
+    out.foreach { r =>
+      val (u, c1, c2) = (r.getString(0), r.getString(1), r.getString(2))
+      assert(c1 == c2, s"not idempotent: $u -> $c1 -> $c2")
+      assert(!c1.contains("#"), s"fragment survived: $u -> $c1")
+      assert(c1.startsWith("http://") || c1.startsWith("https://"), s"$c1")
+    }
+    // canonical form is invariant under scheme/host case and query order
+    val variants = Seq(
+      "http://A.b.IO/p?b=2&a=1#x", "HTTP://a.B.io/p?a=1&b=2",
+      "http://a.b.io:80/p?b=2&a=1").toDF("url")
+      .select(WebCuration.canonicalizeUrl(col("url")))
+      .collect().map(_.getString(0)).distinct
+    assert(variants.length == 1, s"variants split: ${variants.toSeq}")
+  }
+
+  test("registrable-domain kernel == Column twin on random hosts") {
+    import graft.operators.WebCuration
+    val labelGen = Gen.oneOf("a", "bb", "ccc", "example", "www", "ck",
+      "uk", "co", "io", "github", "blogspot", "com", "org", "bar", "x-y")
+    val hostGen = for {
+      n <- Gen.chooseNum(1, 7)
+      ls <- Gen.listOfN(n, labelGen)
+    } yield ls.mkString(".")
+    val hosts = sample(hostGen, 400)
+    val out = hosts.toDF("host")
+      .select(col("host"),
+        WebCuration.registrableDomain(col("host")).as("kernel"),
+        WebCuration.registrableDomainColumnForm(col("host")).as("twin"))
+      .collect()
+    out.foreach { r =>
+      assert(Option(r.getString(1)) == Option(r.getString(2)),
+        s"kernel/twin disagree on ${r.getString(0)}: " +
+          s"${r.getString(1)} vs ${r.getString(2)}")
+    }
+  }
 }
