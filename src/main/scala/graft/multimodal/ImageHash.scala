@@ -195,8 +195,14 @@ object ImageHash {
         routeThreshold = routeThreshold)
       .select(col("id_a"), col("id_b"),
         col("hamming").as("image_hamming"))
+    // eager localCheckpoint: the fingerprint frame is joined TWICE
+    // (id_a and id_b sides) — without a lineage break each join side
+    // re-runs the full caption tokenize+hash scan; checkpointing the
+    // 16-byte-per-doc frame runs it exactly once, with no unpersist
+    // bookkeeping (the blocks die with the RDD)
     val sfp = captions.select(col(idCol).cast("long").as("fid"),
-      Dedup.simHashMd5(col(textCol)).as("sfp"))
+        Dedup.simHashMd5(col(textCol)).as("sfp"))
+      .localCheckpoint(true)
     val joint = imgPairs
       .join(sfp.select(col("fid").as("id_a"), col("sfp").as("sfp_a")),
         Seq("id_a"))

@@ -736,6 +736,11 @@ object Curation {
     * count is CLAMPED to it (probed with a limit-bounded count —
     * O(numGroups) rows scanned, never the corpus), so the degenerate
     * call packs like numGroups = docs instead of one bin per document.
+    * The probe (an extra Spark job) only runs for numGroups > 64:
+    * below that the worst-case degradation is ≤ 64 singleton bins —
+    * noise — and skipping keeps small-group calls single-pass and
+    * their group assignment exactly hash-mod-numGroups (the q132
+    * oracle's closed form) at any corpus size.
     *
     * The id column must be integral (it rides through the typed
     * `flatMapGroups` as a long, like [[Splits.deterministicFold]]'s
@@ -760,8 +765,12 @@ object Curation {
       s"packBestFit id column '$idCol' must be integral, got $idType — " +
         "a lossy cast would silently null string ids; hash to a " +
         "surrogate id first")
-    val seenDocs = df.select(col(idCol)).limit(numGroups).count()
-    val groups = math.max(1L, math.min(numGroups.toLong, seenDocs)).toInt
+    val groups =
+      if (numGroups <= 64) numGroups
+      else {
+        val seenDocs = df.select(col(idCol)).limit(numGroups).count()
+        math.max(1L, math.min(numGroups.toLong, seenDocs)).toInt
+      }
     val s = df.sparkSession
     import s.implicits._
     df.select(col(idCol).cast("long").as("id"),

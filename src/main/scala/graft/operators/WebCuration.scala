@@ -40,7 +40,14 @@ object WebCuration {
     *   - sort `&`-separated query parameters byte-lexicographically
     *     (the C4/crawl-dedup convention — param order is almost never
     *     semantics-bearing; duplicate keys keep their multiplicity);
-    *     empty query (`?` or none) is dropped.
+    *     empty query (`?` or none) is dropped;
+    *   - NULL for anything that is not an absolute http-style URL
+    *     (missing `scheme://`, empty host, or a port outside
+    *     [0, 65535]). Without this, malformed crawl rows (relative
+    *     hrefs, protocol-relative `//h/x`, overflowing ports) would
+    *     all collapse onto a handful of degenerate keys like `:///x`
+    *     and a downstream URL dedup would silently merge UNRELATED
+    *     documents; NULL is the dead-letter the caller can count.
     *
     * Pure composition of codegen'd built-ins (regexp_extract / lower /
     * array_sort) — stays inside WholeStageCodegen, no UDF.
@@ -51,12 +58,18 @@ object WebCuration {
     val hostPort = lower(regexp_extract(u, "^[^:/?#]+://([^/?#]*)", 1))
     val host = regexp_extract(hostPort, "^([^:]*)", 1)
     val rawPort = regexp_extract(hostPort, ":([0-9]+)$", 1)
-    val defPort = when(scheme === "http", lit(80))
-      .when(scheme === "https", lit(443))
-      .otherwise(lit(-1))
-    val portN = when(rawPort === "", lit(-1))
-      .otherwise(rawPort.cast("int"))
-    val port = when(portN === -1 || portN === defPort, lit(""))
+    val defPort = when(scheme === "http", lit(80L))
+      .when(scheme === "https", lit(443L))
+      .otherwise(lit(-1L))
+    // leading zeros stripped BEFORE the range check, and a digit run
+    // longer than 5 marked out-of-range directly — so an arbitrarily
+    // long port never reaches a lossy cast (which would null the whole
+    // concat here while the DuckDB twin's strict CAST hard-errors)
+    val portDigits = regexp_replace(rawPort, "^0+", "")
+    val portN = when(rawPort === "", lit(-1L))
+      .when(length(portDigits) > 5, lit(65536L)) // out of range → invalid
+      .otherwise(coalesce(portDigits.cast("long"), lit(0L)))
+    val port = when(portN === -1L || portN === defPort, lit(""))
       .otherwise(concat(lit(":"), portN.cast("string")))
     val rawPath = regexp_extract(u, "^[^:/?#]+://[^/?#]*([^?#]*)", 1)
     val path = when(rawPath === "", lit("/")).otherwise(rawPath)
@@ -64,7 +77,8 @@ object WebCuration {
     val query = when(rawQ === "", lit(""))
       .otherwise(concat(lit("?"), array_join(array_sort(split(rawQ, "&")),
         "&")))
-    concat(scheme, lit("://"), host, port, path, query)
+    when(scheme =!= "" && host =!= "" && portN <= 65535L,
+      concat(scheme, lit("://"), host, port, path, query))
   }
 
   /** Lowercased host of an absolute URL (no port, no userinfo split —
@@ -195,12 +209,17 @@ object WebCuration {
   // ------------------------------------------------------------------
 
   /** Canonical-URL exact dedup: canonicalize, group, keep the smallest
-    * id as survivor. One hash-aggregate shuffle on the canonical key;
+    * id as survivor. Rows whose URL does not canonicalize (NULL — see
+    * [[canonicalizeUrl]]) are DROPPED, not grouped: a shared null key
+    * would merge every malformed row into one fake duplicate cluster
+    * and silently discard real documents (dead-letter them upstream if
+    * they matter). One hash-aggregate shuffle on the canonical key;
     * map-side partial aggregation bounds shuffle volume by the number
     * of DISTINCT canonical URLs per task, not by row count. */
   def urlDedup(df: DataFrame, urlCol: String, idCol: String): DataFrame =
     df.select(canonicalizeUrl(col(urlCol)).as("canonical_url"),
         col(idCol))
+      .filter(col("canonical_url").isNotNull)
       .groupBy(col("canonical_url"))
       .agg(min(col(idCol)).as("survivor_id"),
         count(lit(1)).as("n_dups"))

@@ -491,8 +491,12 @@ object MultimodalQueries {
        |edges AS (
        |  SELECT id_a AS src, id_b AS dst FROM pairs
        |  UNION SELECT id_b, id_a FROM pairs),
+       |-- seed from caps, not d: the Spark fixture's caption inner-join
+       |-- drops docs whose group-base id is absent, and jointDedup seeds
+       |-- its component ids from captions — the oracle must match that
+       |-- membership under NON-contiguous doc_ids too
        |reach(id, r) AS (
-       |  SELECT doc_id, doc_id FROM d
+       |  SELECT doc_id, doc_id FROM caps
        |  UNION
        |  SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id),
        |labels AS (SELECT id, MIN(r) AS label FROM reach GROUP BY id)

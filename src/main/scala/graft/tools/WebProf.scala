@@ -24,12 +24,14 @@ object WebProf {
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    def time(tag: String)(f: => Long): Unit =
+    def time(tag: String)(f: => Long): Unit = {
+      f // unbilled warm run: codegen/JIT compile, as the header claims
       (1 to 3).foreach { i =>
         val t0 = System.nanoTime()
         val n = f
         println(f"$tag run$i: ${(System.nanoTime() - t0) / 1e9}%.2fs rows=$n")
       }
+    }
     val hosts = spark.range(1000000).select(
       concat(lit("h"), (col("id") % 100).cast("string"),
         lit(".example.com")).as("host"))

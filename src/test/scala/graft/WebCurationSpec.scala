@@ -41,6 +41,28 @@ class WebCurationSpec extends SparkSpec {
     assert(canon("http://h.io?x=1#f") == Seq("http://h.io/?x=1"))
   }
 
+  test("canonicalizeUrl: malformed / non-absolute URLs go to NULL, " +
+    "never to shared degenerate keys") {
+    import spark.implicits._
+    val bad = Seq("relative/path", "//proto.relative/x", "h.io/x",
+      "http://h.io:99999999999999999999/x", "http://h.io:65536/",
+      "http:///nohost", "", "   ")
+    val out = bad.toDF("url")
+      .select(WebCuration.canonicalizeUrl(col("url")).as("c"))
+      .collect().map(r => Option(r.getString(0)))
+    assert(out.forall(_.isEmpty), s"malformed urls canonicalized: " +
+      s"${bad.zip(out).filter(_._2.nonEmpty)}")
+    // boundary: 65535 is a valid port, leading zeros strip
+    assert(canon("http://h.io:65535/x") == Seq("http://h.io:65535/x"))
+    assert(canon("http://h.io:00080/x") == Seq("http://h.io/x"))
+    // urlDedup drops the dead-letter rows instead of merging them
+    val mixed = Seq((1L, "http://a.io/x"), (2L, "junk"),
+      (3L, "also junk"), (4L, "HTTP://A.io/x")).toDF("id", "url")
+    val groups = WebCuration.urlDedup(mixed, "url", "id").collect()
+    assert(groups.length == 1 && groups.head.getLong(2) == 2L,
+      s"malformed rows leaked into dedup groups: ${groups.toSeq}")
+  }
+
   test("parsePsl: comments, markers, inline whitespace") {
     val rules = WebCuration.parsePsl(Iterator(
       "// comment", "", "com", "  co.uk  ", "*.ck", "!www.ck",

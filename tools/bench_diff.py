@@ -107,10 +107,11 @@ def main():
             ov = min(max(da), max(db)) - max(min(da), min(db))
             wa, wb = max(da) - min(da), max(db) - min(db)
             wmin = min(wa, wb)
-            # degenerate (single-draw) interval: "overlap" means the
-            # point sits inside the other interval
-            frac = (ov / wmin if wmin > 0 else
-                    (1.0 if ov >= 0 else 0.0))
+            # degenerate (single-draw) interval: overlap FRACTION is
+            # undefined, so FAIL OPEN to signal — a lone new draw
+            # sitting inside a wide old spread is exactly the
+            # edge-touch demotion this gate exists to prevent
+            frac = ov / wmin if wmin > 0 else 0.0
             detail = (f" [draw overlap {max(frac, 0):.2f} of narrower; "
                       f"widths {wa:.3f}s/{wb:.3f}s]")
             if frac >= OVERLAP_FRAC:
