@@ -10,12 +10,16 @@ import graft.operators.WebCuration
   * canonicalization, at 1M rows (local[8], 3 timed runs each after the
   * codegen warm first run).
   *
-  * Measured 2026-08-15 (this box): kernel 0.35 s/1M (~2.8 µs/row incl.
-  * scan), Column twin 14.5 s/1M (~116 µs/row — candidate subtrees
-  * duplicated across ~18 probe sites, no CSE), canonicalizeUrl
-  * ~1.1 s/1M. The 41× kernel win is why q134 dropped 2.8 s → ~0.2 s at
-  * sf0.1 — its domain column is a filter+groupBy key, so predicate
-  * pushdown re-inlines the expression below the projection and the
+  * Measured 2026-08-15 (this box): kernel 0.23 s/1M (~1.8 µs/row incl.
+  * scan; ~0.2 µs in the kernel itself), Column twin 14.1 s/1M
+  * (~113 µs/row — candidate subtrees duplicated across ~18 probe
+  * sites, no CSE), canonicalizeUrl ~1.1 s/1M, and the kernel at a
+  * FULL-PSL-sized 9k-rule set 0.14 s/1M — flat in |rules|, confirming
+  * the O(1) hash-probe claim (the twin's literal-map GetMapValue scans
+  * are O(rules) per probe and its plan would not even compile at 9k).
+  * The ~60× kernel win is why q134 dropped 2.8 s → ~0.4 s at sf0.1 —
+  * its domain column is a filter+groupBy key, so predicate pushdown
+  * re-inlines the expression below the projection and the
   * per-evaluation cost multiplies (the q105 lesson).
   */
 object WebProf {
@@ -50,6 +54,18 @@ object WebProf {
     time("canonicalize-1M") {
       urls.select(WebCuration.canonicalizeUrl(col("url")).as("c"))
         .filter(col("c").isNotNull).count()
+    }
+    // full-PSL-size rule set (the real publicsuffix.org list is ~9k
+    // rules): per-probe cost must stay O(1) — hash sets, not the
+    // literal-map linear scans of the Column twin
+    val bigPsl = WebCuration.defaultPsl ++
+      (0 until 9000).map(i =>
+        graft.operators.WebCuration.PslRule(s"tld$i", isWildcard = false,
+          isException = false))
+    time("domain-kernel-9k-rules-1M") {
+      hosts.select(WebCuration.registrableDomain(col("host"), bigPsl)
+          .as("d"))
+        .filter(col("d").isNotNull).count()
     }
     spark.stop()
   }
