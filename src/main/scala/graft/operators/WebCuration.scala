@@ -224,6 +224,21 @@ object WebCuration {
       .agg(min(col(idCol)).as("survivor_id"),
         count(lit(1)).as("n_dups"))
 
+  /** URL-funnel diagnostics — the drop accounting every web-curation
+    * report publishes (C4 §2.2 style): total rows → parseable
+    * (canonicalizable) → distinct canonical URLs, with the dead-letter
+    * and duplicate masses as explicit columns. One aggregate over the
+    * canonicalization projection; `countDistinct` plans as the standard
+    * two-phase partial-distinct aggregate, so shuffle volume is bounded
+    * by distinct canonical URLs, not rows. */
+  def urlFunnel(df: DataFrame, urlCol: String): DataFrame =
+    df.select(canonicalizeUrl(col(urlCol)).as("c"))
+      .agg(count(lit(1)).as("total_rows"),
+        count(col("c")).as("parseable"),
+        (count(lit(1)) - count(col("c"))).as("dead_letter"),
+        countDistinct(col("c")).as("n_canonical"),
+        (count(col("c")) - countDistinct(col("c"))).as("dup_rows"))
+
   /** Blocklist (and optional allowlist) filter on a registrable-domain
     * column. NULL domains (host is itself a public suffix) are dropped —
     * a crawl row with no registrant is unattributable and every web

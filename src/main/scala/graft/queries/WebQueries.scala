@@ -223,13 +223,79 @@ object WebQueries {
        |FROM rk WHERE sample_rank <= 25
        |ORDER BY domain, sample_rank""".stripMargin
 
+  // --------------------------------------------------------------- q137
+  // URL funnel with a DETERMINISTIC malformed slice: ~15% of rows (60-bit
+  // host digit mod 1000 < 150) lose their `scheme://` prefix — the
+  // relative-href shape a real crawl feed contains — and must land in
+  // dead_letter, never merge onto a degenerate key. The oracle derives
+  // the malformed set INDEPENDENTLY (the digit rule, not the Scala
+  // validity check), so a hash match proves canonicalizeUrl's
+  // non-absolute-URL detection cross-engine, row-exactly, at every
+  // scale — the spec-only NULL semantics promoted to a gate.
+  private def q137(s: SparkSession, dir: String): DataFrame = {
+    val h = conv(substring(md5(col("doc_id").cast("string")), 1, 15),
+      16, 10).cast("long")
+    val url = when(h % 1000 < 150,
+        regexp_replace(synthUrl, "^[A-Za-z]+://", ""))
+      .otherwise(synthUrl)
+    WebCuration.urlFunnel(
+      Tables.documents(s, dir).withColumn("url", url), "url")
+  }
+
+  private val q137Sql =
+    s"""$synthUrlSql,
+       |uu2 AS (
+       |  SELECT u.doc_id,
+       |    CASE WHEN CAST(concat('0x', substr(md5(CAST(u.doc_id AS
+       |        VARCHAR)), 1, 15)) AS BIGINT) % 1000 < 150
+       |      THEN regexp_replace(u.url, '^[A-Za-z]+://', '')
+       |      ELSE u.url END AS url,
+       |    CAST(concat('0x', substr(md5(CAST(u.doc_id AS VARCHAR)), 1, 15))
+       |      AS BIGINT) % 1000 < 150 AS mal
+       |  FROM uu u),
+       |cparts2 AS (
+       |  SELECT doc_id, mal,
+       |    lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
+       |      AS scheme,
+       |    lower(regexp_extract(url, '^[^:/?#]+://([^/?#]*)', 1))
+       |      AS hostport,
+       |    regexp_extract(url, '^[^:/?#]+://[^/?#]*([^?#]*)', 1)
+       |      AS rawpath,
+       |    regexp_extract(regexp_replace(url, '#.*$$', ''), '\\?([^#]*)', 1)
+       |      AS rawq
+       |  FROM uu2),
+       |canon2 AS (
+       |  SELECT doc_id,
+       |    CASE WHEN mal THEN NULL ELSE
+       |    scheme || '://' || regexp_extract(hostport, '^([^:]*)', 1) ||
+       |    CASE WHEN regexp_extract(hostport, ':([0-9]+)$$', 1) = ''
+       |           THEN ''
+       |         WHEN CAST(regexp_extract(hostport, ':([0-9]+)$$', 1) AS INT)
+       |           = CASE scheme WHEN 'http' THEN 80 WHEN 'https' THEN 443
+       |             ELSE -1 END THEN ''
+       |         ELSE ':' || CAST(CAST(regexp_extract(hostport,
+       |           ':([0-9]+)$$', 1) AS INT) AS VARCHAR) END ||
+       |    CASE WHEN rawpath = '' THEN '/' ELSE rawpath END ||
+       |    CASE WHEN rawq = '' THEN ''
+       |         ELSE '?' || array_to_string(list_sort(
+       |           string_split(rawq, '&')), '&') END
+       |    END AS c
+       |  FROM cparts2)
+       |SELECT count(*) AS total_rows, count(c) AS parseable,
+       |  count(*) - count(c) AS dead_letter,
+       |  count(DISTINCT c) AS n_canonical,
+       |  count(c) - count(DISTINCT c) AS dup_rows
+       |FROM canon2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q133_url_dedup" -> (q133 _),
     "q134_domain_rollup" -> (q134 _),
-    "q135_domain_quota" -> (q135 _))
+    "q135_domain_quota" -> (q135 _),
+    "q137_url_funnel" -> (q137 _))
 
   val oracleSql: Map[String, String] = Map(
     "q133_url_dedup" -> q133Sql,
     "q134_domain_rollup" -> q134Sql,
-    "q135_domain_quota" -> q135Sql)
+    "q135_domain_quota" -> q135Sql,
+    "q137_url_funnel" -> q137Sql)
 }

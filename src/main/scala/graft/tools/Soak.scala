@@ -52,8 +52,9 @@ object Soak {
     "q124_cdc_chunks", "q125_gopher_rules", "q126_rrf_hybrid",
     "q127_prototype_prune", "q128_semantic_decontam",
     "q130_power_iteration",
-    // URL/domain family (r12): all three run UNCAPPED over documents
-    "q133_url_dedup", "q134_domain_rollup", "q135_domain_quota")
+    // URL/domain family (r12): all four run UNCAPPED over documents
+    "q133_url_dedup", "q134_domain_rollup", "q135_domain_quota",
+    "q137_url_funnel")
 
   /** Same co-tenant preflight as [[graft.Bench]]: exponent fits across
     * scale runs are meaningless if one run raced a loaded box, so wait

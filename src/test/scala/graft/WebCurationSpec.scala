@@ -157,6 +157,17 @@ class WebCurationSpec extends SparkSpec {
     assert(out(1).getLong(1) == 4L && out(1).getLong(2) == 1L)
   }
 
+  test("urlFunnel: exact drop accounting across the parse/dedup funnel") {
+    import spark.implicits._
+    val df = Seq(
+      "http://a.io/x", "HTTP://A.io/x#f", // 2 rows, 1 canonical
+      "https://b.io/", "relative/junk", "//no.scheme/x").toDF("url")
+    val r = WebCuration.urlFunnel(df, "url").collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4)) == ((5L, 3L, 2L, 2L, 1L)),
+      s"funnel counts wrong: $r")
+  }
+
   test("domainFilter: blocklist, allowlist, null domains dropped") {
     import spark.implicits._
     val df = Seq(("a.com", 1), ("b.com", 2), (null: String, 3),
