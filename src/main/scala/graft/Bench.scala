@@ -133,6 +133,14 @@ object Bench {
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
     val queryList = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.exists(name.contains)) }
+    // cumulative per-query draws across sweeps — declared BEFORE runSweep
+    // so the outlier check can see prior sweeps' times: the published
+    // number is the min across ALL draws, so a query with a clean draw
+    // in sweep 1 must not re-enter retry/suspect on a noisy sweep 2
+    // (that would force extra full sweeps and publish suspect for a
+    // number that is actually within the outlier bound).
+    val draws = scala.collection.mutable.LinkedHashMap
+      .empty[String, Seq[Double]]
 
     /** One full sweep over the surface; returns draws per query. */
     def runSweep(warm: Boolean): Seq[(String, Seq[Double])] = queryList.map {
@@ -163,14 +171,18 @@ object Bench {
         }
         var times = (1 to reps).flatMap(_ => timedRun())
         val bound = prior.get(name).map(p => (p * outlierFactor).max(outlierFloorSec))
-        if (times.nonEmpty && bound.exists(times.min > _)) {
+        // the outlier condition is evaluated against the CUMULATIVE
+        // per-query min (prior sweeps' draws included), matching what
+        // the artifact publishes
+        def bestSoFar = (draws.getOrElse(name, Nil) ++ times).min
+        if (times.nonEmpty && bound.exists(bestSoFar > _)) {
           if (!retried.contains(name)) retried ::= name
           var extra = 0
-          while (extra < outlierReps && times.min > bound.get) {
+          while (extra < outlierReps && bestSoFar > bound.get) {
             times ++= timedRun().toSeq
             extra += 1
           }
-          if (times.min > bound.get && !suspect.contains(name))
+          if (bestSoFar > bound.get && !suspect.contains(name))
             suspect ::= name
         }
         name -> times
@@ -192,8 +204,6 @@ object Bench {
     val maxSweeps = sys.env.getOrElse("SPARK_GRAFT_SWEEPS", "3").toInt.max(1)
     val sweepDrift =
       sys.env.getOrElse("SPARK_GRAFT_SWEEP_DRIFT", "1.25").toDouble
-    var draws = scala.collection.mutable.LinkedHashMap
-      .empty[String, Seq[Double]]
     var sweeps = 0
     var cleanRun = false
     while (sweeps < maxSweeps && !cleanRun) {

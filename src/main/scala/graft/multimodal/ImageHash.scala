@@ -191,6 +191,20 @@ object ImageHash {
                  codec: ImageCodec = Codecs.AutoCodec,
                  hash: Image => Long = dHash64,
                  routeThreshold: Long = 1L << 23): DataFrame = {
+    // same contract as Curation.packBestFit: the id rides through a
+    // cast("long"), and a string id would silently null every fid —
+    // both equi-joins would then produce ZERO joint edges and every
+    // document would be reported kept=true, a wrong answer with no
+    // error. Assert instead of trusting the scaladoc.
+    {
+      import org.apache.spark.sql.types._
+      val idType = captions.schema(idCol).dataType
+      require(Seq[DataType](ByteType, ShortType, IntegerType, LongType)
+          .contains(idType),
+        s"jointDedup caption id column '$idCol' must be integral, got " +
+          s"$idType — a lossy cast would silently null every caption " +
+          "fingerprint join key; hash string ids to a surrogate first")
+    }
     val imgPairs = nearDuplicates(media, maxImageHamming, codec, hash,
         routeThreshold = routeThreshold)
       .select(col("id_a"), col("id_b"),

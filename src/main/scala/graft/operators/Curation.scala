@@ -732,10 +732,11 @@ object Curation {
     * so numGroups ≫ corpus degrades consolidation (the degenerate limit
     * is one bin per document: a valid packing, just no pairing), while
     * numGroups too small serializes the fold. Size it between cluster
-    * parallelism and ~corpus/10⁴; a numGroups above the observed doc
-    * count is CLAMPED to it (probed with a limit-bounded count —
-    * O(numGroups) rows scanned, never the corpus), so the degenerate
-    * call packs like numGroups = docs instead of one bin per document.
+    * parallelism and ~corpus/10⁴; a numGroups above the observed
+    * DISTINCT-doc count is CLAMPED to it (probed with a limit-bounded
+    * distinct count — at most numGroups distinct ids cross the probe's
+    * shuffle, never the corpus), so the degenerate call packs like
+    * numGroups = docs instead of one bin per document.
     * The probe (an extra Spark job) only runs for numGroups > 64:
     * below that the worst-case degradation is ≤ 64 singleton bins —
     * noise — and skipping keeps small-group calls single-pass and
@@ -768,7 +769,16 @@ object Curation {
     val groups =
       if (numGroups <= 64) numGroups
       else {
-        val seenDocs = df.select(col(idCol)).limit(numGroups).count()
+        // DISTINCT ids, not rows: with duplicate ids a row probe
+        // overestimates the doc count and the clamp can still leave
+        // numGroups above the true distinct-doc count, partially
+        // retaining the one-bin-per-doc degeneracy it exists to
+        // prevent. distinct().limit(n).count() stops at n distinct
+        // ids; the pre-shuffle partial aggregate bounds the probe's
+        // shuffle by distinct ids per task, an id-only pass that is
+        // noise next to the packing job itself.
+        val seenDocs =
+          df.select(col(idCol)).distinct().limit(numGroups).count()
         math.max(1L, math.min(numGroups.toLong, seenDocs)).toInt
       }
     val s = df.sparkSession

@@ -124,8 +124,10 @@ object WebCuration {
     try parsePsl(src.getLines()) finally src.close()
   }
 
-  /** Registrable ("eTLD+1") domain of a lowercase host column, per the
-    * publicsuffix.org algorithm:
+  /** Registrable ("eTLD+1") domain of a host column (any case — both
+    * forms lowercase internally, so a mixed-case host can never
+    * silently miss the rule probes), per the publicsuffix.org
+    * algorithm:
     *
     *   1. among all rules matching a suffix of the host, the prevailing
     *      rule is the exception rule if any matched, else the longest;
@@ -165,6 +167,7 @@ object WebCuration {
       host: Column, psl: Seq[PslRule] = defaultPsl,
       maxDepth: Int = 5): Column = {
     require(maxDepth >= 1, s"maxDepth must be >= 1, got $maxDepth")
+    val hostLc = lower(host) // parity with the kernel's internal lowercase
     val normal = psl.filter(r => !r.isWildcard && !r.isException)
       .map(r => r.name -> r.labelCount).toMap
     val wildcard = psl.filter(_.isWildcard).map(r => r.name -> 1).toMap
@@ -174,7 +177,7 @@ object WebCuration {
     val wildM = typedLit(wildcard)
     val excM = typedLit(exception)
 
-    val labels = split(host, "\\.")
+    val labels = split(hostLc, "\\.")
     val n = size(labels)
     // candidate i = last i labels of the host, null when i > n; one
     // extra slot (maxDepth+1) so the registrable domain itself is a

@@ -33,7 +33,8 @@ import graft.operators.WebCuration.PslRule
   */
 object WebExpressions {
 
-  /** Registrable ("eTLD+1") domain of a LOWERCASE host column. */
+  /** Registrable ("eTLD+1") domain of a host column (any case — the
+    * kernel lowercases internally). */
   def registrableDomain(host: Column, psl: Seq[PslRule],
                         maxDepth: Int): Column =
     ExpressionUtils.column(RegistrableDomain(
@@ -56,12 +57,16 @@ final class PslKernel(rules: Seq[PslRule], maxDepth: Int)
     else normal.add(r.name)
   }
 
-  /** The publicsuffix.org algorithm over a lowercase host; null when
-    * nothing is registered (host is itself a public suffix) or the
-    * input is empty.
+  /** The publicsuffix.org algorithm over a host; null when nothing is
+    * registered (host is itself a public suffix) or the input is empty.
+    * Case-normalizes internally (one UTF8String lowercase per row —
+    * cheap next to the walk): rule names are stored lowercase, so a
+    * mixed-case host would otherwise miss every hash probe and SILENTLY
+    * fall to the default `*` rule, returning a wrong eTLD+1. Callers
+    * that already lowercased (urlHost) pay only the no-op scan.
     */
   def registrable(host: UTF8String): UTF8String = {
-    val s = host.toString
+    val s = host.toLowerCase.toString
     if (s.isEmpty) return null
     // starts(i) = char offset where the suffix with the last i labels
     // begins; scanned up to maxDepth+1 (rules probe only the first

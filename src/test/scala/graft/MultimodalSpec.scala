@@ -150,6 +150,19 @@ class MultimodalSpec extends SparkSpec {
     assert(out(4L) == (4L, true), s"4 (image-far) must survive: $out")
   }
 
+  test("jointDedup refuses a non-integral caption id column (a lossy " +
+    "cast would silently null every join key → kept=true everywhere)") {
+    import graft.multimodal.{Codecs, ImageHash}
+    val rows = Seq(
+      MediaRow(1, "image", Codecs.BmpCodec.encode(scene(16, 12)), "bmp")
+    ).toDS()
+    val caps = Seq(("1", "caption")).toDF("id", "caption") // string id
+    val e = intercept[IllegalArgumentException] {
+      ImageHash.jointDedup(rows, caps, "id", "caption", 6, 12)
+    }
+    assert(e.getMessage.contains("integral"), e.getMessage)
+  }
+
   test("image nearDuplicates refuses above routeThreshold, routing to " +
     "dedupCorpus") {
     import graft.multimodal.{Codecs, ImageHash}

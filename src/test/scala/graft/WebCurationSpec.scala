@@ -108,6 +108,22 @@ class WebCurationSpec extends SparkSpec {
       Seq(None, None, None, None))
   }
 
+  test("registrableDomain: mixed-case hosts case-normalize instead of " +
+    "silently missing every rule probe") {
+    // before the fix a mixed-case host fell through to the default `*`
+    // rule (wrong eTLD+1, no error); both kernel and Column twin now
+    // lowercase internally
+    assert(domains("WWW.Example.COM", "Blog.Example.CO.UK", "Foo.Bar.CK",
+      "SUB.WWW.CK", "CO.UK") ==
+      Seq(Some("example.com"), Some("example.co.uk"), Some("foo.bar.ck"),
+        Some("www.ck"), None))
+    import spark.implicits._
+    val r = Seq("Blog.Example.CO.UK").toDF("host")
+      .select(WebCuration.registrableDomainColumnForm(col("host")).as("d"))
+      .collect().head.getString(0)
+    assert(r == "example.co.uk", s"Column twin skipped case-norm: $r")
+  }
+
   test("registrableDomain: custom rule set and depth guard") {
     val psl = Seq(PslRule("com", false, false))
     import spark.implicits._
