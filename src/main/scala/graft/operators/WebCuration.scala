@@ -31,12 +31,27 @@ object WebCuration {
   /** Canonical form of an absolute http(s)-style URL:
     *
     *   - strip the fragment (`#…` — never sent to the server);
+    *   - strip RFC 3986 userinfo (`user:pass@host` → `host`): userinfo
+    *     never names a different resource, and on real crawl data such
+    *     URLs must merge onto their bare-host twins (before this rule
+    *     they stayed parseable with the userinfo baked into the host
+    *     slice — a silent under-merge). Stripped at the LAST `@` of the
+    *     authority: `@` cannot legally appear in a host, so anything
+    *     before one is userinfo (possibly itself malformed — defensive
+    *     for crawl data);
     *   - lowercase the scheme and the host (RFC 3986 §6.2.2.1 case
     *     normalization; the path stays case-SENSITIVE);
     *   - drop the port when absent, empty, or equal to the scheme
     *     default (http:80, https:443 — §6.2.3), and strip leading
     *     zeros otherwise (`:08080` ≡ `:8080`);
     *   - empty path → `/` (§6.2.3);
+    *   - percent-encoding normalization of path and query (§6.2.2.2
+    *     via [[graft.plans.WebExpressions.pctNormalize]]): hex digits
+    *     uppercase (`%2f` ≡ `%2F`), unreserved characters decoded
+    *     (`%41` ≡ `A`); reserved characters stay encoded. The host is
+    *     NOT pct-decoded (a pct-encoded reg-name is vanishingly rare
+    *     in crawls and java.net.URI rejects most of them — kept
+    *     byte-literal so the key never invents a host);
     *   - sort `&`-separated query parameters byte-lexicographically
     *     (the C4/crawl-dedup convention — param order is almost never
     *     semantics-bearing; duplicate keys keep their multiplicity);
@@ -49,13 +64,16 @@ object WebCuration {
     *     and a downstream URL dedup would silently merge UNRELATED
     *     documents; NULL is the dead-letter the caller can count.
     *
-    * Pure composition of codegen'd built-ins (regexp_extract / lower /
-    * array_sort) — stays inside WholeStageCodegen, no UDF.
+    * Composition of codegen'd built-ins (regexp_extract / lower /
+    * array_sort) plus the codegen'd pct kernel — stays inside
+    * WholeStageCodegen, no UDF.
     */
   def canonicalizeUrl(url: Column): Column = {
+    import graft.plans.WebExpressions.pctNormalize
     val u = regexp_replace(trim(url), "#.*$", "") // fragment off first
     val scheme = lower(regexp_extract(u, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
-    val hostPort = lower(regexp_extract(u, "^[^:/?#]+://([^/?#]*)", 1))
+    val authority = lower(regexp_extract(u, "^[^:/?#]+://([^/?#]*)", 1))
+    val hostPort = regexp_replace(authority, "^.*@", "") // userinfo off
     val host = regexp_extract(hostPort, "^([^:]*)", 1)
     val rawPort = regexp_extract(hostPort, ":([0-9]+)$", 1)
     val defPort = when(scheme === "http", lit(80L))
@@ -71,9 +89,13 @@ object WebCuration {
       .otherwise(coalesce(portDigits.cast("long"), lit(0L)))
     val port = when(portN === -1L || portN === defPort, lit(""))
       .otherwise(concat(lit(":"), portN.cast("string")))
-    val rawPath = regexp_extract(u, "^[^:/?#]+://[^/?#]*([^?#]*)", 1)
+    val rawPath = pctNormalize(
+      regexp_extract(u, "^[^:/?#]+://[^/?#]*([^?#]*)", 1))
     val path = when(rawPath === "", lit("/")).otherwise(rawPath)
-    val rawQ = regexp_extract(u, "\\?([^#]*)", 1)
+    // pct-normalize BEFORE the param sort: normalization changes bytes,
+    // so sorting first would order `a=%31` after `b=2` and the merged
+    // key would depend on the raw encoding
+    val rawQ = pctNormalize(regexp_extract(u, "\\?([^#]*)", 1))
     val query = when(rawQ === "", lit(""))
       .otherwise(concat(lit("?"), array_join(array_sort(split(rawQ, "&")),
         "&")))
@@ -81,10 +103,12 @@ object WebCuration {
       concat(scheme, lit("://"), host, port, path, query))
   }
 
-  /** Lowercased host of an absolute URL (no port, no userinfo split —
-    * the synthetic corpus carries none; extend the regex if needed). */
-  def urlHost(url: Column): Column =
-    regexp_extract(lower(trim(url)), "^[^:/?#]+://([^:/?#]*)", 1)
+  /** Lowercased host of an absolute URL (port and RFC 3986 userinfo
+    * stripped — same authority decomposition as [[canonicalizeUrl]]). */
+  def urlHost(url: Column): Column = {
+    val auth = regexp_extract(lower(trim(url)), "^[^:/?#]+://([^/?#]*)", 1)
+    regexp_extract(regexp_replace(auth, "^.*@", ""), "^([^:]*)", 1)
+  }
 
   // ------------------------------------------------------------------
   // Public-suffix list → registrable domain
@@ -122,6 +146,26 @@ object WebCuration {
     require(in != null, "missing resource graft/public_suffix_subset.dat")
     val src = scala.io.Source.fromInputStream(in, "UTF-8")
     try parsePsl(src.getLines()) finally src.close()
+  }
+
+  /** Parse a PSL rule file from a filesystem path — the deploy seam for
+    * a real publicsuffix.org snapshot (the list updates ~weekly; a
+    * resource-baked copy would pin it to the build). The kernel is
+    * measured FLAT in rule count up to full-PSL size (9k rules,
+    * `tools/WebProf`), so swapping in the real list changes nothing but
+    * the rules. */
+  def loadPsl(path: String): Seq[PslRule] = {
+    val src = scala.io.Source.fromFile(path, "UTF-8")
+    try parsePsl(src.getLines()) finally src.close()
+  }
+
+  /** The `EtlConfigs` fallback pattern: an existing file at `path` wins;
+    * absent (or None) falls back to the shipped resource subset — so one
+    * config value switches a deployment to the real publicsuffix.org
+    * list without touching call sites. */
+  def pslFrom(path: Option[String]): Seq[PslRule] = path match {
+    case Some(p) if new java.io.File(p).exists() => loadPsl(p)
+    case _ => defaultPsl
   }
 
   /** Registrable ("eTLD+1") domain of a host column (any case — both

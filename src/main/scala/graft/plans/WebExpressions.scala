@@ -39,6 +39,90 @@ object WebExpressions {
                         maxDepth: Int): Column =
     ExpressionUtils.column(RegistrableDomain(
       ExpressionUtils.expression(host), psl, maxDepth))
+
+  /** RFC 3986 §6.2.2.2 percent-encoding normalization of a URI
+    * component (see [[PctNormalizeKernel.normalize]]). */
+  def pctNormalize(component: Column): Column =
+    ExpressionUtils.column(PctNormalize(
+      ExpressionUtils.expression(component)))
+}
+
+/** RFC 3986 §6.2.2.2 percent-encoding normalization: within each valid
+  * `%XY` triplet, hex digits are uppercased, and triplets that encode an
+  * UNRESERVED character (ALPHA / DIGIT / `-` / `.` / `_` / `~`) are
+  * decoded to that character — `/a%2fb` ≡ `/a%2Fb` and `/x%41y` ≡
+  * `/xAy`, the two equivalences a crawl-dedup key must honor or it
+  * silently under-merges. Reserved characters stay ENCODED (decoding
+  * `%2F` to `/` would change which bytes are path delimiters — §2.2).
+  * A `%` not followed by two hex digits is copied verbatim (the input
+  * is then not a valid URI; this normalizer never throws — the caller's
+  * validity gate decides what is dead-lettered).
+  *
+  * Stateless, so codegen calls the static forwarder directly — no
+  * reference object needed.
+  */
+object PctNormalizeKernel {
+  private def isUnreserved(c: Char): Boolean =
+    (c >= 'A' && c <= 'Z') || (c >= 'a' && c <= 'z') ||
+      (c >= '0' && c <= '9') || c == '-' || c == '.' || c == '_' ||
+      c == '~'
+
+  private def hexVal(c: Char): Int =
+    if (c >= '0' && c <= '9') c - '0'
+    else if (c >= 'a' && c <= 'f') c - 'a' + 10
+    else if (c >= 'A' && c <= 'F') c - 'A' + 10
+    else -1
+
+  def normalize(in: UTF8String): UTF8String = {
+    val s = in.toString
+    if (s.indexOf('%') < 0) return in // fast path: nothing encoded
+    val sb = new java.lang.StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '%' && i + 2 < s.length && hexVal(s.charAt(i + 1)) >= 0 &&
+          hexVal(s.charAt(i + 2)) >= 0) {
+        val v = (hexVal(s.charAt(i + 1)) << 4) | hexVal(s.charAt(i + 2))
+        if (isUnreserved(v.toChar)) sb.append(v.toChar)
+        else {
+          sb.append('%')
+          sb.append(Character.toUpperCase(s.charAt(i + 1)))
+          sb.append(Character.toUpperCase(s.charAt(i + 2)))
+        }
+        i += 3
+      } else {
+        sb.append(c)
+        i += 1
+      }
+    }
+    UTF8String.fromString(sb.toString)
+  }
+}
+
+/** StringType → StringType unary wrapper over
+  * [[PctNormalizeKernel.normalize]]. */
+case class PctNormalize(child: Expression) extends UnaryExpression
+    with Serializable {
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "pct_normalize"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires string input, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(s: Any): Any =
+    PctNormalizeKernel.normalize(s.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.plans.PctNormalizeKernel.normalize($c);")
+
+  override protected def withNewChildInternal(
+      newChild: Expression): PctNormalize = copy(child = newChild)
 }
 
 /** Executor-side compiled PSL rule set: three O(1)-probe hash

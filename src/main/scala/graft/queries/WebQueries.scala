@@ -28,14 +28,21 @@ object WebQueries {
     "alpha.github.io", "beta.github.io", "www.ck", "foo.bar.ck",
     "cdn.example.net", "static.example.net")
   private val schemes = Seq("http", "HTTP", "https", "HTTPS")
-  private val paths = Seq("", "/", "/a/b", "/a/B", "/index.html")
+  // three pct-encoded forms (r13): `/a%2fb` and `/a%2Fb` merge (hex-case
+  // normalization), `/x%41y` decodes to `/xAy` (unreserved decode) —
+  // the §6.2.2.2 rules promoted from spec-only to oracle-gated
+  private val paths = Seq("", "/", "/a/b", "/a/B", "/index.html",
+    "/a%2fb", "/a%2Fb", "/x%41y")
+  // userinfo variants (r13): half the rows carry RFC 3986 userinfo and
+  // must merge onto their bare-host twins
+  private val userinfos = Seq("", "", "u@", "u:p@")
 
   /** Spark-side URL synthesis. Each variant digit comes from its OWN
     * md5-hex substring (host 15 hex chars, scheme/path/port 4, query 3,
-    * fragment 2) — disjoint substrings, exact long arithmetic in both
-    * engines. (A single 60-bit int with `h / radix` digit extraction is
-    * NOT portable: Spark's `Column./` on longs is DOUBLE division, and
-    * above 2^53 the quotient loses bits.) */
+    * fragment/userinfo 1 each) — disjoint substrings, exact long
+    * arithmetic in both engines. (A single 60-bit int with `h / radix`
+    * digit extraction is NOT portable: Spark's `Column./` on longs is
+    * DOUBLE division, and above 2^53 the quotient loses bits.) */
   private def synthUrl: Column = {
     val d = md5(col("doc_id").cast("string"))
     def hex(pos: Int, len: Int): Column =
@@ -45,18 +52,21 @@ object WebQueries {
     val scheme = element_at(array(schemes.map(lit): _*),
       (hex(16, 4) % 4).cast("int") + 1)
     val path = element_at(array(paths.map(lit): _*),
-      (hex(20, 4) % 5).cast("int") + 1)
+      (hex(20, 4) % 8).cast("int") + 1)
     val portSel = hex(24, 4) % 3
     val port = when(portSel === 1,
         when(lower(scheme) === "http", lit(":80")).otherwise(lit(":443")))
       .when(portSel === 2, lit(":8080"))
       .otherwise(lit(""))
-    val qSel = hex(28, 3) % 3
+    val qSel = hex(28, 3) % 4
     val query = when(qSel === 1, lit("?b=2&a=1"))
       .when(qSel === 2, lit("?a=1&b=2"))
+      .when(qSel === 3, lit("?b=2&a=%31")) // pct-encoded '1' → merges
       .otherwise(lit(""))
-    val frag = when(hex(31, 2) % 2 === 1, lit("#sec")).otherwise(lit(""))
-    concat(scheme, lit("://"), host, port, path, query, frag)
+    val frag = when(hex(31, 1) % 2 === 1, lit("#sec")).otherwise(lit(""))
+    val userinfo = element_at(array(userinfos.map(lit): _*),
+      (hex(32, 1) % 4).cast("int") + 1)
+    concat(scheme, lit("://"), userinfo, host, port, path, query, frag)
   }
 
   /** DuckDB-side synthesis of the same URL (list-literal indexing over
@@ -72,35 +82,46 @@ object WebQueries {
        |  SELECT doc_id,
        |    ${arr(schemes)}[CAST(${hex(16, 4)} % 4 AS INT) + 1] ||
        |    '://' ||
+       |    ${arr(userinfos)}[CAST(${hex(32, 1)} % 4 AS INT) + 1] ||
        |    ${arr(hosts)}[CAST(${hex(1, 15)} % 12 AS INT) + 1] ||
        |    CASE ${hex(24, 4)} % 3
        |         WHEN 1 THEN CASE WHEN lower(${arr(schemes)}[
        |             CAST(${hex(16, 4)} % 4 AS INT) + 1]) = 'http'
        |           THEN ':80' ELSE ':443' END
        |         WHEN 2 THEN ':8080' ELSE '' END ||
-       |    ${arr(paths)}[CAST(${hex(20, 4)} % 5 AS INT) + 1] ||
-       |    CASE ${hex(28, 3)} % 3
+       |    ${arr(paths)}[CAST(${hex(20, 4)} % 8 AS INT) + 1] ||
+       |    CASE ${hex(28, 3)} % 4
        |         WHEN 1 THEN '?b=2&a=1' WHEN 2 THEN '?a=1&b=2'
+       |         WHEN 3 THEN '?b=2&a=%31'
        |         ELSE '' END ||
-       |    CASE WHEN ${hex(31, 2)} % 2 = 1 THEN '#sec' ELSE '' END
+       |    CASE WHEN ${hex(31, 1)} % 2 = 1 THEN '#sec' ELSE '' END
        |    AS url
        |  FROM hh)""".stripMargin
   }
 
   /** DuckDB canonicalization of `url` (mirrors
     * [[WebCuration.canonicalizeUrl]]); defines CTE `canon(doc_id,
-    * scheme, host, canonical_url)`. */
+    * scheme, host, canonical_url)`. Userinfo strips at the last `@` of
+    * the authority; the pct-normalization ground truth for the three
+    * encoded path forms and the `%31` query form is HAND-DERIVED per
+    * RFC 3986 §6.2.2.2 (a CASE over the fixed variant list — the
+    * domainCaseSql pattern), deliberately NOT a port of the Scala
+    * kernel. */
   private val canonSql: String =
     """cparts AS (
       |  SELECT doc_id,
       |    lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
       |      AS scheme,
-      |    lower(regexp_extract(url, '^[^:/?#]+://([^/?#]*)', 1))
-      |      AS hostport,
-      |    regexp_extract(url, '^[^:/?#]+://[^/?#]*([^?#]*)', 1)
-      |      AS rawpath,
-      |    regexp_extract(regexp_replace(url, '#.*$', ''), '\?([^#]*)', 1)
-      |      AS rawq
+      |    regexp_replace(
+      |      lower(regexp_extract(url, '^[^:/?#]+://([^/?#]*)', 1)),
+      |      '^.*@', '') AS hostport,
+      |    CASE regexp_extract(url, '^[^:/?#]+://[^/?#]*([^?#]*)', 1)
+      |         WHEN '/a%2fb' THEN '/a%2Fb'
+      |         WHEN '/x%41y' THEN '/xAy'
+      |         ELSE regexp_extract(url, '^[^:/?#]+://[^/?#]*([^?#]*)', 1)
+      |         END AS rawpath,
+      |    replace(regexp_extract(regexp_replace(url, '#.*$', ''),
+      |      '\?([^#]*)', 1), '%31', '1') AS rawq
       |  FROM uu),
       |canon AS (
       |  SELECT doc_id, scheme,
@@ -142,11 +163,11 @@ object WebQueries {
   private val blocked = Seq("beta.github.io", "example.net")
 
   // --------------------------------------------------------------- q133
-  // Canonical-URL exact dedup: 4320 raw URL variants collapse to ≤ 704
-  // canonical groups (case, default-port, query-order, and fragment
-  // noise merges; path case and :8080 stay distinct). Output is one row
-  // per canonical URL with the min-id survivor — the C4-style "keep one
-  // page per URL" pass.
+  // Canonical-URL exact dedup: ~28k raw URL variants collapse to ≤ 528
+  // canonical groups (case, default-port, query-order, fragment,
+  // userinfo, and pct-encoding merges; path case and :8080 stay
+  // distinct). Output is one row per canonical URL with the min-id
+  // survivor — the C4-style "keep one page per URL" pass.
   private def q133(s: SparkSession, dir: String): DataFrame =
     WebCuration.urlDedup(
         Tables.documents(s, dir).withColumn("url", synthUrl),
@@ -257,12 +278,16 @@ object WebQueries {
        |  SELECT doc_id, mal,
        |    lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
        |      AS scheme,
-       |    lower(regexp_extract(url, '^[^:/?#]+://([^/?#]*)', 1))
-       |      AS hostport,
-       |    regexp_extract(url, '^[^:/?#]+://[^/?#]*([^?#]*)', 1)
-       |      AS rawpath,
-       |    regexp_extract(regexp_replace(url, '#.*$$', ''), '\\?([^#]*)', 1)
-       |      AS rawq
+       |    regexp_replace(
+       |      lower(regexp_extract(url, '^[^:/?#]+://([^/?#]*)', 1)),
+       |      '^.*@', '') AS hostport,
+       |    CASE regexp_extract(url, '^[^:/?#]+://[^/?#]*([^?#]*)', 1)
+       |         WHEN '/a%2fb' THEN '/a%2Fb'
+       |         WHEN '/x%41y' THEN '/xAy'
+       |         ELSE regexp_extract(url, '^[^:/?#]+://[^/?#]*([^?#]*)', 1)
+       |         END AS rawpath,
+       |    replace(regexp_extract(regexp_replace(url, '#.*$$', ''),
+       |      '\\?([^#]*)', 1), '%31', '1') AS rawq
        |  FROM uu2),
        |canon2 AS (
        |  SELECT doc_id,
