@@ -94,6 +94,18 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // AQE initial-partition seam for scale studies: raising
+      // SPARK_GRAFT_INIT_PARTS makes every AQE-planned exchange start
+      // wide and coalesce back to the advisory size — the re-plan a
+      // cluster gets by sizing shuffle partitions to executors.
+      // Default = the official fixed count: the r13 interleaved A/B
+      // (tools/DistinctProf, SCALE.md s131) measured the wide setting
+      // statistically identical to fixed-32 on the one stage ever
+      // suspected of partition saturation, so the official artifacts
+      // keep the simpler plan. Streaming exchanges (no AQE) are
+      // unaffected either way.
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+        sys.env.getOrElse("SPARK_GRAFT_INIT_PARTS", cpus))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.codegen.cache.maxEntries", "5000")
       .config("spark.ui.enabled", "false")

@@ -184,13 +184,43 @@ object ImageHash {
     * [[Dedup.connectedComponents]]' O(log diameter) label propagation.
     * `captions` must carry one row per media id (idCol matching
     * MediaRow.mediaId).
+    *
+    * ADAPTIVE EXACT-FIRST ROUTE (r13): the image fingerprints are
+    * computed ONCE (persisted — one decode pass total, where the r12
+    * form decoded once in nearDuplicates and re-counted media for the
+    * guard) and a one-row stats probe measures the exact-dup mass.
+    * When distinct codes < `exactFirstMaxDistinctRatio` × images, the
+    * pair list switches to the exact-hash-first form — collapse
+    * exact-equal codes first ([[dedupCorpus]]'s layout; measured 4×
+    * cheaper at 5M images, SCALE.md q117), run the blocked Hamming
+    * join over DISTINCT codes only, then expand code pairs back to doc
+    * pairs by two equi-joins on the code plus one same-code self-join.
+    * This is EXACTLY the same doc-pair set (every pair within Hamming
+    * radius appears either same-code or cross-code — pinned by
+    * MultimodalSpec parity), so the caption conjunction and components
+    * are untouched; what moves is the blocked join's random-collision
+    * candidate floor, from C(m,a)·N²/2^(keyBits+1) on N docs to the
+    * same on N_distinct codes. A corpus whose duplicate mass is mostly
+    * exact copies (every replicated crawl) pays the floor only on its
+    * distinct-code count; a corpus with NO exact-dup mass (s136's
+    * synthetic fixture: one unique code per doc by construction) stays
+    * on the direct join and pays zero rollup/expansion overhead — the
+    * ratio probe, not a corpus-size threshold, decides, because size
+    * says nothing about whether the collapse can win. The same-code
+    * self-join is output-bound (a k-copy code emits k²/2 pairs — mass
+    * the direct form's pair list contains identically). The
+    * routeThreshold pair-list guard applies to BOTH routes (the
+    * expansion output is the same pair mass). Fingerprint persist
+    * lifetime follows the [[Dedup.hammingDedupCorpus]] session-LRU
+    * contract.
     */
   def jointDedup(media: Dataset[MediaRow], captions: DataFrame,
                  idCol: String, textCol: String,
                  maxImageHamming: Int, maxTextHamming: Int,
                  codec: ImageCodec = Codecs.AutoCodec,
                  hash: Image => Long = dHash64,
-                 routeThreshold: Long = 1L << 23): DataFrame = {
+                 routeThreshold: Long = 1L << 23,
+                 exactFirstMaxDistinctRatio: Double = 0.7): DataFrame = {
     // same contract as Curation.packBestFit: the id rides through a
     // cast("long"), and a string id would silently null every fid —
     // both equi-joins would then produce ZERO joint edges and every
@@ -205,10 +235,56 @@ object ImageHash {
           s"$idType — a lossy cast would silently null every caption " +
           "fingerprint join key; hash string ids to a surrogate first")
     }
-    val imgPairs = nearDuplicates(media, maxImageHamming, codec, hash,
-        routeThreshold = routeThreshold)
-      .select(col("id_a"), col("id_b"),
-        col("hamming").as("image_hamming"))
+    val fps = fingerprints(media, codec, hash)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val stats = fps.agg(count(lit(1)), countDistinct(col("fp"))).head()
+    val nImages = stats.getLong(0)
+    val nCodes = stats.getLong(1)
+    require(nImages <= routeThreshold,
+      s"ImageHash.jointDedup: corpus has $nImages decodable images > " +
+        s"routeThreshold=$routeThreshold. The image pair list has an " +
+        "N²-scale candidate floor (SCALE.md q109) on either route; at " +
+        "this scale use ImageHash.dedupCorpus per modality, or raise " +
+        "routeThreshold explicitly to accept the pair-join cost.")
+    val imgPairs =
+      if (nCodes >= exactFirstMaxDistinctRatio * nImages)
+        // little exact-dup mass — the collapse cannot move the floor;
+        // direct blocked join over per-image fingerprints
+        Dedup.simHashPairsBlocked(fps, "media_id", "fp", maxImageHamming,
+            fp = identity)
+          .select(col("id_a"), col("id_b"),
+            col("hamming").as("image_hamming"))
+      else {
+        val codes = fps.groupBy(col("fp")).agg(min(col("media_id")).as("cid"))
+        // blocked Hamming over DISTINCT codes only; every join side
+        // below is corpus-derived, so pin sort-merge (the s131 lesson:
+        // Catalyst's static estimate of derived frames OOMs a broadcast
+        // at scale)
+        val codePairs = Dedup.simHashPairsBlocked(
+            codes.select(col("cid"), col("fp")), "cid", "fp",
+            maxImageHamming, fp = identity)
+          .join(codes.select(col("cid").as("id_a"), col("fp").as("fp_a"))
+            .hint("merge"), "id_a")
+          .join(codes.select(col("cid").as("id_b"), col("fp").as("fp_b"))
+            .hint("merge"), "id_b")
+          .select(col("fp_a"), col("fp_b"), col("hamming"))
+        val fa = fps.select(col("media_id").as("da"), col("fp").as("fp_a"))
+        val fb = fps.select(col("media_id").as("db"), col("fp").as("fp_b"))
+        val cross = codePairs
+          .join(fa.hint("merge"), "fp_a")
+          .join(fb.hint("merge"), "fp_b")
+          .select(least(col("da"), col("db")).as("id_a"),
+            greatest(col("da"), col("db")).as("id_b"),
+            col("hamming").as("image_hamming"))
+        val within = fps.as("x")
+          .join(fps.as("y").hint("merge"),
+            col("x.fp") === col("y.fp") &&
+              col("x.media_id") < col("y.media_id"))
+          .select(col("x.media_id").as("id_a"),
+            col("y.media_id").as("id_b"),
+            lit(0).as("image_hamming"))
+        cross.unionByName(within)
+      }
     // eager localCheckpoint: the fingerprint frame is joined TWICE
     // (id_a and id_b sides) — without a lineage break each join side
     // re-runs the full caption tokenize+hash scan; checkpointing the

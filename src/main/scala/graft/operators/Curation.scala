@@ -1143,4 +1143,104 @@ object Curation {
         floor(col("n_tokens").cast("double") * rate).cast("long")
           .as("expected_tokens"))
   }
+
+  // ------------------------------------------------------------------
+  // Distributed BPE vocabulary learning (merge-based)
+  // ------------------------------------------------------------------
+
+  /** Byte-pair-encoding MERGE learning (Sennrich et al. ACL'16 §3.2)
+    * distributed the classic way: BPE statistics are word-shaped, so
+    * the ONLY corpus-scale pass is the initial tokenize + word-count
+    * aggregate; every merge round then runs over the DISTINCT-WORD
+    * table (vocabulary-sized — orders of magnitude below the corpus),
+    * carrying each word as a symbol array plus its corpus count.
+    *
+    * Per round: (1) adjacent symbol pairs explode from each word,
+    * weighted by word count, into one pair-frequency aggregate;
+    * (2) the argmax pair — ties broken deterministically by
+    * (left, right) byte order — becomes this round's merge rule (ONE
+    * collected row; the merge table is the driver-side state, exactly
+    * like k-means centroids); (3) the rule is applied to every word by
+    * a greedy left-to-right fold (the `aggregate` HOF — after a merge
+    * the new symbol cannot immediately re-merge as a left operand,
+    * matching the reference BPE scan), and the word table
+    * localCheckpoints so round r+1's plan does not re-derive rounds
+    * 1..r. Stops early when the best pair's frequency falls below
+    * `minFreq` (nothing left worth merging).
+    *
+    * Scale shape (the rounds-vs-corpus cost model, SCALE.md): corpus
+    * cost is paid once (tokenize + word groupBy — shuffle bounded by
+    * distinct words per task via partial aggregation); each round is
+    * O(|vocab words| × avg word length) map work plus one pair-keyed
+    * aggregate whose shuffle is bounded by distinct PAIRS, plus a
+    * 1-row argmax collect. Rounds are inherently sequential (rule r+1
+    * depends on r — that is BPE, not a plan choice); the per-round
+    * checkpoint bounds lineage at any round count. Determinism: counts
+    * are exact longs and ties byte-ordered, so the merge table replays
+    * identically on any partitioning/engine — gated by the q139 DuckDB
+    * oracle, which replays the same rounds closed-form.
+    *
+    * Returns the merge table: (round, left, right, merged, freq),
+    * `rounds` rows (fewer on early stop), round ascending.
+    */
+  def learnBpeMerges(df: DataFrame, textCol: String, rounds: Int,
+                     minFreq: Long = 2L): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val chars = expr("transform(sequence(1, length(word)), " +
+      "i -> substring(word, i, 1))")
+    var words = df
+      .select(explode(graft.functions.TextAnalysis.tokens(col(textCol)))
+        .as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+      .select(chars.as("syms"), col("cnt"))
+      .localCheckpoint(true)
+    val merges = scala.collection.mutable.ArrayBuffer
+      .empty[(Int, String, String, String, Long)]
+    var r = 1
+    var done = false
+    while (r <= rounds && !done) {
+      // sequence(a, b) DESCENDS when b < a, so a single-symbol word
+      // would yield [1, 0] and an ANSI element_at OOB — filter first
+      val best = words
+        .filter(size(col("syms")) >= 2)
+        .select(col("cnt"),
+          explode(expr("sequence(1, size(syms) - 1)")).as("i"),
+          col("syms"))
+        .select(element_at(col("syms"), col("i")).as("left"),
+          element_at(col("syms"), col("i") + 1).as("right"),
+          col("cnt"))
+        .groupBy(col("left"), col("right"))
+        .agg(sum(col("cnt")).as("freq"))
+        .orderBy(col("freq").desc, col("left").asc, col("right").asc)
+        .limit(1)
+        .collect()
+      if (best.isEmpty || best.head.getLong(2) < minFreq) done = true
+      else {
+        val (l, rt, f) =
+          (best.head.getString(0), best.head.getString(1),
+            best.head.getLong(2))
+        merges += ((r, l, rt, l + rt, f))
+        // greedy left-to-right application: fold starts from the first
+        // symbol (acc never empty, so element_at(acc, -1) is safe under
+        // ANSI), merges when the tail matches (left, right), else
+        // appends — a merged symbol never re-merges within the round
+        val applied = aggregate(
+          slice(col("syms"), lit(2), greatest(size(col("syms")) - 1, lit(0))),
+          array(element_at(col("syms"), 1)),
+          (acc, s) =>
+            when(element_at(acc, -1) === lit(l) && s === lit(rt),
+              concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + rt))))
+            .otherwise(concat(acc, array(s))))
+        val prev = words
+        words = words.select(applied.as("syms"), col("cnt"))
+          .localCheckpoint(true)
+        prev.unpersist()
+        r += 1
+      }
+    }
+    merges.toSeq.toDF("round", "left", "right", "merged", "freq")
+  }
 }

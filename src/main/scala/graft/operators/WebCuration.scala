@@ -302,6 +302,52 @@ object WebCuration {
     df.filter(full)
   }
 
+  /** Domain-level quality rollup — RefinedWeb-style BLOCKLIST INDUCTION
+    * (Penedo et al. NeurIPS'23 §3.1 curate by registrable domain;
+    * Raffel et al. JMLR'20 §2.2 blocklist): per-eTLD+1 aggregates of
+    * per-document quality signals the pipeline already computes, plus a
+    * composite `block_score` ranking domains for human blocklist
+    * review. A domain that is mostly duplicates of itself (link farms,
+    * session-id URL spam) or mostly quality-filter rejects (boilerplate
+    * mills) surfaces at the top.
+    *
+    * Inputs are COMPOSED, not recomputed: `keepCol` is a per-doc keep
+    * verdict (e.g. [[Curation.gopherQualityFilter]]'s `keep`),
+    * `wordsCol` a per-doc token count — join them on upstream. Emitted
+    * per domain: doc count, parseable count, distinct canonical URLs,
+    * URL dup rate (1 − distinct/parseable), quality keep rate, mean
+    * words, and `block_score` = (dup_rate + (1 − keep_rate)) / 2 over
+    * the ROUNDED rates (so the composite is engine-portable).
+    *
+    * Scale shape: one projection (canonical URL + PSL kernel domain)
+    * and ONE hash-aggregate shuffle keyed on the domain; countDistinct
+    * plans as the standard two-phase partial-distinct aggregate, so
+    * shuffle volume is bounded by distinct (domain, canonical URL)
+    * pairs per task, never rows. NULL domains (host is itself a public
+    * suffix) drop, as in [[domainFilter]].
+    */
+  def domainQualityRollup(df: DataFrame, urlCol: String, idCol: String,
+                          keepCol: String, wordsCol: String,
+                          psl: Seq[PslRule] = defaultPsl): DataFrame = {
+    val g = greatest(col("parseable"), lit(1L)).cast("double")
+    df.select(
+        registrableDomain(urlHost(col(urlCol)), psl).as("domain"),
+        canonicalizeUrl(col(urlCol)).as("c"),
+        col(keepCol).cast("int").as("_keep"),
+        col(wordsCol).cast("long").as("_words"))
+      .filter(col("domain").isNotNull)
+      .groupBy(col("domain"))
+      .agg(count(lit(1)).as("n_docs"),
+        count(col("c")).as("parseable"),
+        countDistinct(col("c")).as("n_canonical"),
+        round(avg(col("_keep").cast("double")), 6).as("keep_rate"),
+        round(avg(col("_words").cast("double")), 6).as("avg_words"))
+      .withColumn("dup_rate",
+        round((col("parseable") - col("n_canonical")).cast("double") / g, 6))
+      .withColumn("block_score",
+        round((col("dup_rate") + (lit(1d) - col("keep_rate"))) / 2d, 6))
+  }
+
   /** Per-domain quota cap: at most `quota` docs per registrable domain,
     * chosen by the deterministic content-free md5-of-id order — the
     * [[Curation.quotaSample]] draw keyed on domain. Plans as two-phase

@@ -792,7 +792,61 @@ object CurationQueries {
        |    AND uf >= 0.35 AND sf >= 0.02) AS keep
        |FROM m ORDER BY doc_id""".stripMargin
 
+  // --------------------------------------------------------------- q139
+  // Distributed BPE merge learning (Sennrich ACL'16 §3.2): 6 rounds of
+  // argmax-pair merges over the distinct-word table — the one
+  // text-pipeline primitive q87's frequency vocabulary is not
+  // (merge-based, order-sensitive, inherently iterative). The oracle
+  // replays the SAME rounds closed-form: per round, a pair-frequency
+  // aggregate, a deterministic argmax (freq DESC, pair byte order), and
+  // the greedy left-to-right merge as a list_reduce fold over a
+  // chr(31)-joined accumulator (DuckDB's reduce seeds with the first
+  // element, matching the Spark fold's non-empty-accumulator init).
+  private val BpeRounds = 6
+
+  private def q139(s: SparkSession, dir: String): DataFrame =
+    Curation.learnBpeMerges(Tables.documents(s, dir), "text", BpeRounds)
+      .orderBy(col("round"))
+
+  private val q139Sql: String = {
+    val sep = "chr(31)"
+    def lst(acc: String) = s"string_split($acc, $sep)"
+    def fold = // greedy merge of round-r's (l, r) pair over syms
+      s"""string_split(list_reduce(syms, (acc, s) ->
+         |  CASE WHEN list_extract(${lst("acc")}, -1) = m.l AND s = m.r
+         |  THEN array_to_string(list_append(list_slice(${lst("acc")},
+         |    1, len(${lst("acc")}) - 1), m.l || m.r), $sep)
+         |  ELSE acc || $sep || s END), $sep)""".stripMargin
+    def pairCte(i: Int) =
+      s"""p$i AS (
+         |  SELECT list_extract(syms, i) AS l,
+         |    list_extract(syms, i + 1) AS r,
+         |    CAST(sum(cnt) AS BIGINT) AS freq
+         |  FROM w${i - 1}, unnest(range(1, greatest(len(syms), 1))) AS t(i)
+         |  GROUP BY 1, 2),
+         |m$i AS (SELECT l, r, freq FROM p$i
+         |  ORDER BY freq DESC, l, r LIMIT 1),
+         |w$i AS (SELECT $fold AS syms, cnt FROM w${i - 1}, m$i m)"""
+        .stripMargin
+    val rounds = (1 to BpeRounds).map(pairCte).mkString(",\n")
+    val union = (1 to BpeRounds).map(i =>
+      s"SELECT $i AS round, l AS left, r AS right, l || r AS merged, " +
+        s"freq FROM m$i").mkString("\nUNION ALL\n")
+    s"""WITH w0 AS (
+       |  SELECT list_transform(range(1, length(word) + 1),
+       |      i -> substr(word, i, 1)) AS syms,
+       |    count(*) AS cnt
+       |  FROM (SELECT unnest(string_split_regex(trim(text), '\\s+'))
+       |      AS word FROM documents)
+       |  WHERE length(word) > 0
+       |  GROUP BY word),
+       |$rounds
+       |$union
+       |ORDER BY round""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q139_bpe_merges" -> (q139 _),
     "q125_gopher_rules" -> (q125 _),
     "q124_cdc_chunks" -> (q124 _),
     "q119_doc_chunking" -> (q119 _),
@@ -816,6 +870,7 @@ object CurationQueries {
     "q96_span_removal_keepfirst" -> (q96 _))
 
   val oracleSql: Map[String, String] = Map(
+    "q139_bpe_merges" -> q139Sql,
     "q125_gopher_rules" -> q125Sql,
     "q124_cdc_chunks" -> q124Sql,
     "q119_doc_chunking" -> q119Sql,

@@ -418,14 +418,20 @@ object MultimodalQueries {
 
   /** The q136 fixture (shared with the Soak's uncapped `s136` row):
     * q109 bit-model staircase images + group-base-derived captions. */
+  /** `exactDup` > 1 gives every run of that many consecutive doc ids
+    * the SAME image code (the base id's groupFp) — the exact-dup-heavy
+    * corpus shape of a real crawl, used by the s136_exactdup soak rows
+    * to measure jointDedup's adaptive exact-first route; the default 1
+    * keeps the original one-unique-code-per-doc model. */
   private[graft] def jointFixture(s: SparkSession, dir: String,
-      cap: Option[Long]): (org.apache.spark.sql.Dataset[MediaRow],
-      DataFrame) = {
+      cap: Option[Long], exactDup: Int = 1)
+      : (org.apache.spark.sql.Dataset[MediaRow], DataFrame) = {
     import s.implicits._
     val docs = cap.foldLeft(Tables.documents(s, dir))(
       (d, c) => d.filter(col("doc_id") < c))
     val media = docs.select(col("doc_id")).as[Long].mapPartitions(_.map {
-      d => MediaRow(d, "image", staircaseBmp(d, groupFp(d)), "bmp")
+      d => MediaRow(d, "image", staircaseBmp(d, groupFp(d / exactDup)),
+        "bmp")
     })
     val captions = docs.select(col("doc_id"),
         expr("(doc_id div 4) * 4").as("bid"))

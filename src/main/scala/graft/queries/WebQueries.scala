@@ -312,15 +312,82 @@ object WebQueries {
        |  count(c) - count(DISTINCT c) AS dup_rows
        |FROM canon2""".stripMargin
 
+  // --------------------------------------------------------------- q138
+  // Domain-level quality rollup (RefinedWeb blocklist induction): per
+  // registrable domain, URL dup rate × gopher keep rate × mean words →
+  // ranked block_score. Pure composition of shipped operators
+  // (gopherQualityFilter at q125's tuned bounds + domainQualityRollup),
+  // map-only into ONE domain-keyed aggregate — no join: the synthetic
+  // URL derives from doc_id, so it rides the gopher projection.
+  private def q138(s: SparkSession, dir: String): DataFrame = {
+    val g = graft.operators.Curation.gopherQualityFilter(
+        Tables.documents(s, dir), "doc_id", "text",
+        minWords = 20, maxWords = 90,
+        minMeanWordLen = 3.9, maxMeanWordLen = 5.1,
+        minUniqueFrac = 0.35, minStopwordFrac = 0.02,
+        stopwords = Seq("the", "a"))
+      .withColumn("url", synthUrl)
+    WebCuration.domainQualityRollup(g, "url", "doc_id", "keep", "n_words")
+      .orderBy(col("block_score").desc, col("domain"))
+  }
+
+  private val q138Sql =
+    s"""$synthUrlSql,
+       |$canonSql,
+       |dom AS (
+       |  SELECT doc_id, canonical_url, $domainCaseSql AS domain
+       |  FROM canon),
+       |t AS (
+       |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+       |  FROM documents),
+       |m AS (
+       |  SELECT doc_id,
+       |    len(toks) AS n_words,
+       |    CAST(list_sum(list_transform(toks,
+       |      x -> CAST(length(x) AS BIGINT))) AS DOUBLE)
+       |      / CAST(greatest(len(toks), 1) AS DOUBLE) AS mwl,
+       |    CAST(len(list_distinct(toks)) AS DOUBLE)
+       |      / CAST(greatest(len(toks), 1) AS DOUBLE) AS uf,
+       |    CAST(len(list_filter(toks, w -> list_contains(['the','a'], w)))
+       |      AS DOUBLE) / CAST(greatest(len(toks), 1) AS DOUBLE) AS sf
+       |  FROM t),
+       |k AS (
+       |  SELECT doc_id, n_words,
+       |    ((n_words >= 20 AND n_words <= 90)
+       |      AND (mwl >= 3.9 AND mwl <= 5.1)
+       |      AND uf >= 0.35 AND sf >= 0.02) AS keep
+       |  FROM m),
+       |agg AS (
+       |  SELECT d.domain,
+       |    count(*) AS n_docs,
+       |    count(d.canonical_url) AS parseable,
+       |    count(DISTINCT d.canonical_url) AS n_canonical,
+       |    round(avg(CAST(k.keep AS INT)), 6) AS keep_rate,
+       |    round(avg(CAST(k.n_words AS BIGINT)), 6) AS avg_words,
+       |    round(CAST(count(d.canonical_url)
+       |        - count(DISTINCT d.canonical_url) AS DOUBLE)
+       |      / CAST(greatest(count(d.canonical_url), 1) AS DOUBLE), 6)
+       |      AS dup_rate
+       |  FROM dom d JOIN k USING (doc_id)
+       |  WHERE d.domain IS NOT NULL
+       |  GROUP BY d.domain)
+       |SELECT domain, n_docs, parseable, n_canonical, keep_rate,
+       |  avg_words, dup_rate,
+       |  round((dup_rate + (1 - keep_rate)) / 2, 6) AS block_score
+       |FROM agg
+       |ORDER BY block_score DESC, domain""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q133_url_dedup" -> (q133 _),
     "q134_domain_rollup" -> (q134 _),
     "q135_domain_quota" -> (q135 _),
-    "q137_url_funnel" -> (q137 _))
+    "q137_url_funnel" -> (q137 _),
+    "q138_domain_blocklist" -> (q138 _))
 
   val oracleSql: Map[String, String] = Map(
     "q133_url_dedup" -> q133Sql,
     "q134_domain_rollup" -> q134Sql,
     "q135_domain_quota" -> q135Sql,
-    "q137_url_funnel" -> q137Sql)
+    "q137_url_funnel" -> q137Sql,
+    "q138_domain_blocklist" -> q138Sql)
 }

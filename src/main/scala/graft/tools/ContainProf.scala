@@ -21,12 +21,25 @@ object ContainProf {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // volume-adaptive shuffles: AQE exchanges start at 1024 reduce
+      // partitions and coalesce to advisory size (see graft.Bench for
+      // the s131 rationale)
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+        sys.env.getOrElse("SPARK_GRAFT_INIT_PARTS", cpus))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val docs = Tables.documents(spark, sfDir)
     def time[T](label: String)(f: => T): T = {
+      // shuffle files live until ContextCleaner GCs their dependency —
+      // the Soak lesson applied to STAGE timing: at ×100 each prior
+      // stage leaves tens of GB of shuffle scratch, and the r12 run
+      // timed its last stage (candidate distinct) against a nearly
+      // full disk, reading 97 s for a stage a gc-hygienic interleaved
+      // rerun (tools/DistinctProf) measures at ~15 s. Sweep before
+      // every stage so each is timed against a clean disk.
+      System.gc(); Thread.sleep(2000)
       val t0 = System.nanoTime()
       val r = f
       System.err.println(f"[cprof] $label ${(System.nanoTime - t0) / 1e9}%.2fs")

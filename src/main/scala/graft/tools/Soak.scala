@@ -84,6 +84,11 @@ object Soak {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // volume-adaptive shuffles: AQE exchanges start at 1024 reduce
+      // partitions and coalesce to advisory size (see graft.Bench for
+      // the s131 rationale)
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+        sys.env.getOrElse("SPARK_GRAFT_INIT_PARTS", cpus))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.codegen.cache.maxEntries", "5000")
       .config("spark.ui.enabled", "false")
@@ -146,6 +151,28 @@ object Soak {
         // Auto geometry: bucket bits grow with log2(N), tables with the
         // recall target — the scale path the fixed 6-bit version is not.
         Similarity.cosineNearDupPairsAuto(embs, 0.7)),
+      "s136_exactdup_routed" -> (() => {
+        // jointDedup over an exact-dup-HEAVY corpus (every 8 consecutive
+        // docs share one image code — the real-crawl shape): the r13
+        // adaptive probe (distinct codes = N/8 < 0.7N) fires the
+        // exact-first route, so the blocked Hamming join sees N/8 codes
+        // and its C(m,a)·N²/2^(keyBits+1) random-collision floor drops
+        // ~64×. Pair output (~3.5N within-code pairs) is identical on
+        // both routes — the delta vs s136_exactdup_direct is pure floor.
+        val (media, captions) = graft.queries.MultimodalQueries
+          .jointFixture(spark, sfDir, None, exactDup = 8)
+        graft.multimodal.ImageHash.jointDedup(media, captions,
+          "doc_id", "caption", maxImageHamming = 8, maxTextHamming = 12)
+      }),
+      "s136_exactdup_direct" -> (() => {
+        // same corpus, route FORCED direct (ratio 0 → probe never
+        // fires): the control arm that prices the per-image floor
+        val (media, captions) = graft.queries.MultimodalQueries
+          .jointFixture(spark, sfDir, None, exactDup = 8)
+        graft.multimodal.ImageHash.jointDedup(media, captions,
+          "doc_id", "caption", maxImageHamming = 8, maxTextHamming = 12,
+          exactFirstMaxDistinctRatio = 0.0)
+      }),
       "s136_joint_full" -> (() => {
         // q136's joint image+caption dedup UNCAPPED (the registered form
         // caps at 2000 docs purely for the DuckDB all-pairs oracle).

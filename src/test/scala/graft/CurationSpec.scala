@@ -621,6 +621,43 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("learnBpeMerges: hand-computed merges, greedy non-overlapping " +
+    "application, deterministic ties, partitioning invariance") {
+    import graft.operators.Curation
+    val docs = Seq((1L, "aa ab aa"), (2L, "ab aa aaa")).toDF("doc_id", "text")
+    // words: aa×3, ab×2, aaa×1 → r1 pairs (a,a)=3+2=5 (aaa gives two
+    // overlapping (a,a) windows), (a,b)=2 → merge (a,a)→aa freq 5;
+    // applied greedily: aaa → [aa, a] (NOT [aa, aa] — non-overlap);
+    // r2 pairs: (aa,a)=1, (a,b)=2 → merge (a,b) freq 2
+    val got = Curation.learnBpeMerges(docs, "text", rounds = 2)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4))).toSeq
+    assert(got == Seq((1, "a", "a", "aa", 5L), (2, "a", "b", "ab", 2L)),
+      s"merge table wrong: $got")
+    // greedy scan: x=y, runs collapse left-to-right without re-merging
+    val runs = Seq((1L, "aaaa aaa")).toDF("doc_id", "text")
+    val g2 = Curation.learnBpeMerges(runs, "text", rounds = 2, minFreq = 1)
+      .collect().map(r => (r.getString(1), r.getString(2), r.getLong(4)))
+    // r1: (a,a) freq 3+2=5 → merge; words: aaaa→[aa,aa], aaa→[aa,a]
+    // r2: (aa,aa)=1, (aa,a)=1 → tie broken by right asc: (aa,a)
+    assert(g2.toSeq == Seq(("a", "a", 5L), ("aa", "a", 1L)),
+      s"greedy/tie behavior wrong: ${g2.toSeq}")
+    // early stop below minFreq
+    val one = Curation.learnBpeMerges(
+      Seq((1L, "xy")).toDF("doc_id", "text"), "text", rounds = 5,
+      minFreq = 2)
+    assert(one.count() == 0, "minFreq early-stop failed")
+    // partitioning invariance: same merge table at 1 and 7 partitions
+    val big = Seq.tabulate(40)(i =>
+      (i.toLong, s"tok${i % 5} tok${i % 3} shared shared common"))
+      .toDF("doc_id", "text")
+    val a = Curation.learnBpeMerges(big.repartition(1), "text", 4)
+      .collect().toSeq
+    val b = Curation.learnBpeMerges(big.repartition(7), "text", 4)
+      .collect().toSeq
+    assert(a == b, s"partitioning changed the merge table:\n$a\n$b")
+  }
+
   test("packBestFit: degenerate numGroups clamps to the doc count and " +
     "non-integral ids are rejected") {
     import spark.implicits._

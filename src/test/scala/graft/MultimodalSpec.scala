@@ -150,6 +150,50 @@ class MultimodalSpec extends SparkSpec {
     assert(out(4L) == (4L, true), s"4 (image-far) must survive: $out")
   }
 
+  test("jointDedup exact-hash-first scale route == direct form on a " +
+    "planted corpus (exact dups, near dups, caption conjunction)") {
+    import graft.multimodal.{Codecs, ImageHash}
+    // planted: 1,2 exact-same image (same code); 3 near-dup of 1;
+    // 4 distinct image sharing 1's caption; 5 image-near but
+    // caption-far; 6 exact image dup of 1 with caption-far (exact-code
+    // collapse must NOT merge it — the conjunction still gates)
+    val rows = Seq(
+      MediaRow(1, "image", Codecs.BmpCodec.encode(scene(64, 48)), "bmp"),
+      MediaRow(2, "image", Codecs.BmpCodec.encode(scene(64, 48)), "bmp"),
+      MediaRow(3, "image",
+        Codecs.BmpCodec.encode(noised(scene(64, 48), 10)), "bmp"),
+      MediaRow(4, "image", Codecs.BmpCodec.encode(scene(64, 48, 3)), "bmp"),
+      MediaRow(5, "image", Codecs.BmpCodec.encode(scene(32, 24)), "bmp"),
+      MediaRow(6, "image", Codecs.BmpCodec.encode(scene(64, 48)), "bmp")
+    ).toDS().repartition(3)
+    val caps = Seq(
+      (1L, "a shared caption about the same thing"),
+      (2L, "a shared caption about the same thing"),
+      (3L, "a shared caption about the same thing"),
+      (4L, "a shared caption about the same thing"),
+      (5L, "entirely unrelated words describing another subject matter"),
+      (6L, "totally different sentence with novel vocabulary throughout")
+    ).toDF("id", "caption")
+    def run(exactFirst: Boolean) =
+      ImageHash.jointDedup(rows, caps, "id", "caption",
+          maxImageHamming = 6, maxTextHamming = 12,
+          exactFirstMaxDistinctRatio = if (exactFirst) 2.0 else 0.0)
+        .collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2)))
+        .toMap
+    val direct = run(exactFirst = false)
+    val scaled = run(exactFirst = true)
+    assert(direct == scaled,
+      s"exact-first route diverged:\ndirect=$direct\nscaled=$scaled")
+    // the semantics themselves: 1,2,3 merge (image+caption near);
+    // 4 (image-far), 5 (caption-far), 6 (caption-far exact-image copy)
+    // all survive
+    assert(direct(1L) == (1L, true) && direct(2L) == (1L, false) &&
+      direct(3L) == (1L, false), s"cluster wrong: $direct")
+    assert(direct(4L)._2 && direct(5L)._2 && direct(6L)._2,
+      s"conjunction failed to gate: $direct")
+  }
+
   test("jointDedup refuses a non-integral caption id column (a lossy " +
     "cast would silently null every join key → kept=true everywhere)") {
     import graft.multimodal.{Codecs, ImageHash}
