@@ -1183,13 +1183,31 @@ object Curation {
     * Returns the merge table: (round, left, right, merged, freq),
     * `rounds` rows (fewer on early stop), round ascending.
     */
+  /** Greedy left-to-right application of ONE merge rule (l, r) to a
+    * symbol array: the fold starts from the first symbol (accumulator
+    * never empty, so the ANSI element_at(-1) is safe), merges when the
+    * tail matches, else appends — a merged symbol never immediately
+    * re-merges as a left operand, the reference BPE scan. Shared by
+    * [[learnBpeMerges]] (per round) and [[applyBpeMerges]] (rule
+    * chain). */
+  private def greedyMergeFold(syms: Column, l: String, r: String): Column =
+    aggregate(
+      slice(syms, lit(2), greatest(size(syms) - 1, lit(0))),
+      array(element_at(syms, 1)),
+      (acc, s) =>
+        when(element_at(acc, -1) === lit(l) && s === lit(r),
+          concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + r))))
+        .otherwise(concat(acc, array(s))))
+
+  private val charsOfWord = expr("transform(sequence(1, length(word)), " +
+    "i -> substring(word, i, 1))")
+
   def learnBpeMerges(df: DataFrame, textCol: String, rounds: Int,
                      minFreq: Long = 2L): DataFrame = {
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
     val spark = df.sparkSession
     import spark.implicits._
-    val chars = expr("transform(sequence(1, length(word)), " +
-      "i -> substring(word, i, 1))")
+    val chars = charsOfWord
     var words = df
       .select(explode(graft.functions.TextAnalysis.tokens(col(textCol)))
         .as("word"))
@@ -1223,17 +1241,7 @@ object Curation {
           (best.head.getString(0), best.head.getString(1),
             best.head.getLong(2))
         merges += ((r, l, rt, l + rt, f))
-        // greedy left-to-right application: fold starts from the first
-        // symbol (acc never empty, so element_at(acc, -1) is safe under
-        // ANSI), merges when the tail matches (left, right), else
-        // appends — a merged symbol never re-merges within the round
-        val applied = aggregate(
-          slice(col("syms"), lit(2), greatest(size(col("syms")) - 1, lit(0))),
-          array(element_at(col("syms"), 1)),
-          (acc, s) =>
-            when(element_at(acc, -1) === lit(l) && s === lit(rt),
-              concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + rt))))
-            .otherwise(concat(acc, array(s))))
+        val applied = greedyMergeFold(col("syms"), l, rt)
         val prev = words
         words = words.select(applied.as("syms"), col("cnt"))
           .localCheckpoint(true)
@@ -1242,5 +1250,48 @@ object Curation {
       }
     }
     merges.toSeq.toDF("round", "left", "right", "merged", "freq")
+  }
+
+  /** BPE ENCODING — apply a learned merge-rule chain to a corpus and
+    * report the per-document subword segmentation: (id, n_words,
+    * n_subwords, subword_hash), where subword_hash is md5 of the
+    * document's space-joined subword stream in token order (the
+    * engine-portable segmentation digest the q140 oracle replays).
+    *
+    * Scale shape — the vocab-lookup form, NOT a per-token fold: the
+    * merge chain is folded once over the DISTINCT-WORD table
+    * (vocabulary-sized), and the corpus's (doc, position, word) tokens
+    * join that segmentation table by word — so the corpus pays one
+    * tokenize plus one join against a vocab-sized side (AQE picks
+    * broadcast when it fits), never |merges| folds per corpus token.
+    * This is how a tokenizer runs at 100 TB: segmentation is a
+    * property of the word, computed once per distinct word.
+    *
+    * `merges` apply in order (BPE rules are sequential by definition);
+    * pass [[learnBpeMerges]]' collected (left, right) pairs.
+    */
+  def applyBpeMerges(df: DataFrame, idCol: String, textCol: String,
+                     merges: Seq[(String, String)]): DataFrame = {
+    val words = df
+      .select(explode(graft.functions.TextAnalysis.tokens(col(textCol)))
+        .as("word"))
+      .filter(length(col("word")) > 0)
+      .distinct()
+    val folded = merges.foldLeft(words.select(col("word"),
+        charsOfWord.as("syms"))) { case (acc, (l, r)) =>
+      acc.select(col("word"), greedyMergeFold(col("syms"), l, r).as("syms"))
+    }
+    val toks = df
+      .select(col(idCol),
+        posexplode(graft.functions.TextAnalysis.tokens(col(textCol)))
+          .as(Seq("pos", "word")))
+      .filter(length(col("word")) > 0)
+    toks.join(folded, "word")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_words"),
+        sum(size(col("syms"))).as("n_subwords"),
+        md5(array_join(flatten(transform(
+          array_sort(collect_list(struct(col("pos"), col("syms")))),
+          s => s.getField("syms"))), " ")).as("subword_hash"))
   }
 }

@@ -808,7 +808,14 @@ object CurationQueries {
     Curation.learnBpeMerges(Tables.documents(s, dir), "text", BpeRounds)
       .orderBy(col("round"))
 
-  private val q139Sql: String = {
+  /** The shared BPE round chain: w0 (distinct words → char symbol
+    * lists, counts) and, per round i, pair frequencies pI, the argmax
+    * merge mI, and the post-merge word table wI (word column carried
+    * so q140 can join segmentations back to corpus tokens). The greedy
+    * fold is a list_reduce over a chr(31)-joined accumulator — reduce
+    * seeds with the first element, matching the Spark fold's
+    * non-empty-accumulator init. */
+  private def bpeChainSql(rounds: Int): String = {
     val sep = "chr(31)"
     def lst(acc: String) = s"string_split($acc, $sep)"
     def fold = // greedy merge of round-r's (l, r) pair over syms
@@ -826,27 +833,63 @@ object CurationQueries {
          |  GROUP BY 1, 2),
          |m$i AS (SELECT l, r, freq FROM p$i
          |  ORDER BY freq DESC, l, r LIMIT 1),
-         |w$i AS (SELECT $fold AS syms, cnt FROM w${i - 1}, m$i m)"""
+         |w$i AS (SELECT word, $fold AS syms, cnt FROM w${i - 1}, m$i m)"""
         .stripMargin
-    val rounds = (1 to BpeRounds).map(pairCte).mkString(",\n")
-    val union = (1 to BpeRounds).map(i =>
-      s"SELECT $i AS round, l AS left, r AS right, l || r AS merged, " +
-        s"freq FROM m$i").mkString("\nUNION ALL\n")
-    s"""WITH w0 AS (
-       |  SELECT list_transform(range(1, length(word) + 1),
+    s"""w0 AS (
+       |  SELECT word, list_transform(range(1, length(word) + 1),
        |      i -> substr(word, i, 1)) AS syms,
        |    count(*) AS cnt
        |  FROM (SELECT unnest(string_split_regex(trim(text), '\\s+'))
        |      AS word FROM documents)
        |  WHERE length(word) > 0
        |  GROUP BY word),
-       |$rounds
+       |${(1 to rounds).map(pairCte).mkString(",\n")}""".stripMargin
+  }
+
+  private val q139Sql: String = {
+    val union = (1 to BpeRounds).map(i =>
+      s"SELECT $i AS round, l AS left, r AS right, l || r AS merged, " +
+        s"freq FROM m$i").mkString("\nUNION ALL\n")
+    s"""WITH ${bpeChainSql(BpeRounds)}
        |$union
        |ORDER BY round""".stripMargin
   }
 
+  // --------------------------------------------------------------- q140
+  // BPE encoding: the learned 6-rule chain applied to the corpus in the
+  // vocab-lookup shape (fold once over distinct words, join corpus
+  // tokens by word) — per-doc subword counts + the order-exact
+  // segmentation digest. Oracle: same chain, w6 joined back to
+  // positioned tokens, string_agg ORDER BY pos.
+  private def q140(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val merges = Curation.learnBpeMerges(docs, "text", BpeRounds)
+      .orderBy(col("round")).collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    Curation.applyBpeMerges(docs, "doc_id", "text", merges)
+      .orderBy(col("doc_id"))
+  }
+
+  private val q140Sql: String =
+    s"""WITH ${bpeChainSql(BpeRounds)},
+       |tk AS (
+       |  SELECT d.doc_id, t.i AS pos, list_extract(d.toks, t.i) AS word
+       |  FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+')
+       |      AS toks FROM documents) d,
+       |    unnest(range(1, len(d.toks) + 1)) AS t(i)
+       |  WHERE length(list_extract(d.toks, t.i)) > 0),
+       |j AS (
+       |  SELECT tk.doc_id, tk.pos, w.syms
+       |  FROM tk JOIN w$BpeRounds w USING (word))
+       |SELECT doc_id, count(*) AS n_words,
+       |  CAST(sum(len(syms)) AS BIGINT) AS n_subwords,
+       |  md5(string_agg(array_to_string(syms, ' '), ' ' ORDER BY pos))
+       |    AS subword_hash
+       |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q139_bpe_merges" -> (q139 _),
+    "q140_bpe_encode" -> (q140 _),
     "q125_gopher_rules" -> (q125 _),
     "q124_cdc_chunks" -> (q124 _),
     "q119_doc_chunking" -> (q119 _),
@@ -871,6 +914,7 @@ object CurationQueries {
 
   val oracleSql: Map[String, String] = Map(
     "q139_bpe_merges" -> q139Sql,
+    "q140_bpe_encode" -> q140Sql,
     "q125_gopher_rules" -> q125Sql,
     "q124_cdc_chunks" -> q124Sql,
     "q119_doc_chunking" -> q119Sql,

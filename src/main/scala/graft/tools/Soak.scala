@@ -54,7 +54,9 @@ object Soak {
     "q130_power_iteration",
     // URL/domain family (r12): all four run UNCAPPED over documents
     "q133_url_dedup", "q134_domain_rollup", "q135_domain_quota",
-    "q137_url_funnel")
+    "q137_url_funnel",
+    // r13: domain quality rollup + the BPE pair (learn + encode)
+    "q138_domain_blocklist", "q139_bpe_merges", "q140_bpe_encode")
 
   /** Same co-tenant preflight as [[graft.Bench]]: exponent fits across
     * scale runs are meaningless if one run raced a loaded box, so wait

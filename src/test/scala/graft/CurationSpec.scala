@@ -658,6 +658,27 @@ class CurationSpec extends SparkSpec {
     assert(a == b, s"partitioning changed the merge table:\n$a\n$b")
   }
 
+  test("applyBpeMerges: vocab-lookup encoding matches the hand-derived " +
+    "segmentation, order-exact digest, counts") {
+    import graft.operators.Curation
+    val docs = Seq((1L, "aa ab aa"), (2L, "ab aa aaa")).toDF("doc_id", "text")
+    // learned rules (pinned above): (a,a)→aa then (a,b)→ab
+    // segmentations: aa→[aa], ab→[ab], aaa→[aa, a]
+    val out = Curation.applyBpeMerges(docs, "doc_id", "text",
+        Seq(("a", "a"), ("a", "b")))
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map(b => f"${b & 0xff}%02x").mkString
+    assert(out.toSeq == Seq(
+      (1L, 3L, 3L, md5hex("aa ab aa")),
+      (2L, 3L, 4L, md5hex("ab aa aa a"))), s"encoding wrong: ${out.toSeq}")
+    // no merges = character segmentation
+    val none = Curation.applyBpeMerges(docs, "doc_id", "text", Nil)
+      .orderBy("doc_id").collect().map(r => r.getLong(2))
+    assert(none.toSeq == Seq(6L, 7L), "empty merge chain should char-split")
+  }
+
   test("packBestFit: degenerate numGroups clamps to the doc count and " +
     "non-integral ids are rejected") {
     import spark.implicits._
