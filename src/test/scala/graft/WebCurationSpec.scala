@@ -353,6 +353,35 @@ class WebCurationSpec extends SparkSpec {
       .select("v").as[Int].collect().toSeq == Seq(1))
   }
 
+  test("domainQualityRollup: hand-computed rates and block_score " +
+    "ranking on a planted two-domain corpus") {
+    import spark.implicits._
+    // spam.com: 4 docs, 2 duplicate URLs (dup_rate 0.5), 0 keeps;
+    // good.org: 2 docs, distinct URLs, both keep
+    val df = Seq(
+      (1L, "http://spam.com/x", false, 10L),
+      (2L, "HTTP://SPAM.com/x", false, 12L),   // dup of 1 post-canon
+      (3L, "http://spam.com/y?b=2&a=1", false, 8L),
+      (4L, "http://spam.com/y?a=1&b=2", false, 9L), // dup of 3
+      (5L, "http://good.org/a", true, 30L),
+      (6L, "http://good.org/b", true, 40L)
+    ).toDF("id", "url", "keep", "n_words")
+    val out = WebCuration.domainQualityRollup(df, "url", "id",
+        "keep", "n_words")
+      .orderBy(col("block_score").desc).collect()
+    assert(out.length == 2)
+    val spam = out(0)
+    assert(spam.getString(0) == "spam.com")
+    assert(spam.getLong(1) == 4L && spam.getLong(2) == 4L &&
+      spam.getLong(3) == 2L, s"spam counts wrong: $spam")
+    assert(spam.getDouble(4) == 0.0 &&
+      spam.getAs[Double]("dup_rate") == 0.5 &&
+      spam.getAs[Double]("block_score") == 0.75, s"spam rates: $spam")
+    val good = out(1)
+    assert(good.getString(0) == "good.org" &&
+      good.getAs[Double]("block_score") == 0.0, s"good rates: $good")
+  }
+
   test("domainQuotaCap: deterministic per-domain cap") {
     import spark.implicits._
     val df = (1L to 40L).map(i => (if (i % 2 == 0) "a.com" else "b.org", i))
