@@ -13,9 +13,8 @@ object Verify {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
-      // volume-adaptive shuffles: AQE exchanges start at 1024 reduce
-      // partitions and coalesce to advisory size (see graft.Bench for
-      // the s131 rationale)
+      // AQE initial-partition seam for scale studies (default = the
+      // official fixed count; see graft.Bench for the s131 rationale)
       .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
         sys.env.getOrElse("SPARK_GRAFT_INIT_PARTS", cpus))
       .config("spark.sql.session.timeZone", "UTC")

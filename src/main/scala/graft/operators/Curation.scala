@@ -1145,6 +1145,57 @@ object Curation {
   }
 
   // ------------------------------------------------------------------
+  // Boilerplate line dedup (cross-document repeated-line removal)
+  // ------------------------------------------------------------------
+
+  /** C4/RefinedWeb-style LINE-level boilerplate removal (Raffel et al.
+    * JMLR'20 §2.2 drop repeated lines; Penedo et al. NeurIPS'23 §3.2
+    * line-wise filtering): a line occurring in at least `minDocs`
+    * DISTINCT documents is boilerplate (navigation, footers, cookie
+    * banners) and every occurrence is dropped; surviving lines rejoin
+    * in original order. Complements the n-gram span family
+    * ([[graft.operators.Dedup.removeRepeatedSpans]]): span dedup
+    * catches verbatim PASSAGES (keeping one canonical copy), line
+    * dedup kills STRUCTURAL repetition wholesale — real pipelines run
+    * both.
+    *
+    * Returns one row per document: (id, n_lines, n_removed,
+    * text_hash) where text_hash is md5 of the rebuilt delim-joined
+    * text — the engine-portable rewrite digest (callers wanting the
+    * text itself use the same projection without the md5).
+    *
+    * Scale shape: lines explode once; the boilerplate set comes from
+    * ONE line-keyed aggregate (countDistinct(doc) plans two-phase, so
+    * shuffle is bounded by distinct (line, doc) pairs per task —
+    * boilerplate is by definition low-cardinality relative to the
+    * corpus); the flag join is line-keyed and AQE broadcast-eligible
+    * when the boilerplate set is small; the rebuild is one per-doc
+    * groupBy fold. Nothing is ever all-pairs.
+    */
+  def lineDedup(df: DataFrame, idCol: String, textCol: String,
+                minDocs: Int, delim: String = "\n"): DataFrame = {
+    require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
+    val qdelim = java.util.regex.Pattern.quote(delim)
+    val lines = df.select(col(idCol),
+      posexplode(split(col(textCol), qdelim)).as(Seq("pos", "line")))
+    val boiler = lines.groupBy(col("line"))
+      .agg(countDistinct(col(idCol)).as("_nd"))
+      .filter(col("_nd") >= minDocs)
+      .select(col("line"), lit(true).as("_drop"))
+    lines.join(boiler, Seq("line"), "left")
+      .select(col(idCol), col("pos"), col("line"),
+        coalesce(col("_drop"), lit(false)).as("_d"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(when(col("_d"), 1L).otherwise(0L)).as("n_removed"),
+        md5(array_join(transform(filter(
+            array_sort(collect_list(struct(col("pos"), col("_d"),
+              col("line")))),
+            s => !s.getField("_d")),
+          s => s.getField("line")), delim)).as("text_hash"))
+  }
+
+  // ------------------------------------------------------------------
   // Distributed BPE vocabulary learning (merge-based)
   // ------------------------------------------------------------------
 

@@ -887,9 +887,59 @@ object CurationQueries {
        |    AS subword_hash
        |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // --------------------------------------------------------------- q141
+  // Boilerplate line dedup (C4 §2.2 / RefinedWeb §3.2): documents are
+  // line-structured deterministically (8-token lines — the corpus's
+  // small vocabulary makes identical lines recur across docs
+  // naturally), then every line occurring in ≥ 3 distinct docs drops
+  // wholesale; output is per-doc line counts + the md5 digest of the
+  // rebuilt text. Both engines build the same lines from the same
+  // token slices, so the digest is exact.
+  private def q141(s: SparkSession, dir: String): DataFrame = {
+    val toks = TextAnalysis.tokens(col("text"))
+    val nLines = ceil(size(toks).cast("double") / 8d).cast("int")
+    val lined = Tables.documents(s, dir)
+      .filter(size(toks) > 0)
+      .select(col("doc_id"), array_join(transform(
+          sequence(lit(0), nLines - 1),
+          i => array_join(slice(toks, i * 8 + 1, lit(8)), " ")),
+        "\n").as("text"))
+    Curation.lineDedup(lined, "doc_id", "text", minDocs = 3)
+      .orderBy(col("doc_id"))
+  }
+
+  private val q141Sql =
+    s"""WITH t AS (
+       |  SELECT doc_id, $toksSql AS toks FROM documents
+       |  WHERE len($toksSql) > 0),
+       |ld AS (
+       |  SELECT doc_id, array_to_string(list_transform(
+       |      range(0, CAST(ceil(len(toks) / 8.0) AS INT)),
+       |      i -> array_to_string(list_slice(toks, i*8 + 1, i*8 + 8),
+       |        ' ')), chr(10)) AS text2
+       |  FROM t),
+       |ln AS (
+       |  SELECT d.doc_id, x.i AS pos, list_extract(d.ls, x.i) AS line
+       |  FROM (SELECT doc_id, string_split(text2, chr(10)) AS ls
+       |        FROM ld) d,
+       |    unnest(range(1, len(d.ls) + 1)) AS x(i)),
+       |b AS (
+       |  SELECT line FROM ln GROUP BY line
+       |  HAVING count(DISTINCT doc_id) >= 3),
+       |j AS (
+       |  SELECT ln.doc_id, ln.pos, ln.line,
+       |    (b.line IS NOT NULL) AS d
+       |  FROM ln LEFT JOIN b ON ln.line = b.line)
+       |SELECT doc_id, count(*) AS n_lines,
+       |  CAST(sum(CASE WHEN d THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+       |  md5(coalesce(string_agg(line, chr(10) ORDER BY pos)
+       |    FILTER (WHERE NOT d), '')) AS text_hash
+       |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q139_bpe_merges" -> (q139 _),
     "q140_bpe_encode" -> (q140 _),
+    "q141_line_dedup" -> (q141 _),
     "q125_gopher_rules" -> (q125 _),
     "q124_cdc_chunks" -> (q124 _),
     "q119_doc_chunking" -> (q119 _),
@@ -915,6 +965,7 @@ object CurationQueries {
   val oracleSql: Map[String, String] = Map(
     "q139_bpe_merges" -> q139Sql,
     "q140_bpe_encode" -> q140Sql,
+    "q141_line_dedup" -> q141Sql,
     "q125_gopher_rules" -> q125Sql,
     "q124_cdc_chunks" -> q124Sql,
     "q119_doc_chunking" -> q119Sql,

@@ -56,7 +56,8 @@ object Soak {
     "q133_url_dedup", "q134_domain_rollup", "q135_domain_quota",
     "q137_url_funnel",
     // r13: domain quality rollup + the BPE pair (learn + encode)
-    "q138_domain_blocklist", "q139_bpe_merges", "q140_bpe_encode")
+    "q138_domain_blocklist", "q139_bpe_merges", "q140_bpe_encode",
+    "q141_line_dedup")
 
   /** Same co-tenant preflight as [[graft.Bench]]: exponent fits across
     * scale runs are meaningless if one run raced a loaded box, so wait
@@ -86,9 +87,8 @@ object Soak {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
-      // volume-adaptive shuffles: AQE exchanges start at 1024 reduce
-      // partitions and coalesce to advisory size (see graft.Bench for
-      // the s131 rationale)
+      // AQE initial-partition seam for scale studies (default = the
+      // official fixed count; see graft.Bench for the s131 rationale)
       .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
         sys.env.getOrElse("SPARK_GRAFT_INIT_PARTS", cpus))
       .config("spark.sql.session.timeZone", "UTC")

@@ -621,6 +621,36 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("lineDedup: lines in >= minDocs distinct docs drop wholesale, " +
+    "survivors rejoin in order, within-doc repeats don't count") {
+    import graft.operators.Curation
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map(b => f"${b & 0xff}%02x").mkString
+    val docs = Seq(
+      (1L, "cookie banner\nreal content one\nshared pair"),
+      (2L, "cookie banner\nshared pair\nreal content two"),
+      (3L, "real three\ncookie banner\nreal three"), // within-doc repeat
+      (4L, "only unique text here")).toDF("doc_id", "text")
+    // "cookie banner" in docs 1,2,3 (>=3) → dropped everywhere;
+    // "shared pair" in 2 docs only → kept; "real three" twice in ONE
+    // doc → countDistinct(doc)=1 → kept
+    val out = Curation.lineDedup(docs, "doc_id", "text", minDocs = 3)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(out.toSeq == Seq(
+      (1L, 3L, 1L, md5hex("real content one\nshared pair")),
+      (2L, 3L, 1L, md5hex("shared pair\nreal content two")),
+      (3L, 3L, 1L, md5hex("real three\nreal three")),
+      (4L, 1L, 0L, md5hex("only unique text here"))),
+      s"lineDedup wrong: ${out.toSeq}")
+    // all-lines-removed doc hashes the empty string, never NULL
+    val all = Seq((1L, "x"), (2L, "x"), (3L, "x")).toDF("doc_id", "text")
+    val gone = Curation.lineDedup(all, "doc_id", "text", 3)
+      .orderBy("doc_id").collect().head
+    assert(gone.getLong(2) == 1L && gone.getString(3) == md5hex(""),
+      s"empty rebuild wrong: $gone")
+  }
+
   test("learnBpeMerges: hand-computed merges, greedy non-overlapping " +
     "application, deterministic ties, partitioning invariance") {
     import graft.operators.Curation
