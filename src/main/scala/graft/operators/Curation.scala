@@ -1206,18 +1206,24 @@ object Curation {
     * table (vocabulary-sized — orders of magnitude below the corpus),
     * carrying each word as a symbol array plus its corpus count.
     *
-    * Per round: (1) adjacent symbol pairs explode from each word,
-    * weighted by word count, into one pair-frequency aggregate;
-    * (2) the argmax pair — ties broken deterministically by
+    * Per round: (1) every word re-segments under the merge table so
+    * far via the native [[graft.plans.BpeExpressions.bpeSegment]]
+    * kernel — ONE expression regardless of table depth (sequential
+    * application is compositional, so re-encoding from scratch with
+    * rules 1..k is exactly incremental state after rules 1..k; and the
+    * monotone-rank encoder's cost is bounded by the word's own merge
+    * capacity, O(len) passes, NOT by |table|); (2) adjacent symbol
+    * pairs explode, weighted by word count, into one pair-frequency
+    * aggregate; (3) the argmax pair — ties broken deterministically by
     * (left, right) byte order — becomes this round's merge rule (ONE
     * collected row; the merge table is the driver-side state, exactly
-    * like k-means centroids); (3) the rule is applied to every word by
-    * a greedy left-to-right fold (the `aggregate` HOF — after a merge
-    * the new symbol cannot immediately re-merge as a left operand,
-    * matching the reference BPE scan), and the word table
-    * localCheckpoints so round r+1's plan does not re-derive rounds
-    * 1..r. Stops early when the best pair's frequency falls below
-    * `minFreq` (nothing left worth merging).
+    * like k-means centroids). Stops early when the best pair's
+    * frequency falls below `minFreq` (nothing left worth merging).
+    * The word table checkpoints ONCE (it never changes — rounds differ
+    * only in the kernel's table literal), so there is no per-round
+    * lineage or cache churn at any round count — the r13 form's
+    * per-round localCheckpoint + nested `aggregate`-HOF fold paid a
+    * fresh analysis/codegen of a growing plan every round.
     *
     * Scale shape (the rounds-vs-corpus cost model, SCALE.md): corpus
     * cost is paid once (tokenize + word groupBy — shuffle bounded by
@@ -1225,55 +1231,54 @@ object Curation {
     * O(|vocab words| × avg word length) map work plus one pair-keyed
     * aggregate whose shuffle is bounded by distinct PAIRS, plus a
     * 1-row argmax collect. Rounds are inherently sequential (rule r+1
-    * depends on r — that is BPE, not a plan choice); the per-round
-    * checkpoint bounds lineage at any round count. Determinism: counts
+    * depends on r — that is BPE, not a plan choice; `batch` trades
+    * strictness for ~m× fewer round trips, below). Determinism: counts
     * are exact longs and ties byte-ordered, so the merge table replays
     * identically on any partitioning/engine — gated by the q139 DuckDB
     * oracle, which replays the same rounds closed-form.
     *
     * Returns the merge table: (round, left, right, merged, freq),
     * `rounds` rows (fewer on early stop), round ascending.
+    *
+    * @param batch merge rules committed per DRIVER round (default 1 =
+    *   strict sequential BPE, the oracle-gated form). With batch = m > 1
+    *   each round collects the top candidate pairs once and greedily
+    *   selects up to m of them in (freq DESC, left, right) order such
+    *   that every selected pair is SYMBOL-DISJOINT from the ones before
+    *   it — for each prior selection s, the candidate's {left, right,
+    *   left||right} avoids {s.left, s.right, s.merged} — then applies
+    *   them sequentially in selection order. This cuts driver round
+    *   trips (and their scheduler overhead — the 30k-vocab cost model)
+    *   by ~m×, at a DOCUMENTED deviation from strict BPE: rules 2..m of
+    *   a round are ranked on round-START pair statistics, not on the
+    *   post-rule-1 table (their recorded freq is the round-start count).
+    *   The disjointness guard keeps that deviation honest — no selected
+    *   rule can create or consume another's operands mid-round, so each
+    *   rule's recorded statistics describe the table it actually
+    *   applies to.
     */
-  /** Greedy left-to-right application of ONE merge rule (l, r) to a
-    * symbol array: the fold starts from the first symbol (accumulator
-    * never empty, so the ANSI element_at(-1) is safe), merges when the
-    * tail matches, else appends — a merged symbol never immediately
-    * re-merges as a left operand, the reference BPE scan. Shared by
-    * [[learnBpeMerges]] (per round) and [[applyBpeMerges]] (rule
-    * chain). */
-  private def greedyMergeFold(syms: Column, l: String, r: String): Column =
-    aggregate(
-      slice(syms, lit(2), greatest(size(syms) - 1, lit(0))),
-      array(element_at(syms, 1)),
-      (acc, s) =>
-        when(element_at(acc, -1) === lit(l) && s === lit(r),
-          concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + r))))
-        .otherwise(concat(acc, array(s))))
-
-  private val charsOfWord = expr("transform(sequence(1, length(word)), " +
-    "i -> substring(word, i, 1))")
-
   def learnBpeMerges(df: DataFrame, textCol: String, rounds: Int,
-                     minFreq: Long = 2L): DataFrame = {
+                     minFreq: Long = 2L, batch: Int = 1): DataFrame = {
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    require(batch >= 1, s"batch must be >= 1, got $batch")
     val spark = df.sparkSession
     import spark.implicits._
-    val chars = charsOfWord
-    var words = df
+    val words = df
       .select(explode(graft.functions.TextAnalysis.tokens(col(textCol)))
         .as("word"))
       .filter(length(col("word")) > 0)
       .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
-      .select(chars.as("syms"), col("cnt"))
       .localCheckpoint(true)
     val merges = scala.collection.mutable.ArrayBuffer
       .empty[(Int, String, String, String, Long)]
-    var r = 1
     var done = false
-    while (r <= rounds && !done) {
+    while (merges.size < rounds && !done) {
+      val syms = graft.plans.BpeExpressions.bpeSegment(col("word"),
+        merges.map(m => (m._2, m._3)).toSeq)
       // sequence(a, b) DESCENDS when b < a, so a single-symbol word
       // would yield [1, 0] and an ANSI element_at OOB — filter first
-      val best = words
+      val cand = words
+        .select(syms.as("syms"), col("cnt"))
         .filter(size(col("syms")) >= 2)
         .select(col("cnt"),
           explode(expr("sequence(1, size(syms) - 1)")).as("i"),
@@ -1284,22 +1289,29 @@ object Curation {
         .groupBy(col("left"), col("right"))
         .agg(sum(col("cnt")).as("freq"))
         .orderBy(col("freq").desc, col("left").asc, col("right").asc)
-        .limit(1)
+        .limit(math.max(1, 4 * batch))
         .collect()
-      if (best.isEmpty || best.head.getLong(2) < minFreq) done = true
-      else {
-        val (l, rt, f) =
-          (best.head.getString(0), best.head.getString(1),
-            best.head.getLong(2))
-        merges += ((r, l, rt, l + rt, f))
-        val applied = greedyMergeFold(col("syms"), l, rt)
-        val prev = words
-        words = words.select(applied.as("syms"), col("cnt"))
-          .localCheckpoint(true)
-        prev.unpersist()
-        r += 1
+      // greedy disjoint selection in rank order (batch=1: the argmax)
+      val want = math.min(batch, rounds - merges.size)
+      val sel = scala.collection.mutable.ArrayBuffer
+        .empty[(String, String, Long)]
+      val used = scala.collection.mutable.Set.empty[String]
+      var ci = 0
+      while (ci < cand.length && sel.size < want) {
+        val (l, rt, f) = (cand(ci).getString(0), cand(ci).getString(1),
+          cand(ci).getLong(2))
+        if (f >= minFreq && !used(l) && !used(rt) && !used(l + rt)) {
+          sel += ((l, rt, f))
+          used += l; used += rt; used += (l + rt)
+        }
+        ci += 1
+      }
+      if (sel.isEmpty) done = true
+      else sel.foreach { case (l, rt, f) =>
+        merges += ((merges.size + 1, l, rt, l + rt, f))
       }
     }
+    words.unpersist()
     merges.toSeq.toDF("round", "left", "right", "merged", "freq")
   }
 
@@ -1308,18 +1320,27 @@ object Curation {
     * n_subwords, subword_hash), where subword_hash is md5 of the
     * document's space-joined subword stream in token order (the
     * engine-portable segmentation digest the q140 oracle replays).
+    * Documents with ZERO tokens (empty/whitespace-only text) are kept,
+    * with n_words = 0 and the empty-stream digest md5("") — callers
+    * reconciling doc counts lose nothing.
     *
     * Scale shape — the vocab-lookup form, NOT a per-token fold: the
-    * merge chain is folded once over the DISTINCT-WORD table
+    * whole ranked merge table compiles into ONE native kernel
+    * ([[graft.plans.BpeExpressions.bpeSegment]] — O(1) plan size in
+    * |merges|, so a real 30k-merge vocabulary is the same plan as a
+    * 6-merge one) applied once per row of the DISTINCT-WORD table
     * (vocabulary-sized), and the corpus's (doc, position, word) tokens
     * join that segmentation table by word — so the corpus pays one
     * tokenize plus one join against a vocab-sized side (AQE picks
-    * broadcast when it fits), never |merges| folds per corpus token.
+    * broadcast when it fits), never |merges| passes per corpus token.
     * This is how a tokenizer runs at 100 TB: segmentation is a
     * property of the word, computed once per distinct word.
     *
     * `merges` apply in order (BPE rules are sequential by definition);
-    * pass [[learnBpeMerges]]' collected (left, right) pairs.
+    * pass [[learnBpeMerges]]' collected (left, right) pairs. The
+    * kernel's monotone-rank encoder is exactly equivalent to the
+    * sequential per-rule greedy fold (proof sketch + spec pin at
+    * [[graft.plans.BpeKernel]]).
     */
   def applyBpeMerges(df: DataFrame, idCol: String, textCol: String,
                      merges: Seq[(String, String)]): DataFrame = {
@@ -1328,21 +1349,25 @@ object Curation {
         .as("word"))
       .filter(length(col("word")) > 0)
       .distinct()
-    val folded = merges.foldLeft(words.select(col("word"),
-        charsOfWord.as("syms"))) { case (acc, (l, r)) =>
-      acc.select(col("word"), greedyMergeFold(col("syms"), l, r).as("syms"))
-    }
+      .select(col("word"),
+        graft.plans.BpeExpressions.bpeSegment(col("word"), merges)
+          .as("syms"))
     val toks = df
       .select(col(idCol),
         posexplode(graft.functions.TextAnalysis.tokens(col(textCol)))
           .as(Seq("pos", "word")))
       .filter(length(col("word")) > 0)
-    toks.join(folded, "word")
+    val perDoc = toks.join(words, "word")
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_words"),
         sum(size(col("syms"))).as("n_subwords"),
         md5(array_join(flatten(transform(
           array_sort(collect_list(struct(col("pos"), col("syms")))),
           s => s.getField("syms"))), " ")).as("subword_hash"))
+    df.select(col(idCol)).join(perDoc, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_words"), lit(0L)).as("n_words"),
+        coalesce(col("n_subwords"), lit(0L)).as("n_subwords"),
+        coalesce(col("subword_hash"), md5(lit(""))).as("subword_hash"))
   }
 }

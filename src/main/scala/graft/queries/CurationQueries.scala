@@ -880,12 +880,89 @@ object CurationQueries {
        |  WHERE length(list_extract(d.toks, t.i)) > 0),
        |j AS (
        |  SELECT tk.doc_id, tk.pos, w.syms
-       |  FROM tk JOIN w$BpeRounds w USING (word))
-       |SELECT doc_id, count(*) AS n_words,
-       |  CAST(sum(len(syms)) AS BIGINT) AS n_subwords,
-       |  md5(string_agg(array_to_string(syms, ' '), ' ' ORDER BY pos))
-       |    AS subword_hash
-       |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin
+       |  FROM tk JOIN w$BpeRounds w USING (word)),
+       |g AS (
+       |  SELECT doc_id, count(*) AS n_words,
+       |    CAST(sum(len(syms)) AS BIGINT) AS n_subwords,
+       |    md5(string_agg(array_to_string(syms, ' '), ' ' ORDER BY pos))
+       |      AS subword_hash
+       |  FROM j GROUP BY doc_id)
+       |SELECT d.doc_id, coalesce(g.n_words, 0) AS n_words,
+       |  coalesce(g.n_subwords, 0) AS n_subwords,
+       |  coalesce(g.subword_hash, md5('')) AS subword_hash
+       |FROM documents d LEFT JOIN g USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+
+  // --------------------------------------------------------------- q142
+  // BATCHED BPE merge learning (learnBpeMerges batch=2): each driver
+  // round collects the top-8 candidate pairs once and commits the
+  // argmax PLUS the best symbol-disjoint runner-up — the ~m× round-trip
+  // reduction for 30k-rule vocabularies, at the documented deviation
+  // that rule 2 of a round is ranked on round-START statistics. The
+  // oracle replays the same adaptive selection closed-form: per driver
+  // round, the top-8 candidate window, the argmax a_i, the first
+  // candidate b_i whose {l, r, l||r} avoids {a.l, a.r, a.merged}, and
+  // the two-rule greedy fold. Fixture note: the corpus's word-salad
+  // vocabulary keeps >= 2 disjoint pairs in every round's window at
+  // every sf (checked tri-scale), so each driver round commits exactly
+  // 2 rules and the chain is closed-form.
+  private val BpeBatchRounds = 2 // driver rounds, 2 rules each
+
+  private def q142(s: SparkSession, dir: String): DataFrame =
+    Curation.learnBpeMerges(Tables.documents(s, dir), "text",
+        rounds = 2 * BpeBatchRounds, minFreq = 2, batch = 2)
+      .orderBy(col("round"))
+
+  private val q142Sql: String = {
+    val sep = "chr(31)"
+    def lst(acc: String) = s"string_split($acc, $sep)"
+    def fold(m: String) = // greedy merge of (m.l, m.r) over syms
+      s"""string_split(list_reduce(syms, (acc, s) ->
+         |  CASE WHEN list_extract(${lst("acc")}, -1) = $m.l AND s = $m.r
+         |  THEN array_to_string(list_append(list_slice(${lst("acc")},
+         |    1, len(${lst("acc")}) - 1), $m.l || $m.r), $sep)
+         |  ELSE acc || $sep || s END), $sep)""".stripMargin
+    def roundCte(i: Int) =
+      s"""p$i AS (
+         |  SELECT list_extract(syms, i) AS l,
+         |    list_extract(syms, i + 1) AS r,
+         |    CAST(sum(cnt) AS BIGINT) AS freq
+         |  FROM w${i - 1}, unnest(range(1, greatest(len(syms), 1))) AS t(i)
+         |  GROUP BY 1, 2),
+         |c$i AS (SELECT l, r, freq FROM p$i
+         |  ORDER BY freq DESC, l, r LIMIT 8),
+         |a$i AS (SELECT l, r, freq FROM c$i
+         |  ORDER BY freq DESC, l, r LIMIT 1),
+         |b$i AS (
+         |  SELECT c.l, c.r, c.freq FROM c$i c, a$i a
+         |  WHERE c.freq >= 2
+         |    AND c.l NOT IN (a.l, a.r, a.l || a.r)
+         |    AND c.r NOT IN (a.l, a.r, a.l || a.r)
+         |    AND c.l || c.r NOT IN (a.l, a.r, a.l || a.r)
+         |  ORDER BY c.freq DESC, c.l, c.r LIMIT 1),
+         |wa$i AS (SELECT word, ${fold("m")} AS syms, cnt
+         |  FROM w${i - 1}, a$i m),
+         |w$i AS (SELECT word, ${fold("m")} AS syms, cnt
+         |  FROM wa$i, b$i m)""".stripMargin
+    val w0 =
+      s"""w0 AS (
+         |  SELECT word, list_transform(range(1, length(word) + 1),
+         |      i -> substr(word, i, 1)) AS syms,
+         |    count(*) AS cnt
+         |  FROM (SELECT unnest(string_split_regex(trim(text), '\\s+'))
+         |      AS word FROM documents)
+         |  WHERE length(word) > 0
+         |  GROUP BY word)""".stripMargin
+    val union = (1 to BpeBatchRounds).flatMap(i => Seq(
+      s"SELECT ${2 * i - 1} AS round, l AS left, r AS right, " +
+        s"l || r AS merged, freq FROM a$i",
+      s"SELECT ${2 * i} AS round, l AS left, r AS right, " +
+        s"l || r AS merged, freq FROM b$i")).mkString("\nUNION ALL\n")
+    s"""WITH $w0,
+       |${(1 to BpeBatchRounds).map(roundCte).mkString(",\n")}
+       |$union
+       |ORDER BY round""".stripMargin
+  }
 
   // --------------------------------------------------------------- q141
   // Boilerplate line dedup (C4 §2.2 / RefinedWeb §3.2): documents are
@@ -939,6 +1016,7 @@ object CurationQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q139_bpe_merges" -> (q139 _),
     "q140_bpe_encode" -> (q140 _),
+    "q142_bpe_batched" -> (q142 _),
     "q141_line_dedup" -> (q141 _),
     "q125_gopher_rules" -> (q125 _),
     "q124_cdc_chunks" -> (q124 _),
@@ -965,6 +1043,7 @@ object CurationQueries {
   val oracleSql: Map[String, String] = Map(
     "q139_bpe_merges" -> q139Sql,
     "q140_bpe_encode" -> q140Sql,
+    "q142_bpe_batched" -> q142Sql,
     "q141_line_dedup" -> q141Sql,
     "q125_gopher_rules" -> q125Sql,
     "q124_cdc_chunks" -> q124Sql,

@@ -709,6 +709,166 @@ class CurationSpec extends SparkSpec {
     assert(none.toSeq == Seq(6L, 7L), "empty merge chain should char-split")
   }
 
+  /** Driver-side reference of the SEQUENTIAL merge semantics: each rule
+    * in table order, one greedy left-to-right pass, merged symbol never
+    * immediately re-merges as a left operand. The ground truth the
+    * BpeKernel's monotone-rank encoder must reproduce exactly.
+    */
+  private def refSegment(word: String,
+                         merges: Seq[(String, String)]): Seq[String] = {
+    var syms = {
+      val b = scala.collection.mutable.ArrayBuffer.empty[String]
+      var i = 0
+      while (i < word.length) {
+        val n = Character.charCount(word.codePointAt(i))
+        b += word.substring(i, i + n)
+        i += n
+      }
+      b.toSeq
+    }
+    merges.foreach { case (l, r) =>
+      if (syms.nonEmpty) {
+        val out = scala.collection.mutable.ArrayBuffer(syms.head)
+        syms.tail.foreach { s =>
+          if (out.last == l && s == r) out(out.size - 1) = l + r
+          else out += s
+        }
+        syms = out.toSeq
+      }
+    }
+    syms
+  }
+
+  private def kernelSegment(words: Seq[String],
+                            merges: Seq[(String, String)]): Map[String, Seq[String]] = {
+    import spark.implicits._
+    words.toDF("word")
+      .select(col("word"),
+        graft.plans.BpeExpressions.bpeSegment(col("word"), merges)
+          .as("syms"))
+      .collect()
+      .map(r => r.getString(0) -> r.getSeq[String](1).toSeq).toMap
+  }
+
+  test("BpeKernel: monotone-rank encoder is exactly the sequential " +
+    "greedy fold — adversarial rank-resurrect table included") {
+    // A naive lowest-rank-first encoder (no floor) would over-merge
+    // here: rule0 (ab, Q) is not applicable until rule1 creates "ab",
+    // but sequential application never revisits rule0 — final must be
+    // [ab, Q], not [abQ].
+    val adversarial = Seq(("ab", "Q"), ("a", "b"))
+    assert(kernelSegment(Seq("abQ"), adversarial)("abQ") == Seq("ab", "Q"),
+      "floor violated: earlier rank resurrected after a later pass")
+    assert(refSegment("abQ", adversarial) == Seq("ab", "Q"))
+    // duplicate pair at two ranks; run-collapse; single/empty-ish words
+    val table = Seq(("a", "a"), ("c", "d"), ("a", "a"), ("aa", "cd"))
+    val words = Seq("aaaa", "aacd", "acda", "x", "aacdaa")
+    val got = kernelSegment(words, table)
+    words.foreach { w =>
+      assert(got(w) == refSegment(w, table),
+        s"kernel != sequential for '$w': ${got(w)} vs " +
+          s"${refSegment(w, table)}")
+    }
+  }
+
+  test("BpeKernel: property — kernel matches the sequential replay on " +
+    "a LEARNED merge table over random words") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val alpha = "abcd"
+    val words = Seq.fill(300)(
+      (1 to (1 + rnd.nextInt(12))).map(_ => alpha(rnd.nextInt(4))).mkString)
+      .distinct
+    val docs = words.zipWithIndex.map { case (w, i) => (i.toLong, w) }
+      .toDF("doc_id", "text")
+    val merges = Curation.learnBpeMerges(docs, "text", rounds = 15,
+        minFreq = 1)
+      .orderBy("round").collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    assert(merges.size == 15, s"expected 15 learned rules, ${merges.size}")
+    val got = kernelSegment(words, merges)
+    words.foreach { w =>
+      assert(got(w) == refSegment(w, merges),
+        s"kernel != sequential for '$w'")
+    }
+  }
+
+  test("applyBpeMerges: zero-token documents are kept with n_words=0 " +
+    "and the empty-stream digest") {
+    import spark.implicits._
+    val docs = Seq((1L, "aa ab"), (2L, ""), (3L, "   ")).toDF("doc_id", "text")
+    val out = Curation.applyBpeMerges(docs, "doc_id", "text",
+        Seq(("a", "a")))
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map(b => f"${b & 0xff}%02x").mkString
+    assert(out.toSeq == Seq(
+      (1L, 2L, 3L, md5hex("aa a b")),
+      (2L, 0L, 0L, md5hex("")),
+      (3L, 0L, 0L, md5hex(""))), s"zero-token handling wrong: ${out.toSeq}")
+  }
+
+  test("learnBpeMerges: batch=1 is strict sequential BPE; batch=2 " +
+    "commits disjoint pairs per round and skips overlapping ones") {
+    import spark.implicits._
+    val docs = Seq((1L, "aa ab aa"), (2L, "ab aa aaa")).toDF("doc_id", "text")
+    val seq1 = Curation.learnBpeMerges(docs, "text", rounds = 2)
+      .collect().toSeq
+    val seqB = Curation.learnBpeMerges(docs, "text", rounds = 2, batch = 2)
+      .collect().toSeq
+    // (a,b) overlaps (a,a) on 'a', so batch=2 degrades to one rule per
+    // round here — table identical to strict sequential
+    assert(seq1 == seqB, s"batched deviated where it must not:\n$seq1\n$seqB")
+    // genuinely disjoint pairs commit in ONE round, ranked by freq
+    val dis = Seq((1L, "xy xy xy zw zw")).toDF("doc_id", "text")
+    val got = Curation.learnBpeMerges(dis, "text", rounds = 2, batch = 2)
+      .orderBy("round").collect()
+      .map(r => (r.getInt(0), r.getString(3), r.getLong(4))).toSeq
+    assert(got == Seq((1, "xy", 3L), (2, "zw", 2L)),
+      s"disjoint batch selection wrong: $got")
+  }
+
+  test("BPE at scale: learning + applying >= 1000 merges — O(1) plan " +
+    "size, kernel output still exactly sequential") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    val alpha = "abcdefgh"
+    val words = Seq.fill(900)(
+      (1 to (10 + rnd.nextInt(7))).map(_ => alpha(rnd.nextInt(8))).mkString)
+      .distinct
+    val docs = words.zipWithIndex.map { case (w, i) => (i.toLong, w) }
+      .toDF("doc_id", "text")
+    val table = Curation.learnBpeMerges(docs, "text", rounds = 1000,
+        minFreq = 1, batch = 8)
+      .orderBy("round").collect()
+    assert(table.length >= 1000, s"learned only ${table.length} rules")
+    val merges = table.map(r => (r.getString(1), r.getString(2))).toSeq
+    // the r13 fold form would stack 1000 nested aggregate() expressions
+    // here and die in analysis/codegen; the kernel is one plan node
+    val out = Curation.applyBpeMerges(docs, "doc_id", "text", merges)
+      .orderBy("doc_id").collect()
+    assert(out.length == words.size)
+    // exactness at full table depth: every distinct word segments
+    // identically to the driver-side sequential replay
+    val got = kernelSegment(words, merges)
+    words.foreach { w =>
+      assert(got(w) == refSegment(w, merges),
+        s"kernel != sequential at 1000 merges for '$w'")
+    }
+    // and the per-doc digest agrees with the replay-derived digest
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map(b => f"${b & 0xff}%02x").mkString
+    val byId = words.zipWithIndex.map { case (w, i) => (i.toLong, w) }.toMap
+    out.foreach { r =>
+      val w = byId(r.getLong(0))
+      val seg = refSegment(w, merges)
+      assert(r.getLong(2) == seg.size.toLong &&
+        r.getString(3) == md5hex(seg.mkString(" ")),
+        s"digest mismatch for '$w'")
+    }
+  }
+
   test("packBestFit: degenerate numGroups clamps to the doc count and " +
     "non-integral ids are rejected") {
     import spark.implicits._
