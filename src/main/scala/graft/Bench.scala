@@ -87,6 +87,29 @@ object Bench {
     s"""{"threshold":$threshold,"load_initial":$startLoad,"load_after_wait":$endLoad,"waited_sec":$waited,"clean":$clean}"""
   }
 
+  /** Coarse query-family partition for the per-family rollup (r14: with
+    * ~140 heterogeneous queries the scalar total is dominated by
+    * streaming-trigger constants and co-tenant noise — round-over-round
+    * deltas are only attributable per family). Streaming is name-keyed;
+    * the rest bucket by query number.
+    */
+  private[graft] def familyOf(name: String): String = {
+    if (name.contains("streaming")) return "streaming"
+    val num = name.drop(1).takeWhile(_.isDigit).toInt
+    val multimodal = Set(106, 107, 108, 109, 116, 117, 136, 144)
+    val vector = Set(30, 31, 32, 33, 91, 92, 93, 97, 99, 103, 104, 105,
+      126, 127, 128, 130)
+    val web = Set(133, 134, 135, 137, 138, 143)
+    val curation = (Set(20, 21, 22, 23, 24, 25, 26, 27, 28, 110, 119,
+      120, 122, 123, 124, 125, 131, 132, 139, 140, 141, 142) ++
+      (79 to 90) ++ (94 to 96) ++ Set(98, 100, 101, 102))
+    if (multimodal(num)) "multimodal"
+    else if (vector(num)) "vector"
+    else if (web(num)) "web"
+    else if (curation(num)) "curation"
+    else "relational"
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val preflight = preflightGate()
@@ -267,7 +290,13 @@ object Bench {
     val retriedJson = retried.reverse.map(jstr).mkString("[", ",", "]")
     val suspectJson = suspect.reverse.map(jstr).mkString("[", ",", "]")
     val drawsConsidered = results.map(_._2.size).sum
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"draws":$drawsJson,"errors":$errJson,"sf":"$sfDir","loadavg_start":${jstr(loadStart)},"loadavg_end":${jstr(loadEnd)},"uptime":${jstr(uptime)},"preflight":$preflight,"retried":$retriedJson,"suspect":$suspectJson,"sweeps":$sweeps,"draws_considered":$drawsConsidered,"sweep_clean":$cleanRun}"""
+    // per-family minima rollup — the attributable round-over-round unit
+    val famJson = mins.filterNot(_._2.isNaN)
+      .groupBy { case (n, _) => familyOf(n) }.toSeq.sortBy(_._1)
+      .map { case (f, qs2) =>
+        s"\"" + f + s"\":{\"total\":${qs2.map(_._2).sum},\"n\":${qs2.size}}"
+      }.mkString("{", ",", "}")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"families":$famJson,"draws":$drawsJson,"errors":$errJson,"sf":"$sfDir","loadavg_start":${jstr(loadStart)},"loadavg_end":${jstr(loadEnd)},"uptime":${jstr(uptime)},"preflight":$preflight,"retried":$retriedJson,"suspect":$suspectJson,"sweeps":$sweeps,"draws_considered":$drawsConsidered,"sweep_clean":$cleanRun}"""
     println(line)
     // self-contained artifact: the driver's tail-capture truncated r2's JSON;
     // this file always holds the complete line.

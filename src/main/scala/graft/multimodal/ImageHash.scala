@@ -220,7 +220,40 @@ object ImageHash {
                  codec: ImageCodec = Codecs.AutoCodec,
                  hash: Image => Long = dHash64,
                  routeThreshold: Long = 1L << 23,
-                 exactFirstMaxDistinctRatio: Double = 0.7): DataFrame = {
+                 exactFirstMaxDistinctRatio: Double = 0.7): DataFrame =
+    jointDedupBuild(media, captions, idCol, textCol, maxImageHamming,
+      maxTextHamming, codec, hash, routeThreshold,
+      exactFirstMaxDistinctRatio)._1
+
+  /** [[jointDedup]] with a caller-scoped cache lifetime: the fingerprint
+    * frame unpersists when `action` returns (the
+    * [[Dedup.hammingDedupCorpusScoped]] house pattern) — use this form
+    * in long-lived sessions where repeated jointDedup calls would
+    * otherwise accumulate MEMORY_AND_DISK blocks until LRU pressure.
+    */
+  def jointDedupScoped[T](media: Dataset[MediaRow], captions: DataFrame,
+                          idCol: String, textCol: String,
+                          maxImageHamming: Int, maxTextHamming: Int,
+                          codec: ImageCodec = Codecs.AutoCodec,
+                          hash: Image => Long = dHash64,
+                          routeThreshold: Long = 1L << 23,
+                          exactFirstMaxDistinctRatio: Double = 0.7)
+                         (action: DataFrame => T): T = {
+    val (result, cached) = jointDedupBuild(media, captions, idCol,
+      textCol, maxImageHamming, maxTextHamming, codec, hash,
+      routeThreshold, exactFirstMaxDistinctRatio)
+    try action(result)
+    finally cached.unpersist(blocking = true)
+  }
+
+  private def jointDedupBuild(media: Dataset[MediaRow], captions: DataFrame,
+                 idCol: String, textCol: String,
+                 maxImageHamming: Int, maxTextHamming: Int,
+                 codec: ImageCodec,
+                 hash: Image => Long,
+                 routeThreshold: Long,
+                 exactFirstMaxDistinctRatio: Double)
+      : (DataFrame, DataFrame) = {
     // same contract as Curation.packBestFit: the id rides through a
     // cast("long"), and a string id would silently null every fid —
     // both equi-joins would then produce ZERO joint edges and every
@@ -300,8 +333,10 @@ object ImageHash {
         Seq("id_b"))
       .filter(expr("bit_count(sfp_a ^ sfp_b)") <= maxTextHamming)
     val ids = captions.select(col(idCol).cast("long").as("id"))
-    Dedup.connectedComponents(ids, joint.select(col("id_a"), col("id_b")))
+    val result = Dedup.connectedComponents(ids,
+        joint.select(col("id_a"), col("id_b")))
       .select(col("id"), col("label").as("canonical_id"),
         (col("id") === col("label")).as("kept"))
+    (result, fps)
   }
 }

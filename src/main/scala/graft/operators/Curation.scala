@@ -1178,7 +1178,12 @@ object Curation {
     val qdelim = java.util.regex.Pattern.quote(delim)
     val lines = df.select(col(idCol),
       posexplode(split(col(textCol), qdelim)).as(Seq("pos", "line")))
-    val boiler = lines.groupBy(col("line"))
+    // zero-length lines (consecutive/trailing delimiters) are NEVER
+    // boilerplate: once blank lines recur in >= minDocs docs they would
+    // otherwise all drop, silently collapsing paragraph separation in
+    // the rebuilt text
+    val boiler = lines.filter(length(col("line")) > 0)
+      .groupBy(col("line"))
       .agg(countDistinct(col(idCol)).as("_nd"))
       .filter(col("_nd") >= minDocs)
       .select(col("line"), lit(true).as("_drop"))

@@ -74,7 +74,11 @@ object WebCuration {
     val scheme = lower(regexp_extract(u, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
     val authority = lower(regexp_extract(u, "^[^:/?#]+://([^/?#]*)", 1))
     val hostPort = regexp_replace(authority, "^.*@", "") // userinfo off
-    val host = regexp_extract(hostPort, "^([^:]*)", 1)
+    // IDN ToASCII (r14): unicode hosts punycode-encode per label, so
+    // `bücher.example` and `xn--bcher-kva.example` merge; pure-ASCII
+    // hosts pass the kernel untouched (byte-identity fast path)
+    val host = graft.plans.WebExpressions.idnToAscii(
+      regexp_extract(hostPort, "^([^:]*)", 1))
     val rawPort = regexp_extract(hostPort, ":([0-9]+)$", 1)
     val defPort = when(scheme === "http", lit(80L))
       .when(scheme === "https", lit(443L))
@@ -103,11 +107,14 @@ object WebCuration {
       concat(scheme, lit("://"), host, port, path, query))
   }
 
-  /** Lowercased host of an absolute URL (port and RFC 3986 userinfo
-    * stripped — same authority decomposition as [[canonicalizeUrl]]). */
+  /** Lowercased, IDN-ASCII host of an absolute URL (port and RFC 3986
+    * userinfo stripped — same authority decomposition and punycode
+    * normalization as [[canonicalizeUrl]], so the PSL probe sees the
+    * same host form the dedup key carries). */
   def urlHost(url: Column): Column = {
     val auth = regexp_extract(lower(trim(url)), "^[^:/?#]+://([^/?#]*)", 1)
-    regexp_extract(regexp_replace(auth, "^.*@", ""), "^([^:]*)", 1)
+    graft.plans.WebExpressions.idnToAscii(
+      regexp_extract(regexp_replace(auth, "^.*@", ""), "^([^:]*)", 1))
   }
 
   // ------------------------------------------------------------------
@@ -326,12 +333,23 @@ object WebCuration {
     * pairs per task, never rows. NULL domains (host is itself a public
     * suffix) drop, as in [[domainFilter]].
     */
+  /** @param unresolvable when true, documents whose URL yields a NULL
+    *   registrable domain (malformed, or the host IS a public suffix)
+    *   are NOT silently dropped: they aggregate under the sentinel
+    *   domain `(unresolvable)` so blocklist reviewers see the
+    *   dead-letter mass — a spam source emitting mostly malformed URLs
+    *   is otherwise invisible to induction. Default false preserves
+    *   the drop semantics ([[domainFilter]] parity).
+    */
   def domainQualityRollup(df: DataFrame, urlCol: String, idCol: String,
                           keepCol: String, wordsCol: String,
-                          psl: Seq[PslRule] = defaultPsl): DataFrame = {
+                          psl: Seq[PslRule] = defaultPsl,
+                          unresolvable: Boolean = false): DataFrame = {
     val g = greatest(col("parseable"), lit(1L)).cast("double")
+    val dom = registrableDomain(urlHost(col(urlCol)), psl)
     df.select(
-        registrableDomain(urlHost(col(urlCol)), psl).as("domain"),
+        (if (unresolvable) coalesce(dom, lit("(unresolvable)")) else dom)
+          .as("domain"),
         canonicalizeUrl(col(urlCol)).as("c"),
         col(keepCol).cast("int").as("_keep"),
         col(wordsCol).cast("long").as("_words"))
@@ -347,6 +365,31 @@ object WebCuration {
       .withColumn("block_score",
         round((col("dup_rate") + (lit(1d) - col("keep_rate"))) / 2d, 6))
   }
+
+  /** HTML MAIN-CONTENT extraction over a crawl frame — the
+    * trafilatura/jusText-style entry gate before gopher rules, line
+    * dedup, and tokenization (semantics on
+    * [[graft.plans.HtmlExpressions.htmlMainContent]]: raw-text and
+    * comment stripping, wholesale nav/header/footer/aside/form
+    * removal, block segmentation at block-level tags, entity decode,
+    * per-block link-density drop). Returns one row per document:
+    * (id, title, text, n_blocks, n_dropped, link_chars, text_chars).
+    *
+    * Scale shape: ONE map-only codegen'd projection on the crawl scan
+    * — no shuffle, no UDF boundary; at 100 TB this is a pass over the
+    * WARC-derived table at scan speed, and the projection prunes to
+    * (id, html) at the source.
+    */
+  def extractMainContent(df: DataFrame, idCol: String, htmlCol: String,
+                         maxLinkDensity: Double = 0.5): DataFrame =
+    df.select(col(idCol),
+        graft.plans.HtmlExpressions.htmlMainContent(
+          col(htmlCol), maxLinkDensity).as("m"))
+      .select(col(idCol), col("m.title").as("title"),
+        col("m.text").as("text"), col("m.n_blocks").as("n_blocks"),
+        col("m.n_dropped").as("n_dropped"),
+        col("m.link_chars").as("link_chars"),
+        col("m.text_chars").as("text_chars"))
 
   /** Per-domain quota cap: at most `quota` docs per registrable domain,
     * chosen by the deterministic content-free md5-of-id order — the

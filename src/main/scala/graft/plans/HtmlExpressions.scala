@@ -1,0 +1,320 @@
+package graft.plans
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.graft.ColumnBridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** HTML MAIN-CONTENT extraction — the trafilatura/jusText-style entry
+  * gate every web-corpus pipeline runs before quality scoring and line
+  * dedup (Barbaresi ACL'21 demo: trafilatura; Pomikálek 2011: jusText).
+  * Hand-rolled single-pass tokenizer (the house S4 pattern —
+  * `etl/Ingest.scala` HTML table source), no DOM materialization:
+  *
+  *   1. RAW-TEXT elements `script`/`style`/`noscript` and `<!-- -->`
+  *      comments are skipped wholesale (scan to the matching closer,
+  *      case-insensitive — script bodies may contain `<p>` literals).
+  *   2. BOILERPLATE CONTAINERS `nav`/`header`/`footer`/`aside`/`form`
+  *      are removed wholesale (depth-counted, so nesting is safe);
+  *      their text never forms candidate blocks.
+  *   3. `<title>` text is captured separately (first title element).
+  *   4. Remaining text accumulates into BLOCKS, split at block-level
+  *      tags (`p div section article h1..h6 li ul ol table tr td th
+  *      blockquote pre br hr` — open or close, and at container
+  *      boundaries). Entities decode (named core set + numeric),
+  *      whitespace runs collapse to one space, blocks trim; empty
+  *      blocks vanish.
+  *   5. Per block, anchor chars (text inside `<a>`) are counted; a
+  *      block with link_chars > maxLinkDensity × chars is DROPPED
+  *      (jusText's link-density boilerplate rule). Kept blocks join
+  *      with '\n' as the main text.
+  *
+  * Output struct: (title, text, n_blocks, n_dropped, link_chars,
+  * text_chars) — n_blocks counts candidate blocks outside containers,
+  * n_dropped those killed by link density; the char totals let callers
+  * derive a document-level link density without reparsing.
+  *
+  * Scale: one codegen'd expression, map-only — the 100 TB shape is a
+  * projection on the crawl scan, no shuffle, no UDF serialization.
+  * Malformed HTML never throws: unclosed tags just leave depth
+  * counters high, unknown entities copy verbatim, stray `<` is text.
+  */
+object HtmlExpressions {
+
+  /** Extract main content from an HTML string column; returns the
+    * 6-field struct documented on [[HtmlExtractKernel]].
+    */
+  def htmlMainContent(html: Column, maxLinkDensity: Double = 0.5): Column =
+    ColumnBridge.column(HtmlMainContent(
+      ColumnBridge.expression(html), maxLinkDensity))
+}
+
+object HtmlExtractKernel {
+  private val blockTags: java.util.HashSet[String] = {
+    val s = new java.util.HashSet[String]
+    Seq("p", "div", "section", "article", "h1", "h2", "h3", "h4", "h5",
+      "h6", "li", "ul", "ol", "table", "tr", "td", "th", "blockquote",
+      "pre", "br", "hr").foreach(s.add)
+    s
+  }
+  private val containerTags: java.util.HashSet[String] = {
+    val s = new java.util.HashSet[String]
+    Seq("nav", "header", "footer", "aside", "form").foreach(s.add)
+    s
+  }
+  private val rawTextTags: java.util.HashSet[String] = {
+    val s = new java.util.HashSet[String]
+    Seq("script", "style", "noscript").foreach(s.add)
+    s
+  }
+
+  /** Decode one entity starting at `i` (s(i) == '&'); append the decoded
+    * text to sb and return the index after the entity, or append '&' and
+    * return i+1 when it is not a recognized entity.
+    */
+  private def decodeEntity(s: String, i: Int,
+                           sb: java.lang.StringBuilder): Int = {
+    val semi = s.indexOf(';', i + 1)
+    if (semi < 0 || semi - i > 10) { sb.append('&'); return i + 1 }
+    val name = s.substring(i + 1, semi)
+    name match {
+      case "amp" => sb.append('&'); semi + 1
+      case "lt" => sb.append('<'); semi + 1
+      case "gt" => sb.append('>'); semi + 1
+      case "quot" => sb.append('"'); semi + 1
+      case "apos" => sb.append('\''); semi + 1
+      case "nbsp" => sb.append(' '); semi + 1
+      case _ if name.startsWith("#") =>
+        try {
+          val cp =
+            if (name.length > 1 && (name.charAt(1) == 'x' ||
+                name.charAt(1) == 'X'))
+              Integer.parseInt(name.substring(2), 16)
+            else Integer.parseInt(name.substring(1))
+          if (Character.isValidCodePoint(cp) && cp > 0) {
+            sb.appendCodePoint(cp); semi + 1
+          } else { sb.append('&'); i + 1 }
+        } catch { case _: NumberFormatException =>
+          sb.append('&'); i + 1 }
+      case _ => sb.append('&'); i + 1
+    }
+  }
+
+  /** Whitespace-collapse + trim a raw block buffer; "" if blank. */
+  private def collapse(raw: CharSequence): String = {
+    val sb = new java.lang.StringBuilder(raw.length)
+    var i = 0
+    var pendingSpace = false
+    while (i < raw.length) {
+      val c = raw.charAt(i)
+      if (Character.isWhitespace(c)) { if (sb.length > 0) pendingSpace = true }
+      else {
+        if (pendingSpace) { sb.append(' '); pendingSpace = false }
+        sb.append(c)
+      }
+      i += 1
+    }
+    sb.toString
+  }
+
+  def extract(htmlU: UTF8String, maxLinkDensity: Double): InternalRow = {
+    val s = htmlU.toString
+    val n = s.length
+    val title = new java.lang.StringBuilder
+    var titleDone = false
+    var inTitle = false
+    var containerDepth = 0
+    var aDepth = 0
+    // current block: raw decoded text + which chars are anchor text
+    val block = new java.lang.StringBuilder
+    var blockAnchor = 0L // decoded anchor chars in current block
+    val kept = new java.lang.StringBuilder
+    var nBlocks = 0
+    var nDropped = 0
+    var linkChars = 0L
+    var textChars = 0L
+
+    def flushBlock(): Unit = {
+      // collapse counts: anchor-char totals are exact on the raw
+      // buffer; whitespace collapse only removes whitespace, and the
+      // density rule compares against collapsed length
+      val txt = collapse(block)
+      if (txt.nonEmpty) {
+        nBlocks += 1
+        // conservative: anchor chars can include whitespace that
+        // collapse removed; recount by re-collapsing the anchor runs is
+        // overkill — instead anchor text was appended pre-collapsed
+        // (single spaces), so blockAnchor is exact for collapsed text
+        val chars = txt.length.toLong
+        textChars += chars
+        linkChars += math.min(blockAnchor, chars)
+        if (math.min(blockAnchor, chars).toDouble > maxLinkDensity * chars)
+          nDropped += 1
+        else {
+          if (kept.length > 0) kept.append('\n')
+          kept.append(txt)
+        }
+      }
+      block.setLength(0)
+      blockAnchor = 0L
+    }
+
+    // append decoded text-node content to the right sink
+    def appendText(raw: String): Unit = {
+      val sb = new java.lang.StringBuilder(raw.length)
+      var i = 0
+      while (i < raw.length) {
+        val c = raw.charAt(i)
+        if (c == '&') i = decodeEntity(raw, i, sb)
+        else { sb.append(c); i += 1 }
+      }
+      if (inTitle) { if (!titleDone) title.append(sb) }
+      else if (containerDepth == 0) {
+        if (aDepth > 0) {
+          // count anchor chars as they will survive collapse: collapse
+          // the fragment against the block's current tail state
+          val before = block.length
+          appendCollapsedInto(block, sb)
+          blockAnchor += (block.length - before).toLong
+        } else appendCollapsedInto(block, sb)
+      }
+    }
+
+    // append with incremental whitespace collapse (block-local)
+    def appendCollapsedInto(dst: java.lang.StringBuilder,
+                            src: java.lang.StringBuilder): Unit = {
+      var i = 0
+      while (i < src.length) {
+        val c = src.charAt(i)
+        if (Character.isWhitespace(c)) {
+          if (dst.length > 0 && dst.charAt(dst.length - 1) != ' ')
+            dst.append(' ')
+        } else dst.append(c)
+        i += 1
+      }
+    }
+
+    var i = 0
+    while (i < n) {
+      val lt = s.indexOf('<', i)
+      if (lt < 0) { appendText(s.substring(i)); i = n }
+      else {
+        if (lt > i) appendText(s.substring(i, lt))
+        if (lt + 3 < n && s.charAt(lt + 1) == '!' &&
+            s.charAt(lt + 2) == '-' && s.charAt(lt + 3) == '-') {
+          val end = s.indexOf("-->", lt + 4)
+          i = if (end < 0) n else end + 3
+        } else if (lt + 1 < n && (s.charAt(lt + 1) == '!' ||
+            s.charAt(lt + 1) == '?')) {
+          val gt = s.indexOf('>', lt + 1)
+          i = if (gt < 0) n else gt + 1
+        } else {
+          // parse tag name
+          var j = lt + 1
+          val closing = j < n && s.charAt(j) == '/'
+          if (closing) j += 1
+          val nameStart = j
+          while (j < n && (Character.isLetterOrDigit(s.charAt(j)))) j += 1
+          val name = s.substring(nameStart, j).toLowerCase
+          if (name.isEmpty) {
+            // stray '<' — literal text
+            if (!inTitle && containerDepth == 0) block.append('<')
+            i = lt + 1
+          } else {
+            // scan to tag end, honoring quoted attribute values
+            var k = j
+            var q = 0.toChar
+            var done = false
+            while (k < n && !done) {
+              val c = s.charAt(k)
+              if (q != 0) { if (c == q) q = 0.toChar; k += 1 }
+              else if (c == '"' || c == '\'') { q = c; k += 1 }
+              else if (c == '>') done = true
+              else k += 1
+            }
+            val tagEnd = if (done) k + 1 else n
+            if (!closing && rawTextTags.contains(name)) {
+              // skip to the matching close tag, case-insensitive
+              val lower = s.toLowerCase
+              val close = lower.indexOf("</" + name, tagEnd)
+              i = if (close < 0) n
+                  else {
+                    val gt = s.indexOf('>', close)
+                    if (gt < 0) n else gt + 1
+                  }
+            } else {
+              if (name == "title") {
+                if (!closing) { flushBlock(); inTitle = true }
+                else { inTitle = false; titleDone = titleDone || title.length > 0 }
+              } else if (containerTags.contains(name)) {
+                flushBlock()
+                if (!closing) containerDepth += 1
+                else if (containerDepth > 0) containerDepth -= 1
+              } else if (blockTags.contains(name)) {
+                if (containerDepth == 0) flushBlock()
+              } else if (name == "a") {
+                if (!closing) aDepth += 1
+                else if (aDepth > 0) aDepth -= 1
+              }
+              i = tagEnd
+            }
+          }
+        }
+      }
+    }
+    flushBlock()
+
+    val out = new GenericInternalRow(6)
+    out.update(0, UTF8String.fromString(collapse(title)))
+    out.update(1, UTF8String.fromString(kept.toString))
+    out.setInt(2, nBlocks)
+    out.setInt(3, nDropped)
+    out.setLong(4, linkChars)
+    out.setLong(5, textChars)
+    out
+  }
+}
+
+/** StringType → StructType unary kernel wrapper (the
+  * [[RegistrableDomain]] pattern: param is the structural-equality
+  * field, eval delegates to the static kernel).
+  */
+case class HtmlMainContent(child: Expression, maxLinkDensity: Double)
+    extends UnaryExpression with Serializable {
+  require(maxLinkDensity >= 0.0 && maxLinkDensity <= 1.0,
+    s"maxLinkDensity must be in [0, 1], got $maxLinkDensity")
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("title", StringType, nullable = false),
+    StructField("text", StringType, nullable = false),
+    StructField("n_blocks", IntegerType, nullable = false),
+    StructField("n_dropped", IntegerType, nullable = false),
+    StructField("link_chars", LongType, nullable = false),
+    StructField("text_chars", LongType, nullable = false)))
+
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "html_main_content"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires string input, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(h: Any): Any =
+    HtmlExtractKernel.extract(h.asInstanceOf[UTF8String], maxLinkDensity)
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""${ev.value} = graft.plans.HtmlExtractKernel.extract($c,
+         |  $maxLinkDensity);""".stripMargin)
+
+  override protected def withNewChildInternal(
+      newChild: Expression): HtmlMainContent = copy(child = newChild)
+}

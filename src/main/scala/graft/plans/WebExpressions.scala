@@ -45,6 +45,155 @@ object WebExpressions {
   def pctNormalize(component: Column): Column =
     ExpressionUtils.column(PctNormalize(
       ExpressionUtils.expression(component)))
+
+  /** IDN ToASCII of a host column (see [[IdnKernel.toAscii]]). */
+  def idnToAscii(host: Column): Column =
+    ExpressionUtils.column(IdnToAscii(ExpressionUtils.expression(host)))
+}
+
+/** IDN host normalization — the ToASCII subset a crawl-dedup key needs
+  * (RFC 3490/5891): per dot-separated label, a label with any non-ASCII
+  * code point is lowercased, NFC-normalized (the existing ingest
+  * convention — [[TextKernel.nfc]]), punycode-encoded (RFC 3492 §6.3)
+  * and prefixed `xn--`; pure-ASCII labels pass through byte-identical
+  * (including existing `xn--` labels — idempotent). Without this,
+  * `bücher.example` and `xn--bcher-kva.example` are distinct dedup keys
+  * and distinct PSL-probe hosts — a silent under-merge on exactly the
+  * multilingual crawl slices where URL dedup matters most.
+  *
+  * Deliberately NOT the full IDNA2008 protocol: no STD3 hyphen/length
+  * validation, no bidi/contextual-rule rejection — a normalizer for
+  * dedup keys must never throw on crawl garbage; invalid labels simply
+  * encode deterministically. (Pinned against `java.net.IDN.toASCII` on
+  * the NFC==NFKC alphabet in WebCurationSpec.)
+  *
+  * Stateless → static forwarder in codegen, the [[PctNormalizeKernel]]
+  * pattern.
+  */
+object IdnKernel {
+  private def digit(d: Int): Char =
+    if (d < 26) ('a' + d).toChar else ('0' + d - 26).toChar
+
+  private def adapt(d: Int, numPoints: Int, first: Boolean): Int = {
+    var delta = if (first) d / 700 else d / 2
+    delta += delta / numPoints
+    var k = 0
+    while (delta > ((36 - 1) * 26) / 2) { delta /= (36 - 1); k += 36 }
+    k + (36 - 1 + 1) * delta / (delta + 38)
+  }
+
+  /** RFC 3492 §6.3 punycode encoding of one label's code points. */
+  private def punycode(cps: Array[Int]): String = {
+    val out = new java.lang.StringBuilder
+    var h = 0
+    var i = 0
+    while (i < cps.length) {
+      if (cps(i) < 128) { out.append(cps(i).toChar); h += 1 }
+      i += 1
+    }
+    val b = h
+    if (b > 0) out.append('-')
+    var n = 128
+    var delta = 0
+    var bias = 72
+    while (h < cps.length) {
+      var m = Int.MaxValue
+      var j = 0
+      while (j < cps.length) {
+        if (cps(j) >= n && cps(j) < m) m = cps(j)
+        j += 1
+      }
+      delta += (m - n) * (h + 1) // labels are short; overflow unreachable
+      n = m
+      j = 0
+      while (j < cps.length) {
+        val c = cps(j)
+        if (c < n) delta += 1
+        else if (c == n) {
+          var q = delta
+          var k = 36
+          var done = false
+          while (!done) {
+            val t = if (k <= bias) 1 else if (k >= bias + 26) 26
+                    else k - bias
+            if (q < t) done = true
+            else {
+              out.append(digit(t + (q - t) % (36 - t)))
+              q = (q - t) / (36 - t)
+              k += 36
+            }
+          }
+          out.append(digit(q))
+          bias = adapt(delta, h + 1, h == b)
+          delta = 0
+          h += 1
+        }
+        j += 1
+      }
+      delta += 1
+      n += 1
+    }
+    out.toString
+  }
+
+  def toAscii(host: UTF8String): UTF8String = {
+    // fast path: pure-ASCII hosts (the overwhelming majority) return
+    // the input object untouched — no string conversion at all
+    if (host.numBytes == 0) return host
+    var allAscii = true
+    val bytes = host.getBytes
+    var bi = 0
+    while (allAscii && bi < bytes.length) {
+      if ((bytes(bi) & 0x80) != 0) allAscii = false
+      bi += 1
+    }
+    if (allAscii) return host
+    val s = host.toString
+    val out = new java.lang.StringBuilder(s.length + 8)
+    var start = 0
+    var i = 0
+    while (i <= s.length) {
+      if (i == s.length || s.charAt(i) == '.') {
+        val label = s.substring(start, i)
+        if (label.forall(_ < 128)) out.append(label)
+        else {
+          val norm = java.text.Normalizer.normalize(
+            label.toLowerCase(java.util.Locale.ROOT),
+            java.text.Normalizer.Form.NFC)
+          out.append("xn--").append(punycode(norm.codePoints.toArray))
+        }
+        if (i < s.length) out.append('.')
+        start = i + 1
+      }
+      i += 1
+    }
+    UTF8String.fromString(out.toString)
+  }
+}
+
+/** StringType → StringType unary wrapper over [[IdnKernel.toAscii]]. */
+case class IdnToAscii(child: Expression) extends UnaryExpression
+    with Serializable {
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "idn_to_ascii"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires string input, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(s: Any): Any =
+    IdnKernel.toAscii(s.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.plans.IdnKernel.toAscii($c);")
+
+  override protected def withNewChildInternal(
+      newChild: Expression): IdnToAscii = copy(child = newChild)
 }
 
 /** RFC 3986 §6.2.2.2 percent-encoding normalization: within each valid

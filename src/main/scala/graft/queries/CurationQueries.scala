@@ -1001,7 +1001,7 @@ object CurationQueries {
        |        FROM ld) d,
        |    unnest(range(1, len(d.ls) + 1)) AS x(i)),
        |b AS (
-       |  SELECT line FROM ln GROUP BY line
+       |  SELECT line FROM ln WHERE length(line) > 0 GROUP BY line
        |  HAVING count(DISTINCT doc_id) >= 3),
        |j AS (
        |  SELECT ln.doc_id, ln.pos, ln.line,

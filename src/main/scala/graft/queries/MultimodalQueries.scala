@@ -510,7 +510,86 @@ object MultimodalQueries {
        |FROM labels
        |ORDER BY doc_id""".stripMargin
 
+  /** Temporally-verified video near-dup (`VideoHash.nearDuplicates`),
+    * oracle-gated by the shared q109/q116 bit model extended with a
+    * TEMPORAL twist.
+    *
+    * Construction: each doc packs a 12-frame video (sampled every 2nd →
+    * 6 frames). Members 0–2 of each 4-doc group render their group
+    * fingerprint on EVERY frame (static footage); member 3 renders
+    * frame j as fp XOR a 12-bit window mask 4095 << 12·(j mod 5) — each
+    * signature bit is flipped in at most 2 of the 6 frames, so the
+    * per-bit MAJORITY signature still equals fp (the signature stage
+    * sees exactly q109's group geometry: distances 4/8, all 6 pairs are
+    * candidates), but member 3's per-POSITION frame distances to every
+    * other member are ≥ 14 bits (12-bit mask minus ≤ 2·overlap with the
+    * member-diff bits, hand-checked per window) — the alignment verify
+    * kills every pair involving member 3 while keeping the static
+    * pairs. The oracle recomputes signatures, per-position distances,
+    * and the alignment fractions closed-form from the same masks: a
+    * hash match proves frame packing → sampling → decode → dHash →
+    * majority vote → blocked signature join → rank-aligned verify
+    * end-to-end.
+    */
+  private def q144(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir).select(col("doc_id")).as[Long]
+    val media = docs.mapPartitions(_.map { d =>
+      val fpD = groupFp(d)
+      val frames = (0 until 12).map { i =>
+        val j = i / 2
+        val f = if (d % 4 == 3) fpD ^ (4095L << (12 * (j % 5))) else fpD
+        staircaseBmp(d, f)
+      }
+      MediaRow(d, "video", Multimodal.packFrames(frames), "gftv")
+    })
+    graft.multimodal.VideoHash.nearDuplicates(media, maxHamming = 8,
+        everyN = 2, frameRadius = 8, minAlignedFrac = 0.5,
+        codec = Codecs.BmpCodec)
+      .select(col("id_a"), col("id_b"), col("hamming"),
+        col("n_aligned"), col("n_pos"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  private val q144Sql =
+    """WITH f AS (
+      |  SELECT doc_id,
+      |    xor(CAST(concat('0x',
+      |          substr(md5(CAST(doc_id // 4 AS VARCHAR)), 1, 15)) AS BIGINT),
+      |        CASE WHEN doc_id % 4 = 0 THEN 0
+      |             ELSE 35185445863425 *
+      |                  (CAST(1 AS BIGINT) <<
+      |                   CAST(5 * (doc_id % 4) - 4 AS INTEGER)) END) AS fp
+      |  FROM documents),
+      |sigpairs AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |    CAST(bit_count(xor(a.fp, b.fp)) AS INTEGER) AS hamming,
+      |    a.fp AS fp_a, b.fp AS fp_b,
+      |    a.doc_id % 4 AS m_a, b.doc_id % 4 AS m_b
+      |  FROM f a JOIN f b ON a.doc_id < b.doc_id
+      |  WHERE bit_count(xor(a.fp, b.fp)) <= 8),
+      |pos AS (
+      |  SELECT p.*, j,
+      |    CASE WHEN p.m_a = 3
+      |         THEN CAST(4095 AS BIGINT) << CAST(12 * (j % 5) AS INTEGER)
+      |         ELSE 0 END AS mask_a,
+      |    CASE WHEN p.m_b = 3
+      |         THEN CAST(4095 AS BIGINT) << CAST(12 * (j % 5) AS INTEGER)
+      |         ELSE 0 END AS mask_b
+      |  FROM sigpairs p, LATERAL (SELECT unnest(range(0, 6)) AS j)),
+      |al AS (
+      |  SELECT id_a, id_b, hamming,
+      |    CAST(SUM(CASE WHEN bit_count(xor(xor(fp_a, mask_a),
+      |        xor(fp_b, mask_b))) <= 8 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_aligned,
+      |    CAST(COUNT(*) AS BIGINT) AS n_pos
+      |  FROM pos GROUP BY id_a, id_b, hamming)
+      |SELECT id_a, id_b, hamming, n_aligned, n_pos FROM al
+      |WHERE CAST(n_aligned AS DOUBLE) >= 0.5 * n_pos
+      |ORDER BY id_a, id_b""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q144_video_near_dup" -> (q144(_, _)),
     "q106_image_stats" -> (q106(_, _)),
     "q107_audio_stats" -> (q107(_, _)),
     "q108_video_frame_stats" -> (q108(_, _)),
@@ -520,6 +599,7 @@ object MultimodalQueries {
     "q136_joint_image_text_dedup" -> (q136(_, _)))
 
   val oracleSql: Map[String, String] = Map(
+    "q144_video_near_dup" -> q144Sql,
     "q106_image_stats" -> q106Sql,
     "q107_audio_stats" -> q107Sql,
     "q108_video_frame_stats" -> q108Sql,

@@ -716,7 +716,110 @@ object StreamingQueries {
       |FROM tb
       |ORDER BY user_id, session_start_ms""".stripMargin
 
+  /** Streaming domain-quality rollup (q138's continuous form,
+    * `StreamingPipeline.domainQualityStream`) — the q111 recipe applied
+    * to BLOCKLIST UPKEEP: the q138 fixture (gopher keeps + synthetic
+    * URLs) splits into 3 chunks by doc_id % 3 with ascending mtimes and
+    * streams one file per micro-batch; each batch updates the pair-
+    * digest and counter stores and emits the FULL per-domain rollup as
+    * of that batch. The oracle replays the whole emission history
+    * closed-form: for batch b, every rate is the q138 aggregate over
+    * docs with doc_id % 3 <= b, with n_canonical the distinct
+    * (domain, canonical URL) count within that prefix — exactly the
+    * accumulate-without-rescan store semantics, so a hash match proves
+    * first-seen pair accounting, counter accumulation, and the rounded
+    * rate algebra across micro-batches.
+    */
+  private def q145(s: SparkSession, dir: String): DataFrame = {
+    val fixture = graft.operators.Curation.gopherQualityFilter(
+        Tables.documents(s, dir), "doc_id", "text",
+        minWords = 20, maxWords = 90,
+        minMeanWordLen = 3.9, maxMeanWordLen = 5.1,
+        minUniqueFrac = 0.35, minStopwordFrac = 0.02,
+        stopwords = Seq("the", "a"))
+      .withColumn("url", WebQueries.synthUrl)
+      .select(col("doc_id"), col("url"), col("keep"), col("n_words"))
+    val work = scratchDir("graft_q145")
+    val inDir = cachedChunks(s"q145|$dir|3")(
+      writeChunks(fixture, "doc_id", _, 3))
+    val stateDir = new File(work, "state").getPath
+    val outDir = new File(work, "out")
+    outDir.mkdirs()
+    withGateConfs(s, 3) {
+      val stream = s.readStream
+        .schema(fixture.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(inDir.getPath)
+      val q = StreamingPipeline.domainQualityStream(
+          stream, "url", "doc_id", "keep", "n_words", stateDir) {
+          (rollup, batchId) =>
+            rollup.withColumn("batch_id", lit(batchId))
+              .write.mode("append").parquet(outDir.getPath)
+        }
+        .option("checkpointLocation", new File(work, "ckpt").getPath)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    s.read.parquet(outDir.getPath)
+      .select(col("batch_id"), col("domain"), col("n_docs"),
+        col("parseable"), col("n_canonical"), col("keep_rate"),
+        col("avg_words"), col("dup_rate"), col("block_score"))
+      .orderBy(col("batch_id"), col("domain"))
+  }
+
+  private val q145Sql =
+    s"""${WebQueries.synthUrlSql},
+       |${WebQueries.canonSql},
+       |dom AS (
+       |  SELECT doc_id, doc_id % 3 AS chunk, canonical_url,
+       |    ${WebQueries.domainCaseSql} AS domain
+       |  FROM canon),
+       |t AS (
+       |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+       |  FROM documents),
+       |m AS (
+       |  SELECT doc_id,
+       |    len(toks) AS n_words,
+       |    CAST(list_sum(list_transform(toks,
+       |      x -> CAST(length(x) AS BIGINT))) AS DOUBLE)
+       |      / CAST(greatest(len(toks), 1) AS DOUBLE) AS mwl,
+       |    CAST(len(list_distinct(toks)) AS DOUBLE)
+       |      / CAST(greatest(len(toks), 1) AS DOUBLE) AS uf,
+       |    CAST(len(list_filter(toks, w -> list_contains(['the','a'], w)))
+       |      AS DOUBLE) / CAST(greatest(len(toks), 1) AS DOUBLE) AS sf
+       |  FROM t),
+       |k AS (
+       |  SELECT doc_id, n_words,
+       |    ((n_words >= 20 AND n_words <= 90)
+       |      AND (mwl >= 3.9 AND mwl <= 5.1)
+       |      AND uf >= 0.35 AND sf >= 0.02) AS keep
+       |  FROM m),
+       |batches AS (SELECT unnest(range(0, 3)) AS batch_id),
+       |pre AS (
+       |  SELECT b.batch_id, d.domain,
+       |    count(*) AS n_docs,
+       |    count(d.canonical_url) AS parseable,
+       |    count(DISTINCT d.canonical_url) AS n_canonical,
+       |    round(avg(CAST(k.keep AS INT)), 6) AS keep_rate,
+       |    round(avg(CAST(k.n_words AS BIGINT)), 6) AS avg_words,
+       |    round(CAST(count(d.canonical_url)
+       |        - count(DISTINCT d.canonical_url) AS DOUBLE)
+       |      / CAST(greatest(count(d.canonical_url), 1) AS DOUBLE), 6)
+       |      AS dup_rate
+       |  FROM batches b
+       |  JOIN dom d ON d.chunk <= b.batch_id
+       |  JOIN k USING (doc_id)
+       |  WHERE d.domain IS NOT NULL
+       |  GROUP BY b.batch_id, d.domain)
+       |SELECT CAST(batch_id AS BIGINT) AS batch_id, domain, n_docs,
+       |  parseable, n_canonical, keep_rate, avg_words, dup_rate,
+       |  round((dup_rate + (1 - keep_rate)) / 2, 6) AS block_score
+       |FROM pre
+       |ORDER BY batch_id, domain""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q145_streaming_domain_rollup" -> (q145 _),
     "q129_streaming_sessionize" -> (q129 _),
     "q121_streaming_upsert" -> (q121 _),
     "q111_streaming_incr_dedup" -> (q111 _),
@@ -725,6 +828,7 @@ object StreamingQueries {
     "q118_streaming_interval_join" -> (q118 _))
 
   val oracleSql: Map[String, String] = Map(
+    "q145_streaming_domain_rollup" -> q145Sql,
     "q129_streaming_sessionize" -> q129Sql,
     "q121_streaming_upsert" -> q121Sql,
     "q111_streaming_incr_dedup" -> q111Sql,

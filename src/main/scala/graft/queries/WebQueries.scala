@@ -18,15 +18,21 @@ import graft.operators.WebCuration
   */
 object WebQueries {
 
-  // hosts: 12 raw forms → 11 canonical hosts → 8 registrable domains.
+  // hosts: 14 raw forms → 12 canonical hosts → 8 registrable domains.
   // Indices 0/1 differ only by case; 10/11 share a domain with distinct
   // hosts; 8 hits the PSL exception rule (!www.ck), 9 the wildcard
-  // (*.ck), 6/7 the private-registry suffix (github.io).
+  // (*.ck), 6/7 the private-registry suffix (github.io); 12/13 are IDN
+  // twins merging via punycode ToASCII.
+  // indices 12/13 (r14): IDN TWINS — the unicode host and its punycode
+  // form must merge onto one canonical host (and PSL domain) after the
+  // kernel's ToASCII pass; the oracle's mapping is hand-derived (the
+  // RFC 3492 worked example bücher → bcher-kva), not a kernel port
   private val hosts = Seq(
     "www.example.com", "WWW.Example.COM", "news.example.com",
     "blog.example.co.uk", "Sub.Blog.Example.co.uk", "docs.example.org",
     "alpha.github.io", "beta.github.io", "www.ck", "foo.bar.ck",
-    "cdn.example.net", "static.example.net")
+    "cdn.example.net", "static.example.net",
+    "bücher.example.com", "xn--bcher-kva.example.com")
   private val schemes = Seq("http", "HTTP", "https", "HTTPS")
   // three pct-encoded forms (r13): `/a%2fb` and `/a%2Fb` merge (hex-case
   // normalization), `/x%41y` decodes to `/xAy` (unreserved decode) —
@@ -43,12 +49,12 @@ object WebQueries {
     * arithmetic in both engines. (A single 60-bit int with `h / radix`
     * digit extraction is NOT portable: Spark's `Column./` on longs is
     * DOUBLE division, and above 2^53 the quotient loses bits.) */
-  private def synthUrl: Column = {
+  private[queries] def synthUrl: Column = {
     val d = md5(col("doc_id").cast("string"))
     def hex(pos: Int, len: Int): Column =
       conv(substring(d, pos, len), 16, 10).cast("long")
     val host = element_at(array(hosts.map(lit): _*),
-      (hex(1, 15) % 12).cast("int") + 1)
+      (hex(1, 15) % hosts.size).cast("int") + 1)
     val scheme = element_at(array(schemes.map(lit): _*),
       (hex(16, 4) % 4).cast("int") + 1)
     val path = element_at(array(paths.map(lit): _*),
@@ -71,7 +77,7 @@ object WebQueries {
 
   /** DuckDB-side synthesis of the same URL (list-literal indexing over
     * the same per-digit md5 substrings). */
-  private val synthUrlSql: String = {
+  private[queries] val synthUrlSql: String = {
     def arr(xs: Seq[String]) = xs.map(x => s"'$x'").mkString("([", ", ", "])")
     def hex(pos: Int, len: Int) =
       s"CAST(concat('0x', substr(d, $pos, $len)) AS BIGINT)"
@@ -83,7 +89,7 @@ object WebQueries {
        |    ${arr(schemes)}[CAST(${hex(16, 4)} % 4 AS INT) + 1] ||
        |    '://' ||
        |    ${arr(userinfos)}[CAST(${hex(32, 1)} % 4 AS INT) + 1] ||
-       |    ${arr(hosts)}[CAST(${hex(1, 15)} % 12 AS INT) + 1] ||
+       |    ${arr(hosts)}[CAST(${hex(1, 15)} % ${hosts.size} AS INT) + 1] ||
        |    CASE ${hex(24, 4)} % 3
        |         WHEN 1 THEN CASE WHEN lower(${arr(schemes)}[
        |             CAST(${hex(16, 4)} % 4 AS INT) + 1]) = 'http'
@@ -107,7 +113,7 @@ object WebQueries {
     * RFC 3986 §6.2.2.2 (a CASE over the fixed variant list — the
     * domainCaseSql pattern), deliberately NOT a port of the Scala
     * kernel. */
-  private val canonSql: String =
+  private[queries] val canonSql: String =
     """cparts AS (
       |  SELECT doc_id,
       |    lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
@@ -125,8 +131,11 @@ object WebQueries {
       |  FROM uu),
       |canon AS (
       |  SELECT doc_id, scheme,
-      |    regexp_extract(hostport, '^([^:]*)', 1) AS host,
-      |    scheme || '://' || regexp_extract(hostport, '^([^:]*)', 1) ||
+      |    replace(regexp_extract(hostport, '^([^:]*)', 1),
+      |      'bücher.', 'xn--bcher-kva.') AS host,
+      |    scheme || '://' ||
+      |    replace(regexp_extract(hostport, '^([^:]*)', 1),
+      |      'bücher.', 'xn--bcher-kva.') ||
       |    CASE WHEN regexp_extract(hostport, ':([0-9]+)$', 1) = ''
       |           THEN ''
       |         WHEN CAST(regexp_extract(hostport, ':([0-9]+)$', 1) AS INT)
@@ -145,7 +154,7 @@ object WebQueries {
     * oracle INDEPENDENT of the Scala algorithm (the algorithm itself is
     * additionally pinned against publicsuffix.org test vectors in
     * WebCurationSpec). */
-  private val domainCaseSql: String =
+  private[queries] val domainCaseSql: String =
     """CASE host
       |  WHEN 'www.example.com'        THEN 'example.com'
       |  WHEN 'news.example.com'       THEN 'example.com'
@@ -158,16 +167,17 @@ object WebQueries {
       |  WHEN 'foo.bar.ck'             THEN 'foo.bar.ck'
       |  WHEN 'cdn.example.net'        THEN 'example.net'
       |  WHEN 'static.example.net'     THEN 'example.net'
+      |  WHEN 'xn--bcher-kva.example.com' THEN 'example.com'
       |END""".stripMargin
 
   private val blocked = Seq("beta.github.io", "example.net")
 
   // --------------------------------------------------------------- q133
-  // Canonical-URL exact dedup: ~28k raw URL variants collapse to ≤ 528
+  // Canonical-URL exact dedup: ~33k raw URL variants collapse to ≤ 576
   // canonical groups (case, default-port, query-order, fragment,
-  // userinfo, and pct-encoding merges; path case and :8080 stay
-  // distinct). Output is one row per canonical URL with the min-id
-  // survivor — the C4-style "keep one page per URL" pass.
+  // userinfo, pct-encoding, and IDN/punycode merges; path case and
+  // :8080 stay distinct). Output is one row per canonical URL with the
+  // min-id survivor — the C4-style "keep one page per URL" pass.
   private def q133(s: SparkSession, dir: String): DataFrame =
     WebCuration.urlDedup(
         Tables.documents(s, dir).withColumn("url", synthUrl),
@@ -292,7 +302,9 @@ object WebQueries {
        |canon2 AS (
        |  SELECT doc_id,
        |    CASE WHEN mal THEN NULL ELSE
-       |    scheme || '://' || regexp_extract(hostport, '^([^:]*)', 1) ||
+       |    scheme || '://' ||
+       |    replace(regexp_extract(hostport, '^([^:]*)', 1),
+       |      'bücher.', 'xn--bcher-kva.') ||
        |    CASE WHEN regexp_extract(hostport, ':([0-9]+)$$', 1) = ''
        |           THEN ''
        |         WHEN CAST(regexp_extract(hostport, ':([0-9]+)$$', 1) AS INT)
@@ -377,7 +389,102 @@ object WebQueries {
        |FROM agg
        |ORDER BY block_score DESC, domain""".stripMargin
 
+  // --------------------------------------------------------------- q143
+  // HTML main-content extraction (trafilatura/jusText-style): documents
+  // render to synthetic HTML closed-form (the q106 bit-model trick —
+  // the generator, not the parser, is what the oracle replays): 8-token
+  // lines become role-cycled elements (nav container / pure-link
+  // paragraph / partial-link paragraph / entity-bearing paragraph /
+  // plain paragraph) wrapped in head/title/script/comment/footer noise.
+  // The extractor must strip script+comment+containers wholesale, pull
+  // the title, segment blocks, decode &amp;, and drop blocks whose
+  // link density exceeds 0.5 — inverting the construction exactly, so
+  // every output field is closed-form over the same token slices in
+  // DuckDB.
+  private def q143(s: SparkSession, dir: String): DataFrame = {
+    val toks = graft.functions.TextAnalysis.tokens(col("text"))
+    val nLines = ceil(size(toks).cast("double") / 8d).cast("int")
+    val body = array_join(transform(sequence(lit(0), nLines - 1), i => {
+      val line = array_join(slice(toks, i * 8 + 1, lit(8)), " ")
+      val tok1 = array_join(slice(toks, i * 8 + 1, lit(1)), "")
+      val rest = array_join(slice(toks, i * 8 + 2, lit(7)), " ")
+      when(i % 5 === 0,
+          concat(lit("<nav><a href=\"#\">"), line, lit("</a></nav>")))
+        .when(i % 5 === 1,
+          concat(lit("<p><a href=\"#\">"), line, lit("</a></p>")))
+        .when(i % 5 === 2,
+          concat(lit("<p><a href=\"#\">"), tok1, lit("</a> "), rest,
+            lit("</p>")))
+        .when(i % 5 === 3,
+          concat(lit("<p>"), line, lit(" x&amp;y</p>")))
+        .otherwise(concat(lit("<p>"), line, lit("</p>")))
+    }), "")
+    val html = concat(
+      lit("<html><head><title>"),
+      array_join(slice(toks, 1, 3), " "),
+      lit("</title><script>var q = \"<p>not text</p>\";</script>" +
+        "</head><body>"),
+      body,
+      lit("<!-- tail --><footer>site footer boilerplate</footer>" +
+        "</body></html>"))
+    val pages = Tables.documents(s, dir)
+      .filter(length(trim(col("text"))) > 0)
+      .select(col("doc_id"), html.as("html"))
+    WebCuration.extractMainContent(pages, "doc_id", "html")
+      .select(col("doc_id"), col("title"),
+        col("n_blocks").cast("long").as("n_blocks"),
+        col("n_dropped").cast("long").as("n_dropped"),
+        md5(col("text")).as("text_hash"),
+        col("link_chars"), col("text_chars"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val q143Sql =
+    s"""WITH t AS (
+       |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+       |  FROM documents
+       |  WHERE length(trim(text)) > 0),
+       |ln AS (
+       |  SELECT doc_id, x.i,
+       |    array_to_string(list_slice(toks, x.i*8 + 1, x.i*8 + 8), ' ')
+       |      AS line,
+       |    list_extract(toks, x.i*8 + 1) AS tok1
+       |  FROM t, unnest(range(0, CAST(ceil(len(toks) / 8.0) AS INT)))
+       |    AS x(i)),
+       |b AS (
+       |  SELECT doc_id, i, i % 5 AS role, line,
+       |    CASE WHEN i % 5 = 3 THEN line || ' x&y' ELSE line END AS btext,
+       |    CASE WHEN i % 5 = 1 THEN length(line)
+       |         WHEN i % 5 = 2 THEN length(tok1) ELSE 0 END AS a_chars
+       |  FROM ln WHERE i % 5 <> 0),
+       |k AS (
+       |  SELECT *, (CAST(a_chars AS DOUBLE) > 0.5 * length(btext))
+       |    AS dropped
+       |  FROM b),
+       |g AS (
+       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_blocks,
+       |    CAST(sum(CASE WHEN dropped THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_dropped,
+       |    md5(coalesce(string_agg(btext, chr(10) ORDER BY i)
+       |      FILTER (WHERE NOT dropped), '')) AS text_hash,
+       |    CAST(sum(a_chars) AS BIGINT) AS link_chars,
+       |    CAST(sum(length(btext)) AS BIGINT) AS text_chars
+       |  FROM k GROUP BY doc_id),
+       |ti AS (
+       |  SELECT doc_id, array_to_string(list_slice(toks, 1, 3), ' ')
+       |    AS title
+       |  FROM t)
+       |SELECT ti.doc_id, ti.title,
+       |  coalesce(g.n_blocks, 0) AS n_blocks,
+       |  coalesce(g.n_dropped, 0) AS n_dropped,
+       |  coalesce(g.text_hash, md5('')) AS text_hash,
+       |  coalesce(g.link_chars, 0) AS link_chars,
+       |  coalesce(g.text_chars, 0) AS text_chars
+       |FROM ti LEFT JOIN g USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q143_html_extract" -> (q143 _),
     "q133_url_dedup" -> (q133 _),
     "q134_domain_rollup" -> (q134 _),
     "q135_domain_quota" -> (q135 _),
@@ -385,6 +492,7 @@ object WebQueries {
     "q138_domain_blocklist" -> (q138 _))
 
   val oracleSql: Map[String, String] = Map(
+    "q143_html_extract" -> q143Sql,
     "q133_url_dedup" -> q133Sql,
     "q134_domain_rollup" -> q134Sql,
     "q135_domain_quota" -> q135Sql,

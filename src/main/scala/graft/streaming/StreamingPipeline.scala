@@ -919,4 +919,128 @@ object StreamingPipeline {
           }
       }
   }
+
+  // ------------------------------------------------------------------
+  // Streaming domain-quality rollup (q138's continuous form)
+  // ------------------------------------------------------------------
+
+  /** Incremental [[graft.operators.WebCuration.domainQualityRollup]]:
+    * the per-domain blocklist signals (dup rate × keep rate × mean
+    * words → block_score) refresh per micro-batch WITHOUT a corpus
+    * rescan. Two batchId-keyed stores:
+    *
+    *   - `pairs`: md5 digests of the distinct (domain, canonical URL)
+    *     pairs seen so far — probed map-side per batch (the
+    *     incrementalDedupDigestsMapSide shape: store semi-joins a
+    *     broadcast of the batch's pair digests, the batch anti-joins
+    *     the broadcast match set; the STORE never shuffles), so each
+    *     batch learns exactly its FIRST-SEEN pairs;
+    *   - `counters`: per-batch per-domain partial sums (docs,
+    *     parseable, keep, words, new-canonical) — model-scale rows.
+    *
+    * The per-batch rollup handed to `onBatch` aggregates the counters
+    * store (domains × batches rows, never documents), computing exactly
+    * the batch operator's rounded rates: after any prefix of
+    * micro-batches the emission equals `domainQualityRollup` over the
+    * union of those batches (StreamingSpec asserts it; q145 gates the
+    * whole emission history against DuckDB). Replay-idempotent: both
+    * stores key their subdirs by batchId and overwrite on replay; the
+    * pairs store auto-compacts like the digest store.
+    */
+  def domainQualityStream(docs: DataFrame, urlCol: String, idCol: String,
+                          keepCol: String, wordsCol: String,
+                          stateDir: String,
+                          psl: Seq[graft.operators.WebCuration.PslRule] =
+                            graft.operators.WebCuration.defaultPsl)(
+      onBatch: (DataFrame, Long) => Unit) = {
+    new java.io.File(stateDir, "pairs").mkdirs()
+    new java.io.File(stateDir, "counters").mkdirs()
+    docs.writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        domainQualityBatch(batch, batchId, urlCol, idCol, keepCol,
+          wordsCol, stateDir, psl)(onBatch)
+      }
+  }
+
+  private[graft] def domainQualityBatch(
+      batch: DataFrame, batchId: Long, urlCol: String, idCol: String,
+      keepCol: String, wordsCol: String, stateDir: String,
+      psl: Seq[graft.operators.WebCuration.PslRule])(
+      onBatch: (DataFrame, Long) => Unit): Unit = {
+    import graft.operators.WebCuration
+    val s = batch.sparkSession
+    val pairDir = s"$stateDir/pairs"
+    val ctrDir = s"$stateDir/counters"
+    val proj = batch.select(
+        WebCuration.registrableDomain(
+          WebCuration.urlHost(col(urlCol)), psl).as("domain"),
+        WebCuration.canonicalizeUrl(col(urlCol)).as("c"),
+        col(keepCol).cast("int").as("_keep"),
+        col(wordsCol).cast("long").as("_words"))
+      .filter(col("domain").isNotNull)
+      .localCheckpoint(true) // consumed twice (pairs + counters)
+    // first-seen (domain, canonical) pairs vs the digest store —
+    // map-side: the store never shuffles
+    val pairs = proj.filter(col("c").isNotNull)
+      .select(col("domain"),
+        md5(concat_ws(" ", col("domain"), col("c")))
+          .as("content_hash"))
+      .distinct()
+    val seenDirs = batchDirsBefore(pairDir, "b", Long.MaxValue)
+      .filterNot(_.getName == f"b$batchId%05d")
+    val seen =
+      if (seenDirs.nonEmpty)
+        seenDirs.map(d => s.read.parquet(d.getPath))
+          .reduce(_.unionByName(_, allowMissingColumns = true))
+      else s.range(0).select(lit("").as("content_hash"))
+    val matched = seen.select("content_hash")
+      .join(broadcast(pairs.select("content_hash")),
+        Seq("content_hash"), "left_semi")
+      .distinct()
+    val newPairs = pairs
+      .join(broadcast(matched), Seq("content_hash"), "left_anti")
+      .localCheckpoint(true) // written to the store AND counted
+    // per-batch per-domain partial sums — model-scale
+    val counters = proj.groupBy(col("domain"))
+      .agg(count(lit(1)).as("n_docs"),
+        count(col("c")).as("parseable"),
+        sum(col("_keep")).as("keep_sum"),
+        sum(col("_words")).as("words_sum"))
+      .join(newPairs.groupBy(col("domain"))
+          .agg(count(lit(1)).as("n_canon_new")),
+        Seq("domain"), "left")
+      .withColumn("n_canon_new", coalesce(col("n_canon_new"), lit(0L)))
+    counters.coalesce(1).write.mode("overwrite")
+      .parquet(f"$ctrDir/b$batchId%05d")
+    newPairs.select("content_hash").coalesce(1).write.mode("overwrite")
+      .parquet(f"$pairDir/b$batchId%05d")
+    // rollup over the counters store (this batch included): domains ×
+    // batches rows — the corpus is never rescanned
+    val ctrDirs = batchDirsBefore(ctrDir, "b", Long.MaxValue)
+    val allCtrs = ctrDirs.map(d => s.read.parquet(d.getPath))
+      .reduce(_.unionByName(_, allowMissingColumns = true))
+    val g = greatest(col("parseable"), lit(1L)).cast("double")
+    val rollup = allCtrs.groupBy(col("domain"))
+      .agg(sum(col("n_docs")).as("n_docs"),
+        sum(col("parseable")).as("parseable"),
+        sum(col("n_canon_new")).as("n_canonical"),
+        sum(col("keep_sum")).as("keep_sum"),
+        sum(col("words_sum")).as("words_sum"))
+      .select(col("domain"), col("n_docs"), col("parseable"),
+        col("n_canonical"),
+        round(col("keep_sum").cast("double") /
+          col("n_docs").cast("double"), 6).as("keep_rate"),
+        round(col("words_sum").cast("double") /
+          col("n_docs").cast("double"), 6).as("avg_words"),
+        round((col("parseable") - col("n_canonical")).cast("double") / g, 6)
+          .as("dup_rate"))
+      .withColumn("block_score",
+        round((col("dup_rate") + (lit(1d) - col("keep_rate"))) / 2d, 6))
+    onBatch(rollup, batchId)
+    if (batchDirsBefore(pairDir, "b", Long.MaxValue).length >=
+        DigestCompactMinDirs)
+      compactStateDirs(s, pairDir, beforeId = batchId)
+    ()
+  }
 }

@@ -41,8 +41,9 @@ object BpeProf {
     val vocabSize = 30000
     val docs = spark.range(nDocs.toLong).select(col("id").as("doc_id"),
       expr(s"""array_join(transform(sequence(1, 60), i ->
-        concat('w', conv(cast(pow(rand(cast(id as int) * 60 + i), 3.0)
-          * $vocabSize as int), 10, 24))), ' ')""").as("text"))
+        concat('w', conv(cast(pow((abs(xxhash64(id * 60 + i)) % 10000)
+          / 10000.0, 3.0) * $vocabSize as int), 10, 24))), ' ')""")
+        .as("text"))
       .localCheckpoint(true)
 
     def timeIt(f: => Long): Double = {
@@ -51,17 +52,13 @@ object BpeProf {
     }
 
     // learn once at full budget (batch=8 — the round-trip-batched form)
-    val tLearn8 = timeIt {
-      val t = graft.operators.Curation.learnBpeMerges(
-        docs.limit(20000), "text", rounds = maxMerges, minFreq = 1,
-        batch = 8)
-      t.count()
-    }
+    val t0 = System.nanoTime()
     val table = graft.operators.Curation.learnBpeMerges(
         docs.limit(20000), "text", rounds = maxMerges, minFreq = 1,
         batch = 8)
       .orderBy("round").collect()
       .map(r => (r.getString(1), r.getString(2))).toSeq
+    val tLearn8 = (System.nanoTime() - t0) / 1e9
     println(s"""{"probe":"s140_learn","batch":8,"rules":${table.size},""" +
       s""""sec":$tLearn8}""")
     val tLearn1 = timeIt {

@@ -301,4 +301,83 @@ class MultimodalSpec extends SparkSpec {
       .collect().find(_.getLong(0) == 1L).get.getSeq[Float](1)
     assert(v == again)
   }
+
+  // ---- VideoHash: temporal near-dup --------------------------------
+
+  /** 9×8 grayscale staircase whose dHash IS `fp` (the q109 bit model). */
+  private def stairFrame(id: Long, fp: Long): Array[Byte] = {
+    val w = 9; val h = 8
+    val px = new Array[Byte](w * h * 3)
+    var y = 0
+    while (y < h) {
+      var v = 128
+      var x = 0
+      while (x <= 8) {
+        if (x > 0) {
+          val bit = y * 8 + (x - 1)
+          v += (if (bit < 60 && ((fp >> bit) & 1L) == 1L) 1 else -1)
+        }
+        val o = (y * w + x) * 3
+        px(o) = v.toByte; px(o + 1) = v.toByte; px(o + 2) = v.toByte
+        x += 1
+      }
+      y += 1
+    }
+    graft.multimodal.Codecs.BmpCodec.encode(Image(id, w, h, 3, px))
+  }
+
+  private def video(id: Long, frameFps: Seq[Long]): MediaRow =
+    MediaRow(id, "video",
+      Multimodal.packFrames(frameFps.map(stairFrame(id, _))), "gftv")
+
+  test("VideoHash: majority signature, blocked candidates, alignment " +
+    "verify separates static dups from timeline-scrambled twins") {
+    import graft.multimodal.VideoHash
+    val base = 0x0123456789ABCDL // 56-bit fp, bits 60+ clear
+    val near = base ^ 0x7L // 3 bits away
+    // v1/v2: identical static footage → signature dist 0, all aligned.
+    // v3: same MAJORITY signature as v1 (each window bit flipped in
+    //     only 1 of 4 frames) but every frame ≥ 12 bits from v1's →
+    //     signature candidate, killed by alignment.
+    // v4: near-identical static footage (3 bits) → kept.
+    val masks = Seq(0xFFFL, 0xFFF000L, 0xFFF000000L, 0xFFF000000000L)
+    val vids = Seq(
+      video(1, Seq.fill(4)(base)),
+      video(2, Seq.fill(4)(base)),
+      video(3, masks.map(base ^ _)),
+      video(4, Seq.fill(4)(near))).toDS()
+    val sig = VideoHash.temporalSignature(
+      VideoHash.frameFingerprints(vids, everyN = 1,
+        codec = graft.multimodal.Codecs.BmpCodec))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getInt(2)))
+      .toMap
+    assert(sig(1L) == (base, 4) && sig(3L) == (base, 4) &&
+      sig(4L) == (near, 4), s"signatures wrong: $sig")
+    val pairs = VideoHash.nearDuplicates(vids, maxHamming = 8,
+        everyN = 1, frameRadius = 8, minAlignedFrac = 0.5,
+        codec = graft.multimodal.Codecs.BmpCodec)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L), (1L, 4L), (2L, 4L)),
+      s"verified pairs wrong: $pairs — member 3 must die in alignment")
+  }
+
+  test("VideoHash: route guard refuses above threshold, names the " +
+    "corpus alternative; dedupCorpus collapses signature clusters") {
+    import graft.multimodal.VideoHash
+    val base = 0x00FFAA5500FF55L
+    val vids = (1L to 6L).map(i =>
+      video(i, Seq.fill(3)(if (i <= 3) base else base ^ (0xFFL << 20))))
+      .toDS()
+    val e = intercept[IllegalArgumentException] {
+      VideoHash.nearDuplicates(vids, maxHamming = 4, everyN = 1,
+        codec = graft.multimodal.Codecs.BmpCodec, routeThreshold = 2L)
+    }
+    assert(e.getMessage.contains("dedupCorpus"),
+      "route guard must name the scale-safe alternative")
+    val cc = VideoHash.dedupCorpus(vids, maxHamming = 4, everyN = 1,
+        codec = graft.multimodal.Codecs.BmpCodec)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert((1L to 3L).forall(cc(_) == 1L) && (4L to 6L).forall(cc(_) == 4L),
+      s"corpus components wrong: $cc")
+  }
 }

@@ -1110,4 +1110,54 @@ class StreamingSpec extends SparkSpec {
     query.stop()
     assert(refinedRows.toSet == Set(("超商", "交易"), ("信用卡繳款", "繳款")))
   }
+
+  test("domainQualityStream: per-batch emissions equal the batch rollup " +
+    "over the streamed prefix; batch replay is idempotent") {
+    import spark.implicits._
+    import graft.operators.WebCuration
+    // two domains, duplicate canonical URLs across batches, an IDN twin,
+    // and one unresolvable URL (dropped — default rollup semantics)
+    val rows = Seq(
+      (1L, "https://a.example.com/x", true, 10L),
+      (2L, "https://A.example.com:443/x", false, 20L), // dup of 1 (case)
+      (3L, "https://b.example.org/y", true, 30L),
+      (4L, "https://com/zz", true, 5L), // unresolvable → dropped
+      (5L, "https://a.example.com/x", true, 40L), // dup of 1, batch 1
+      (6L, "https://xn--bcher-kva.example.org/z", false, 50L),
+      (7L, "https://bücher.example.org/z", true, 60L)) // IDN twin of 6
+    val batches = Seq(rows.take(4), rows.drop(4))
+    def df(b: Seq[(Long, String, Boolean, Long)]) =
+      b.toDF("doc_id", "url", "keep", "n_words")
+    val stateDir = Files.createTempDirectory("graft_dqs").toString
+    val emissions = scala.collection.mutable.Map.empty[Long, Seq[String]]
+    def run(b: Int): Unit =
+      StreamingPipeline.domainQualityBatch(df(batches(b)), b.toLong,
+          "url", "doc_id", "keep", "n_words", stateDir,
+          WebCuration.defaultPsl) { (rollup, id) =>
+        emissions(id) = rollup.orderBy("domain").collect()
+          .map(_.mkString("|")).toSeq
+      }
+    run(0); run(1)
+    // parity: emission after batch b == batch operator over the prefix
+    (0 to 1).foreach { b =>
+      val prefix = df(batches.take(b + 1).flatten)
+      val expect = WebCuration.domainQualityRollup(prefix, "url",
+          "doc_id", "keep", "n_words")
+        .select(col("domain"), col("n_docs"), col("parseable"),
+          col("n_canonical"), col("keep_rate"), col("avg_words"),
+          col("dup_rate"), col("block_score"))
+        .orderBy("domain").collect().map(_.mkString("|")).toSeq
+      assert(emissions(b.toLong) == expect,
+        s"batch $b emission != batch rollup:\n${emissions(b.toLong)}\n$expect")
+    }
+    // the IDN twin pair (6, 7) must have merged to ONE canonical URL
+    val last = emissions(1L)
+    assert(last.exists(r => r.startsWith("example.org|3|3|2|")),
+      s"IDN twins did not merge in the streaming store: $last")
+    // replay idempotence: re-running batch 1 (a foreachBatch replay
+    // after checkpoint recovery) must emit the identical rollup
+    val before = emissions(1L)
+    run(1)
+    assert(emissions(1L) == before, "batch replay changed the rollup")
+  }
 }

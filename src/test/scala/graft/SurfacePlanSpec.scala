@@ -417,6 +417,23 @@ class SurfacePlanSpec extends SparkSpec {
       s"non-sort exchange in a map-only operator:\n${exchanges.mkString("\n")}")
   }
 
+  test("q143 HTML extraction is a single map-only stage: no join, no " +
+    "window, no aggregation — the 100 TB shape is a projection at scan " +
+    "speed (the gate's ORDER BY is the only exchange)") {
+    val plan = physical(run("q143_html_extract"))
+    val s = plan.toString
+    assert(!s.contains("Join"), "html extraction must not plan any join")
+    assert(plan.collect { case w: WindowExec => w }.isEmpty,
+      "html extraction must not plan a window pass")
+    assert(!s.contains("HashAggregate") && !s.contains("SortAggregate"),
+      "html extraction must not plan an aggregation")
+    assert(s.contains("html_main_content"),
+      "the native kernel must appear in the physical plan")
+    val exchanges = s.linesIterator.filter(_.contains("Exchange")).toSeq
+    assert(exchanges.forall(_.contains("rangepartitioning")),
+      s"non-sort exchange in a map-only operator:\n${exchanges.mkString("\n")}")
+  }
+
   test("q127/q128 centroid assignment runs the native codegen kernels " +
     "(nearest_centroid / min_centroid_dist), never the CodegenFallback " +
     "HOF tree") {

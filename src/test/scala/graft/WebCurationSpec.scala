@@ -396,4 +396,159 @@ class WebCurationSpec extends SparkSpec {
       .select("id").collect().map(_.getLong(0)).toSet
     assert(ids1 == ids2)
   }
+
+  private def idn(hosts: Seq[String]): Map[String, String] = {
+    import spark.implicits._
+    hosts.toDF("h")
+      .select(col("h"), graft.plans.WebExpressions.idnToAscii(col("h"))
+        .as("a"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+  }
+
+  test("idnToAscii: RFC vectors, ascii byte-identity, idempotence, " +
+    "per-label mixing, NFD input normalizes before encoding") {
+    val out = idn(Seq(
+      "bücher.example", "münchen.de", "www.example.com",
+      "xn--bcher-kva.example", "bücher.example.bücher", "a..b",
+      "bücher.example")) // NFD u + combining diaeresis
+    assert(out("bücher.example") == "xn--bcher-kva.example")
+    assert(out("münchen.de") == "xn--mnchen-3ya.de")
+    assert(out("www.example.com") == "www.example.com")
+    assert(out("xn--bcher-kva.example") == "xn--bcher-kva.example",
+      "already-encoded labels must pass through (idempotence)")
+    assert(out("bücher.example.bücher") ==
+      "xn--bcher-kva.example.xn--bcher-kva")
+    assert(out("a..b") == "a..b", "empty labels preserved, never thrown")
+    assert(out("bücher.example") == "xn--bcher-kva.example",
+      "NFD input must NFC-normalize before punycode")
+  }
+
+  test("idnToAscii property-pin vs java.net.IDN.toASCII over random " +
+    "labels on the NFC==NFKC lowercase alphabet") {
+    val rnd = new scala.util.Random(11)
+    val alpha = "abmz09üéñöç漢字ики"
+    val hosts = Seq.fill(300)(
+      (1 to (1 + rnd.nextInt(3))).map(_ =>
+        (1 to (1 + rnd.nextInt(6))).map(_ =>
+          alpha(rnd.nextInt(alpha.length))).mkString).mkString("."))
+      .distinct
+    val got = idn(hosts)
+    hosts.foreach { h =>
+      val exp = java.net.IDN.toASCII(h, java.net.IDN.ALLOW_UNASSIGNED)
+      assert(got(h) == exp, s"idn mismatch for '$h': ${got(h)} != $exp")
+    }
+  }
+
+  test("canonicalizeUrl + urlHost merge IDN twins onto one key and " +
+    "one registrable domain") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "https://bücher.example.com/x?b=2&a=1"),
+      (2L, "https://xn--bcher-kva.example.com/x?a=1&b=2"),
+      (3L, "https://BÜCHER.example.com:443/x?a=1&b=2"))
+      .toDF("id", "url")
+    val keys = df.select(WebCuration.canonicalizeUrl(col("url")).as("c"))
+      .collect().map(_.getString(0)).toSet
+    assert(keys ==
+      Set("https://xn--bcher-kva.example.com/x?a=1&b=2"),
+      s"IDN twins must merge: $keys")
+    val doms = df.select(WebCuration.registrableDomain(
+        WebCuration.urlHost(col("url"))).as("d"))
+      .collect().map(_.getString(0)).toSet
+    assert(doms == Set("example.com"), s"domains: $doms")
+  }
+
+  test("extractMainContent: containers, raw-text elements, comments " +
+    "stripped; title captured; link-density blocks dropped; entities " +
+    "decoded") {
+    import spark.implicits._
+    val html =
+      """<!DOCTYPE html><html><head>
+        |<title>My  Page &amp; Title</title>
+        |<style>p { color: red; }</style>
+        |<script>var s = "<p>fake paragraph</p>";</script>
+        |</head><body>
+        |<header><h1>Site Header</h1></header>
+        |<nav><ul><li><a href="/">Home</a></li><li><a href="/x">X</a>
+        |</li></ul></nav>
+        |<p>Real   content with an <a href="/in">inline link</a> here.</p>
+        |<div><a href="/1">link one</a> <a href="/2">link two</a></div>
+        |<p>Second &lt;real&gt; paragraph &#65;.</p>
+        |<aside>Related articles boilerplate</aside>
+        |<footer>Copyright &copy; footer</footer>
+        |</body></html>""".stripMargin
+    val out = WebCuration.extractMainContent(
+        Seq((1L, html)).toDF("doc_id", "html"), "doc_id", "html")
+      .collect().head
+    assert(out.getString(1) == "My Page & Title", s"title: ${out.getString(1)}")
+    // candidate blocks: the two <p>s and the all-link <div>; header/nav/
+    // aside/footer text never appears
+    assert(out.getInt(4) == 1, s"n_dropped: ${out.getInt(4)}") // the div
+    assert(out.getInt(3) == 3, s"n_blocks: ${out.getInt(3)}")
+    assert(out.getString(2) ==
+      "Real content with an inline link here.\nSecond <real> paragraph A.",
+      s"text: '${out.getString(2)}'")
+    // link chars: "inline link" (11) + "link one"+"link two" (16) — the
+    // inter-anchor space is plain text
+    assert(out.getLong(5) == 27L, s"link_chars: ${out.getLong(5)}")
+  }
+
+  test("extractMainContent: malformed HTML never throws — unclosed " +
+    "tags, stray '<', missing closers, empty input") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "<p>unclosed paragraph"),
+      (2L, "a < b and c > d"),
+      (3L, "<script>never closed"),
+      (4L, ""),
+      (5L, "<nav>never closed nav<p>swallowed</p>"),
+      (6L, "<p>ok</p><"),
+      (7L, "<p>bad &entity; kept &#xZZ; verbatim</p>"))
+      .toDF("doc_id", "html")
+    val out = WebCuration.extractMainContent(rows, "doc_id", "html")
+      .orderBy("doc_id").collect()
+    assert(out(0).getString(2) == "unclosed paragraph")
+    assert(out(1).getString(2) == "a < b and c > d")
+    assert(out(2).getString(2) == "" && out(2).getInt(3) == 0)
+    assert(out(3).getString(2) == "" && out(3).getString(1) == "")
+    // unclosed container swallows the rest — conservative, never throws
+    assert(out(4).getString(2) == "")
+    // trailing stray '<' is literal text — its own block after </p>
+    assert(out(5).getString(2) == "ok\n<")
+    assert(out(6).getString(2) == "bad &entity; kept &#xZZ; verbatim")
+  }
+
+  test("extractMainContent: nested containers and per-block density " +
+    "edge (exactly half link chars is KEPT at the 0.5 default)") {
+    import spark.implicits._
+    val html = "<footer><nav><p>double nested</p></nav>still footer" +
+      "</footer><p><a href=\"/\">abcd</a> efg.</p>"
+    val out = WebCuration.extractMainContent(
+        Seq((1L, html)).toDF("doc_id", "html"), "doc_id", "html")
+      .collect().head
+    // block text "abcd efg." = 9 chars, anchor 4: 4 <= 4.5 → kept
+    assert(out.getString(2) == "abcd efg." && out.getInt(4) == 0,
+      s"edge block wrong: '${out.getString(2)}' dropped=${out.getInt(4)}")
+  }
+
+  test("domainQualityRollup: unresolvable=true surfaces the dead-letter " +
+    "mass as a sentinel domain row") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "https://a.example.com/x", true, 10L),
+      (2L, "https://com/x", false, 5L), // host IS a public suffix
+      (3L, "https://com/y", false, 7L))
+      .toDF("doc_id", "url", "keep", "n_words")
+    val strict = WebCuration.domainQualityRollup(
+      docs, "url", "doc_id", "keep", "n_words")
+    assert(strict.count() == 1, "default must drop unresolvable domains")
+    val loose = WebCuration.domainQualityRollup(
+        docs, "url", "doc_id", "keep", "n_words",
+        unresolvable = true)
+      .orderBy("domain").collect()
+    assert(loose.length == 2)
+    val sentinel = loose.find(_.getString(0) == "(unresolvable)")
+    assert(sentinel.isDefined && sentinel.get.getLong(1) == 2L,
+      s"sentinel row wrong: ${loose.toSeq}")
+  }
 }

@@ -124,6 +124,25 @@ def main():
           f"({len(oq)} queries)")
     print(f"new: {new_path} total={new['value']:.2f}s "
           f"({len(nq)} queries)  run-drift={drift:.2f}x")
+    # family rollup (r14): with ~140 heterogeneous queries the scalar
+    # total is noise-dominated — per-family minima totals are the
+    # attributable round-over-round unit. graft.Bench emits "families";
+    # older runs fall back silently.
+    of, nf = old.get("families"), new.get("families")
+    if of and nf:
+        print("families (minima totals, raw / drift-adjusted):")
+        for fam in sorted(set(of) | set(nf)):
+            a = of.get(fam, {}).get("total")
+            b = nf.get(fam, {}).get("total")
+            if a is None or b is None:
+                print(f"  {fam:12s} "
+                      f"{'-' if a is None else f'{a:7.2f}s'} -> "
+                      f"{'-' if b is None else f'{b:7.2f}s'}")
+            else:
+                r = b / a if a > 0 else float("inf")
+                print(f"  {fam:12s} {a:7.2f}s -> {b:7.2f}s  "
+                      f"{r:.2f}x raw, {r / drift:.2f}x drift-adj "
+                      f"(n={nf[fam].get('n')})")
     if band:
         lo, hi = min(band), max(band)
         print(f"in-band ({len(band)} queries): raw ratios "
