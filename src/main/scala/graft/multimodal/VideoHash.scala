@@ -81,6 +81,16 @@ object VideoHash {
     * within `frameRadius` bits; survivors satisfy
     * n_aligned >= minAlignedFrac × n_pos.
     *
+    * `maxShift` > 0 adds TRIM TOLERANCE — real video dups are clipped
+    * or re-cut, so the timelines align at a nonzero offset: the verify
+    * tries every offset in [-maxShift, maxShift] (frame j of A against
+    * frame j+offset of B), keeps each pair's best offset (highest
+    * aligned fraction; ties prefer the smallest |offset|), and adds a
+    * `best_shift` column. Offsets multiply the alignment join's
+    * CANDIDATE rows only (2·maxShift+1 tiny (pair, rank) rows per
+    * candidate pair — never corpus-scale); the default 0 keeps the
+    * q144-gated exact-position semantics and schema.
+    *
     * ROUTE GUARD (image/audio family parity): above `routeThreshold`
     * videos the call REFUSES — the pair LIST is the superlinear object;
     * at corpus scale use [[dedupCorpus]] (signature-level exact-code
@@ -93,9 +103,11 @@ object VideoHash {
                      codec: ImageCodec = Codecs.AutoCodec,
                      hash: Image => Long = ImageHash.dHash64,
                      numBlocks: Int = -1,
-                     routeThreshold: Long = 1L << 23): DataFrame = {
+                     routeThreshold: Long = 1L << 23,
+                     maxShift: Int = 0): DataFrame = {
     require(minAlignedFrac > 0.0 && minAlignedFrac <= 1.0,
       s"minAlignedFrac must be in (0, 1], got $minAlignedFrac")
+    require(maxShift >= 0, s"maxShift must be >= 0, got $maxShift")
     // eager localCheckpoint: the frame table feeds the signature AND
     // both sides of the alignment join — without a lineage break each
     // consumer re-runs the full decode pass; the checkpointed frame
@@ -124,15 +136,46 @@ object VideoHash {
       col("fp").as("fp_a"))
     val fb = ranked.select(col("media_id").as("id_b"), col("rk"),
       col("fp").as("fp_b"))
-    sigPairs
-      .join(fa, Seq("id_a"))
-      .join(fb, Seq("id_b", "rk"))
-      .groupBy(col("id_a"), col("id_b"), col("hamming"))
-      .agg(sum(when(expr(s"bit_count(fp_a ^ fp_b)") <= frameRadius, 1L)
-          .otherwise(0L)).as("n_aligned"),
-        count(lit(1)).as("n_pos"))
-      .filter(col("n_aligned").cast("double") >=
-        lit(minAlignedFrac) * col("n_pos"))
+    if (maxShift == 0) {
+      sigPairs
+        .join(fa, Seq("id_a"))
+        .join(fb, Seq("id_b", "rk"))
+        .groupBy(col("id_a"), col("id_b"), col("hamming"))
+        .agg(sum(when(expr("bit_count(fp_a ^ fp_b)") <= frameRadius, 1L)
+            .otherwise(0L)).as("n_aligned"),
+          count(lit(1)).as("n_pos"))
+        .filter(col("n_aligned").cast("double") >=
+          lit(minAlignedFrac) * col("n_pos"))
+    } else {
+      val offsets = (-maxShift to maxShift).toArray
+      val fbs = fb.select(col("id_b").as("_idb"), col("rk").as("_rkb"),
+        col("fp_b"))
+      val best = sigPairs
+        .withColumn("off", explode(lit(offsets)))
+        .join(fa, Seq("id_a"))
+        .join(fbs, col("id_b") === col("_idb") &&
+          col("rk") + col("off") === col("_rkb"))
+        .groupBy(col("id_a"), col("id_b"), col("hamming"), col("off"))
+        .agg(sum(when(expr("bit_count(fp_a ^ fp_b)") <= frameRadius, 1L)
+            .otherwise(0L)).as("n_aligned"),
+          count(lit(1)).as("n_pos"))
+        // best offset per pair: highest aligned fraction, ties to the
+        // smallest |offset| (then the positive one) — a deterministic
+        // struct-max, no second window pass
+        .groupBy(col("id_a"), col("id_b"), col("hamming"))
+        .agg(max(struct(
+          (col("n_aligned").cast("double") / col("n_pos")).as("frac"),
+          (-abs(col("off"))).as("negabs"),
+          col("off").as("off"),
+          col("n_aligned").as("n_aligned"),
+          col("n_pos").as("n_pos"))).as("b"))
+      best.select(col("id_a"), col("id_b"), col("hamming"),
+          col("b.n_aligned").as("n_aligned"),
+          col("b.n_pos").as("n_pos"),
+          col("b.off").as("best_shift"))
+        .filter(col("n_aligned").cast("double") >=
+          lit(minAlignedFrac) * col("n_pos"))
+    }
   }
 
   /** Corpus-scale video dedup over temporal SIGNATURES: exact-signature

@@ -374,6 +374,104 @@ object Curation {
     (result, tf)
   }
 
+  /** Per-doc BIGRAM cross-entropy vs the corpus's own add-one bigram LM
+    * — the next-order member of the perplexity-filter family (q98
+    * unigram, q101 frozen-unigram): real CCNet/KenLM filters are n-gram
+    * LMs, and the bigram order separates "rare words" (which unigram CE
+    * already prices) from "implausible word ORDER" — the signal that
+    * catches template spam and shuffled text that unigram statistics
+    * cannot see.
+    *
+    * Model: P(r | l) = (c(l,r) + 1) / (c(l,·) + V + 1) — add-one over
+    * the V-word corpus vocabulary plus one pooled OOV class (the q101
+    * convention), c(l,·) the corpus count of bigrams with left context
+    * l. CE = Σ −ln P over the doc's bigrams / the doc's bigram count.
+    * Documents with fewer than two tokens are KEPT with n_bigrams = 0,
+    * ce = 0 (the q140 zero-token discipline).
+    *
+    * Scale shape: one tokenize + bigram explode into a (doc, l, r)
+    * partial-agg shuffle; the LM (bigram table joined with its
+    * left-context totals) is model-sized and BROADCAST into the scoring
+    * join under the measured-bytes ceiling ([[BroadcastVocabMaxBytes]]
+    * — the q98 lesson: the model belongs on the map side, else the
+    * scoring join sort-merge-shuffles the corpus on skewed term keys);
+    * above the ceiling it falls back to shuffle, correct just slower.
+    * Determinism: exact long counts, ln on double ratios, per-doc sum
+    * folded in (l, r) order — no float reduction depends on row order.
+    */
+  def bigramCrossEntropy(df: DataFrame, idCol: String, textCol: String,
+                         storage: org.apache.spark.storage.StorageLevel =
+                           org.apache.spark.storage.StorageLevel
+                             .MEMORY_AND_DISK): DataFrame =
+    bigramCrossEntropyBuild(df, idCol, textCol, storage)._1
+
+  /** [[bigramCrossEntropy]] with a caller-scoped cache lifetime
+    * ([[unigramCrossEntropyScoped]] pattern). */
+  def bigramCrossEntropyScoped[T](df: DataFrame, idCol: String,
+                                  textCol: String,
+                                  storage: org.apache.spark.storage
+                                    .StorageLevel =
+                                    org.apache.spark.storage.StorageLevel
+                                      .MEMORY_AND_DISK)
+                                 (action: DataFrame => T): T = {
+    val (result, cached) = bigramCrossEntropyBuild(df, idCol, textCol,
+      storage)
+    try action(result)
+    finally cached.unpersist(blocking = true)
+  }
+
+  private def bigramCrossEntropyBuild(df: DataFrame, idCol: String,
+                                      textCol: String,
+                                      storage: org.apache.spark.storage
+                                        .StorageLevel)
+      : (DataFrame, DataFrame) = {
+    val base = df.select(col(idCol).as("id"),
+        graft.functions.TextAnalysis.tokens(col(textCol)).as("_toks"))
+      .select(col("id"), size(col("_toks")).as("dl"), col("_toks"))
+    // PERSISTED: the doc-bigram table feeds the LM rollup AND the
+    // scoring join — uncached the corpus would tokenize twice
+    val bg = base.filter(col("dl") >= 2)
+      .select(col("id"), col("dl"),
+        explode(expr("transform(sequence(1, size(_toks) - 1), i -> " +
+          "struct(element_at(_toks, i) AS l, " +
+          "element_at(_toks, i + 1) AS r))")).as("b"))
+      .select(col("id"), col("dl"), col("b.l").as("l"), col("b.r").as("r"))
+      .groupBy(col("id"), col("dl"), col("l"), col("r"))
+      .agg(count(lit(1)).as("tf"))
+      .persist(storage)
+    val bf = bg.groupBy(col("l"), col("r")).agg(sum(col("tf")).as("bf"))
+    val model = bf.join(
+      bf.groupBy(col("l")).agg(sum(col("bf")).as("lcnt")), "l")
+    // vocabulary size + measured model bytes in ONE bounded job
+    val uni = df.select(
+        explode(graft.functions.TextAnalysis.tokens(col(textCol)))
+          .as("t"))
+      .agg(countDistinct(col("t")).as("v")).head()
+    val vocabN = uni.getLong(0)
+    val mstats = model.agg(count(lit(1)).as("n"),
+      sum(octet_length(col("l")) + octet_length(col("r"))).as("b")).head()
+    val estBytes = (if (mstats.isNullAt(1)) 0L else mstats.getLong(1)) +
+      mstats.getLong(0) * BroadcastRowOverhead
+    val modelSide =
+      if (estBytes <= BroadcastVocabMaxBytes) broadcast(model) else model
+    val scored = bg.join(modelSide, Seq("l", "r"))
+      .withColumn("_nll", col("tf").cast("double") *
+        -log((col("bf").cast("double") + 1.0) /
+          (col("lcnt").cast("double") + vocabN.toDouble + 1.0)))
+    val perDoc = scored.groupBy(col("id"), col("dl"))
+      .agg(aggregate(
+        array_sort(collect_list(struct(col("l"), col("r"), col("_nll")))),
+        lit(0.0), (acc, s) => acc + s.getField("_nll")).as("_sum"))
+      .select(col("id"),
+        round(col("_sum") / (col("dl") - 1).cast("double"), 6).as("ce"))
+    val result = base.select(col("id"), col("dl"))
+      .join(perDoc, Seq("id"), "left")
+      .select(col("id"), col("dl").cast("long").as("n_tokens"),
+        greatest(col("dl") - 1, lit(0)).cast("long").as("n_bigrams"),
+        coalesce(col("ce"), lit(0.0)).as("ce"))
+    (result, bg)
+  }
+
   /** Builds a frozen unigram LM snapshot from a corpus: one row per
     * term with its corpus frequency. Write this table out (parquet) and
     * score future batches against it with
@@ -1173,7 +1271,18 @@ object Curation {
     * groupBy fold. Nothing is ever all-pairs.
     */
   def lineDedup(df: DataFrame, idCol: String, textCol: String,
-                minDocs: Int, delim: String = "\n"): DataFrame = {
+                minDocs: Int, delim: String = "\n"): DataFrame =
+    lineDedupText(df, idCol, textCol, minDocs, delim)
+      .select(col(idCol), col("n_lines"), col("n_removed"),
+        md5(col("text")).as("text_hash"))
+
+  /** [[lineDedup]] returning the rebuilt TEXT itself instead of its
+    * digest — the form downstream pipeline stages (quality scoring,
+    * tokenization) consume. Same semantics, same shape; the digest
+    * form stays the oracle-gated face (q141).
+    */
+  def lineDedupText(df: DataFrame, idCol: String, textCol: String,
+                    minDocs: Int, delim: String = "\n"): DataFrame = {
     require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
     val qdelim = java.util.regex.Pattern.quote(delim)
     val lines = df.select(col(idCol),
@@ -1193,11 +1302,11 @@ object Curation {
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_lines"),
         sum(when(col("_d"), 1L).otherwise(0L)).as("n_removed"),
-        md5(array_join(transform(filter(
+        array_join(transform(filter(
             array_sort(collect_list(struct(col("pos"), col("_d"),
               col("line")))),
             s => !s.getField("_d")),
-          s => s.getField("line")), delim)).as("text_hash"))
+          s => s.getField("line")), delim).as("text"))
   }
 
   // ------------------------------------------------------------------

@@ -758,7 +758,58 @@ object TextQueries {
        |ORDER BY id_a, id_b""".stripMargin
   }
 
+  // --------------------------------------------------------------- q147
+  // Per-doc BIGRAM cross-entropy vs the corpus's own add-one bigram LM
+  // (q98's next order — the KenLM word-ORDER signal). Same determinism
+  // recipe: exact integer counts, ln on double ratios, per-doc sum
+  // folded in (l, r) order; short docs kept with n_bigrams = 0.
+  private def q147(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Curation.bigramCrossEntropy(
+        Tables.documents(s, dir), "doc_id", "text")
+      .select(col("id").as("doc_id"), col("n_tokens"), col("n_bigrams"),
+        col("ce"))
+      .orderBy(col("doc_id"))
+
+  private val q147Sql =
+    s"""WITH t AS (
+       |  SELECT doc_id, $toksSql AS toks FROM documents),
+       |bg0 AS (
+       |  SELECT doc_id, len(toks) AS dl,
+       |    list_extract(toks, x.i) AS l,
+       |    list_extract(toks, x.i + 1) AS r
+       |  FROM t, unnest(range(1, greatest(len(toks), 1))) AS x(i)
+       |  WHERE len(toks) >= 2),
+       |bgt AS (
+       |  SELECT doc_id, dl, l, r, count(*) AS tf
+       |  FROM bg0 GROUP BY doc_id, dl, l, r),
+       |bf AS (SELECT l, r, sum(tf) AS bf FROM bgt GROUP BY l, r),
+       |lc AS (SELECT l, sum(bf) AS lcnt FROM bf GROUP BY l),
+       |v AS (
+       |  SELECT CAST(count(DISTINCT tok) AS DOUBLE) AS v
+       |  FROM (SELECT unnest(toks) AS tok FROM t)),
+       |scored AS (
+       |  SELECT g.doc_id, g.dl, g.l, g.r,
+       |    CAST(g.tf AS DOUBLE) *
+       |      -ln((CAST(bf.bf AS DOUBLE) + 1.0) /
+       |          (CAST(lc.lcnt AS DOUBLE) + v.v + 1.0)) AS nll
+       |  FROM bgt g JOIN bf USING (l, r) JOIN lc USING (l)
+       |  CROSS JOIN v),
+       |agg AS (
+       |  SELECT doc_id, dl, list(nll ORDER BY l, r) AS ls
+       |  FROM scored GROUP BY doc_id, dl),
+       |res AS (
+       |  SELECT doc_id,
+       |    round(list_inner_product(ls, list_transform(ls, x -> 1.0))
+       |      / (dl - 1), 6) AS ce
+       |  FROM agg)
+       |SELECT t.doc_id, CAST(len(t.toks) AS BIGINT) AS n_tokens,
+       |  CAST(greatest(len(t.toks) - 1, 0) AS BIGINT) AS n_bigrams,
+       |  coalesce(res.ce, 0.0) AS ce
+       |FROM t LEFT JOIN res USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q147_bigram_ce" -> (q147 _),
     "q131_containment" -> (q131 _),
     "q126_rrf_hybrid" -> (q126 _),
     "q110_pii_redaction" -> (q110 _),
@@ -784,6 +835,7 @@ object TextQueries {
     "q126_rrf_hybrid" -> q126Sql,
     "q110_pii_redaction" -> q110Sql,
     "q98_unigram_ce" -> q98Sql,
+    "q147_bigram_ce" -> q147Sql,
     "q101_unigram_ce_frozen" -> q101Sql,
     "q120_dsir_importance" -> q120Sql,
     "q93_bm25" -> q93Sql,

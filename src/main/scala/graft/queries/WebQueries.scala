@@ -401,8 +401,9 @@ object WebQueries {
   // link density exceeds 0.5 — inverting the construction exactly, so
   // every output field is closed-form over the same token slices in
   // DuckDB.
-  private def q143(s: SparkSession, dir: String): DataFrame = {
-    val toks = graft.functions.TextAnalysis.tokens(col("text"))
+  /** q143/q146 shared closed-form HTML page synthesis from the doc's
+    * token array (see q143's comment for the role model). */
+  private[queries] def synthHtml(toks: Column): Column = {
     val nLines = ceil(size(toks).cast("double") / 8d).cast("int")
     val body = array_join(transform(sequence(lit(0), nLines - 1), i => {
       val line = array_join(slice(toks, i * 8 + 1, lit(8)), " ")
@@ -419,7 +420,7 @@ object WebQueries {
           concat(lit("<p>"), line, lit(" x&amp;y</p>")))
         .otherwise(concat(lit("<p>"), line, lit("</p>")))
     }), "")
-    val html = concat(
+    concat(
       lit("<html><head><title>"),
       array_join(slice(toks, 1, 3), " "),
       lit("</title><script>var q = \"<p>not text</p>\";</script>" +
@@ -427,9 +428,13 @@ object WebQueries {
       body,
       lit("<!-- tail --><footer>site footer boilerplate</footer>" +
         "</body></html>"))
+  }
+
+  private def q143(s: SparkSession, dir: String): DataFrame = {
+    val toks = graft.functions.TextAnalysis.tokens(col("text"))
     val pages = Tables.documents(s, dir)
       .filter(length(trim(col("text"))) > 0)
-      .select(col("doc_id"), html.as("html"))
+      .select(col("doc_id"), synthHtml(toks).as("html"))
     WebCuration.extractMainContent(pages, "doc_id", "html")
       .select(col("doc_id"), col("title"),
         col("n_blocks").cast("long").as("n_blocks"),
@@ -483,7 +488,121 @@ object WebQueries {
        |FROM ti LEFT JOIN g USING (doc_id)
        |ORDER BY doc_id""".stripMargin
 
+  // --------------------------------------------------------------- q146
+  // END-TO-END web curation pipeline — the C4/RefinedWeb funnel as one
+  // composed query over shipped operators, nothing bespoke: synthetic
+  // HTML (q143's closed-form generator) → extractMainContent (strip
+  // containers/script/link-heavy blocks) → lineDedupText (cross-doc
+  // boilerplate lines drop wholesale, minDocs=3) → gopherQualityFilter
+  // on the CLEANED text (q125 bounds) → registrable domain. One row per
+  // page: funnel counters + keep verdict + the cleaned-text digest.
+  // The oracle replays the whole chain closed-form from the same token
+  // slices (kept blocks → boilerplate set → rebuilt text → gopher
+  // ratios → PSL domain) — a hash match gates the COMPOSITION: every
+  // stage's output is the next stage's input, so any drift anywhere in
+  // the funnel breaks the final digest.
+  private def q146(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Curation
+    val toks = graft.functions.TextAnalysis.tokens(col("text"))
+    val pages = Tables.documents(s, dir)
+      .filter(length(trim(col("text"))) > 0)
+      .select(col("doc_id"), synthHtml(toks).as("html"))
+    val extracted = WebCuration.extractMainContent(pages, "doc_id", "html")
+      .select(col("doc_id"), col("text"))
+    val cleaned = Curation.lineDedupText(extracted, "doc_id", "text",
+      minDocs = 3)
+    val quality = Curation.gopherQualityFilter(
+      cleaned.select(col("doc_id"), col("text")), "doc_id", "text",
+      minWords = 20, maxWords = 90,
+      minMeanWordLen = 3.9, maxMeanWordLen = 5.1,
+      minUniqueFrac = 0.35, minStopwordFrac = 0.02,
+      stopwords = Seq("the", "a"))
+    val domains = Tables.documents(s, dir)
+      .filter(length(trim(col("text"))) > 0)
+      .select(col("doc_id"),
+        WebCuration.registrableDomain(
+          WebCuration.urlHost(synthUrl)).as("domain"))
+    cleaned
+      .join(quality.select(col("doc_id"), col("n_words"), col("keep")),
+        "doc_id")
+      .join(domains, "doc_id")
+      .select(col("doc_id"), col("domain"), col("n_lines"),
+        col("n_removed"), col("n_words").cast("long").as("n_words"),
+        col("keep"), md5(col("text")).as("text_hash"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val q146Sql =
+    s"""$synthUrlSql,
+       |$canonSql,
+       |dmn AS (
+       |  SELECT doc_id, $domainCaseSql AS domain FROM canon),
+       |t AS (
+       |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+       |  FROM documents
+       |  WHERE length(trim(text)) > 0),
+       |ln AS (
+       |  SELECT doc_id, x.i,
+       |    array_to_string(list_slice(toks, x.i*8 + 1, x.i*8 + 8), ' ')
+       |      AS line,
+       |    list_extract(toks, x.i*8 + 1) AS tok1
+       |  FROM t, unnest(range(0, CAST(ceil(len(toks) / 8.0) AS INT)))
+       |    AS x(i)),
+       |b AS (
+       |  SELECT doc_id, i, i % 5 AS role, line,
+       |    CASE WHEN i % 5 = 3 THEN line || ' x&y' ELSE line END AS btext,
+       |    CASE WHEN i % 5 = 1 THEN length(line)
+       |         WHEN i % 5 = 2 THEN length(tok1) ELSE 0 END AS a_chars
+       |  FROM ln WHERE i % 5 <> 0),
+       |kept AS (
+       |  SELECT doc_id, i, btext FROM b
+       |  WHERE NOT (CAST(a_chars AS DOUBLE) > 0.5 * length(btext))),
+       |boiler AS (
+       |  SELECT btext FROM kept WHERE length(btext) > 0
+       |  GROUP BY btext HAVING count(DISTINCT doc_id) >= 3),
+       |cl AS (
+       |  SELECT k.doc_id, k.i, k.btext,
+       |    (bo.btext IS NOT NULL) AS bl
+       |  FROM kept k LEFT JOIN boiler bo USING (btext)),
+       |dl AS (
+       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines,
+       |    CAST(sum(CASE WHEN bl THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_removed,
+       |    coalesce(string_agg(btext, chr(10) ORDER BY i)
+       |      FILTER (WHERE NOT bl), '') AS ctext
+       |  FROM cl GROUP BY doc_id),
+       |-- a page with ZERO kept blocks extracts to '' — one empty line
+       |fl AS (
+       |  SELECT t.doc_id,
+       |    coalesce(dl.n_lines, 1) AS n_lines,
+       |    coalesce(dl.n_removed, 0) AS n_removed,
+       |    coalesce(dl.ctext, '') AS ctext
+       |  FROM t LEFT JOIN dl USING (doc_id)),
+       |gm AS (
+       |  SELECT doc_id, n_lines, n_removed, ctext,
+       |    string_split_regex(trim(ctext), '\\s+') AS gt
+       |  FROM fl),
+       |gq AS (
+       |  SELECT doc_id, n_lines, n_removed, ctext,
+       |    CAST(len(gt) AS BIGINT) AS n_words,
+       |    CAST(list_sum(list_transform(gt,
+       |      x -> CAST(length(x) AS BIGINT))) AS DOUBLE)
+       |      / CAST(greatest(len(gt), 1) AS DOUBLE) AS mwl,
+       |    CAST(len(list_distinct(gt)) AS DOUBLE)
+       |      / CAST(greatest(len(gt), 1) AS DOUBLE) AS uf,
+       |    CAST(len(list_filter(gt, w -> list_contains(['the','a'], w)))
+       |      AS DOUBLE) / CAST(greatest(len(gt), 1) AS DOUBLE) AS sf
+       |  FROM gm)
+       |SELECT g.doc_id, dmn.domain, g.n_lines, g.n_removed, g.n_words,
+       |  ((g.n_words >= 20 AND g.n_words <= 90)
+       |    AND (g.mwl >= 3.9 AND g.mwl <= 5.1)
+       |    AND g.uf >= 0.35 AND g.sf >= 0.02) AS keep,
+       |  md5(g.ctext) AS text_hash
+       |FROM gq g JOIN dmn USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q146_web_pipeline" -> (q146 _),
     "q143_html_extract" -> (q143 _),
     "q133_url_dedup" -> (q133 _),
     "q134_domain_rollup" -> (q134 _),
@@ -492,6 +611,7 @@ object WebQueries {
     "q138_domain_blocklist" -> (q138 _))
 
   val oracleSql: Map[String, String] = Map(
+    "q146_web_pipeline" -> q146Sql,
     "q143_html_extract" -> q143Sql,
     "q133_url_dedup" -> q133Sql,
     "q134_domain_rollup" -> q134Sql,

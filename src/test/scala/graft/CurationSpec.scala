@@ -869,6 +869,27 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("bigramCrossEntropy: hand-computed add-one bigram LM, short and " +
+    "empty docs kept with zero bigrams, scoped twin unpersists") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b a b"), (2L, "b a"), (3L, "x"), (4L, ""))
+      .toDF("doc_id", "text")
+    // corpus bigrams: (a,b)=2, (b,a)=2; left totals both 2; V=4 (a,b,x,
+    // and the empty-doc token) → every P = (2+1)/(2+4+1) = 3/7
+    val exp = math.rint(math.log(7.0 / 3.0) * 1e6) / 1e6
+    val out = Curation.bigramCrossEntropy(docs, "doc_id", "text")
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out.toSeq == Seq(
+      (1L, 4L, 3L, exp), (2L, 2L, 1L, exp),
+      (3L, 1L, 0L, 0.0), (4L, 1L, 0L, 0.0)),
+      s"bigram CE wrong: ${out.toSeq} (want ce=$exp)")
+    // scoped form returns the action result and leaves no cached blocks
+    val n = Curation.bigramCrossEntropyScoped(docs, "doc_id", "text")(
+      _.count())
+    assert(n == 4L)
+  }
+
   test("packBestFit: degenerate numGroups clamps to the doc count and " +
     "non-integral ids are rejected") {
     import spark.implicits._

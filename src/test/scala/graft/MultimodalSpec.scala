@@ -361,6 +361,31 @@ class MultimodalSpec extends SparkSpec {
       s"verified pairs wrong: $pairs — member 3 must die in alignment")
   }
 
+  test("VideoHash: maxShift trim tolerance — a one-frame-trimmed copy " +
+    "fails zero-offset verify but aligns at the shifted offset") {
+    import graft.multimodal.VideoHash
+    val base = 0x0123456789ABCDL
+    val masks = Seq(0xFFFL, 0xFFF000L, 0xFFF000000L, 0xFFF000000000L)
+    // v2 = v1 with the first frame trimmed (timeline rotated): same
+    // majority signature (each window bit set in 1 of 4 frames), but
+    // every zero-offset position is 24 bits apart
+    val vids = Seq(
+      video(1, masks.map(base ^ _)),
+      video(2, (masks.tail :+ masks.head).map(base ^ _))).toDS()
+    def run(shift: Int) = VideoHash.nearDuplicates(vids, maxHamming = 8,
+      everyN = 1, frameRadius = 8, minAlignedFrac = 0.5,
+      codec = graft.multimodal.Codecs.BmpCodec, maxShift = shift)
+    assert(run(0).collect().isEmpty,
+      "zero-offset verify must reject the trimmed copy")
+    val out = run(1).collect()
+    assert(out.length == 1, s"expected one shifted pair: ${out.toSeq}")
+    val r = out.head
+    assert(r.getLong(0) == 1L && r.getLong(1) == 2L &&
+      r.getLong(3) == 3L && r.getLong(4) == 3L &&
+      r.getInt(5) == -1,
+      s"shifted alignment wrong: $r (want n_aligned=3/3 at shift -1)")
+  }
+
   test("VideoHash: route guard refuses above threshold, names the " +
     "corpus alternative; dedupCorpus collapses signature clusters") {
     import graft.multimodal.VideoHash

@@ -285,6 +285,20 @@ class SurfacePlanSpec extends SparkSpec {
       "cell assignment must be persisted, not recomputed per consumer")
   }
 
+  test("q147 bigram CE: the bigram model broadcasts into the scoring " +
+    "join, the doc-bigram table is cached once, no window pass") {
+    val plan = physical(run("q147_bigram_ce"))
+    val s = plan.toString
+    assert(!s.contains("CartesianProduct"),
+      "vocab size must fold to a literal, never a shuffled cartesian")
+    assert(s.contains("BroadcastHashJoin"),
+      s"bigram model must broadcast into the scoring join:\n${s.take(600)}")
+    assert(plan.collect { case w: WindowExec => w }.isEmpty,
+      "per-doc fold must not plan as a window pass")
+    assert(s.contains("InMemoryTableScan"),
+      "doc-bigram table must be persisted, not re-tokenized per consumer")
+  }
+
   test("q98 unigram CE: the model joins map-side (corpus total a literal, " +
     "vocabulary broadcast), per-doc sum is a sorted fold, tf cached once") {
     val plan = physical(run("q98_unigram_ce"))
