@@ -818,7 +818,79 @@ object StreamingQueries {
        |FROM pre
        |ORDER BY batch_id, domain""".stripMargin
 
+  /** Streaming MinHash near-dup dedup (q26's continuous form,
+    * `StreamingPipeline.minHashDedupStream`) — the q111 recipe applied
+    * to FUZZY dedup: the capped q25/q26 corpus (doc_id < 1000) splits
+    * into 3 chunks by doc_id % 3 and streams one file per micro-batch;
+    * each batch probes the accumulated band store map-side, verifies
+    * candidates by exact Jaccard against the shingle store, and emits
+    * every doc's first-match verdict (dup_of = min earlier matching id
+    * — prior chunks or same chunk with a smaller id — else kept). The
+    * oracle is the EXACT-Jaccard replay of the same first-match
+    * semantics (LSH can only miss, and the gate corpus measures recall
+    * 1.0 at 32 bands of 2 — the q26 strict-oracle argument: any recall
+    * loss fails the gate loudly rather than silently weakening).
+    */
+  private def q148(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .filter(col("doc_id") < 1000L)
+      .select(col("doc_id"), col("text"))
+    val work = scratchDir("graft_q148")
+    val inDir = cachedChunks(s"q148|$dir|3")(
+      writeChunks(docs, "doc_id", _, 3))
+    val stateDir = new File(work, "state").getPath
+    val outDir = new File(work, "out")
+    outDir.mkdirs()
+    withGateConfs(s, 3) {
+      val stream = s.readStream
+        .schema(docs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(inDir.getPath)
+      val q = StreamingPipeline.minHashDedupStream(
+          stream, "doc_id", "text", stateDir, n = 3, threshold = 0.4,
+          numHashes = 64, bands = 32) { (em, batchId) =>
+          em.withColumn("batch_id", lit(batchId))
+            .write.mode("append").parquet(outDir.getPath)
+        }
+        .option("checkpointLocation", new File(work, "ckpt").getPath)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    s.read.parquet(outDir.getPath)
+      .select(col("batch_id"), col("id").as("doc_id"), col("dup_of"),
+        col("kept"))
+      .orderBy(col("batch_id"), col("doc_id"))
+  }
+
+  private val q148Sql = {
+    val toksSql = """string_split_regex(trim(text), '\s+')"""
+    val sh =
+      s"""list_sort(list_distinct(list_transform(
+         |    generate_series(1, greatest(len($toksSql) - 2, 0)),
+         |    i -> concat_ws(' ', $toksSql[i], $toksSql[i+1],
+         |                   $toksSql[i+2]))))""".stripMargin
+    s"""WITH sets AS (
+       |  SELECT doc_id AS id, doc_id % 3 AS c, $sh AS sh
+       |  FROM documents WHERE doc_id < 1000),
+       |pr AS (
+       |  SELECT b.id AS id, a.id AS m
+       |  FROM sets a JOIN sets b
+       |    ON (a.c < b.c OR (a.c = b.c AND a.id < b.id))
+       |  WHERE len(a.sh) > 0 AND len(b.sh) > 0
+       |    AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+       |        CAST(len(list_distinct(list_concat(a.sh, b.sh)))
+       |          AS DOUBLE) >= 0.4),
+       |d AS (SELECT id, min(m) AS dup_of FROM pr GROUP BY id)
+       |SELECT CAST(s.c AS BIGINT) AS batch_id, s.id AS doc_id,
+       |  coalesce(d.dup_of, -1) AS dup_of,
+       |  (d.dup_of IS NULL) AS kept
+       |FROM sets s LEFT JOIN d USING (id)
+       |ORDER BY batch_id, doc_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q148_streaming_minhash_dedup" -> (q148 _),
     "q145_streaming_domain_rollup" -> (q145 _),
     "q129_streaming_sessionize" -> (q129 _),
     "q121_streaming_upsert" -> (q121 _),
@@ -828,6 +900,7 @@ object StreamingQueries {
     "q118_streaming_interval_join" -> (q118 _))
 
   val oracleSql: Map[String, String] = Map(
+    "q148_streaming_minhash_dedup" -> q148Sql,
     "q145_streaming_domain_rollup" -> q145Sql,
     "q129_streaming_sessionize" -> q129Sql,
     "q121_streaming_upsert" -> q121Sql,

@@ -921,6 +921,149 @@ object StreamingPipeline {
   }
 
   // ------------------------------------------------------------------
+  // Streaming MinHash near-dup dedup (q26's continuous form)
+  // ------------------------------------------------------------------
+
+  /** Streaming NEAR-dup dedup — the missing member between the exact
+    * family ([[incrementalDedupStream]]: digest equality) and the
+    * semantic family ([[semDedupStream]]: embedding cosine): MinHash+LSH
+    * over word shingles, the C4/RefinedWeb fuzzy-dedup workhorse,
+    * applied per micro-batch against an accumulated band-bucket store.
+    *
+    * Per batch: shingle + MinHash signatures for the batch (one
+    * tokenize; [[graft.operators.Dedup.hashedShingleSets]] +
+    * the native MinHash kernel); candidate PRIOR docs come from the
+    * band store via the map-side probe shape (store rows semi-join a
+    * BROADCAST of the batch's band keys, then inner-join the broadcast
+    * band rows — the store never shuffles); candidates verify by EXACT
+    * Jaccard against the shingle store, which is likewise pruned
+    * map-side to candidate ids before any join. Within-batch pairs run
+    * the standard banded self-join (batch-sized). A document's
+    * `dup_of` is the MINIMUM id over all earlier matches (prior
+    * batches, or same batch with a smaller id) at `threshold`; docs
+    * with no match are `kept`. ALL batch docs' bands + shingles append
+    * to the stores (batchId-keyed subdirs — replay overwrites, so the
+    * emission is idempotent; both stores auto-compact).
+    *
+    * Scale: per-batch cost is batch-sized work plus one map-side scan
+    * of each store; shuffle never carries store rows. State is
+    * O(corpus shingles) — the price of EXACT verification (the
+    * digest-only store of the exact family cannot answer near-dup);
+    * a deployment trading exactness for state can store signatures
+    * only and verify by signature agreement. Recall is LSH's
+    * (bands × rows-per-band trade; the q26 gate corpus measures 1.0 at
+    * 32×2, and the oracle is the exact-Jaccard replay, so any recall
+    * loss fails the gate loudly).
+    */
+  def minHashDedupStream(docs: DataFrame, idCol: String, textCol: String,
+                         stateDir: String, n: Int = 3,
+                         threshold: Double = 0.4, numHashes: Int = 64,
+                         bands: Int = 32)(
+      onBatch: (DataFrame, Long) => Unit) = {
+    new java.io.File(stateDir, "bands").mkdirs()
+    new java.io.File(stateDir, "shingles").mkdirs()
+    docs.writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        minHashDedupBatch(batch, batchId, idCol, textCol, stateDir, n,
+          threshold, numHashes, bands)(onBatch)
+      }
+  }
+
+  private[graft] def minHashDedupBatch(
+      batch: DataFrame, batchId: Long, idCol: String, textCol: String,
+      stateDir: String, n: Int, threshold: Double, numHashes: Int,
+      bands: Int)(onBatch: (DataFrame, Long) => Unit): Unit = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val s = batch.sparkSession
+    val bandDir = s"$stateDir/bands"
+    val shDir = s"$stateDir/shingles"
+    val rowsPer = numHashes / bands
+    val sets = graft.operators.Dedup
+      .hashedShingleSets(batch, idCol, textCol, n)
+      .localCheckpoint(true) // feeds bands, verify, and the store write
+    val cur = sets.filter(size(col("shingles")) > 0)
+      .withColumn("sig", graft.plans.SetExpressions
+        .minHashLongs(col("shingles"), numHashes))
+    val curBands = cur.select(col("id"), col("shingles"),
+        explode(array((0 until bands).map { b =>
+          struct(lit(b).as("band"),
+            xxhash64(slice(col("sig"), b * rowsPer + 1, rowsPer))
+              .as("bh"))
+        }: _*)).as("bb"))
+      .select(col("id"), col("shingles"),
+        col("bb.band").as("band"), col("bb.bh").as("bh"))
+      .localCheckpoint(true)
+    def readStore(dir: String, empty: DataFrame): DataFrame = {
+      val dirs = batchDirsBefore(dir, "b", Long.MaxValue)
+        .filterNot(_.getName == f"b$batchId%05d")
+      if (dirs.nonEmpty)
+        dirs.map(d => s.read.parquet(d.getPath))
+          .reduce(_.unionByName(_, allowMissingColumns = true))
+      else empty
+    }
+    val priorBands = readStore(bandDir,
+      s.range(0).select(lit(0).as("band"), lit(0L).as("bh"),
+        lit(0L).as("id")))
+    val priorSh = readStore(shDir,
+      s.range(0).select(lit(0L).as("id"),
+        lit(Array.empty[Long]).as("shingles")))
+    // cross-batch candidates: store scans stay map-side (semi vs the
+    // broadcast batch band keys, then inner vs the broadcast band rows)
+    val batchKeys = curBands.select(col("band"), col("bh")).distinct()
+    val candPairs = priorBands
+      .join(broadcast(batchKeys), Seq("band", "bh"), "left_semi")
+      .join(broadcast(curBands.select(col("band"), col("bh"),
+        col("id").as("new_id"))), Seq("band", "bh"))
+      .select(col("id").as("prior_id"), col("new_id"))
+      .distinct()
+    val candPriorIds = candPairs.select(col("prior_id").as("id")).distinct()
+    val jac = graft.plans.SetExpressions.sortedLongIntersectCount(
+      col("psh"), col("nsh")).cast("double") /
+      (size(col("psh")) + size(col("nsh")) -
+        graft.plans.SetExpressions.sortedLongIntersectCount(
+          col("psh"), col("nsh"))).cast("double")
+    val crossMatches = candPairs
+      .join(priorSh.join(broadcast(candPriorIds), Seq("id"), "left_semi")
+        .select(col("id").as("prior_id"), col("shingles").as("psh")),
+        Seq("prior_id"))
+      .join(broadcast(cur.select(col("id").as("new_id"),
+        col("shingles").as("nsh"))), Seq("new_id"))
+      .filter(jac >= threshold)
+      .select(col("new_id").as("id"), col("prior_id").as("m"))
+    // within-batch pairs: banded self-join, batch-sized; earlier = lower id
+    val withinMatches = curBands.as("a")
+      .join(curBands.as("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+          col("a.id") < col("b.id"))
+      .select(col("b.id").as("id"), col("a.id").as("m"),
+        col("a.shingles").as("psh"), col("b.shingles").as("nsh"))
+      .filter(jac >= threshold)
+      .select(col("id"), col("m"))
+    val dupOf = crossMatches.unionByName(withinMatches)
+      .groupBy(col("id")).agg(min(col("m")).as("dup_of"))
+    val emission = sets.select(col("id"))
+      .join(dupOf, Seq("id"), "left")
+      .select(col("id"), coalesce(col("dup_of"), lit(-1L)).as("dup_of"),
+        col("dup_of").isNull.as("kept"))
+      .localCheckpoint(true) // pin BEFORE the stores grow
+    onBatch(emission, batchId)
+    curBands.select(col("band"), col("bh"), col("id"))
+      .coalesce(1).write.mode("overwrite")
+      .parquet(f"$bandDir/b$batchId%05d")
+    sets.filter(size(col("shingles")) > 0)
+      .select(col("id"), col("shingles"))
+      .coalesce(1).write.mode("overwrite")
+      .parquet(f"$shDir/b$batchId%05d")
+    Seq(bandDir, shDir).foreach { d =>
+      if (batchDirsBefore(d, "b", Long.MaxValue).length >=
+          DigestCompactMinDirs)
+        compactStateDirs(s, d, beforeId = batchId)
+    }
+    ()
+  }
+
+  // ------------------------------------------------------------------
   // Streaming domain-quality rollup (q138's continuous form)
   // ------------------------------------------------------------------
 

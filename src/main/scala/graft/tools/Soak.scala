@@ -57,7 +57,12 @@ object Soak {
     "q137_url_funnel",
     // r13: domain quality rollup + the BPE pair (learn + encode)
     "q138_domain_blocklist", "q139_bpe_merges", "q140_bpe_encode",
-    "q141_line_dedup")
+    "q141_line_dedup",
+    // r14: batched BPE, HTML extraction, video near-dup, composed web
+    // pipeline, bigram CE (q145 streaming rollup is trigger-dominated —
+    // the streaming family's soak story is the StreamProf minima)
+    "q142_bpe_batched", "q143_html_extract", "q144_video_near_dup",
+    "q146_web_pipeline", "q147_bigram_ce")
 
   /** Same co-tenant preflight as [[graft.Bench]]: exponent fits across
     * scale runs are meaningless if one run raced a loaded box, so wait

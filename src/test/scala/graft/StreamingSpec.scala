@@ -1111,6 +1111,44 @@ class StreamingSpec extends SparkSpec {
     assert(refinedRows.toSet == Set(("超商", "交易"), ("信用卡繳款", "繳款")))
   }
 
+  test("minHashDedupStream: cross-batch and within-batch near-dups get " +
+    "first-match dup_of; short docs kept; batch replay is idempotent") {
+    import spark.implicits._
+    val a = "the quick brown fox jumps over the lazy dog again and again"
+    val b = "completely different words entirely unrelated content here now"
+    val c = "a third unique document about streams stores and micro batches"
+    val batches = Seq(
+      Seq((1L, a), (2L, b), (9L, "x y")), // 9: < 3 tokens → no shingles
+      Seq((3L, a), (4L, b), (5L, c), (6L, c)))
+    val stateDir = java.nio.file.Files
+      .createTempDirectory("graft_mhs").toString
+    val emissions = scala.collection.mutable.Map.empty[Long, Map[Long, (Long, Boolean)]]
+    def run(i: Int): Unit =
+      StreamingPipeline.minHashDedupBatch(
+          batches(i).toDF("doc_id", "text"), i.toLong, "doc_id", "text",
+          stateDir, n = 3, threshold = 0.4, numHashes = 64, bands = 32) {
+        (em, id) =>
+          emissions(id) = em.collect()
+            .map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2)))
+            .toMap
+      }
+    run(0); run(1)
+    assert(emissions(0L) == Map(
+      1L -> (-1L, true), 2L -> (-1L, true), 9L -> (-1L, true)),
+      s"batch 0 wrong: ${emissions(0L)}")
+    // 3 dups 1 and 4 dups 2 (cross-batch store probe); 5 is new;
+    // 6 dups 5 WITHIN the batch (smaller id wins)
+    assert(emissions(1L) == Map(
+      3L -> (1L, false), 4L -> (2L, false),
+      5L -> (-1L, true), 6L -> (5L, false)),
+      s"batch 1 wrong: ${emissions(1L)}")
+    // replay (foreachBatch redelivery after checkpoint recovery): the
+    // batchId-keyed store subdirs overwrite, emission identical
+    val before = emissions(1L)
+    run(1)
+    assert(emissions(1L) == before, "batch replay changed the emission")
+  }
+
   test("domainQualityStream: per-batch emissions equal the batch rollup " +
     "over the streamed prefix; batch replay is idempotent") {
     import spark.implicits._
