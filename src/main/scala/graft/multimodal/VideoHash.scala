@@ -159,11 +159,14 @@ object VideoHash {
         .agg(sum(when(expr("bit_count(fp_a ^ fp_b)") <= frameRadius, 1L)
             .otherwise(0L)).as("n_aligned"),
           count(lit(1)).as("n_pos"))
-        // best offset per pair: highest aligned fraction, ties to the
-        // smallest |offset| (then the positive one) — a deterministic
-        // struct-max, no second window pass
+        // best offset per pair: most ALIGNED frames first (an extreme
+        // offset with a 1-frame overlap and frac 1.0 must not beat a
+        // genuine 0.9-frac full-overlap alignment), then fraction, ties
+        // to the smallest |offset| (then the positive one) — a
+        // deterministic struct-max, no second window pass
         .groupBy(col("id_a"), col("id_b"), col("hamming"))
         .agg(max(struct(
+          col("n_aligned").as("n_al"),
           (col("n_aligned").cast("double") / col("n_pos")).as("frac"),
           (-abs(col("off"))).as("negabs"),
           col("off").as("off"),

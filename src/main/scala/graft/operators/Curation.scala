@@ -428,26 +428,39 @@ object Curation {
     val base = df.select(col(idCol).as("id"),
         graft.functions.TextAnalysis.tokens(col(textCol)).as("_toks"))
       .select(col("id"), size(col("_toks")).as("dl"), col("_toks"))
-    // PERSISTED: the doc-bigram table feeds the LM rollup AND the
-    // scoring join — uncached the corpus would tokenize twice
-    val bg = base.filter(col("dl") >= 2)
+    // PERSISTED: one tokenize pass feeds EVERYTHING downstream. Each doc
+    // emits its bigrams PLUS one sentinel row (l = last token, r = NULL;
+    // dl == 0 docs emit a single all-NULL sentinel), so the persisted
+    // table carries (a) the bigram stats, (b) the full vocabulary — every
+    // token of every doc appears as an `l` (positions 1..dl-1 as bigram
+    // lefts, position dl as the sentinel), and (c) the complete (id, dl)
+    // doc roster for the final left join. Previously the vocabulary job
+    // and the final join each re-tokenized the corpus (three scans total);
+    // now the corpus is scanned once.
+    val edges = base
       .select(col("id"), col("dl"),
-        explode(expr("transform(sequence(1, size(_toks) - 1), i -> " +
-          "struct(element_at(_toks, i) AS l, " +
-          "element_at(_toks, i + 1) AS r))")).as("b"))
+        explode(when(col("dl") >= 1,
+          expr("transform(sequence(1, size(_toks)), i -> " +
+            "struct(element_at(_toks, i) AS l, " +
+            "CASE WHEN i < size(_toks) THEN element_at(_toks, i + 1) " +
+            "END AS r))"))
+          .otherwise(array(struct(
+            lit(null).cast("string").as("l"),
+            lit(null).cast("string").as("r"))))).as("b"))
       .select(col("id"), col("dl"), col("b.l").as("l"), col("b.r").as("r"))
       .groupBy(col("id"), col("dl"), col("l"), col("r"))
       .agg(count(lit(1)).as("tf"))
       .persist(storage)
+    // real bigram rows: sentinel rows have r NULL and can never collide
+    // with a bigram group key
+    val bg = edges.filter(col("r").isNotNull)
     val bf = bg.groupBy(col("l"), col("r")).agg(sum(col("tf")).as("bf"))
     val model = bf.join(
       bf.groupBy(col("l")).agg(sum(col("bf")).as("lcnt")), "l")
-    // vocabulary size + measured model bytes in ONE bounded job
-    val uni = df.select(
-        explode(graft.functions.TextAnalysis.tokens(col(textCol)))
-          .as("t"))
-      .agg(countDistinct(col("t")).as("v")).head()
-    val vocabN = uni.getLong(0)
+    // vocabulary size off the persisted edges (no corpus re-scan): every
+    // token appears as an `l` thanks to the last-token sentinel rows
+    val vocabN = edges.filter(col("l").isNotNull)
+      .agg(countDistinct(col("l")).as("v")).head().getLong(0)
     val mstats = model.agg(count(lit(1)).as("n"),
       sum(octet_length(col("l")) + octet_length(col("r"))).as("b")).head()
     val estBytes = (if (mstats.isNullAt(1)) 0L else mstats.getLong(1)) +
@@ -464,12 +477,13 @@ object Curation {
         lit(0.0), (acc, s) => acc + s.getField("_nll")).as("_sum"))
       .select(col("id"),
         round(col("_sum") / (col("dl") - 1).cast("double"), 6).as("ce"))
-    val result = base.select(col("id"), col("dl"))
+    // doc roster off the persisted edges (every doc has >= 1 edge row)
+    val result = edges.select(col("id"), col("dl")).distinct()
       .join(perDoc, Seq("id"), "left")
       .select(col("id"), col("dl").cast("long").as("n_tokens"),
         greatest(col("dl") - 1, lit(0)).cast("long").as("n_bigrams"),
         coalesce(col("ce"), lit(0.0)).as("ce"))
-    (result, bg)
+    (result, edges)
   }
 
   /** Builds a frozen unigram LM snapshot from a corpus: one row per

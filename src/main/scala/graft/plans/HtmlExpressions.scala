@@ -125,6 +125,10 @@ object HtmlExtractKernel {
   def extract(htmlU: UTF8String, maxLinkDensity: Double): InternalRow = {
     val s = htmlU.toString
     val n = s.length
+    // Lowercased copy for raw-text close-tag scans, built AT MOST ONCE per
+    // document (lazily) — real pages carry dozens of <script> tags and an
+    // O(n) lowercase per tag would make this kernel O(n*k).
+    var lowerHtml: String = null
     val title = new java.lang.StringBuilder
     var titleDone = false
     var inTitle = false
@@ -240,8 +244,8 @@ object HtmlExtractKernel {
             val tagEnd = if (done) k + 1 else n
             if (!closing && rawTextTags.contains(name)) {
               // skip to the matching close tag, case-insensitive
-              val lower = s.toLowerCase
-              val close = lower.indexOf("</" + name, tagEnd)
+              if (lowerHtml == null) lowerHtml = s.toLowerCase
+              val close = lowerHtml.indexOf("</" + name, tagEnd)
               i = if (close < 0) n
                   else {
                     val gt = s.indexOf('>', close)

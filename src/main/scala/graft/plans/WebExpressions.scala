@@ -74,15 +74,23 @@ object IdnKernel {
   private def digit(d: Int): Char =
     if (d < 26) ('a' + d).toChar else ('0' + d - 26).toChar
 
-  private def adapt(d: Int, numPoints: Int, first: Boolean): Int = {
+  private def adapt(d: Long, numPoints: Int, first: Boolean): Int = {
     var delta = if (first) d / 700 else d / 2
     delta += delta / numPoints
     var k = 0
     while (delta > ((36 - 1) * 26) / 2) { delta /= (36 - 1); k += 36 }
-    k + (36 - 1 + 1) * delta / (delta + 38)
+    (k + (36 - 1 + 1) * delta / (delta + 38)).toInt
   }
 
-  /** RFC 3492 §6.3 punycode encoding of one label's code points. */
+  /** RFC 3492 §6.3 punycode encoding of one label's code points.
+    *
+    * delta/n/q are LONGs with a saturating clamp: RFC 3492 mandates
+    * overflow handling, and crawl-garbage hosts can carry labels of
+    * thousands of high code points where `(m - n) * (h + 1)` overflows
+    * Int. Long arithmetic is exact for any label under ~8M code points
+    * (far beyond any URL column); the clamp keeps pathological inputs
+    * deterministic instead of emitting out-of-range digits.
+    */
   private def punycode(cps: Array[Int]): String = {
     val out = new java.lang.StringBuilder
     var h = 0
@@ -93,9 +101,10 @@ object IdnKernel {
     }
     val b = h
     if (b > 0) out.append('-')
-    var n = 128
-    var delta = 0
+    var n = 128L
+    var delta = 0L
     var bias = 72
+    val deltaCap = Long.MaxValue >> 2 // saturation: deterministic, never thrown
     while (h < cps.length) {
       var m = Int.MaxValue
       var j = 0
@@ -103,12 +112,13 @@ object IdnKernel {
         if (cps(j) >= n && cps(j) < m) m = cps(j)
         j += 1
       }
-      delta += (m - n) * (h + 1) // labels are short; overflow unreachable
+      delta += (m - n) * (h + 1)
+      if (delta < 0 || delta > deltaCap) delta = deltaCap
       n = m
       j = 0
       while (j < cps.length) {
         val c = cps(j)
-        if (c < n) delta += 1
+        if (c < n) { delta += 1; if (delta > deltaCap) delta = deltaCap }
         else if (c == n) {
           var q = delta
           var k = 36
@@ -118,12 +128,12 @@ object IdnKernel {
                     else k - bias
             if (q < t) done = true
             else {
-              out.append(digit(t + (q - t) % (36 - t)))
+              out.append(digit((t + (q - t) % (36 - t)).toInt))
               q = (q - t) / (36 - t)
               k += 36
             }
           }
-          out.append(digit(q))
+          out.append(digit(q.toInt))
           bias = adapt(delta, h + 1, h == b)
           delta = 0
           h += 1

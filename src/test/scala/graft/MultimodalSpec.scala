@@ -386,6 +386,29 @@ class MultimodalSpec extends SparkSpec {
       s"shifted alignment wrong: $r (want n_aligned=3/3 at shift -1)")
   }
 
+  test("VideoHash: maxShift best-offset ranks by aligned COUNT first — " +
+    "a 1-frame-overlap frac-1.0 extreme offset must not beat a genuine " +
+    "3/4 full-overlap alignment") {
+    import graft.multimodal.VideoHash
+    // four mutually-distant frames (16+ bits apart): at offset 0 three
+    // positions align within 1 bit; every intermediate offset aligns
+    // NOTHING; offset +3's single overlapping position (v1 rk1 ↔ v2 rk4)
+    // is 2 bits apart → frac 1.0 on n_pos=1. Ranking by frac alone picks
+    // the degenerate offset; aligned-count-first picks offset 0.
+    val (a, b, c, d) = (0L, 0xFFFFL, 0xFFFF0000L, 0xFFFF00000000L)
+    val vids = Seq(
+      video(1, Seq(a, b, c, d)),
+      video(2, Seq(a ^ 1L, b ^ 1L, c ^ 1L, a ^ 2L))).toDS()
+    val out = VideoHash.nearDuplicates(vids, maxHamming = 8, everyN = 1,
+        frameRadius = 8, minAlignedFrac = 0.5,
+        codec = graft.multimodal.Codecs.BmpCodec, maxShift = 3)
+      .collect()
+    assert(out.length == 1, s"expected one pair: ${out.toSeq}")
+    val r = out.head
+    assert(r.getLong(3) == 3L && r.getLong(4) == 4L && r.getInt(5) == 0,
+      s"best offset wrong: $r (want n_aligned=3, n_pos=4, best_shift=0)")
+  }
+
   test("VideoHash: route guard refuses above threshold, names the " +
     "corpus alternative; dedupCorpus collapses signature clusters") {
     import graft.multimodal.VideoHash

@@ -423,6 +423,27 @@ class WebCurationSpec extends SparkSpec {
       "NFD input must NFC-normalize before punycode")
   }
 
+  test("idnToAscii: crawl-garbage giant labels (thousands of code " +
+    "points, ASCII run + astral char) stay deterministic, all-ASCII, " +
+    "never throw — RFC 3492 overflow handling") {
+    // 2000 ASCII chars then U+10FFFE: (m - n) * (h + 1) ≈ 2.2e9
+    // overflows Int — Long arithmetic must keep digits in range
+    val giant = ("a" * 2000) + new String(Character.toChars(0x10FFFE)) +
+      ".example"
+    val more = ("z" * 500) + ("漢" * 3000) + ".example"
+    val out1 = idn(Seq(giant, more))
+    val out2 = idn(Seq(giant, more))
+    assert(out1 == out2, "giant-label encoding must be deterministic")
+    Seq(giant, more).foreach { h =>
+      val enc = out1(h)
+      val label = enc.takeWhile(_ != '.')
+      assert(label.startsWith("xn--"), s"missing ACE prefix: $label")
+      assert(label.forall(c => (c >= 'a' && c <= 'z') ||
+        (c >= '0' && c <= '9') || c == '-'),
+        s"out-of-range punycode digit in: $label")
+    }
+  }
+
   test("idnToAscii property-pin vs java.net.IDN.toASCII over random " +
     "labels on the NFC==NFKC lowercase alphabet") {
     val rnd = new scala.util.Random(11)
