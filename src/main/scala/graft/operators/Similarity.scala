@@ -195,9 +195,10 @@ object Similarity {
                              seed: Long = 7L,
                              idCol: String = "vec_id",
                              vecCol: String = "embedding",
-                             routeThreshold: Long = 1L << 23): DataFrame = {
+                             routeThreshold: Long = 1L << 23,
+                             knownCount: Option[Long] = None): DataFrame = {
     require(threshold > 0 && threshold < 1, "threshold in (0,1)")
-    val nRaw = df.count()
+    val nRaw = knownCount.getOrElse(df.count())
     if (nRaw == 0L)
       // empty corpus: the dim probe below would head() a no-row frame;
       // an empty pair list is the only correct answer, return it typed
@@ -253,6 +254,43 @@ object Similarity {
     val planeSets = Seq.fill(tables)(
       Seq.fill(bits)(Seq.fill(dim)(rnd.nextGaussian())))
     cosineNearDupPairsBucketed(df, threshold, planeSets, idCol, vecCol)
+  }
+
+  /** DEFAULT route for embedding near-dup pairs — the measured-route
+    * pattern of [[graft.multimodal.ImageHash.jointDedup]] applied to the
+    * one operator family SCALE.md flags as superlinear (s33, exact pair
+    * emission ~N^1.37): probe the corpus size ONCE, then
+    *
+    *   - `n <= exactMaxVectors`: the exact all-pairs arm
+    *     ([[cosineNearDupPairs]]) — oracle-grade, quadratic, and at small
+    *     n genuinely cheaper than building `tables` plane projections per
+    *     vector;
+    *   - above it: the size-adaptive RHP-bucketed arm
+    *     ([[cosineNearDupPairsAuto]]) — candidates from a (table, bucket)
+    *     equi-join, exact cosine verify IN-FLIGHT, geometry (bits,
+    *     tables) derived from (n, threshold, targetRecall). May only MISS
+    *     pairs (by at most the stated recall), never emits a false
+    *     positive; the `routeThreshold` hard stop still refuses
+    *     corpus-scale pair LISTS and names [[semDedup]] as the linear
+    *     recipe.
+    *
+    * The size probe is one `count()` over the id column — the same
+    * count-once strategy pick as PandasRank; the count is passed through
+    * so the bucketed arm never re-counts.
+    */
+  def cosineNearDupPairsRouted(df: DataFrame, threshold: Double,
+                               exactMaxVectors: Long = 1L << 13,
+                               targetRecall: Double = 0.8,
+                               targetBucket: Int = 256,
+                               maxTables: Int = 48,
+                               seed: Long = 7L,
+                               idCol: String = "vec_id",
+                               vecCol: String = "embedding",
+                               routeThreshold: Long = 1L << 23): DataFrame = {
+    val n = df.count()
+    if (n <= exactMaxVectors) cosineNearDupPairs(df, threshold, idCol, vecCol)
+    else cosineNearDupPairsAuto(df, threshold, targetRecall, targetBucket,
+      maxTables, seed, idCol, vecCol, routeThreshold, knownCount = Some(n))
   }
 
   /** Semantic (embedding-space) dedup — the SemDeDup recipe (Abbas et

@@ -188,6 +188,20 @@ object VectorQueries {
        |ORDER BY id_a, id_b""".stripMargin
   }
 
+  // --------------------------------------------------------------- q149
+  // The ROUTED embedding near-dup surface (the default deployment entry):
+  // exactMaxVectors = 0 forces the RHP-bucketed arm at every scale, and
+  // the oracle is the SAME exact-SQL cross join as q33 — pair-set parity
+  // with the exact baseline IS the recall proof on this corpus (the
+  // geometry below targets recall 0.9995 at the threshold; everything is
+  // seeded, so parity is deterministic per scale, the q26 MinHash-LSH
+  // gating pattern).
+  private def q149(s: SparkSession, dir: String): DataFrame =
+    Similarity.cosineNearDupPairsRouted(
+      Tables.embeddings(s, dir).filter(col("vec_id") < NearDupMaxId),
+      NearDupThreshold, exactMaxVectors = 0L, targetRecall = 0.9995)
+      .orderBy(col("id_a"), col("id_b"))
+
   // ---------------------------------------------------------------- q91
   // Exact per-group centroids + drift against the global centroid.
   // Distributed float means are order-dependent, so elements quantize to
@@ -640,6 +654,7 @@ object VectorQueries {
     "q31_knn_lsh" -> (q31 _),
     "q32_knn_ivf" -> (q32 _),
     "q33_embedding_neardup" -> (q33 _),
+    "q149_embed_neardup_routed" -> (q149 _),
     "q91_vec_centroids" -> (q91 _),
     "q92_vec_normalize" -> (q92 _),
     "q97_semantic_dedup" -> (q97 _),
@@ -656,6 +671,7 @@ object VectorQueries {
     "q31_knn_lsh" -> q31Sql,
     "q32_knn_ivf" -> q32Sql,
     "q33_embedding_neardup" -> q33Sql,
+    "q149_embed_neardup_routed" -> q33Sql,
     "q91_vec_centroids" -> q91Sql,
     "q92_vec_normalize" -> q92Sql,
     "q97_semantic_dedup" -> q97Sql,
