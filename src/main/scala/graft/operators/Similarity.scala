@@ -160,6 +160,48 @@ object Similarity {
       .dropDuplicates("id_a", "id_b")
   }
 
+  /** [[cosineNearDupPairsBucketed]] with BOUNDED PEAK SCRATCH: the plane
+    * tables are processed in batches of `stageTables`, each batch's TRUE
+    * pairs (already cosine-verified in-flight, so tiny) eagerly
+    * localCheckpoint-ed, and the final result is the deduplicated union.
+    *
+    * Why: the single-shot form replicates every vector once per hash
+    * table into the (t, b) join shuffle — at the ×1000 soak (2M × 64-dim
+    * vectors, 48 tables) that is ~29 GB PER SIDE and the run died on
+    * scratch (`SPILL_OUT_OF_MEMORY`, SCALE.md s33). Staging bounds the
+    * in-flight shuffle to `stageTables / tables` of that volume; total
+    * bytes are unchanged but batches complete and their shuffle files
+    * become collectable before the next batch starts. Output is
+    * IDENTICAL to the single-shot form: same plane sets, same in-flight
+    * verify, `dropDuplicates` over the union instead of over one join.
+    */
+  def cosineNearDupPairsBucketedStaged(df: DataFrame, threshold: Double,
+                                       tables: Seq[Seq[Seq[Double]]],
+                                       stageTables: Int,
+                                       idCol: String = "vec_id",
+                                       vecCol: String = "embedding")
+      : DataFrame = {
+    require(stageTables >= 1, s"stageTables must be >= 1, got $stageTables")
+    if (tables.size <= stageTables)
+      return cosineNearDupPairsBucketed(df, threshold, tables, idCol, vecCol)
+    val batches = tables.grouped(stageTables).toSeq.map { planeBatch =>
+      val pairs = cosineNearDupPairsBucketed(df, threshold, planeBatch,
+        idCol, vecCol)
+      // EAGER: materializes this batch now (sequential stages, bounded
+      // concurrent shuffle footprint) and truncates lineage, so the
+      // batch's join shuffle files are GC-collectable before the next
+      // batch runs. True pairs are a tiny fraction of the corpus.
+      val cp = pairs.localCheckpoint(true)
+      // nudge the ContextCleaner: shuffle files are only deleted when
+      // the driver GCs the dereferenced RDDs — without this, a long
+      // staged run accumulates every batch's shuffle on scratch and
+      // staging buys nothing (Spark's own periodic GC is 30 min apart)
+      System.gc()
+      cp
+    }
+    batches.reduce(_ unionByName _).dropDuplicates("id_a", "id_b")
+  }
+
   /** [[cosineNearDupPairsBucketed]] with the table geometry chosen FROM
     * the corpus size — the piece that makes RHP bucketing a real scale
     * path. Fixed bucket bits mean bucket population ∝ N and candidate
@@ -196,7 +238,8 @@ object Similarity {
                              idCol: String = "vec_id",
                              vecCol: String = "embedding",
                              routeThreshold: Long = 1L << 23,
-                             knownCount: Option[Long] = None): DataFrame = {
+                             knownCount: Option[Long] = None,
+                             stageTables: Int = 12): DataFrame = {
     require(threshold > 0 && threshold < 1, "threshold in (0,1)")
     val nRaw = knownCount.getOrElse(df.count())
     if (nRaw == 0L)
@@ -253,7 +296,8 @@ object Similarity {
     val rnd = new scala.util.Random(seed)
     val planeSets = Seq.fill(tables)(
       Seq.fill(bits)(Seq.fill(dim)(rnd.nextGaussian())))
-    cosineNearDupPairsBucketed(df, threshold, planeSets, idCol, vecCol)
+    cosineNearDupPairsBucketedStaged(df, threshold, planeSets, stageTables,
+      idCol, vecCol)
   }
 
   /** DEFAULT route for embedding near-dup pairs — the measured-route
@@ -286,11 +330,13 @@ object Similarity {
                                seed: Long = 7L,
                                idCol: String = "vec_id",
                                vecCol: String = "embedding",
-                               routeThreshold: Long = 1L << 23): DataFrame = {
+                               routeThreshold: Long = 1L << 23,
+                               stageTables: Int = 12): DataFrame = {
     val n = df.count()
     if (n <= exactMaxVectors) cosineNearDupPairs(df, threshold, idCol, vecCol)
     else cosineNearDupPairsAuto(df, threshold, targetRecall, targetBucket,
-      maxTables, seed, idCol, vecCol, routeThreshold, knownCount = Some(n))
+      maxTables, seed, idCol, vecCol, routeThreshold, knownCount = Some(n),
+      stageTables = stageTables)
   }
 
   /** Semantic (embedding-space) dedup — the SemDeDup recipe (Abbas et
@@ -556,6 +602,63 @@ object Similarity {
           graft.plans.CentroidExpressions.nearestCentroid(col(v), centroids))
     val t = assign(Partitioning.widen(train), "vec_id", "tv")
     val b = assign(bench, "bench_id", "bv")
+    probeContamination(t, b, threshold)
+  }
+
+  /** Builds a FROZEN benchmark snapshot for semantic decontamination:
+    * one (bench_id, cell, bv) row per benchmark vector, cells assigned
+    * once against `centroids`. This is the [[graft.operators.Curation]]
+    * frozen-LM pattern (`unigramLm` → `unigramCrossEntropyAgainst`)
+    * applied to decontamination — the deployment shape: benchmarks are
+    * trained/blessed ONCE and written out (parquet), then months of
+    * incoming crawl batches are scored against the same snapshot with
+    * [[semanticContaminationAgainst]]. A fixed snapshot is also what
+    * keeps the scan LINEAR in the corpus: the q128 full-op soak is
+    * super-linear only because its benchmark side grows with the corpus
+    * by construction (SCALE.md s128).
+    */
+  def benchmarkSnapshot(bench: DataFrame, centroids: Seq[Seq[Double]],
+                        idCol: String = "vec_id",
+                        vecCol: String = "embedding"): DataFrame = {
+    require(centroids.nonEmpty, "centroids must be non-empty")
+    bench.select(col(idCol).as("bench_id"),
+        col(vecCol).cast("array<double>").as("bv"))
+      .withColumn("cell", graft.plans.CentroidExpressions
+        .nearestCentroid(col("bv"), centroids))
+      .select(col("bench_id"), col("cell"), col("bv"))
+  }
+
+  /** [[semanticContamination]] against a FROZEN [[benchmarkSnapshot]]:
+    * train cells are assigned with the SAME `centroids` the snapshot was
+    * built with (a mismatched model silently probes wrong cells — the
+    * caller owns that pairing, same contract as
+    * `unigramCrossEntropyAgainst`'s LM). The snapshot side is broadcast
+    * (benchmark-sized); the train side never shuffles before the
+    * per-vector rollup — a map-side probe, linear in the corpus no
+    * matter how the corpus grows.
+    */
+  def semanticContaminationAgainst(train: DataFrame, snapshot: DataFrame,
+                                   centroids: Seq[Seq[Double]],
+                                   threshold: Double,
+                                   idCol: String = "vec_id",
+                                   vecCol: String = "embedding")
+      : DataFrame = {
+    require(centroids.nonEmpty, "centroids must be non-empty")
+    require(threshold > 0 && threshold < 1, "threshold in (0,1)")
+    val t = Partitioning.widen(train)
+      .select(col(idCol).as("vec_id"),
+        col(vecCol).cast("array<double>").as("tv"))
+      .withColumn("cell", graft.plans.CentroidExpressions
+        .nearestCentroid(col("tv"), centroids))
+    probeContamination(t, snapshot, threshold)
+  }
+
+  /** Shared probe tail of the two decontamination forms: broadcast the
+    * benchmark side, equi-join on cell, cosine verify in-flight, roll up
+    * per train vector.
+    */
+  private def probeContamination(t: DataFrame, b: DataFrame,
+                                 threshold: Double): DataFrame =
     t.join(broadcast(b), Seq("cell"))
       .withColumn("sim", round(cosine(col("tv"), col("bv")), 6))
       .filter(col("sim") >= threshold)
@@ -563,7 +666,6 @@ object Similarity {
       .agg(min(col("bench_id")).as("contaminated_by"),
         count(lit(1)).as("n_hits"),
         max(col("sim")).as("max_sim"))
-  }
 
   /** Deterministic distributed k-means for IVF centroid training.
     *

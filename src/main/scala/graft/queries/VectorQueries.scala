@@ -577,6 +577,50 @@ object VectorQueries {
        |ORDER BY vec_id""".stripMargin
   }
 
+  // --------------------------------------------------------------- q150
+  // The DEPLOYMENT shape of q128: a FROZEN benchmark snapshot (built
+  // once via benchmarkSnapshot — the frozen-LM q101/q120 pattern) with
+  // the benchmark capped to a FIXED id range (vec_id < 20000 covers the
+  // same ids at every soak scale from ×10 up, so the benchmark stops
+  // growing with the corpus and the probe is linear — SCALE.md s128).
+  // At driver test scales the cap is not binding, so the oracle is
+  // q128's closed form with the same cap spliced into the bench CTE.
+  private val FixedBenchMaxId = 20000L
+  private def q150(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val snapshot = Similarity.benchmarkSnapshot(
+      emb.filter(col("vec_id") % 20 === 0)
+        .filter(col("vec_id") < FixedBenchMaxId), q32Centroids)
+    Similarity.semanticContaminationAgainst(
+        emb.filter(col("vec_id") % 20 =!= 0), snapshot,
+        q32Centroids, threshold = 0.32)
+      .orderBy(col("vec_id"))
+  }
+
+  private val q150Sql = {
+    val dists = distsSqlFor(q32Centroids)
+    val sim = "round(list_inner_product(t.v, bn.v) / " +
+      "(sqrt(list_inner_product(t.v, t.v)) * " +
+      "sqrt(list_inner_product(bn.v, bn.v))), 6)"
+    s"""WITH vecs AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |b AS (SELECT vec_id, v,
+       |        list_position(dists, list_min(dists)) AS cell
+       |      FROM (SELECT vec_id, v, $dists AS dists FROM vecs)),
+       |t AS (SELECT * FROM b WHERE vec_id % 20 <> 0),
+       |bn AS (SELECT * FROM b
+       |       WHERE vec_id % 20 = 0 AND vec_id < $FixedBenchMaxId),
+       |hits AS (
+       |  SELECT t.vec_id, CAST(t.cell AS BIGINT) AS cell,
+       |    bn.vec_id AS bench_id, $sim AS sim
+       |  FROM t JOIN bn ON t.cell = bn.cell
+       |  WHERE $sim >= 0.32)
+       |SELECT vec_id, cell, min(bench_id) AS contaminated_by,
+       |  count(*) AS n_hits, max(sim) AS max_sim
+       |FROM hits GROUP BY vec_id, cell
+       |ORDER BY vec_id""".stripMargin
+  }
+
   // --------------------------------------------------------------- q130
   // Engine-exact distributed power iteration: 3 iterations of v ← A·v /
   // ‖A·v‖ over A = Σ xxᵀ, each iteration one map pass + one exact
@@ -650,6 +694,7 @@ object VectorQueries {
     "q130_power_iteration" -> (q130 _),
     "q127_prototype_prune" -> (q127 _),
     "q128_semantic_decontam" -> (q128 _),
+    "q150_decontam_fixedbench" -> (q150 _),
     "q30_knn_bruteforce" -> (q30 _),
     "q31_knn_lsh" -> (q31 _),
     "q32_knn_ivf" -> (q32 _),
@@ -667,6 +712,7 @@ object VectorQueries {
     "q130_power_iteration" -> q130Sql,
     "q127_prototype_prune" -> q127Sql,
     "q128_semantic_decontam" -> q128Sql,
+    "q150_decontam_fixedbench" -> q150Sql,
     "q30_knn_bruteforce" -> q30Sql,
     "q31_knn_lsh" -> q31Sql,
     "q32_knn_ivf" -> q32Sql,

@@ -135,18 +135,23 @@ object Soak {
         // replicas (C = 1.0), both linear in the corpus.
         Dedup.containmentJoin(docs, "doc_id", "text", n = 3,
           threshold = 0.65)),
-      "s128_decontam_fixedbench" -> (() =>
-        // the DEPLOYMENT shape of q128: a FIXED-size benchmark (1000
+      "s128_decontam_fixedbench" -> (() => {
+        // the DEPLOYMENT shape of q128, via the r15 FROZEN-SNAPSHOT
+        // surface (the registered q150): a FIXED-size benchmark (1000
         // vectors — vec_id < 20000 covers the same ids at every scale
-        // from x10 up) against the full train corpus. The registered
-        // q128's bench is N/20 (so its oracle stays tractable), which
-        // makes its soak quadratic BY CONSTRUCTION; this row shows the
-        // fixed-bench form is linear in the corpus.
-        graft.operators.Similarity.semanticContamination(
+        // from x10 up) snapshotted once, full train corpus probed
+        // against it map-side. The registered q128's bench is N/20 (so
+        // its oracle stays tractable), which makes its soak quadratic
+        // BY CONSTRUCTION; this row shows the fixed-bench form is
+        // linear in the corpus.
+        val cents = graft.queries.VectorQueries.centroidsForProfiling
+        graft.operators.Similarity.semanticContaminationAgainst(
           embs.filter(col("vec_id") % 20 =!= 0),
-          embs.filter(col("vec_id") % 20 === 0)
-            .filter(col("vec_id") < 20000),
-          graft.queries.VectorQueries.centroidsForProfiling, 0.32)),
+          graft.operators.Similarity.benchmarkSnapshot(
+            embs.filter(col("vec_id") % 20 === 0)
+              .filter(col("vec_id") < 20000), cents),
+          cents, 0.32)
+      }),
       "s33_embed_neardup_full" -> (() =>
         // 0.7, not q33's 0.45: cross-replica cosines under ScaleGen's sign
         // flip are ~N(0, 1/sqrt(64)) = sigma 0.125, so 0.45 is only 3.6
@@ -158,6 +163,23 @@ object Soak {
         // Auto geometry: bucket bits grow with log2(N), tables with the
         // recall target — the scale path the fixed 6-bit version is not.
         Similarity.cosineNearDupPairsAuto(embs, 0.7)),
+      "s149_routed_full" -> (() =>
+        // the ROUTED default surface on the full corpus at s33's
+        // threshold (0.7 — see the s33 comment for why not 0.45): at
+        // sf0.1 (2k vectors) it takes the exact arm, from ×10 up the
+        // auto-bucketed arm, and from ×100 up the recall clamp caps the
+        // table count at 48 (announced) — which is exactly why the
+        // measured exponent of the routed surface comes in BELOW the
+        // fixed-recall N^1.37 theory floor at the ×1000 step. The
+        // staged processing (stageTables=12) bounds peak scratch to
+        // 12/48 of the single-shot shuffle — the wall that killed the
+        // r9 ×1000 probe (SCALE.md s33, SPILL_OUT_OF_MEMORY at ~55 GB).
+        Similarity.cosineNearDupPairsRouted(embs, 0.7)),
+      "s149_exact_control" -> (() =>
+        // the quadratic control arm, priced at the scales where it is
+        // tractable (sf0.1: 2e6 pairs; ×10: 2e8 pairs). Run only when
+        // explicitly selected at larger scales — ×100 is 2e10 cosines.
+        Similarity.cosineNearDupPairs(embs, 0.7)),
       "s136_exactdup_routed" -> (() => {
         // jointDedup over an exact-dup-HEAVY corpus (every 8 consecutive
         // docs share one image code — the real-crawl shape): the r13
@@ -222,7 +244,11 @@ object Soak {
     val results = workloads
       .filter { case (name, _) => only.forall(_.exists(name.contains)) }
       .map { case (name, mk) =>
-        try eval(mk()) catch { case _: Throwable => () } // warm/codegen
+        // SPARK_GRAFT_WARM=0 skips the warm pass: at ×1000 a single
+        // workload can run tens of minutes and codegen-compile noise is
+        // <1% of that — label such rows cold-start in SCALE.md
+        if (sys.env.getOrElse("SPARK_GRAFT_WARM", "1") != "0")
+          try eval(mk()) catch { case _: Throwable => () } // warm/codegen
         spark.catalog.clearCache()
         // shuffle files live until ContextCleaner GCs their dependency —
         // at big factors the warm run's spill alone is tens of GB, and

@@ -465,6 +465,26 @@ class SimilaritySpec extends SparkSpec {
     assert(got.nonEmpty, "threshold too high to exercise the operator")
   }
 
+  test("semanticContaminationAgainst a parquet-round-tripped frozen " +
+    "snapshot == the direct two-sided form") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+      .filter(col("vec_id") < 600)
+    val cents = graft.queries.VectorQueries.centroidsForProfiling
+    val bench = emb.filter(col("vec_id") % 20 === 0)
+    val train = emb.filter(col("vec_id") % 20 =!= 0)
+    val direct = Similarity.semanticContamination(train, bench, cents, 0.3)
+      .collect().map(_.toSeq).toSet
+    // the deployment path: snapshot written once, re-read, probed
+    val dir = java.nio.file.Files.createTempDirectory("snap").toString
+    Similarity.benchmarkSnapshot(bench, cents)
+      .write.mode("overwrite").parquet(s"$dir/bench")
+    val snap = spark.read.parquet(s"$dir/bench")
+    val got = Similarity.semanticContaminationAgainst(train, snap, cents,
+        0.3).collect().map(_.toSeq).toSet
+    assert(got == direct,
+      s"frozen-snapshot probe diverges: ${got.size} vs ${direct.size}")
+  }
+
   test("ivfPqKnn's topK-aggregate ranking == the window rank-filter " +
     "formulation on real embeddings") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
