@@ -472,27 +472,20 @@ object ExtendedQueries {
     // grouped ntile (PandasRank.groupedNtileScalable) assigns the same
     // buckets with parallelism = shuffle partitions; both strategies are
     // exact and hash-proven against the same oracle.
-    val li = Tables.lineitem(s, dir)
-      .select(col("l_returnflag"), col("l_extendedprice"),
-        col("l_orderkey"), col("l_linenumber"))
-    // strategy pick from parquet FOOTER counts (Tables.rowCount) — the
-    // previous li.count() charged a full lineitem pass to every run
-    val bucketed =
-      if (Tables.rowCount(s, dir, "lineitem") <= (1L << 20)) {
-        val w = Window.partitionBy(col("l_returnflag"))
-          .orderBy(col("l_extendedprice"), col("l_orderkey"),
-            col("l_linenumber"))
-        li.withColumn("quartile", ntile(4).over(w))
-      } else
-        graft.functions.PandasRank.groupedNtileScalable(li,
-          Seq("l_returnflag"),
-          Seq("l_extendedprice", "l_orderkey", "l_linenumber"),
-          k = 4, outCol = "quartile")
-    bucketed
-      .groupBy(col("l_returnflag"), col("quartile"))
-      .agg(count(lit(1)).as("n"),
-        min(col("l_extendedprice")).as("lo"),
-        max(col("l_extendedprice")).as("hi"))
+    // the UNIFIED size-routed operator (operators.Histograms.equiDepth):
+    // window ntile ≤ 2^20 rows, range-partitioned exact grouped ntile to
+    // 2^26, sketch-boundary form above — strategy pick from parquet
+    // FOOTER counts (Tables.rowCount), so it costs no scan. Test scales
+    // stay on the exact arms (hash-pinned oracle); the sketch arm is
+    // tolerance-gated in HistogramsSpec, the q77 discipline.
+    graft.operators.Histograms.equiDepth(
+        Tables.lineitem(s, dir)
+          .select(col("l_returnflag"), col("l_extendedprice"),
+            col("l_orderkey"), col("l_linenumber")),
+        Seq("l_returnflag"), "l_extendedprice",
+        Seq("l_orderkey", "l_linenumber"), k = 4,
+        knownCount = Some(Tables.rowCount(s, dir, "lineitem")))
+      .withColumnRenamed("bucket", "quartile")
       .orderBy(col("l_returnflag"), col("quartile"))
   }
 

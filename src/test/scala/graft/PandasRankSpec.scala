@@ -143,4 +143,35 @@ class PandasRankSpec extends SparkSpec {
       assert(got == expected, s"k=$k")
     }
   }
+
+  test("Histograms.equiDepth: both exact arms agree row-for-row; the " +
+    "sketch arm holds depths within tolerance and a monotone bucket grid") {
+    val df = (Seq.tabulate(1003)(i => ("a", (i * 131) % 1009, i)) ++
+        Seq.tabulate(258)(i => ("b", (i * 67) % 271, i)))
+      .toDF("g", "v", "id").repartition(7)
+    def run(windowMax: Long, exactMax: Long) =
+      graft.operators.Histograms.equiDepth(df, Seq("g"), "v", Seq("id"),
+        k = 4, windowMaxRows = windowMax, exactMaxRows = exactMax)
+        .orderBy("g", "bucket")
+        .select("g", "bucket", "n", "lo", "hi")
+        .as[(String, Int, Long, Int, Int)].collect().toSeq
+    val windowArm = run(1L << 20, 1L << 26)
+    val scalableArm = run(1L, 1L << 26)
+    assert(windowArm == scalableArm,
+      "exact arms must produce identical histograms")
+    val sketchArm = run(1L, 2L)
+    assert(sketchArm.map(r => (r._1, r._2)) ==
+      windowArm.map(r => (r._1, r._2)), "bucket grid must match")
+    // sketch depths: within 5% of the group total per bucket (exact GK
+    // at this size, but boundary ties may shift a few rows)
+    for (((g, b, n, lo, hi), i) <- sketchArm.zipWithIndex) {
+      val total = sketchArm.filter(_._1 == g).map(_._3).sum
+      assert(math.abs(n.toDouble / total - 0.25) <= 0.05,
+        s"bucket ($g, $b) depth $n of $total")
+      assert(lo <= hi)
+      if (i > 0 && sketchArm(i - 1)._1 == g)
+        assert(sketchArm(i - 1)._5 <= lo,
+          s"bucket grid not monotone at ($g, $b)")
+    }
+  }
 }

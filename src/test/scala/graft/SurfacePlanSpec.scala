@@ -116,6 +116,34 @@ class SurfacePlanSpec extends SparkSpec {
       "boundaries should broadcast to the assigning projection")
   }
 
+  test("Histograms.equiDepth routing: WindowExec only BELOW the window " +
+    "bound; the exact-scalable and sketch arms plan window-free") {
+    val li = Tables.lineitem(spark, sf)
+      .select(org.apache.spark.sql.functions.col("l_returnflag"),
+        org.apache.spark.sql.functions.col("l_extendedprice"),
+        org.apache.spark.sql.functions.col("l_orderkey"),
+        org.apache.spark.sql.functions.col("l_linenumber"))
+    def arm(windowMax: Long, exactMax: Long) =
+      graft.operators.Histograms.equiDepth(li, Seq("l_returnflag"),
+        "l_extendedprice", Seq("l_orderkey", "l_linenumber"), k = 4,
+        windowMaxRows = windowMax, exactMaxRows = exactMax,
+        knownCount = Some(1000L))
+    // below the window bound: the per-group ntile window IS the plan
+    assert(physical(arm(2000L, 4000L))
+      .collect { case w: WindowExec => w }.nonEmpty,
+      "small inputs should take the exact window arm")
+    // between the bounds: exact grouped ntile, RDD-based — no WindowExec
+    assert(physical(arm(10L, 4000L))
+      .collect { case w: WindowExec => w }.isEmpty,
+      "exact-scalable arm must not plan a window")
+    // above both: sketch boundaries broadcast, assignment a projection
+    val sketch = physical(arm(10L, 20L))
+    assert(sketch.collect { case w: WindowExec => w }.isEmpty,
+      "sketch arm must not plan a window")
+    assert(sketch.toString.contains("BroadcastHashJoin"),
+      "sketch boundaries should broadcast to the assigning projection")
+  }
+
   test("widen() decides from optimizer stats: narrow scans repartition, " +
     "already-wide inputs pass through untouched") {
     val df = graft.Tables.documents(spark, sf).select("doc_id")
