@@ -27,6 +27,38 @@ object TextAnalysis {
 
   def tokenCount(text: Column): Column = size(tokens(text))
 
+  /** CJK character classes as a Java regex class body: Han ideographs,
+    * kana, hangul — the scripts that carry no whitespace word boundaries.
+    * (Equivalent RE2 spelling for DuckDB oracles:
+    * `\p{Han}\p{Hiragana}\p{Katakana}\p{Hangul}`.)
+    */
+  private val CjkClass =
+    "\\p{IsHan}\\p{IsHiragana}\\p{IsKatakana}\\p{IsHangul}"
+
+  /** Script-run segmentation for no-whitespace scripts: inserts spaces
+    * around every CJK code point, so each ideograph/kana/hangul syllable
+    * becomes its own whitespace token while Latin/digit runs keep their
+    * word boundaries. Character-level CJK segmentation is the standard
+    * dictionary-free fallback (what BPE/unigram tokenizers seed from,
+    * and what n-gram dedup degrades to gracefully).
+    *
+    * This is the COMPOSITION point for CJK corpora: apply once at ingest
+    * (like [[nfcNormalize]]) and every whitespace-tokenized operator
+    * downstream — shingles/MinHash dedup, gopher rules, CE scoring, BPE
+    * pre-tokenization — works unchanged. One map-only codegen'd
+    * projection beats threading a tokenizer flag through 20 operators.
+    * The reference's own domain is Traditional-Chinese statements
+    * (reference etl.py:13-29 column constants); a corpus engine grown
+    * from it must not be whitespace-bound.
+    */
+  def cjkSegment(text: Column): Column =
+    regexp_replace(text, s"([$CjkClass])", " $1 ")
+
+  /** [[tokens]] over [[cjkSegment]]-ed text: Latin words by whitespace,
+    * CJK one token per code point.
+    */
+  def tokensCjk(text: Column): Column = tokens(cjkSegment(text))
+
   /** BPE-ish subword-boundary token count: word runs + single non-word
     * non-space marks, the common pre-tokenization regex.
     */

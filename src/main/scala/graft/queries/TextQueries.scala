@@ -27,6 +27,46 @@ object TextQueries {
     "de" -> Seq("der", "die", "das", "und", "von", "ein", "eine", "ist", "mit", "zu"),
     "zh" -> Seq("的", "是", "在", "和", "了", "有", "我", "他", "这", "中"))
 
+  // --------------------------------------------------------------- q151
+  // CJK-mode tokenization, oracle-gated: the documents corpus is Latin,
+  // so each doc gets a DETERMINISTIC spliced CJK run (5 ideographs drawn
+  // from a 20-char literal alphabet by doc_id — both engines replay the
+  // char-level substr), then the script-run segmenter tokenizes the
+  // mixed text: Latin words by whitespace, one token per ideograph.
+  // The corpus vocabulary rollup proves the downstream contract — CJK
+  // chars count individually (shingles/gopher/CE/BPE all consume these
+  // tokens), not as one line-sized blob. DuckDB replays the segmenter
+  // closed-form with RE2 script classes (the q140 regex-replay recipe).
+  private val CjkAlpha = "的一是不了人我在有他這為之大來以個中上們"
+  private def q151(s: SparkSession, dir: String): DataFrame = {
+    val mixed = concat(
+      substring(col("text"), 1, 40), lit(" "),
+      expr(s"substr('$CjkAlpha', 1 + CAST(doc_id % 16 AS INT), 5)"))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), explode(
+        graft.functions.TextAnalysis.tokensCjk(mixed)).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("n_occ"),
+        countDistinct(col("doc_id")).as("n_docs"))
+      .orderBy(col("token"))
+  }
+
+  private val q151Sql = {
+    val cjk = "\\p{Han}\\p{Hiragana}\\p{Katakana}\\p{Hangul}"
+    s"""WITH m AS (
+       |  SELECT doc_id,
+       |    substr(text, 1, 40) || ' ' ||
+       |    substr('$CjkAlpha', 1 + CAST(doc_id % 16 AS INT), 5) AS mixed
+       |  FROM documents),
+       |t AS (
+       |  SELECT doc_id, unnest(regexp_extract_all(mixed,
+       |    '[$cjk]|[^\\s$cjk]+')) AS token
+       |  FROM m)
+       |SELECT token, count(*) AS n_occ,
+       |  count(DISTINCT doc_id) AS n_docs
+       |FROM t GROUP BY token ORDER BY token""".stripMargin
+  }
+
   // ---------------------------------------------------------------- q20
   // Exact dedup (hash-groupBy): shuffle carries digests, not documents.
   private def q20(s: SparkSession, dir: String): DataFrame =
@@ -821,6 +861,7 @@ object TextQueries {
     "q44_grouped_split" -> (q44 _),
     "q123_corpus_shuffle" -> (q123 _),
     "q20_exact_dedup" -> (q20 _),
+    "q151_cjk_tokens" -> (q151 _),
     "q21_token_stats" -> (q21 _),
     "q22_quality_score" -> (q22 _),
     "q23_langid" -> (q23 _),
@@ -843,6 +884,7 @@ object TextQueries {
     "q44_grouped_split" -> q44Sql,
     "q123_corpus_shuffle" -> q123Sql,
     "q20_exact_dedup" -> q20Sql,
+    "q151_cjk_tokens" -> q151Sql,
     "q21_token_stats" -> q21Sql,
     "q22_quality_score" -> q22Sql,
     "q23_langid" -> q23Sql,

@@ -61,6 +61,54 @@ class TextAnalysisSpec extends SparkSpec {
     assert(fa == fb)
   }
 
+  test("cjkSegment/tokensCjk: one token per Han/kana/hangul code point, " +
+    "Latin runs keep word boundaries, whitespace text is unchanged") {
+    val df = Seq(
+      "spark引擎很快 fast engine",
+      "ホテル123 ok",
+      "한국어 test",
+      "plain ascii only").toDF("t")
+    val got = df.select(TextAnalysis.tokensCjk(col("t")).as("tk"))
+      .as[Seq[String]].collect().toSeq
+    assert(got(0) == Seq("spark", "引", "擎", "很", "快", "fast", "engine"))
+    assert(got(1) == Seq("ホ", "テ", "ル", "123", "ok"))
+    assert(got(2) == Seq("한", "국", "어", "test"))
+    assert(got(3) == Seq("plain", "ascii", "only"),
+      "pure-ASCII text must tokenize exactly as tokens() does")
+  }
+
+  test("cjkSegment composes: segmented CJK docs flow through MinHash " +
+    "near-dup and BPE merges with per-character granularity") {
+    // two near-dup CJK docs (one char differs) + one unrelated: shingles
+    // over UNSEGMENTED text see one giant token; over segmented text the
+    // near-dup pair collides
+    val docs = Seq(
+      (1L, "這是一個很長的句子用來測試近似重複檢測的效果很好"),
+      (2L, "這是一個很長的句子用來測試近似重複檢測的效果很妙"),
+      (3L, "完全不同的內容和主題沒有任何重疊部分存在這裡面")).toDF("doc_id", "raw")
+    val seg = docs.withColumn("text",
+      TextAnalysis.cjkSegment(col("raw")))
+    val pairs = graft.operators.Dedup.minHashLsh(seg, "doc_id", "text",
+        n = 3, threshold = 0.5, numHashes = 64, bands = 32)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)), s"pairs: $pairs")
+    val none = graft.operators.Dedup.minHashLsh(docs
+        .withColumnRenamed("raw", "text"), "doc_id", "text",
+        n = 3, threshold = 0.5, numHashes = 64, bands = 32).count()
+    assert(none == 0L, "unsegmented CJK must degenerate (the r14 gap)")
+    // BPE pre-tokenization wants CJK RUNS as words (code-point seeding
+    // merges ideograph pairs inside the run) — raw text, NOT the
+    // char-level segmenter, is the right BPE input; the segmenter is
+    // for the whitespace-tokenized operators above
+    val merges = graft.operators.Curation.learnBpeMerges(
+        docs.withColumnRenamed("raw", "text"), "text",
+        rounds = 2, minFreq = 2L)
+      .select("left", "right").as[(String, String)].collect().toSeq
+    assert(merges.nonEmpty &&
+      merges.head._1.length == 1 && merges.head._2.length == 1,
+      s"first CJK merge should pair single ideographs: $merges")
+  }
+
   test("quality flag rejects punctuation soup and too-short docs") {
     val df = Seq(
       "the quick brown fox jumps over a lazy dog in the warm sun today",
