@@ -1498,4 +1498,94 @@ object Curation {
         coalesce(col("n_subwords"), lit(0L)).as("n_subwords"),
         coalesce(col("subword_hash"), md5(lit(""))).as("subword_hash"))
   }
+
+  /** Unigram-LM (SentencePiece-style, Kudo 2018) tokenizer learning —
+    * the EM complement of [[learnBpeMerges]]' greedy merges, and the
+    * algorithm behind most modern production tokenizers.
+    *
+    * Hard-EM (Viterbi) variant, fully deterministic:
+    *
+    *  1. SEED: every substring of every distinct word up to
+    *     `maxPieceLen` code points, scored by occurrence count weighted
+    *     by word frequency; keep pieces with freq >= `minSeedFreq`,
+    *     then the top `keepTop` by (freq desc, piece asc) — single
+    *     characters are ALWAYS kept (coverage guarantee);
+    *  2. E-STEP: Viterbi-best segmentation of each distinct word under
+    *     the current piece log-probs
+    *     ([[graft.plans.UnigramExpressions.unigramSegment]], a native
+    *     kernel — one map pass over the VOCABULARY-sized word table,
+    *     never the corpus), piece counts = word-frequency-weighted use
+    *     counts;
+    *  3. M-STEP + PRUNE: add-one smoothing on single characters (so
+    *     coverage survives zero counts), keep the top `keepTop` by
+    *     (count desc, piece asc) plus all characters, renormalize.
+    *
+    * Returns one (round, piece, cnt) row per piece USED in each E-step
+    * — the full EM trajectory, which is what the q152 oracle replays
+    * closed-form (recursive-CTE segmentation enumeration + the same
+    * argmax tie-breaks; see [[graft.plans.UnigramViterbiKernel]] for
+    * the tie-break contract).
+    *
+    * Scale shape: identical to BPE learning — each round is one
+    * kernel pass + one vocabulary-sized aggregation; only the piece
+    * table (keepTop-bounded) ever reaches the driver. The corpus is
+    * scanned exactly once (the distinct-word rollup).
+    */
+  def learnUnigramLm(df: DataFrame, textCol: String, rounds: Int = 2,
+                     maxPieceLen: Int = 3, keepTop: Int = 64,
+                     minSeedFreq: Long = 2L): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    require(maxPieceLen >= 1, s"maxPieceLen >= 1, got $maxPieceLen")
+    require(keepTop >= 1, s"keepTop >= 1, got $keepTop")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val words = df
+      .select(explode(graft.functions.TextAnalysis.tokens(col(textCol)))
+        .as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(true)
+    def cpLen(s: String): Int = s.codePointCount(0, s.length)
+    // seed freqs: per-position substrings up to maxPieceLen, weighted
+    val seedFreqs = words
+      .select(col("cnt"), explode(expr(
+        s"""flatten(transform(sequence(1, char_length(word)), i ->
+           |  transform(sequence(i, least(char_length(word),
+           |      i + ${maxPieceLen - 1})), j ->
+           |    substring(word, i, j - i + 1))))""".stripMargin))
+        .as("piece"))
+      .groupBy(col("piece")).agg(sum(col("cnt")).as("freq"))
+      .as[(String, Long)].collect()
+    // model selection shared by seed and every M-step: filtered +
+    // ranked by (weight desc, piece asc), top keepTop, chars always in
+    def select(cands: Seq[(String, Long)]): Seq[(String, Double)] = {
+      val ranked = cands.sortBy { case (p, c) => (-c, p) }
+      val kept = ranked.zipWithIndex.collect {
+        case ((p, c), i) if i < keepTop || cpLen(p) == 1 => (p, c)
+      }
+      val total = kept.map(_._2).sum.toDouble
+      kept.map { case (p, c) => (p, math.log(c.toDouble / total)) }
+    }
+    var model = select(seedFreqs.toSeq.filter { case (p, c) =>
+      c >= minSeedFreq || cpLen(p) == 1 })
+    val rows = scala.collection.mutable.ArrayBuffer
+      .empty[(Int, String, Long)]
+    for (r <- 1 to rounds) {
+      val counts = words
+        .select(col("cnt"), explode(graft.plans.UnigramExpressions
+          .unigramSegment(col("word"), model, maxPieceLen)).as("piece"))
+        .groupBy(col("piece")).agg(sum(col("cnt")).as("cnt"))
+        .as[(String, Long)].collect()
+      counts.sortBy(_._1).foreach { case (p, c) => rows += ((r, p, c)) }
+      if (r < rounds) {
+        val cm = counts.toMap
+        val smoothed = counts.map { case (p, c) =>
+          (p, c + (if (cpLen(p) == 1) 1L else 0L)) } ++
+          model.collect { case (p, _)
+            if cpLen(p) == 1 && !cm.contains(p) => (p, 1L) }
+        model = select(smoothed.toSeq)
+      }
+    }
+    rows.toSeq.toDF("round", "piece", "cnt")
+  }
 }

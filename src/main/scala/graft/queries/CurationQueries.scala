@@ -1013,7 +1013,104 @@ object CurationQueries {
        |    FILTER (WHERE NOT d), '')) AS text_hash
        |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // --------------------------------------------------------------- q152
+  // Unigram-LM (SentencePiece-style) tokenizer learning — the EM
+  // complement of q139's BPE: substring seeding, Viterbi E-step over
+  // the distinct-word table (native kernel), add-one-smoothed M-step
+  // with (cnt desc, piece asc) top-keepTop pruning, chars always kept.
+  // The oracle replays BOTH EM rounds closed-form: a recursive CTE
+  // enumerates every vocabulary segmentation of every distinct word
+  // (31 words, <= 8 chars at all scales — bounded), picks the Viterbi
+  // winner with the kernel's exact tie-break triple (score DESC, piece
+  // count ASC, U+001F-joined path ASC — boundary order), and
+  // re-estimates. Float parity: both engines fold the same doubles
+  // left-associatively and ln the same count ratios (the q98/q130
+  // IEEE-scalar discipline).
+  private val UniRounds = 2
+  private val UniPieceLen = 3
+  private val UniKeepTop = 64
+  private val UniMinSeed = 2L
+
+  private def q152(s: SparkSession, dir: String): DataFrame =
+    Curation.learnUnigramLm(Tables.documents(s, dir), "text",
+        rounds = UniRounds, maxPieceLen = UniPieceLen,
+        keepTop = UniKeepTop, minSeedFreq = UniMinSeed)
+      .orderBy(col("round"), col("piece"))
+
+  private val q152Sql: String = {
+    val lens = (1 to UniPieceLen).mkString("[", ", ", "]")
+    def segCte(i: Int, model: String) =
+      s"""seg$i AS (
+         |  SELECT word, cnt, 0 AS pos, CAST('' AS VARCHAR) AS path,
+         |    CAST(0.0 AS DOUBLE) AS score, 0 AS np
+         |  FROM w0
+         |  UNION ALL
+         |  SELECT s.word, s.cnt, s.pos + ll.l,
+         |    CASE WHEN s.pos = 0 THEN m.piece
+         |         ELSE s.path || chr(31) || m.piece END,
+         |    s.score + m.logp, s.np + 1
+         |  FROM seg$i s
+         |  CROSS JOIN unnest($lens) AS ll(l)
+         |  JOIN $model m ON m.piece = substr(s.word, s.pos + 1, ll.l)
+         |  WHERE s.pos + ll.l <= length(s.word)),
+         |b$i AS (
+         |  SELECT word, cnt, path FROM (
+         |    SELECT word, cnt, path, row_number() OVER (
+         |      PARTITION BY word
+         |      ORDER BY score DESC, np ASC, path ASC) AS rn
+         |    FROM seg$i WHERE pos = length(word)) WHERE rn = 1),
+         |c$i AS (
+         |  SELECT piece, CAST(sum(cnt) AS BIGINT) AS cnt
+         |  FROM b$i, unnest(string_split(path, chr(31))) AS tp(piece)
+         |  GROUP BY piece)""".stripMargin
+    s"""WITH RECURSIVE
+       |w0 AS (
+       |  SELECT word, count(*) AS cnt
+       |  FROM (SELECT unnest(string_split_regex(trim(text), '\\s+'))
+       |      AS word FROM documents)
+       |  WHERE length(word) > 0 GROUP BY word),
+       |sp AS (
+       |  SELECT substr(word, ii.i, ll.l) AS piece, sum(cnt) AS freq
+       |  FROM w0
+       |  CROSS JOIN unnest(range(1, length(word) + 1)) AS ii(i)
+       |  CROSS JOIN unnest($lens) AS ll(l)
+       |  WHERE ii.i + ll.l - 1 <= length(word)
+       |  GROUP BY 1),
+       |sk AS (
+       |  SELECT piece, freq FROM (
+       |    SELECT piece, freq,
+       |      row_number() OVER (ORDER BY freq DESC, piece) AS rn
+       |    FROM sp WHERE freq >= $UniMinSeed OR length(piece) = 1)
+       |  WHERE rn <= $UniKeepTop OR length(piece) = 1),
+       |m0 AS (
+       |  SELECT piece, ln(CAST(freq AS DOUBLE) /
+       |    (SELECT CAST(sum(freq) AS DOUBLE) FROM sk)) AS logp FROM sk),
+       |${segCte(1, "m0")},
+       |ch AS (SELECT piece FROM sk WHERE length(piece) = 1),
+       |c1s AS (
+       |  SELECT piece,
+       |    cnt + CASE WHEN length(piece) = 1 THEN 1 ELSE 0 END AS w
+       |  FROM c1
+       |  UNION ALL
+       |  SELECT piece, 1 FROM ch
+       |  WHERE piece NOT IN (SELECT piece FROM c1)),
+       |k1 AS (
+       |  SELECT piece, w FROM (
+       |    SELECT piece, w,
+       |      row_number() OVER (ORDER BY w DESC, piece) AS rn FROM c1s)
+       |  WHERE rn <= $UniKeepTop OR length(piece) = 1),
+       |m1 AS (
+       |  SELECT piece, ln(CAST(w AS DOUBLE) /
+       |    (SELECT CAST(sum(w) AS DOUBLE) FROM k1)) AS logp FROM k1),
+       |${segCte(2, "m1")}
+       |SELECT 1 AS round, piece, cnt FROM c1
+       |UNION ALL
+       |SELECT 2 AS round, piece, cnt FROM c2
+       |ORDER BY round, piece""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q152_unigram_lm" -> (q152 _),
     "q139_bpe_merges" -> (q139 _),
     "q140_bpe_encode" -> (q140 _),
     "q142_bpe_batched" -> (q142 _),
@@ -1041,6 +1138,7 @@ object CurationQueries {
     "q96_span_removal_keepfirst" -> (q96 _))
 
   val oracleSql: Map[String, String] = Map(
+    "q152_unigram_lm" -> q152Sql,
     "q139_bpe_merges" -> q139Sql,
     "q140_bpe_encode" -> q140Sql,
     "q142_bpe_batched" -> q142Sql,

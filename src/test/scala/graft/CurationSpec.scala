@@ -651,6 +651,33 @@ class CurationSpec extends SparkSpec {
       s"empty rebuild wrong: $gone")
   }
 
+  test("learnUnigramLm: hand-computed seed freqs, Viterbi picks the " +
+    "higher-likelihood segmentation (incl. dropping a low-prob long " +
+    "piece), EM counts stable, partitioning-invariant") {
+    import graft.operators.Curation
+    // corpus A: words ab:3, xy:1. Seed (freq>=2 or single char):
+    // a:3 b:3 ab:3 x:1 y:1 (xy dropped). total=11. Viterbi 'ab':
+    // [ab] ln(3/11) beats [a,b] 2*ln(3/11) (logs negative) -> ab kept.
+    val a = Seq("ab ab", "ab xy").toDF("text")
+    val gotA = Curation.learnUnigramLm(a, "text", rounds = 2)
+      .orderBy("round", "piece")
+      .as[(Int, String, Long)].collect().toSeq
+    assert(gotA == Seq((1, "ab", 3L), (1, "x", 1L), (1, "y", 1L),
+      (2, "ab", 3L), (2, "x", 1L), (2, "y", 1L)), s"gotA: $gotA")
+    // corpus B: word aa:2. Seed: a:4, aa:2, total 6. Viterbi 'aa':
+    // [a,a] 2*ln(4/6) = -0.81 beats [aa] ln(2/6) = -1.10 -> the EM
+    // prunes the long piece (cnt 0, never emitted).
+    val b = Seq("aa aa").toDF("text")
+    val gotB = Curation.learnUnigramLm(b, "text", rounds = 1)
+      .as[(Int, String, Long)].collect().toSeq
+    assert(gotB == Seq((1, "a", 4L)), s"gotB: $gotB")
+    // partitioning invariance (the localCheckpoint + exact-count design)
+    val gotA7 = Curation.learnUnigramLm(a.repartition(7), "text",
+        rounds = 2).orderBy("round", "piece")
+      .as[(Int, String, Long)].collect().toSeq
+    assert(gotA7 == gotA)
+  }
+
   test("learnBpeMerges: hand-computed merges, greedy non-overlapping " +
     "application, deterministic ties, partitioning invariance") {
     import graft.operators.Curation
