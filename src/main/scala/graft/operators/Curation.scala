@@ -138,6 +138,57 @@ object Curation {
     * partitionings. Scale: map-only (no explode, no shuffle); the token
     * array lives once per row in the projection.
     */
+  /** Trained quality-classifier INFERENCE — the DCLM/FineWeb-Edu rung
+    * above rule thresholds (gopher) and LM perplexity (CE): a logistic
+    * model over a FIXED five-feature token-stat vector, scored map-only
+    * over the corpus. Training happens offline (the model is
+    * deployment config, like the payment-gateway rule tables); this is
+    * the distributed batch-inference half, which is the part that must
+    * scale.
+    *
+    * Feature vector (in weight order — the dot product folds
+    * left-associatively, so scores are bit-reproducible and the q153
+    * oracle replays them closed-form):
+    *   f1 = ln(1 + n_tokens)          (length, log-damped)
+    *   f2 = mean token length          (chars / tokens)
+    *   f3 = ASCII-punctuation ratio    (chars)
+    *   f4 = digit ratio                (chars)
+    *   f5 = type-token ratio           (distinct / total tokens)
+    * score = sigmoid(bias + w·f), label = score >= threshold.
+    *
+    * Scale: one projection — no shuffle, no join, no window; the model
+    * rides in the plan as literals. A 30-feature fastText-style bag
+    * would add a vocabulary join (the q120 DSIR shape); this fixed
+    * vector is deliberately join-free.
+    */
+  def logisticQuality(df: DataFrame, idCol: String, textCol: String,
+                      weights: Seq[Double], bias: Double,
+                      threshold: Double = 0.5): DataFrame = {
+    require(weights.length == 5,
+      s"logisticQuality scores the fixed 5-feature vector, " +
+        s"got ${weights.length} weights")
+    val toks = TextAnalysis.tokens(col(textCol))
+    val base = df.select(col(idCol), col(textCol), toks.as("_toks"))
+    val n = size(col("_toks"))
+    val nD = greatest(n, lit(1)).cast("double")
+    val chD = greatest(length(col(textCol)), lit(1)).cast("double")
+    val f1 = log(lit(1.0) + n.cast("double"))
+    val f2 = aggregate(transform(col("_toks"), t => length(t)),
+      lit(0L), (acc, x) => acc + x.cast("long")).cast("double") / nD
+    val f3 = (length(col(textCol)) -
+      length(regexp_replace(col(textCol), "[\\p{Punct}]", "")))
+      .cast("double") / chD
+    val f4 = (length(col(textCol)) -
+      length(regexp_replace(col(textCol), "[0-9]", "")))
+      .cast("double") / chD
+    val f5 = size(array_distinct(col("_toks"))).cast("double") / nD
+    val z = Seq(f1, f2, f3, f4, f5).zip(weights)
+      .foldLeft(lit(bias)) { case (acc, (f, w)) => acc + lit(w) * f }
+    base.select(col(idCol), n.cast("long").as("n_tokens"),
+      round(lit(1.0) / (lit(1.0) + exp(-z)), 6).as("score"))
+      .withColumn("label", col("score") >= threshold)
+  }
+
   def gopherQualityFilter(df: DataFrame, idCol: String, textCol: String,
                           minWords: Int = 50, maxWords: Int = 100000,
                           minMeanWordLen: Double = 3.0,

@@ -1013,6 +1013,55 @@ object CurationQueries {
        |    FILTER (WHERE NOT d), '')) AS text_hash
        |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // --------------------------------------------------------------- q153
+  // Trained quality-classifier inference: logistic model over the fixed
+  // 5-feature token-stat vector (Curation.logisticQuality), weights as
+  // deployment config. Oracle replays the dot product + sigmoid
+  // closed-form in the SAME left-assoc order (IEEE-scalar parity, the
+  // q98/q152 discipline); round(…, 6) absorbs nothing — both engines
+  // compute identical doubles.
+  private val QcWeights = Seq(0.35, -0.12, -2.0, -1.5, 0.8)
+  private val QcBias = -0.5
+
+  private def q153(s: SparkSession, dir: String): DataFrame =
+    Curation.logisticQuality(Tables.documents(s, dir), "doc_id", "text",
+        QcWeights, QcBias)
+      .orderBy(col("doc_id"))
+
+  private val q153Sql: String = {
+    val Seq(w1, w2, w3, w4, w5) = QcWeights
+    s"""WITH t AS (
+       |  SELECT doc_id, text,
+       |    string_split_regex(trim(text), '\\s+') AS toks
+       |  FROM documents),
+       |f AS (
+       |  SELECT doc_id,
+       |    CAST(len(toks) AS BIGINT) AS n_tokens,
+       |    CAST(greatest(len(toks), 1) AS DOUBLE) AS nd,
+       |    CAST(greatest(length(text), 1) AS DOUBLE) AS chd,
+       |    ln(1.0 + CAST(len(toks) AS DOUBLE)) AS f1,
+       |    CAST(list_sum(list_transform(toks, x -> length(x)))
+       |      AS DOUBLE) AS sumlen,
+       |    CAST(length(text) -
+       |      length(regexp_replace(text, '[[:punct:]]', '', 'g'))
+       |      AS DOUBLE) AS npunct,
+       |    CAST(length(text) -
+       |      length(regexp_replace(text, '[0-9]', '', 'g'))
+       |      AS DOUBLE) AS ndigit,
+       |    CAST(len(list_distinct(toks)) AS DOUBLE) AS ndistinct
+       |  FROM t),
+       |z AS (
+       |  SELECT doc_id, n_tokens,
+       |    (((($QcBias + $w1 * f1) + $w2 * (sumlen / nd))
+       |      + $w3 * (npunct / chd)) + $w4 * (ndigit / chd))
+       |      + $w5 * (ndistinct / nd) AS z
+       |  FROM f)
+       |SELECT doc_id, n_tokens,
+       |  round(1.0 / (1.0 + exp(-z)), 6) AS score,
+       |  round(1.0 / (1.0 + exp(-z)), 6) >= 0.5 AS label
+       |FROM z ORDER BY doc_id""".stripMargin
+  }
+
   // --------------------------------------------------------------- q152
   // Unigram-LM (SentencePiece-style) tokenizer learning — the EM
   // complement of q139's BPE: substring seeding, Viterbi E-step over
@@ -1111,6 +1160,7 @@ object CurationQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q152_unigram_lm" -> (q152 _),
+    "q153_quality_classifier" -> (q153 _),
     "q139_bpe_merges" -> (q139 _),
     "q140_bpe_encode" -> (q140 _),
     "q142_bpe_batched" -> (q142 _),
@@ -1139,6 +1189,7 @@ object CurationQueries {
 
   val oracleSql: Map[String, String] = Map(
     "q152_unigram_lm" -> q152Sql,
+    "q153_quality_classifier" -> q153Sql,
     "q139_bpe_merges" -> q139Sql,
     "q140_bpe_encode" -> q140Sql,
     "q142_bpe_batched" -> q142Sql,

@@ -651,6 +651,25 @@ class CurationSpec extends SparkSpec {
       s"empty rebuild wrong: $gone")
   }
 
+  test("logisticQuality: separates prose from punctuation/digit soup " +
+    "under quality-signed weights; sigmoid bounded; fixed arity") {
+    import graft.operators.Curation
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over a lazy dog near the old barn"),
+      (2L, "!!! ??? ;;; 111 222 ### $$$ %%% 333 ^^^ &&& 444 *** (((")
+    ).toDF("doc_id", "text")
+    val got = Curation.logisticQuality(docs, "doc_id", "text",
+        Seq(0.35, -0.12, -2.0, -1.5, 0.8), -0.5)
+      .orderBy("doc_id")
+      .select("score", "label").as[(Double, Boolean)].collect().toSeq
+    assert(got.forall(r => r._1 > 0.0 && r._1 < 1.0))
+    assert(got(0)._1 > got(1)._1,
+      s"prose ${got(0)._1} must outscore soup ${got(1)._1}")
+    intercept[IllegalArgumentException] {
+      Curation.logisticQuality(docs, "doc_id", "text", Seq(1.0), 0.0)
+    }
+  }
+
   test("learnUnigramLm: hand-computed seed freqs, Viterbi picks the " +
     "higher-likelihood segmentation (incl. dropping a low-prob long " +
     "piece), EM counts stable, partitioning-invariant") {

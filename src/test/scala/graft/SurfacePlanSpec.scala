@@ -116,6 +116,19 @@ class SurfacePlanSpec extends SparkSpec {
       "boundaries should broadcast to the assigning projection")
   }
 
+  test("q153 quality classifier: shuffle-free map-only inference (no " +
+    "Exchange, no Join, no Window — the model rides as literals)") {
+    val p = physical(run("q153_quality_classifier"))
+    val s = p.toString
+    // the trailing orderBy is the only exchange-bearing step; the scoring
+    // itself must plan as a single projection over the scan
+    assert(p.collect { case w: WindowExec => w }.isEmpty)
+    assert(!s.contains("Join"), "inference must not join")
+    val exchanges = "Exchange".r.findAllIn(s).length
+    assert(exchanges <= 1, // the output sort only
+      s"expected at most the output-sort exchange, got $exchanges")
+  }
+
   test("Histograms.equiDepth routing: WindowExec only BELOW the window " +
     "bound; the exact-scalable and sketch arms plan window-free") {
     val li = Tables.lineitem(spark, sf)
