@@ -296,9 +296,27 @@ object Similarity {
     val rnd = new scala.util.Random(seed)
     val planeSets = Seq.fill(tables)(
       Seq.fill(bits)(Seq.fill(dim)(rnd.nextGaussian())))
-    cosineNearDupPairsBucketedStaged(df, threshold, planeSets, stageTables,
-      idCol, vecCol)
+    // staging exists to bound PEAK SCRATCH: each hash table replicates
+    // every vector into the (t, b) join exchange. Estimate that volume
+    // (float vector + row overhead) and stage only when it is worth the
+    // sequential-batch + GC-nudge overhead — at the ×1000 soak (2M
+    // 64-dim vectors × 48 tables ≈ 29 GB/side) staging is the
+    // difference between finishing and ENOSPC; at q149's test scale the
+    // single-shot join is strictly faster and pair-identical
+    // (SplitsSpec pins staged == one-shot).
+    val estShuffleBytes = nRaw * tables.toLong * (dim.toLong * 4 + 48)
+    if (estShuffleBytes <= StagedShuffleMinBytes)
+      cosineNearDupPairsBucketed(df, threshold, planeSets, idCol, vecCol)
+    else
+      cosineNearDupPairsBucketedStaged(df, threshold, planeSets,
+        stageTables, idCol, vecCol)
   }
+
+  /** Per-side (t, b)-exchange volume above which [[cosineNearDupPairsAuto]]
+    * routes through the staged form (4 GiB — well under any healthy
+    * scratch pool, well above anything a test-scale corpus produces).
+    */
+  private val StagedShuffleMinBytes = 4L << 30
 
   /** DEFAULT route for embedding near-dup pairs — the measured-route
     * pattern of [[graft.multimodal.ImageHash.jointDedup]] applied to the

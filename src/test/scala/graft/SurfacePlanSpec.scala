@@ -116,6 +116,20 @@ class SurfacePlanSpec extends SparkSpec {
       "boundaries should broadcast to the assigning projection")
   }
 
+  test("q147 bigram CE: the corpus is tokenized ONCE — the scoring plan " +
+    "reads only the persisted edges cache, never the parquet again") {
+    val p = physical(run("q147_bigram_ce"))
+    val scans = p.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scans.isEmpty,
+      s"result plan re-scans parquet ${scans.size}x — the r14 verdict's " +
+        "triple-tokenize regression (vocab + roster must come from the " +
+        "edges cache)")
+    assert(p.toString.contains("InMemoryTableScan"),
+      "edges cache missing from the scoring plan")
+  }
+
   test("q153 quality classifier: shuffle-free map-only inference (no " +
     "Exchange, no Join, no Window — the model rides as literals)") {
     val p = physical(run("q153_quality_classifier"))
