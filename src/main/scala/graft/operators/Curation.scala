@@ -528,8 +528,10 @@ object Curation {
         lit(0.0), (acc, s) => acc + s.getField("_nll")).as("_sum"))
       .select(col("id"),
         round(col("_sum") / (col("dl") - 1).cast("double"), 6).as("ce"))
-    // doc roster off the persisted edges (every doc has >= 1 edge row)
-    val result = edges.select(col("id"), col("dl")).distinct()
+    // doc roster = the sentinel rows: EXACTLY one per doc by
+    // construction (the i == dl branch for dl >= 1, the all-NULL row
+    // for dl == 0) — a filter on the cache, no distinct shuffle
+    val result = edges.filter(col("r").isNull).select(col("id"), col("dl"))
       .join(perDoc, Seq("id"), "left")
       .select(col("id"), col("dl").cast("long").as("n_tokens"),
         greatest(col("dl") - 1, lit(0)).cast("long").as("n_bigrams"),
