@@ -1586,7 +1586,20 @@ object Curation {
     */
   def learnUnigramLm(df: DataFrame, textCol: String, rounds: Int = 2,
                      maxPieceLen: Int = 3, keepTop: Int = 64,
-                     minSeedFreq: Long = 2L): DataFrame = {
+                     minSeedFreq: Long = 2L): DataFrame =
+    learnUnigramLmBuild(df, textCol, rounds, maxPieceLen, keepTop,
+      minSeedFreq)._1
+
+  /** [[learnUnigramLm]] plus the trained model: the (piece, logp) table
+    * the FINAL E-step segmented under — i.e. the model after
+    * `rounds - 1` M-steps, which is what [[applyUnigramLm]] encodes
+    * with (so encode segmentations equal the last round's Viterbi paths
+    * exactly — the property the q154 oracle leans on).
+    */
+  def learnUnigramLmBuild(df: DataFrame, textCol: String, rounds: Int = 2,
+                          maxPieceLen: Int = 3, keepTop: Int = 64,
+                          minSeedFreq: Long = 2L)
+      : (DataFrame, Seq[(String, Double)]) = {
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
     require(maxPieceLen >= 1, s"maxPieceLen >= 1, got $maxPieceLen")
     require(keepTop >= 1, s"keepTop >= 1, got $keepTop")
@@ -1639,6 +1652,43 @@ object Curation {
         model = select(smoothed.toSeq)
       }
     }
-    rows.toSeq.toDF("round", "piece", "cnt")
+    (rows.toSeq.toDF("round", "piece", "cnt"), model)
+  }
+
+  /** Unigram-LM ENCODING — [[applyBpeMerges]]' shape for the
+    * SentencePiece family: the trained (piece, logp) model compiles into
+    * ONE Viterbi kernel applied per row of the DISTINCT-WORD table, and
+    * corpus tokens join that segmentation table by word. One tokenize +
+    * one vocab-sized join at any corpus size; per-doc subword counts
+    * plus the order-exact segmentation digest.
+    */
+  def applyUnigramLm(df: DataFrame, idCol: String, textCol: String,
+                     pieces: Seq[(String, Double)],
+                     maxPieceLen: Int): DataFrame = {
+    val words = df
+      .select(explode(graft.functions.TextAnalysis.tokens(col(textCol)))
+        .as("word"))
+      .filter(length(col("word")) > 0)
+      .distinct()
+      .select(col("word"),
+        graft.plans.UnigramExpressions
+          .unigramSegment(col("word"), pieces, maxPieceLen).as("syms"))
+    val toks = df
+      .select(col(idCol),
+        posexplode(graft.functions.TextAnalysis.tokens(col(textCol)))
+          .as(Seq("pos", "word")))
+      .filter(length(col("word")) > 0)
+    val perDoc = toks.join(words, "word")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_words"),
+        sum(size(col("syms"))).as("n_subwords"),
+        md5(array_join(flatten(transform(
+          array_sort(collect_list(struct(col("pos"), col("syms")))),
+          s => s.getField("syms"))), " ")).as("subword_hash"))
+    df.select(col(idCol)).join(perDoc, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_words"), lit(0L)).as("n_words"),
+        coalesce(col("n_subwords"), lit(0L)).as("n_subwords"),
+        coalesce(col("subword_hash"), md5(lit(""))).as("subword_hash"))
   }
 }

@@ -1158,8 +1158,51 @@ object CurationQueries {
        |ORDER BY round, piece""".stripMargin
   }
 
+  // --------------------------------------------------------------- q154
+  // Unigram-LM ENCODING (q140's shape for the SentencePiece family):
+  // train with q152's exact configuration, encode the corpus under the
+  // final model (the one the last E-step segmented with), so encode
+  // segmentations == the last round's Viterbi paths. The oracle reuses
+  // the q152 CTE chain through b2 (the round-2 winners) and joins the
+  // paths back to positioned corpus tokens, q140Sql-style.
+  private def q154(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val (_, model) = Curation.learnUnigramLmBuild(docs, "text",
+      rounds = UniRounds, maxPieceLen = UniPieceLen,
+      keepTop = UniKeepTop, minSeedFreq = UniMinSeed)
+    Curation.applyUnigramLm(docs, "doc_id", "text", model, UniPieceLen)
+      .orderBy(col("doc_id"))
+  }
+
+  private val q154Sql: String = {
+    val head = q152Sql.substring(0, q152Sql.indexOf("SELECT 1 AS round"))
+    s"""${head.trim.stripSuffix(",")},
+       |tk AS (
+       |  SELECT d.doc_id, t.i AS pos, list_extract(d.toks, t.i) AS word
+       |  FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+')
+       |      AS toks FROM documents) d,
+       |    unnest(range(1, len(d.toks) + 1)) AS t(i)
+       |  WHERE length(list_extract(d.toks, t.i)) > 0),
+       |jn AS (
+       |  SELECT tk.doc_id, tk.pos,
+       |    string_split(b2.path, chr(31)) AS syms
+       |  FROM tk JOIN b2 USING (word)),
+       |g AS (
+       |  SELECT doc_id, count(*) AS n_words,
+       |    CAST(sum(len(syms)) AS BIGINT) AS n_subwords,
+       |    md5(string_agg(array_to_string(syms, ' '), ' ' ORDER BY pos))
+       |      AS subword_hash
+       |  FROM jn GROUP BY doc_id)
+       |SELECT d.doc_id, coalesce(g.n_words, 0) AS n_words,
+       |  coalesce(g.n_subwords, 0) AS n_subwords,
+       |  coalesce(g.subword_hash, md5('')) AS subword_hash
+       |FROM documents d LEFT JOIN g USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q152_unigram_lm" -> (q152 _),
+    "q154_unigram_encode" -> (q154 _),
     "q153_quality_classifier" -> (q153 _),
     "q139_bpe_merges" -> (q139 _),
     "q140_bpe_encode" -> (q140 _),
@@ -1189,6 +1232,7 @@ object CurationQueries {
 
   val oracleSql: Map[String, String] = Map(
     "q152_unigram_lm" -> q152Sql,
+    "q154_unigram_encode" -> q154Sql,
     "q153_quality_classifier" -> q153Sql,
     "q139_bpe_merges" -> q139Sql,
     "q140_bpe_encode" -> q140Sql,
