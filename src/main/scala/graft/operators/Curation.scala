@@ -522,6 +522,15 @@ object Curation {
       .withColumn("_nll", col("tf").cast("double") *
         -log((col("bf").cast("double") + 1.0) /
           (col("lcnt").cast("double") + vocabN.toDouble + 1.0)))
+    // order-stable per-doc sum: one array of the doc's DISTINCT bigrams
+    // per group. BOUND: array size <= doc length (a doc of n tokens has
+    // at most n-1 distinct bigrams), so the group payload is the
+    // document itself re-expressed — a single pathological multi-GB doc
+    // would concentrate in one task, but such a doc already concentrates
+    // at ingest/tokenize; corpus pipelines cap doc length upstream
+    // (gopher maxWords). The quantized-long alternative (VectorSumLong)
+    // trades this bound for fixed-point rounding in a SCORE — not worth
+    // it while the bound is the doc itself.
     val perDoc = scored.groupBy(col("id"), col("dl"))
       .agg(aggregate(
         array_sort(collect_list(struct(col("l"), col("r"), col("_nll")))),

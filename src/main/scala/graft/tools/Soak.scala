@@ -62,7 +62,12 @@ object Soak {
     // pipeline, bigram CE (q145 streaming rollup is trigger-dominated —
     // the streaming family's soak story is the StreamProf minima)
     "q142_bpe_batched", "q143_html_extract", "q144_video_near_dup",
-    "q146_web_pipeline", "q147_bigram_ce")
+    "q146_web_pipeline", "q147_bigram_ce",
+    // r15: frozen-bench decontam, CJK segmentation, unigram-LM
+    // learn/encode, logistic quality inference (q149's uncapped form is
+    // the s149 fullOps pair)
+    "q150_decontam_fixedbench", "q151_cjk_tokens", "q152_unigram_lm",
+    "q153_quality_classifier", "q154_unigram_encode")
 
   /** Same co-tenant preflight as [[graft.Bench]]: exponent fits across
     * scale runs are meaningless if one run raced a loaded box, so wait
