@@ -96,6 +96,28 @@ class TextAnalysisSpec extends SparkSpec {
         .withColumnRenamed("raw", "text"), "doc_id", "text",
         n = 3, threshold = 0.5, numHashes = 64, bands = 32).count()
     assert(none == 0L, "unsegmented CJK must degenerate (the r14 gap)")
+    // gopher rules: unsegmented CJK text is ONE giant word per line —
+    // fails minWords and blows maxMeanWordLen; segmented text carries
+    // real token statistics
+    val gRaw = graft.operators.Curation.gopherQualityFilter(
+        docs.withColumnRenamed("raw", "text"), "doc_id", "text",
+        minWords = 10, minMeanWordLen = 1.0, maxMeanWordLen = 10.0)
+      .filter(col("keep")).count()
+    val gSeg = graft.operators.Curation.gopherQualityFilter(
+        seg.drop("raw"), "doc_id", "text",
+        minWords = 10, minMeanWordLen = 1.0, maxMeanWordLen = 10.0)
+      .filter(col("keep")).count()
+    assert(gRaw == 0L && gSeg == 3L,
+      s"gopher keep: raw=$gRaw seg=$gSeg — segmentation must restore " +
+        "token statistics")
+    // unigram CE: per-character LM over segmented text gives every doc
+    // a real token count (dl == ideograph count), not dl == 1
+    val ce = graft.operators.Curation.unigramCrossEntropyScoped(
+        seg.drop("raw"), "doc_id", "text")(
+        _.select("id", "n_tokens").as[(Long, Long)].collect().toMap)
+    assert(ce.values.forall(_ >= 20L),
+      s"CE token counts must be per-ideograph: $ce")
+
     // BPE pre-tokenization wants CJK RUNS as words (code-point seeding
     // merges ideograph pairs inside the run) — raw text, NOT the
     // char-level segmenter, is the right BPE input; the segmenter is
