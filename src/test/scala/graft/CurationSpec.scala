@@ -651,6 +651,29 @@ class CurationSpec extends SparkSpec {
       s"empty rebuild wrong: $gone")
   }
 
+  test("applyUnigramLm: hand model — Viterbi prefers the likely long " +
+    "piece, digest is order-exact, absent words fall back to chars") {
+    import graft.operators.Curation
+    val ln = (x: Double) => math.log(x)
+    // model: ab likely, chars cheap-ish; 'cd' absent from model entirely
+    val model = Seq("ab" -> ln(0.5), "a" -> ln(0.2), "b" -> ln(0.2),
+      "x" -> ln(0.1))
+    val docs = Seq((1L, "ab x"), (2L, "cd"), (3L, "")).toDF("doc_id", "text")
+    val got = Curation.applyUnigramLm(docs, "doc_id", "text", model, 2)
+      .orderBy("doc_id")
+      .select("doc_id", "n_words", "n_subwords", "subword_hash")
+      .as[(Long, Long, Long, String)].collect().toSeq
+    def md5hex(s: String) =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes)
+        .map("%02x".format(_)).mkString
+    // doc 1: 'ab' -> [ab] (single piece beats [a,b]), 'x' -> [x]
+    assert(got(0) == ((1L, 2L, 2L, md5hex("ab x"))), s"doc1: ${got(0)}")
+    // doc 2: 'cd' not coverable -> raw code-point fallback [c, d]
+    assert(got(1) == ((2L, 1L, 2L, md5hex("c d"))), s"doc2: ${got(1)}")
+    // doc 3: empty text -> zero words, empty digest
+    assert(got(2) == ((3L, 0L, 0L, md5hex(""))), s"doc3: ${got(2)}")
+  }
+
   test("logisticQuality: separates prose from punctuation/digit soup " +
     "under quality-signed weights; sigmoid bounded; fixed arity") {
     import graft.operators.Curation
