@@ -1127,7 +1127,9 @@ object StreamingPipeline {
     // map-side: the store never shuffles
     val pairs = proj.filter(col("c").isNotNull)
       .select(col("domain"),
-        md5(concat_ws(" ", col("domain"), col("c")))
+        // NUL separator via escape, not a raw byte (file stays reviewable
+        // text); compile-time identical string, stored digests unchanged
+        md5(concat_ws("\u0000", col("domain"), col("c")))
           .as("content_hash"))
       .distinct()
     val seenDirs = batchDirsBefore(pairDir, "b", Long.MaxValue)
