@@ -701,6 +701,69 @@ object StreamingPipeline {
     batchDirsBefore(lmDir, "v", Long.MaxValue).lastOption
       .map(f => spark.read.parquet(f.getPath))
 
+  /** Streaming semantic decontamination — the q150 frozen-snapshot
+    * surface in the [[unigramCeStream]] loop shape. One stream carries
+    * both sides, distinguished by a boolean `benchFlagCol` (benchmark
+    * updates arrive rarely, on the same bus): each micro-batch's TRAIN
+    * rows are scored MAP-SIDE against the benchmark snapshot version
+    * strictly below the current batchId
+    * ([[graft.operators.Similarity.semanticContaminationAgainst]] —
+    * the snapshot broadcasts, the batch never shuffles before the
+    * per-vector rollup), then the batch's BENCHMARK rows merge into the
+    * next snapshot version (`v<batchId>`, overwrite — the
+    * [[unigramCeBatch]] replay recipe, so at-least-once redelivery
+    * re-emits the same scores and converges to the same store).
+    */
+  def decontamStream(vecs: DataFrame, benchFlagCol: String,
+                     centroids: Seq[Seq[Double]], threshold: Double,
+                     snapDir: String, idCol: String = "vec_id",
+                     vecCol: String = "embedding")(
+      onBatch: (DataFrame, Long) => Unit) = {
+    new java.io.File(snapDir).mkdirs()
+    vecs.writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        decontamBatch(batch, batchId, benchFlagCol, centroids, threshold,
+          snapDir, idCol, vecCol)(onBatch)
+      }
+  }
+
+  /** One micro-batch of [[decontamStream]]. */
+  private[graft] def decontamBatch(
+      batch: DataFrame, batchId: Long, benchFlagCol: String,
+      centroids: Seq[Seq[Double]], threshold: Double, snapDir: String,
+      idCol: String, vecCol: String)(
+      onBatch: (DataFrame, Long) => Unit): Unit = {
+    val s = batch.sparkSession
+    val prior = batchDirsBefore(snapDir, "v", batchId).lastOption
+      .map(f => s.read.parquet(f.getPath))
+    // before any benchmark arrives, the snapshot is EMPTY (nothing to
+    // be contaminated by) — same schema, zero rows
+    val snap = prior.getOrElse(graft.operators.Similarity
+      .benchmarkSnapshot(batch.filter(lit(false)), centroids, idCol,
+        vecCol))
+    val scored = graft.operators.Similarity.semanticContaminationAgainst(
+        batch.filter(!col(benchFlagCol)), snap, centroids, threshold,
+        idCol, vecCol)
+      .persist()
+    scored.count() // pin the PRIOR-snapshot scores before the store moves
+    onBatch(scored, batchId)
+    // benchmark rows are immutable per id, so the replay-dedup keeps
+    // content-identical rows whichever copy survives
+    val newBench = graft.operators.Similarity.benchmarkSnapshot(
+      batch.filter(col(benchFlagCol)), centroids, idCol, vecCol)
+    snap.unionByName(newBench).dropDuplicates("bench_id")
+      .write.mode("overwrite").parquet(f"$snapDir/v$batchId%05d")
+    scored.unpersist()
+    ()
+  }
+
+  /** The latest maintained benchmark snapshot under `snapDir`, if any. */
+  def decontamSnapshot(spark: SparkSession, snapDir: String)
+      : Option[DataFrame] =
+    batchDirsBefore(snapDir, "v", Long.MaxValue).lastOption
+      .map(f => spark.read.parquet(f.getPath))
+
   /** Streaming upsert sink: each micro-batch merges into the latest
     * parquet snapshot via [[graft.operators.Snapshot.mergeSnapshot]]
     * (keep-highest-`versionCol` per key) and writes a NEW snapshot

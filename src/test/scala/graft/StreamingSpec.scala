@@ -389,6 +389,70 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming decontamination: batches score against the PRIOR " +
+    "benchmark snapshot (batch-surface parity), benchmark rows evolve " +
+    "the store, replay is idempotent") {
+    import graft.operators.Similarity
+    implicit val sqlCtx = spark.sqlContext
+    val snapDir = Files.createTempDirectory("graft-decontam").toString
+    val chk = Files.createTempDirectory("graft-decontam-chk").toString
+    val cents = Seq(Seq(1.0, 0.0, 0.0), Seq(0.0, 1.0, 1.0))
+    var perBatch = Map.empty[Long, Seq[(Long, Long, Long, Long, Double)]]
+    val mem = MemoryStream[(Long, Seq[Float], Boolean)]
+    val q = StreamingPipeline.decontamStream(
+      mem.toDF().toDF("vec_id", "embedding", "is_bench"), "is_bench",
+      cents, threshold = 0.9, snapDir) { (res, id) =>
+      perBatch += id -> res
+        .select("vec_id", "cell", "contaminated_by", "n_hits", "max_sim")
+        .as[(Long, Long, Long, Long, Double)].collect().toSeq.sortBy(_._1)
+    }.option("checkpointLocation", chk).start()
+    // b0: the benchmark arrives (two vectors) + one train row — the
+    // train row scores against an EMPTY prior snapshot: no flags
+    val b0 = Seq(
+      (100L, Seq(1.0f, 0.0f, 0.0f), true),
+      (101L, Seq(0.0f, 1.0f, 0.0f), true),
+      (1L, Seq(0.99f, 0.01f, 0.0f), false))
+    // b1: train rows against b0's snapshot — 2 is a paraphrase of
+    // bench 100, 3 is orthogonal crawl
+    val b1 = Seq(
+      (2L, Seq(0.98f, 0.02f, 0.0f), false),
+      (3L, Seq(0.0f, 0.0f, 1.0f), false))
+    mem.addData(b0: _*)
+    q.processAllAvailable()
+    mem.addData(b1: _*)
+    q.processAllAvailable()
+    q.stop()
+    assert(perBatch(0L).isEmpty,
+      s"nothing to be contaminated by yet: ${perBatch(0L)}")
+    // parity with the BATCH frozen-snapshot surface on the same inputs
+    val want1 = Similarity.semanticContaminationAgainst(
+        b1.map(r => (r._1, r._2)).toDF("vec_id", "embedding"),
+        Similarity.benchmarkSnapshot(
+          b0.filter(_._3).map(r => (r._1, r._2))
+            .toDF("vec_id", "embedding"), cents),
+        cents, 0.9)
+      .select("vec_id", "cell", "contaminated_by", "n_hits", "max_sim")
+      .as[(Long, Long, Long, Long, Double)].collect().toSeq.sortBy(_._1)
+    assert(perBatch(1L) == want1 && want1.map(_._1) == Seq(2L),
+      s"got ${perBatch(1L)}, want $want1")
+    // the maintained snapshot covers every benchmark row seen
+    val snap = StreamingPipeline.decontamSnapshot(spark, snapDir).get
+      .select("bench_id").as[Long].collect().toSet
+    assert(snap == Set(100L, 101L))
+    // crash-replay of batch 1 (v00001 already on disk): scores must
+    // come from v00000 only and the store must converge
+    var replay = Seq.empty[(Long, Long)]
+    StreamingPipeline.decontamBatch(
+      b1.toDF("vec_id", "embedding", "is_bench"), 1L, "is_bench",
+      cents, 0.9, snapDir, "vec_id", "embedding") { (res, _) =>
+      replay = res.select("vec_id", "contaminated_by")
+        .as[(Long, Long)].collect().toSeq.sortBy(_._1)
+    }
+    assert(replay == perBatch(1L).map(r => (r._1, r._3)))
+    assert(StreamingPipeline.decontamSnapshot(spark, snapDir).get
+      .select("bench_id").as[Long].collect().toSet == Set(100L, 101L))
+  }
+
   test("streaming semDedup matches the batch q97 semantics over " +
     "monotone-id batches") {
     import graft.operators.Similarity
