@@ -1590,8 +1590,11 @@ object Curation {
     *
     * Scale shape: identical to BPE learning — each round is one
     * kernel pass + one vocabulary-sized aggregation; only the piece
-    * table (keepTop-bounded) ever reaches the driver. The corpus is
-    * scanned exactly once (the distinct-word rollup).
+    * table (keepTop-bounded, plus the single-character set) ever
+    * reaches the driver — the SEED's substring-frequency table is
+    * filtered and top-K-ranked inside the plan (distributed
+    * TakeOrdered), never collected whole. The corpus is scanned
+    * exactly once (the distinct-word rollup).
     */
   def learnUnigramLm(df: DataFrame, textCol: String, rounds: Int = 2,
                      maxPieceLen: Int = 3, keepTop: Int = 64,
@@ -1621,8 +1624,16 @@ object Curation {
       .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
       .localCheckpoint(true)
     def cpLen(s: String): Int = s.codePointCount(0, s.length)
-    // seed freqs: per-position substrings up to maxPieceLen, weighted
-    val seedFreqs = words
+    // seed freqs: per-position substrings up to maxPieceLen, weighted.
+    // The minSeedFreq filter and the top-keepTop ranking run IN THE
+    // PLAN, so the driver sees at most keepTop + |charset| rows — a
+    // web-scale vocabulary's substring table (O(|vocab| × avgWordLen ×
+    // maxPieceLen) distinct rows) never leaves the cluster. Ranking by
+    // encode(piece, UTF-16BE) under Spark's unsigned-byte binary order
+    // IS Java String.compareTo order (big-endian code units), i.e.
+    // exactly the driver-side select() ranking below — routing the
+    // top-K through Spark moves no hash.
+    val seedCands = words
       .select(col("cnt"), explode(expr(
         s"""flatten(transform(sequence(1, char_length(word)), i ->
            |  transform(sequence(i, least(char_length(word),
@@ -1630,9 +1641,21 @@ object Curation {
            |    substring(word, i, j - i + 1))))""".stripMargin))
         .as("piece"))
       .groupBy(col("piece")).agg(sum(col("cnt")).as("freq"))
+      .filter(col("freq") >= minSeedFreq || length(col("piece")) === 1)
+    // orderBy(...).limit(k) plans as a distributed TakeOrdered (top-K
+    // per partition, then merge) — no single-partition global sort.
+    val seedFreqs = seedCands
+      .orderBy(col("freq").desc, encode(col("piece"), "UTF-16BE").asc)
+      .limit(keepTop)
+      .unionByName(seedCands.filter(length(col("piece")) === 1))
+      .dropDuplicates("piece")
       .as[(String, Long)].collect()
     // model selection shared by seed and every M-step: filtered +
-    // ranked by (weight desc, piece asc), top keepTop, chars always in
+    // ranked by (weight desc, piece asc), top keepTop, chars always in.
+    // Fed the seed's (global top-keepTop ∪ single-chars) superset this
+    // keeps exactly what it would keep from the full table: every
+    // non-char candidate outside the global top-K is already gone, and
+    // chars survive the rank cut unconditionally.
     def select(cands: Seq[(String, Long)]): Seq[(String, Double)] = {
       val ranked = cands.sortBy { case (p, c) => (-c, p) }
       val kept = ranked.zipWithIndex.collect {
@@ -1641,8 +1664,7 @@ object Curation {
       val total = kept.map(_._2).sum.toDouble
       kept.map { case (p, c) => (p, math.log(c.toDouble / total)) }
     }
-    var model = select(seedFreqs.toSeq.filter { case (p, c) =>
-      c >= minSeedFreq || cpLen(p) == 1 })
+    var model = select(seedFreqs.toSeq)
     val rows = scala.collection.mutable.ArrayBuffer
       .empty[(Int, String, Long)]
     for (r <- 1 to rounds) {

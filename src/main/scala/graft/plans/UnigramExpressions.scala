@@ -23,14 +23,17 @@ import org.apache.spark.unsafe.types.UTF8String
   *    sum of piece log-probs in path order (bit-reproducible against
   *    any engine folding the same doubles in the same order);
   *  - best = max score, ties to FEWER pieces, remaining ties to the
-  *    lexicographically smallest piece list under a U+001F joiner.
-  *    Because every segmentation covers the same characters, comparing
-  *    joined strings equals comparing boundary positions (the separator
-  *    sorts below the corpus alphabet), which is prefix-decomposable —
-  *    so the O(n·maxPieceLen) DP below selects exactly the path a full
-  *    enumeration would. (Tie-break comparison is by UTF-16 `compareTo`;
-  *    identical to UTF-8 byte order on BMP text, which is the gated
-  *    corpus — documented limit, not a silent one.)
+  *    EARLIEST piece boundaries (the lexicographically smallest
+  *    boundary-position list). The DP tracks boundary-index arrays
+  *    directly — integer comparisons, no joined strings — so the
+  *    tie-break is collation-free and survives ANY input alphabet,
+  *    including words that contain control characters. Boundary order
+  *    is prefix-decomposable, so the O(n·maxPieceLen) DP selects
+  *    exactly the path a full enumeration would. (The q152 DuckDB
+  *    oracle replays the same rule as `path ASC` under a chr(31)
+  *    joiner — equivalent to boundary order whenever corpus characters
+  *    are >= U+0020, which the gated corpus satisfies; the joiner
+  *    limit is now oracle-side only, not a kernel defect.)
   *  - a word with a character absent from the vocabulary falls back to
   *    its raw code points (never fails; callers guarantee coverage by
   *    always keeping single-character pieces).
@@ -45,7 +48,21 @@ final class UnigramViterbiKernel(pieces: Seq[(String, Double)],
     m
   }
 
-  private val Sep = '\u001f'
+  /** True iff the candidate boundary list (`base` extended by `lastB`)
+    * sorts strictly before `cur`. Only called under a piece-count tie,
+    * so both lists have the same length (`base.length + 1`).
+    */
+  private def earlierBoundaries(base: Array[Int], lastB: Int,
+                                cur: Array[Int]): Boolean = {
+    val m = cur.length
+    if (m == 0) return false
+    var k = 0
+    while (k < m - 1) {
+      if (base(k) != cur(k)) return base(k) < cur(k)
+      k += 1
+    }
+    lastB < cur(m - 1)
+  }
 
   def segment(wU: UTF8String): GenericArrayData = {
     val w = wU.toString
@@ -60,9 +77,11 @@ final class UnigramViterbiKernel(pieces: Seq[(String, Double)],
     val n = starts.length - 1
     val score = Array.fill(n + 1)(Double.NegativeInfinity)
     val np = new Array[Int](n + 1)
-    val path = new Array[String](n + 1)
+    // bnd(i): the best segmentation of symbols [0, i) as its INTERIOR
+    // piece-boundary positions (excludes 0 and i) — np(i) - 1 entries
+    val bnd = new Array[Array[Int]](n + 1)
     score(0) = 0.0
-    path(0) = ""
+    bnd(0) = Array.emptyIntArray
     var i = 1
     while (i <= n) {
       var l = 1
@@ -74,10 +93,17 @@ final class UnigramViterbiKernel(pieces: Seq[(String, Double)],
           if (lp != null) {
             val s = score(j) + lp.doubleValue()
             val c = np(j) + 1
-            val jo = if (j == 0) piece else path(j) + Sep + piece
             if (s > score(i) || (s == score(i) &&
-                (c < np(i) || (c == np(i) && jo.compareTo(path(i)) < 0)))) {
-              score(i) = s; np(i) = c; path(i) = jo
+                (c < np(i) || (c == np(i) &&
+                  earlierBoundaries(bnd(j), j, bnd(i)))))) {
+              score(i) = s; np(i) = c
+              bnd(i) =
+                if (j == 0) Array.emptyIntArray
+                else {
+                  val a = java.util.Arrays.copyOf(bnd(j), c - 1)
+                  a(c - 2) = j
+                  a
+                }
             }
           }
         }
@@ -90,7 +116,14 @@ final class UnigramViterbiKernel(pieces: Seq[(String, Double)],
         // coverage fallback: raw code points
         Array.tabulate(n)(k => w.substring(starts(k), starts(k + 1)))
       } else if (n == 0) Array.empty
-      else path(n).split(Sep)
+      else {
+        val b = bnd(n)
+        Array.tabulate(b.length + 1) { k =>
+          val from = if (k == 0) 0 else b(k - 1)
+          val to = if (k == b.length) n else b(k)
+          w.substring(starts(from), starts(to))
+        }
+      }
     new GenericArrayData(out.map(UTF8String.fromString(_): Any))
   }
 }

@@ -1086,7 +1086,11 @@ object CurationQueries {
         keepTop = UniKeepTop, minSeedFreq = UniMinSeed)
       .orderBy(col("round"), col("piece"))
 
-  private val q152Sql: String = {
+  // The CTE chain shared VERBATIM by the q152 (learning) and q154
+  // (encoding) oracles — both need the seed, both EM rounds, and the
+  // round-2 Viterbi winners (b2). A named constant, not string surgery
+  // on q152Sql: rewording one oracle must not silently break the other.
+  private val q152SqlHead: String = {
     val lens = (1 to UniPieceLen).mkString("[", ", ", "]")
     def segCte(i: Int, model: String) =
       s"""seg$i AS (
@@ -1151,12 +1155,15 @@ object CurationQueries {
        |m1 AS (
        |  SELECT piece, ln(CAST(w AS DOUBLE) /
        |    (SELECT CAST(sum(w) AS DOUBLE) FROM k1)) AS logp FROM k1),
-       |${segCte(2, "m1")}
+       |${segCte(2, "m1")}""".stripMargin
+  }
+
+  private val q152Sql: String =
+    s"""$q152SqlHead
        |SELECT 1 AS round, piece, cnt FROM c1
        |UNION ALL
        |SELECT 2 AS round, piece, cnt FROM c2
        |ORDER BY round, piece""".stripMargin
-  }
 
   // --------------------------------------------------------------- q154
   // Unigram-LM ENCODING (q140's shape for the SentencePiece family):
@@ -1175,8 +1182,7 @@ object CurationQueries {
   }
 
   private val q154Sql: String = {
-    val head = q152Sql.substring(0, q152Sql.indexOf("SELECT 1 AS round"))
-    s"""${head.trim.stripSuffix(",")},
+    s"""$q152SqlHead,
        |tk AS (
        |  SELECT d.doc_id, t.i AS pos, list_extract(d.toks, t.i) AS word
        |  FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+')

@@ -720,6 +720,67 @@ class CurationSpec extends SparkSpec {
     assert(gotA7 == gotA)
   }
 
+  test("learnUnigramLm: the in-plan seed (filter + TakeOrdered top-K + " +
+    "char union) equals the full-table reference under keepTop " +
+    "truncation, frequency ties at the boundary included") {
+    import graft.operators.Curation
+    // substring table far larger than keepTop, with freq ties that
+    // straddle the keepTop cut so the (freq desc, piece asc) order is
+    // load-bearing, not decorative
+    val corpus = Seq("abc abd abc", "xyz xya xyz", "abd xya qq qq")
+    val docs = corpus.toDF("text")
+    val (keepTop, minSeed, maxLen) = (6, 2L, 3)
+    // reference: the full substring table computed driver-side
+    val wc = corpus.flatMap(_.split("\\s+")).filter(_.nonEmpty)
+      .groupBy(identity).map { case (w, ws) => (w, ws.size.toLong) }
+    val full = wc.toSeq.flatMap { case (w, c) =>
+      for (i <- 0 until w.length; l <- 1 to maxLen if i + l <= w.length)
+        yield (w.substring(i, i + l), c)
+    }.groupBy(_._1).map { case (p, xs) => (p, xs.map(_._2).sum) }.toSeq
+    val filtered = full.filter { case (p, c) => c >= minSeed || p.length == 1 }
+    val ranked = filtered.sortBy { case (p, c) => (-c, p) }
+    val expectPieces = ranked.zipWithIndex.collect {
+      case ((p, c), i) if i < keepTop || p.length == 1 => p
+    }.sorted
+    val (_, model) = Curation.learnUnigramLmBuild(docs, "text",
+      rounds = 1, maxPieceLen = maxLen, keepTop = keepTop,
+      minSeedFreq = minSeed)
+    assert(model.map(_._1).sorted == expectPieces,
+      s"seed mismatch:\n got ${model.map(_._1).sorted}\n exp $expectPieces")
+    // and the driver payload is bounded: keepTop + |single chars|
+    val nChars = filtered.count(_._1.length == 1)
+    assert(model.size <= keepTop + nChars, s"unbounded seed: ${model.size}")
+  }
+
+  test("unigram Viterbi: words containing U+001F (the old path joiner) " +
+    "and sub-joiner control characters segment cleanly — boundary " +
+    "tie-break is collation-free, no empty-symbol corruption") {
+    import graft.operators.Curation
+    val lp = math.log(0.2)
+    // all pieces equi-probable: 2-piece covers tie on score AND count,
+    // so the boundary tie-break decides; \u0001 sorts BELOW the old
+    // joiner, where the string-compare DP picked the later boundary
+    val model = Seq("a\u0001" -> lp, "\u0001b" -> lp, "a" -> lp,
+      "b" -> lp, "\u0001" -> lp)
+    val docs = Seq((1L, "a\u0001b")).toDF("doc_id", "text")
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map(b => f"${b & 0xff}%02x").mkString
+    val got = Curation.applyUnigramLm(docs, "doc_id", "text", model, 2)
+      .select("n_words", "n_subwords", "subword_hash")
+      .as[(Long, Long, String)].collect().head
+    // earliest boundary wins: [a, \u0001b], never [a\u0001, b]
+    assert(got == ((1L, 2L, md5hex("a \u0001b"))), s"tie-break: $got")
+    // a literal U+001F inside a word: single-char coverage, and the
+    // segmentation array holds real symbols (the joined-string DP
+    // returned ["a", "", "", "b"] here — 4 corrupted subwords)
+    val m2 = Seq("a" -> lp, "b" -> lp, "\u001f" -> lp)
+    val d2 = Seq((1L, "a\u001fb")).toDF("doc_id", "text")
+    val g2 = Curation.applyUnigramLm(d2, "doc_id", "text", m2, 2)
+      .select("n_words", "n_subwords", "subword_hash")
+      .as[(Long, Long, String)].collect().head
+    assert(g2 == ((1L, 3L, md5hex("a \u001f b"))), s"joiner word: $g2")
+  }
+
   test("learnBpeMerges: hand-computed merges, greedy non-overlapping " +
     "application, deterministic ties, partitioning invariance") {
     import graft.operators.Curation
