@@ -889,7 +889,82 @@ object StreamingQueries {
        |ORDER BY batch_id, doc_id""".stripMargin
   }
 
+  /** Streaming semantic decontamination (q150's deployment loop,
+    * `StreamingPipeline.decontamStream`): ONE stream carries train and
+    * benchmark vectors, distinguished by a boolean flag; each
+    * micro-batch's train rows score against the benchmark snapshot
+    * version STRICTLY BELOW the current batch, then the batch's
+    * benchmark rows (if any) evolve the store. Embeddings split into 3
+    * chunks by `vec_id % 3`; the benchmark flag (`vec_id % 4 = 0`,
+    * excluded from chunk 1) deliberately leaves batch 1 train-only, so
+    * the run gates all three store paths: batch 0 scores against an
+    * EMPTY prior, batch 1 probes v0 and writes NOTHING (the mostly-
+    * train-bus fast path), batch 2 probes v0 across the gap and writes
+    * v2. The oracle recomputes the full emission history closed-form:
+    * a train row in chunk b is contaminated by benchmark rows in
+    * chunks < b only — same cells, cosine, rounding, and rollup as
+    * q150's fixed-snapshot form.
+    */
+  private def q155(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding"),
+        (col("vec_id") % 4 === 0 && col("vec_id") % 3 =!= 1)
+          .as("is_bench"))
+    val work = scratchDir("graft_q155")
+    val inDir = cachedChunks(s"q155|$dir|3")(writeChunks(emb, "vec_id", _, 3))
+    val snapDir = new File(work, "snap").getPath
+    val outDir = new File(work, "out")
+    outDir.mkdirs()
+    withGateConfs(s, 3) {
+      val stream = s.readStream
+        .schema(emb.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(inDir.getPath)
+      val q = StreamingPipeline.decontamStream(stream, "is_bench",
+          VectorQueries.centroidsForProfiling, threshold = 0.32, snapDir) {
+          (res, batchId) =>
+            res.withColumn("batch_id", lit(batchId))
+              .write.mode("append").parquet(outDir.getPath)
+        }
+        .option("checkpointLocation", new File(work, "ckpt").getPath)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    s.read.parquet(outDir.getPath)
+      .select(col("batch_id"), col("vec_id"), col("cell"),
+        col("contaminated_by"), col("n_hits"), col("max_sim"))
+      .orderBy(col("batch_id"), col("vec_id"))
+  }
+
+  private val q155Sql = {
+    val dists = VectorQueries.distsSqlShared(
+      VectorQueries.centroidsForProfiling)
+    val sim = "round(list_inner_product(t.v, bn.v) / " +
+      "(sqrt(list_inner_product(t.v, t.v)) * " +
+      "sqrt(list_inner_product(bn.v, bn.v))), 6)"
+    s"""WITH vecs AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |b AS (SELECT vec_id, v, list_position(dists, list_min(dists)) AS cell
+       |      FROM (SELECT vec_id, v, $dists AS dists FROM vecs)),
+       |d AS (SELECT *, vec_id % 3 AS chunk,
+       |        (vec_id % 4 = 0 AND vec_id % 3 <> 1) AS is_bench FROM b),
+       |hits AS (
+       |  SELECT t.chunk AS batch_id, t.vec_id,
+       |    CAST(t.cell AS BIGINT) AS cell, bn.vec_id AS bench_id,
+       |    $sim AS sim
+       |  FROM d t JOIN d bn
+       |    ON t.cell = bn.cell AND bn.is_bench AND bn.chunk < t.chunk
+       |  WHERE NOT t.is_bench AND $sim >= 0.32)
+       |SELECT CAST(batch_id AS BIGINT) AS batch_id, vec_id, cell,
+       |  min(bench_id) AS contaminated_by, count(*) AS n_hits,
+       |  max(sim) AS max_sim
+       |FROM hits GROUP BY batch_id, vec_id, cell
+       |ORDER BY batch_id, vec_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q155_streaming_decontam" -> (q155 _),
     "q148_streaming_minhash_dedup" -> (q148 _),
     "q145_streaming_domain_rollup" -> (q145 _),
     "q129_streaming_sessionize" -> (q129 _),
@@ -900,6 +975,7 @@ object StreamingQueries {
     "q118_streaming_interval_join" -> (q118 _))
 
   val oracleSql: Map[String, String] = Map(
+    "q155_streaming_decontam" -> q155Sql,
     "q148_streaming_minhash_dedup" -> q148Sql,
     "q145_streaming_domain_rollup" -> q145Sql,
     "q129_streaming_sessionize" -> q129Sql,

@@ -713,6 +713,16 @@ object StreamingPipeline {
     * next snapshot version (`v<batchId>`, overwrite — the
     * [[unigramCeBatch]] replay recipe, so at-least-once redelivery
     * re-emits the same scores and converges to the same store).
+    *
+    * Store hygiene for the common mostly-train bus: a batch with ZERO
+    * benchmark rows writes NOTHING (the prior version already covers
+    * it — replay still converges because the prior lookup is strictly
+    * below batchId), and a batch that does write prunes every version
+    * older than the one it read, keeping {prior, new}. The prior must
+    * survive: a crash can replay only the current batch, whose
+    * strictly-below lookup reads exactly that version. So the store
+    * holds at most two snapshot copies at any time instead of one per
+    * micro-batch.
     */
   def decontamStream(vecs: DataFrame, benchFlagCol: String,
                      centroids: Seq[Seq[Double]], threshold: Double,
@@ -735,8 +745,8 @@ object StreamingPipeline {
       idCol: String, vecCol: String)(
       onBatch: (DataFrame, Long) => Unit): Unit = {
     val s = batch.sparkSession
-    val prior = batchDirsBefore(snapDir, "v", batchId).lastOption
-      .map(f => s.read.parquet(f.getPath))
+    val priorDir = batchDirsBefore(snapDir, "v", batchId).lastOption
+    val prior = priorDir.map(f => s.read.parquet(f.getPath))
     // before any benchmark arrives, the snapshot is EMPTY (nothing to
     // be contaminated by) — same schema, zero rows
     val snap = prior.getOrElse(graft.operators.Similarity
@@ -748,12 +758,21 @@ object StreamingPipeline {
       .persist()
     scored.count() // pin the PRIOR-snapshot scores before the store moves
     onBatch(scored, batchId)
-    // benchmark rows are immutable per id, so the replay-dedup keeps
-    // content-identical rows whichever copy survives
-    val newBench = graft.operators.Similarity.benchmarkSnapshot(
-      batch.filter(col(benchFlagCol)), centroids, idCol, vecCol)
-    snap.unionByName(newBench).dropDuplicates("bench_id")
-      .write.mode("overwrite").parquet(f"$snapDir/v$batchId%05d")
+    // a train-only batch (the common case) leaves the store untouched —
+    // no O(snapshot) rewrite per micro-batch
+    if (!batch.filter(col(benchFlagCol)).isEmpty) {
+      // benchmark rows are immutable per id, so the replay-dedup keeps
+      // content-identical rows whichever copy survives
+      val newBench = graft.operators.Similarity.benchmarkSnapshot(
+        batch.filter(col(benchFlagCol)), centroids, idCol, vecCol)
+      snap.unionByName(newBench).dropDuplicates("bench_id")
+        .write.mode("overwrite").parquet(f"$snapDir/v$batchId%05d")
+      // retention: keep {prior, new}; only the current batch can
+      // replay, and its strictly-below lookup reads the prior — every
+      // older version is dead
+      priorDir.foreach(p => batchDirsBefore(snapDir, "v", dirId(p))
+        .foreach(deleteRecursively))
+    }
     scored.unpersist()
     ()
   }

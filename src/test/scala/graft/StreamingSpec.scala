@@ -439,8 +439,14 @@ class StreamingSpec extends SparkSpec {
     val snap = StreamingPipeline.decontamSnapshot(spark, snapDir).get
       .select("bench_id").as[Long].collect().toSet
     assert(snap == Set(100L, 101L))
-    // crash-replay of batch 1 (v00001 already on disk): scores must
-    // come from v00000 only and the store must converge
+    def versionDirs = new java.io.File(snapDir).listFiles()
+      .filter(_.isDirectory).map(_.getName).sorted.toSeq
+    // the train-only batch 1 wrote NOTHING — no per-batch snapshot
+    // rewrite on a mostly-train bus
+    assert(versionDirs == Seq("v00000"),
+      s"train-only batch must not move the store: $versionDirs")
+    // crash-replay of batch 1: scores come from v00000 (the latest
+    // version strictly below) and the store stays converged
     var replay = Seq.empty[(Long, Long)]
     StreamingPipeline.decontamBatch(
       b1.toDF("vec_id", "embedding", "is_bench"), 1L, "is_bench",
@@ -451,6 +457,24 @@ class StreamingSpec extends SparkSpec {
     assert(replay == perBatch(1L).map(r => (r._1, r._3)))
     assert(StreamingPipeline.decontamSnapshot(spark, snapDir).get
       .select("bench_id").as[Long].collect().toSet == Set(100L, 101L))
+    // benchmark-carrying batches write a new version and prune to
+    // {prior, new}: after batch 2 the store is {v00000, v00002}; after
+    // batch 3 the dead v00000 is gone
+    StreamingPipeline.decontamBatch(
+      Seq((102L, Seq(0.0f, 1.0f, 1.0f), true))
+        .toDF("vec_id", "embedding", "is_bench"), 2L, "is_bench",
+      cents, 0.9, snapDir, "vec_id", "embedding") { (_, _) => () }
+    assert(versionDirs == Seq("v00000", "v00002"), s"got $versionDirs")
+    StreamingPipeline.decontamBatch(
+      Seq((103L, Seq(1.0f, 1.0f, 0.0f), true))
+        .toDF("vec_id", "embedding", "is_bench"), 3L, "is_bench",
+      cents, 0.9, snapDir, "vec_id", "embedding") { (_, _) => () }
+    assert(versionDirs == Seq("v00002", "v00003"),
+      s"retention must keep {prior, new}: $versionDirs")
+    assert(StreamingPipeline.decontamSnapshot(spark, snapDir).get
+      .select("bench_id").as[Long].collect().toSet ==
+      Set(100L, 101L, 102L, 103L),
+      "pruning must never lose benchmark rows")
   }
 
   test("streaming semDedup matches the batch q97 semantics over " +
