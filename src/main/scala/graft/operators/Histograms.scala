@@ -19,6 +19,12 @@ import org.apache.spark.sql.functions._
   *    shuffle partitions and NO WindowExec, so three giant groups no
   *    longer mean three tasks (the ×100 soak measured the window form
   *    at 68 s vs 27 s routed);
+  * NULL `valueCol` rows are excluded up front, on every route: the
+  * window arm's ntile would seat them in bucket 1 (NULLS FIRST) while
+  * the sketch arm's when-chain would fall through to bucket k — a
+  * route-dependent placement. A histogram of a value has nothing to
+  * say about rows without one; callers that care count them separately.
+  *
   *  - above: sketch-boundary form — quantile BOUNDARIES from
   *    `percentile_approx` (fixed-size GK sketches, map-side combinable),
   *    broadcast, bucket assignment a codegen'd projection feeding a
@@ -42,21 +48,25 @@ object Histograms {
                 knownCount: Option[Long] = None): DataFrame = {
     require(k >= 1, "k >= 1")
     require(groupCols.nonEmpty, "groupCols must be non-empty")
-    val n = knownCount.getOrElse(df.count())
+    // route-invariant NULL policy (see scaladoc); a caller-passed
+    // footer count is then an upper bound, which only ever routes
+    // toward the more scalable arm — safe for a size heuristic
+    val data = df.filter(col(valueCol).isNotNull)
+    val n = knownCount.getOrElse(data.count())
     val bucketed =
       if (n <= windowMaxRows) {
         val w = Window.partitionBy(groupCols.map(col): _*)
           .orderBy((valueCol +: tieBreakCols).map(col): _*)
-        df.withColumn("bucket", ntile(k).over(w))
+        data.withColumn("bucket", ntile(k).over(w))
       } else if (n <= exactMaxRows) {
         graft.functions.PandasRank.groupedNtileScalable(
-          df.select((groupCols ++ (valueCol +: tieBreakCols)).distinct
+          data.select((groupCols ++ (valueCol +: tieBreakCols)).distinct
             .map(col): _*),
           groupCols, valueCol +: tieBreakCols, k, outCol = "bucket")
       } else if (k == 1) {
-        df.withColumn("bucket", lit(1))
+        data.withColumn("bucket", lit(1))
       } else {
-        val bounds = df.groupBy(groupCols.map(col): _*)
+        val bounds = data.groupBy(groupCols.map(col): _*)
           .agg(expr(s"percentile_approx($valueCol, array(" +
             (1 until k).map(i => s"${i.toDouble / k}D").mkString(", ") +
             s"), $accuracy)").as("_bs"))
@@ -64,7 +74,7 @@ object Histograms {
             when(lit(false), lit(0))) { (acc, i) =>
           acc.when(col(valueCol) <= col("_bs").getItem(i - 1), i)
         }.otherwise(k)
-        df.join(broadcast(bounds), groupCols)
+        data.join(broadcast(bounds), groupCols)
           .withColumn("bucket", assign)
       }
     bucketed
