@@ -118,9 +118,82 @@ object TextAnalysis {
     }._2
   }
 
-  /** Order-insensitive content fingerprint: md5 over the sorted distinct
-    * token set. Used for fuzzy-exact dedup (same bag of words).
+  /** Character n-grams of the lowercased text (code-point `substr`
+    * semantics on both engines — surrogate pairs are one symbol), empty
+    * below n characters. The feature extractor behind [[langIdNgram]].
     */
+  def charNgrams(text: Column, n: Int): Column = {
+    require(n >= 1, s"n >= 1, got $n")
+    val t = lower(text)
+    when(char_length(t) < n, array().cast("array<string>")).otherwise(
+      transform(sequence(lit(1), char_length(t) - (n - 1)),
+        i => t.substr(i, lit(n))))
+  }
+
+  /** Dot product of the text's char-n-gram sequence against one
+    * language profile: Σ over grams of the profile's INTEGER weight
+    * (0 when absent). Integer weights are deliberate — scores are
+    * exact longs, so they are fold-order-free and replay bit-identically
+    * in any engine (the q153 IEEE-parity discipline without the
+    * left-assoc ceremony). The profile compiles to a map LITERAL
+    * (constant-folded once, broadcast with the plan — deployment
+    * config, the payment-gateway-rules pattern), and the whole score is
+    * a codegen'd map-only projection: no shuffle, no UDF, no join.
+    */
+  def charNgramScore(text: Column, profile: Seq[(String, Int)],
+                     n: Int): Column = {
+    require(profile.nonEmpty, "profile must be non-empty")
+    val m = map(profile.flatMap { case (g, w) =>
+      Seq(lit(g), lit(w.toLong)) }: _*)
+    aggregate(charNgrams(text, n), lit(0L),
+      (acc, g) => acc + coalesce(element_at(m, g), lit(0L)))
+  }
+
+  /** Language-ID by character-n-gram profile scoring (Cavnar–Trenkle
+    * 1994 shape, fixed hand-weighted profiles instead of learned
+    * ranks): score each language's profile dot-product over the text's
+    * char n-grams, argmax with earliest-listed tie-break — [[langId]]'s
+    * contract with a far stronger signal than stopword voting, and one
+    * that works on UNSEGMENTED text (CJK ideograph n-grams score
+    * without a tokenizer, so it composes before or after [[cjkSegment]]).
+    * Still a pure map-only Column projection.
+    */
+  def langIdNgram(text: Column,
+                  profiles: Seq[(String, Seq[(String, Int)])],
+                  n: Int = 2): Column = {
+    require(profiles.nonEmpty, "profiles must be non-empty")
+    val scored = profiles.map { case (lang, p) =>
+      (lang, charNgramScore(text, p, n)) }
+    scored.tail.foldLeft((scored.head._2, lit(scored.head._1))) {
+      case ((bestScore, bestLang), (lang, s)) =>
+        (greatest(bestScore, s),
+          when(s > bestScore, lit(lang)).otherwise(bestLang))
+    }._2
+  }
+
+  /** Default char-bigram profiles (lowercase, space-inclusive grams;
+    * weights = hand-assigned distinctiveness, higher = stronger
+    * evidence). Order = tie-break priority. These are CONFIG, not
+    * model: a deployment trains or extends its own table (e.g. a zh/ja
+    * profile over its ideograph inventory) and passes it in.
+    */
+  val NgramProfiles: Seq[(String, Seq[(String, Int)])] = Seq(
+    "en" -> Seq("th" -> 10, "he" -> 6, "of" -> 6, "nd" -> 5, "in" -> 4,
+      "er" -> 3, "an" -> 3, "re" -> 3, "on" -> 2, "at" -> 3, "ng" -> 4,
+      "is" -> 3, "it" -> 2, "to" -> 3, "nt" -> 2, "ed" -> 3, "ti" -> 2,
+      "st" -> 2, "ar" -> 2, "al" -> 2),
+    "fr" -> Seq("le" -> 7, "qu" -> 6, "ou" -> 5, "au" -> 5, "de" -> 4,
+      "es" -> 3, "la" -> 4, "et" -> 4, "ai" -> 4, "ur" -> 3, "on" -> 3,
+      "en" -> 2, "nt" -> 3, "re" -> 2, "il" -> 3, "un" -> 3, "ux" -> 6,
+      "eu" -> 4),
+    "es" -> Seq("ió" -> 8, "ón" -> 8, "ll" -> 6, "ña" -> 8, "de" -> 4,
+      "la" -> 4, "os" -> 5, "el" -> 4, "ue" -> 4, "ci" -> 3, "ad" -> 3,
+      "ra" -> 3, "es" -> 3, "en" -> 2, "ar" -> 2, "al" -> 2, "do" -> 3,
+      "qu" -> 2),
+    "de" -> Seq("ch" -> 8, "sc" -> 6, "ei" -> 6, "ie" -> 4, "en" -> 5,
+      "er" -> 4, "un" -> 3, "ge" -> 4, "zu" -> 5, "di" -> 3, "nd" -> 2,
+      "de" -> 3, "te" -> 2, "st" -> 2, "au" -> 3, "he" -> 2, "da" -> 2,
+      "is" -> 1))
   def tokenSetFingerprint(text: Column): Column =
     md5(concat_ws(" ", array_sort(array_distinct(tokens(text)))))
 

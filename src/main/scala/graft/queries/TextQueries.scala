@@ -179,6 +179,73 @@ object TextQueries {
        |ORDER BY doc_id""".stripMargin
   }
 
+  // --------------------------------------------------------------- q156
+  // Character-n-gram language ID (langIdNgram) — the production-grade
+  // replacement for q23's stopword voting: per-language bigram-profile
+  // dot products with INTEGER weights (exact longs, fold-order-free on
+  // both engines), argmax with earliest-listed tie-break. The fixture
+  // discriminates Latin AND CJK: every 5th doc's text is replaced by a
+  // q151-style spliced ideograph run, and the zh profile is config —
+  // the adjacent-pair bigrams of the splice alphabet (profiles ship as
+  // broadcast plan literals, the payment-gateway-rules pattern). The
+  // oracle replays every dot product closed-form as a CASE-mapped
+  // list_sum over the same bigrams.
+  private val NgramLangN = 2
+  private val zhProfile: Seq[(String, Int)] = {
+    val cps = CjkAlpha.toSeq.map(_.toString)
+    cps.zip(cps.tail).map { case (a, b) => (a + b, 10) }
+  }
+  private val q156Profiles: Seq[(String, Seq[(String, Int)])] =
+    TextAnalysis.NgramProfiles :+ ("zh" -> zhProfile)
+
+  private def q156Mixed = when(col("doc_id") % 5 === 0,
+      expr(s"repeat(substr('$CjkAlpha', 1 + CAST(doc_id % 16 AS INT), 5), 2)"))
+    .otherwise(substring(col("text"), 1, 60))
+
+  private def q156(s: SparkSession, dir: String): DataFrame = {
+    val scoreCols = q156Profiles.map { case (lang, p) =>
+      TextAnalysis.charNgramScore(q156Mixed, p, NgramLangN).as(s"s_$lang") }
+    Tables.documents(s, dir).select(
+      (col("doc_id") +: scoreCols) :+
+        TextAnalysis.langIdNgram(q156Mixed, q156Profiles, NgramLangN)
+          .as("pred_lang"): _*)
+      .orderBy(col("doc_id"))
+  }
+
+  private val q156Sql = {
+    val mixed = s"""CASE WHEN doc_id % 5 = 0
+      THEN repeat(substr('$CjkAlpha', 1 + CAST(doc_id % 16 AS INT), 5), 2)
+      ELSE substr(text, 1, 60) END"""
+    val grams = s"""list_transform(range(1,
+      greatest(length(lower($mixed)) - 1, 0) + 1),
+      i -> substr(lower($mixed), i, $NgramLangN))"""
+    def score(p: Seq[(String, Int)]) = {
+      val whens = p.map { case (g, w) => s"WHEN '$g' THEN $w" }.mkString(" ")
+      s"coalesce(CAST(list_sum(list_transform($grams, g -> " +
+        s"CASE g $whens ELSE 0 END)) AS BIGINT), 0)"
+    }
+    val scores = q156Profiles
+      .map { case (l, p) => s"  ${score(p)} AS s_$l" }.mkString(",\n")
+    val langs = q156Profiles.map(_._1)
+    val cases = langs.init.zipWithIndex.map { case (l, i) =>
+      val rest = langs.drop(i + 1).map("s_" + _)
+      val bound = if (rest.size == 1) rest.head
+        else s"greatest(${rest.mkString(", ")})"
+      s"WHEN s_$l >= $bound THEN '$l'"
+    }.mkString("\n    ")
+    s"""WITH scored AS (
+       |  SELECT doc_id,
+       |$scores
+       |  FROM documents)
+       |SELECT doc_id, ${langs.map("s_" + _).mkString(", ")},
+       |  CASE
+       |    $cases
+       |    ELSE '${langs.last}'
+       |  END AS pred_lang
+       |FROM scored
+       |ORDER BY doc_id""".stripMargin
+  }
+
   // ---------------------------------------------------------------- q24
   // Token-set fingerprint (order-insensitive content hash).
   private def q24(s: SparkSession, dir: String): DataFrame =
@@ -865,6 +932,7 @@ object TextQueries {
     "q21_token_stats" -> (q21 _),
     "q22_quality_score" -> (q22 _),
     "q23_langid" -> (q23 _),
+    "q156_langid_ngram" -> (q156 _),
     "q24_fingerprint" -> (q24 _),
     "q25_ngram_jaccard" -> (q25 _),
     "q26_minhash_lsh" -> (q26 _),
@@ -888,6 +956,7 @@ object TextQueries {
     "q21_token_stats" -> q21Sql,
     "q22_quality_score" -> q22Sql,
     "q23_langid" -> q23Sql,
+    "q156_langid_ngram" -> q156Sql,
     "q24_fingerprint" -> q24Sql,
     "q25_ngram_jaccard" -> q25Sql,
     "q26_minhash_lsh" -> q25Sql, // see q26 note: row-identical to q25

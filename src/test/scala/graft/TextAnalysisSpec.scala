@@ -141,4 +141,38 @@ class TextAnalysisSpec extends SparkSpec {
       TextAnalysis.EnglishStopwords).as("q")).as[Boolean].collect().toSeq
     assert(got == Seq(true, false, false))
   }
+
+  test("charNgrams: lowercased code-point bigrams in order; short and " +
+    "empty texts give empty arrays") {
+    val got = Seq("AbC", "x", "", "的一是").toDF("t")
+      .select(TextAnalysis.charNgrams(col("t"), 2).as("g"))
+      .as[Seq[String]].collect().toSeq
+    assert(got == Seq(Seq("ab", "bc"), Seq(), Seq(),
+      Seq("的一", "一是")), s"got $got")
+  }
+
+  test("charNgramScore is the exact integer profile dot product; " +
+    "langIdNgram argmaxes with earliest-listed tie-break and " +
+    "discriminates Latin from CJK without a tokenizer") {
+    val profiles = Seq(
+      "en" -> Seq("th" -> 10, "he" -> 6),
+      "de" -> Seq("ch" -> 8, "sc" -> 6),
+      "zh" -> Seq("的一" -> 10, "一是" -> 10))
+    val df = Seq(
+      "the the",      // th x2 + he x2 = 32 en, 0 de/zh
+      "schach",       // sc 6 + ch x2 16 = 22 de
+      "的一是的一",   // 的一 x2 + 一是 = 30 zh (unsegmented ideographs)
+      "zzzz"          // all-zero scores -> earliest listed (en) wins
+    ).toDF("t")
+    val scores = df.select(
+        TextAnalysis.charNgramScore(col("t"), profiles(0)._2, 2).as("en"),
+        TextAnalysis.charNgramScore(col("t"), profiles(1)._2, 2).as("de"),
+        TextAnalysis.charNgramScore(col("t"), profiles(2)._2, 2).as("zh"))
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(scores == Seq((32L, 0L, 0L), (0L, 22L, 0L), (0L, 0L, 30L),
+      (0L, 0L, 0L)), s"scores $scores")
+    val pred = df.select(TextAnalysis.langIdNgram(col("t"), profiles, 2))
+      .as[String].collect().toSeq
+    assert(pred == Seq("en", "de", "zh", "en"), s"pred $pred")
+  }
 }
