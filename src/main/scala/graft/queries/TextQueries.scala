@@ -246,6 +246,104 @@ object TextQueries {
        |ORDER BY doc_id""".stripMargin
   }
 
+  // --------------------------------------------------------------- q157
+  // END-TO-END CJK curation composition (q146's shape for the CJK
+  // ingest mode): spliced Han runs (q151's fixture) + Latin prefix →
+  // cjkSegment ONCE at the ingest point → three UNCHANGED whitespace-
+  // bound operators consume the segmented text — gopher quality rules,
+  // self-corpus unigram cross-entropy, duplicated-span diagnostic —
+  // joined to one row per doc with the segmented-text digest. The
+  // oracle replays the segmenter (RE2 script classes) and then each
+  // stage closed-form from the SAME segmented string, so a hash match
+  // gates the composition contract cjkSegment was built for: segment
+  // once, everything downstream just works.
+  private def q157(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Curation
+    val mixed = concat(substring(col("text"), 1, 40), lit(" "),
+      expr(s"substr('$CjkAlpha', 1 + CAST(doc_id % 16 AS INT), 5)"))
+    val seg = Tables.documents(s, dir)
+      .select(col("doc_id"), TextAnalysis.cjkSegment(mixed).as("text"))
+    val gopher = Curation.gopherQualityFilter(seg, "doc_id", "text",
+      minWords = 8, maxWords = 60, minMeanWordLen = 1.5,
+      maxMeanWordLen = 6.0, minUniqueFrac = 0.5, minStopwordFrac = 0.01,
+      stopwords = Seq("的", "the"))
+    val ce = Curation.unigramCrossEntropy(seg, "doc_id", "text")
+    val spans = Curation.duplicatedSpanFraction(seg, "doc_id", "text",
+      n = 3, flagThreshold = 0.5)
+    seg.select(col("doc_id"), md5(col("text")).as("seg_hash"))
+      .join(gopher.select(col("doc_id"),
+        col("n_words").cast("long").as("n_words"), col("mean_word_len"),
+        col("unique_frac"), col("stopword_frac"), col("keep")), "doc_id")
+      .join(ce.select(col("id").as("doc_id"), col("ce")), "doc_id")
+      .join(spans.select(col("id").as("doc_id"), col("n_spans"),
+        col("n_dup_spans")), "doc_id")
+      .orderBy(col("doc_id"))
+  }
+
+  private val q157Sql = {
+    val cjk = "\\p{Han}\\p{Hiragana}\\p{Katakana}\\p{Hangul}"
+    val segToks = """string_split_regex(trim(seg), '\s+')"""
+    s"""WITH m AS (
+       |  SELECT doc_id,
+       |    regexp_replace(
+       |      substr(text, 1, 40) || ' ' ||
+       |        substr('$CjkAlpha', 1 + CAST(doc_id % 16 AS INT), 5),
+       |      '([$cjk])', ' \\1 ', 'g') AS seg
+       |  FROM documents),
+       |t AS (
+       |  SELECT doc_id, md5(seg) AS seg_hash, $segToks AS toks FROM m),
+       |g AS (
+       |  SELECT doc_id, seg_hash, toks,
+       |    CAST(len(toks) AS BIGINT) AS n_words,
+       |    CAST(list_sum(list_transform(toks,
+       |      x -> CAST(length(x) AS BIGINT))) AS DOUBLE)
+       |      / CAST(greatest(len(toks), 1) AS DOUBLE) AS mwl,
+       |    CAST(len(list_distinct(toks)) AS DOUBLE)
+       |      / CAST(greatest(len(toks), 1) AS DOUBLE) AS uf,
+       |    CAST(len(list_filter(toks, w -> w IN ('的', 'the')))
+       |      AS DOUBLE) / CAST(greatest(len(toks), 1) AS DOUBLE) AS sf
+       |  FROM t),
+       |tk AS (SELECT doc_id, len(toks) AS dl, unnest(toks) AS term
+       |       FROM t),
+       |tf AS (SELECT doc_id, dl, term, count(*) AS tf
+       |       FROM tk GROUP BY doc_id, dl, term),
+       |cf AS (SELECT term, sum(tf) AS cf FROM tf GROUP BY term),
+       |tot AS (SELECT CAST(sum(cf) AS DOUBLE) AS t_total FROM cf),
+       |scored AS (
+       |  SELECT tf.doc_id, tf.dl, tf.term,
+       |    CAST(tf.tf AS DOUBLE) *
+       |      -ln(CAST(cf.cf AS DOUBLE) / tt.t_total) AS nll
+       |  FROM tf JOIN cf USING (term) CROSS JOIN tot tt),
+       |ced AS (
+       |  SELECT doc_id,
+       |    round(list_inner_product(list(nll ORDER BY term),
+       |      list_transform(list(nll ORDER BY term), x -> 1.0))
+       |      / dl, 6) AS ce
+       |  FROM scored GROUP BY doc_id, dl),
+       |sh AS (
+       |  SELECT doc_id, unnest(list_distinct(list_transform(
+       |    generate_series(1, greatest(len(toks) - 2, 0)),
+       |    i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])))) AS gr
+       |  FROM t),
+       |dup AS (SELECT gr FROM sh GROUP BY gr
+       |        HAVING count(DISTINCT doc_id) >= 2),
+       |sp AS (
+       |  SELECT s.doc_id, count(*) AS n_spans,
+       |    count(*) FILTER (WHERE d.gr IS NOT NULL) AS n_dup_spans
+       |  FROM sh s LEFT JOIN dup d ON s.gr = d.gr
+       |  GROUP BY 1)
+       |SELECT g.doc_id, g.seg_hash, g.n_words,
+       |  round(g.mwl, 6) AS mean_word_len,
+       |  round(g.uf, 6) AS unique_frac,
+       |  round(g.sf, 6) AS stopword_frac,
+       |  ((g.n_words >= 8 AND g.n_words <= 60)
+       |    AND (g.mwl >= 1.5 AND g.mwl <= 6.0)
+       |    AND g.uf >= 0.5 AND g.sf >= 0.01) AS keep,
+       |  ced.ce, sp.n_spans, sp.n_dup_spans
+       |FROM g JOIN ced USING (doc_id) JOIN sp USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+  }
+
   // ---------------------------------------------------------------- q24
   // Token-set fingerprint (order-insensitive content hash).
   private def q24(s: SparkSession, dir: String): DataFrame =
@@ -933,6 +1031,7 @@ object TextQueries {
     "q22_quality_score" -> (q22 _),
     "q23_langid" -> (q23 _),
     "q156_langid_ngram" -> (q156 _),
+    "q157_cjk_pipeline" -> (q157 _),
     "q24_fingerprint" -> (q24 _),
     "q25_ngram_jaccard" -> (q25 _),
     "q26_minhash_lsh" -> (q26 _),
@@ -957,6 +1056,7 @@ object TextQueries {
     "q22_quality_score" -> q22Sql,
     "q23_langid" -> q23Sql,
     "q156_langid_ngram" -> q156Sql,
+    "q157_cjk_pipeline" -> q157Sql,
     "q24_fingerprint" -> q24Sql,
     "q25_ngram_jaccard" -> q25Sql,
     "q26_minhash_lsh" -> q25Sql, // see q26 note: row-identical to q25
