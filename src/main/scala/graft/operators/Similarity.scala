@@ -202,6 +202,116 @@ object Similarity {
     batches.reduce(_ unionByName _).dropDuplicates("id_a", "id_b")
   }
 
+  /** Signature-prefiltered near-dup pairs — the heavy-corpus arm of
+    * [[cosineNearDupPairsAuto]]. Same candidate generation as
+    * [[cosineNearDupPairsBucketed]] (multi-table RHP buckets, equi-join
+    * on (table, bucket)), but the candidate exchange carries a PACKED
+    * `sigPlanes.size`-bit RHP signature instead of the vector, and the
+    * in-flight check is a Hamming-distance prefilter on that signature
+    * instead of the full cosine:
+    *
+    *  - exchange bytes per row drop from the vector (d·4 B) to
+    *    8·ceil(bits/64) B — ~6× lighter at d=64/256 bits, which is what
+    *    made the ×1000 soak's staged 18 GB scratch a single-shot ~8 GB;
+    *  - per-candidate work drops from a d-dim float dot to xor+popcount
+    *    over ceil(bits/64) longs;
+    *  - survivors (prefilter pass rate ~1e-5 for non-pairs at 256 bits)
+    *    are deduplicated ACROSS tables and exact-cosine-verified once
+    *    per pair, via two broadcast-the-survivors map passes over the
+    *    vector table — so false positives remain impossible.
+    *
+    * The prefilter can only MISS a true pair when its Hamming distance
+    * exceeds the cut; the cut sits 4σ above the Binomial(bits, θ/π)
+    * mean of a pair AT the threshold (miss probability ~3e-5, falling
+    * further for pairs above it) — documented slack inside the bucket
+    * geometry's own recall budget, same may-only-miss contract.
+    *
+    * `stageTables` bounds peak scratch exactly as
+    * [[cosineNearDupPairsBucketedStaged]] (per-batch localCheckpoint of
+    * already-tiny survivor ids + shuffle GC); pass `tables.size` to run
+    * single-shot.
+    */
+  def cosineNearDupPairsSig(df: DataFrame, threshold: Double,
+                            tables: Seq[Seq[Seq[Double]]],
+                            sigPlanes: Seq[Seq[Double]],
+                            stageTables: Int,
+                            idCol: String = "vec_id",
+                            vecCol: String = "embedding"): DataFrame = {
+    require(threshold > 0 && threshold < 1, "threshold in (0,1)")
+    require(stageTables >= 1, s"stageTables must be >= 1, got $stageTables")
+    val sigBits = sigPlanes.size
+    val mq = math.acos(threshold) / math.Pi
+    // a TIGHT 2σ cut, not a generous one: the cut must separate TRUE
+    // pairs (Hamming mean sigBits·θ/π) from the NEAR-threshold pair
+    // band below them, whose mass in a self-similar corpus is orders
+    // of magnitude larger than the true-pair set — a 4σ cut at
+    // θ=0.7/256 bits admitted the cosine-0.35+ band at the ×1000 soak
+    // (tens of millions of survivors per stage, OOM). At 2σ the
+    // admitted band tightens to ~cos((cut/bits)·π) and the per-pair
+    // miss probability AT the threshold is Φ(−2) = [[SigKeep]]'s
+    // complement (~2.3%, falling fast above the threshold) — which
+    // [[cosineNearDupPairsAuto]] COMPENSATES by sizing the table count
+    // for targetRecall / SigKeep, so the net contract still holds.
+    val cut = math.min(sigBits.toDouble,
+      sigBits * mq + 2.0 * math.sqrt(sigBits * mq * (1.0 - mq)))
+    val vecs = Partitioning.widen(df)
+      .select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
+    def coded(planeBatch: Seq[Seq[Seq[Double]]], tOff: Int,
+              id: String, sig: String) = vecs
+      .select(col("id").as(id),
+        graft.plans.RhpExpressions.rhpPack(col("v"), sigPlanes).as(sig),
+        explode(array(planeBatch.zipWithIndex.map { case (planes, t) =>
+          struct(lit(tOff + t).as("t"), rhpBucket(col("v"), planes).as("b"))
+        }: _*)).as("tb"))
+      .select(col(id), col(sig), col("tb.t").as("t"), col("tb.b").as("b"))
+    def cands(planeBatch: Seq[Seq[Seq[Double]]], tOff: Int) =
+      coded(planeBatch, tOff, "id_a", "sa")
+        .join(coded(planeBatch, tOff, "id_b", "sb"), Seq("t", "b"))
+        .filter(col("id_a") < col("id_b"))
+        // Hamming prefilter IN-FLIGHT: failed candidates die inside the
+        // join partitions, like the bucketed form's in-flight cosine
+        .filter(aggregate(zip_with(col("sa"), col("sb"),
+            (x, y) => bit_count(x.bitwiseXOR(y)).cast("long")),
+          lit(0L), (acc, x) => acc + x) <= lit(cut))
+        .select(col("id_a"), col("id_b"))
+    val batches = tables.grouped(stageTables).toSeq
+    val survivors =
+      if (batches.size <= 1) cands(tables, 0).dropDuplicates("id_a", "id_b")
+      else {
+        var off = 0
+        val parts = batches.map { planeBatch =>
+          // DISK_ONLY + count, NOT localCheckpoint: near-threshold-heavy
+          // corpora produce tens of millions of survivors per batch,
+          // and localCheckpoint materializes them DESERIALIZED in the
+          // MemoryStore (observed OOM at the ×1000 soak under the 8 GB
+          // default heap). Serialized disk blocks stream through a
+          // bounded buffer; the batch still materializes eagerly
+          // (sequential stages, bounded concurrent exchange) and the
+          // blocks pin the batch's shuffle from re-execution.
+          val p = cands(planeBatch, off).dropDuplicates("id_a", "id_b")
+            .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+          p.count()
+          off += planeBatch.size
+          System.gc() // shuffle-file GC nudge, see the staged form
+          p
+        }
+        parts.reduce(_ unionByName _).dropDuplicates("id_a", "id_b")
+      }
+    // exact verify, once per surviving pair. Plain equi-joins, no
+    // forced broadcast: AQE turns them into broadcast joins when the
+    // runtime survivor set is small (the common case), and falls back
+    // to a shuffle join when a near-threshold-heavy corpus makes it
+    // large — a forced broadcast of the ×1000 soak's survivor band
+    // blew the driver heap.
+    val withA = survivors
+      .join(vecs.select(col("id").as("id_a"), col("v").as("va")), "id_a")
+    withA
+      .join(vecs.select(col("id").as("id_b"), col("v").as("vb")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        round(cosine(col("va"), col("vb")), 6).as("sim"))
+      .filter(col("sim") >= threshold)
+  }
+
   /** [[cosineNearDupPairsBucketed]] with the table geometry chosen FROM
     * the corpus size — the piece that makes RHP bucketing a real scale
     * path. Fixed bucket bits mean bucket population ∝ N and candidate
@@ -272,45 +382,109 @@ object Similarity {
         "accept the pair-join cost.")
     val n = nRaw.max(1L)
     val dim = df.select(size(col(vecCol))).head().getInt(0)
+    val p = 1.0 - math.acos(threshold) / math.Pi
+    def tablesFor(b: Int): Long = {
+      val pAll = math.pow(p, b)
+      math.max(1L, math.ceil(
+        math.log1p(-targetRecall) / math.log1p(-pAll)).toLong)
+    }
+    // geometry: bits keep expected bucket ~targetBucket at every n;
+    // tables come from the recall formula AT those bits. When the
+    // wanted table count exceeds `maxTables` (p^bits shrinks
+    // exponentially in bits, and bits grew with log n — the r8/r15
+    // ×1000 clamp), the recall contract is held by GRANTING the tables
+    // on the signature arm instead of clamping: a table there costs
+    // ~96 B/row in the exchange instead of the vector, so the old
+    // vector-exchange table budget no longer applies. Only past the
+    // sig arm's own 4×-higher ceiling does the announced clamp remain
+    // (unreachable below the 2²³ route guard at practical thresholds).
     val bits = math.max(4,
       math.ceil(math.log(n.toDouble / targetBucket) / math.log(2)).toInt)
-    val p = 1.0 - math.acos(threshold) / math.Pi
-    val pAll = math.pow(p, bits)
-    val tablesWanted = math.max(1,
-      math.ceil(math.log1p(-targetRecall) / math.log1p(-pAll)).toInt)
-    val tables = math.min(maxTables, tablesWanted)
-    if (tablesWanted > maxTables) {
-      // the recall contract can no longer hold at this (n, threshold):
-      // p^bits shrinks exponentially in bits, and bits grew with log n.
-      // Say so with the achieved number instead of silently under-
-      // delivering (the r8 soak hit exactly this at x100, threshold 0.7).
-      val achieved = 1.0 - math.pow(1.0 - pAll, tables.toDouble)
-      org.slf4j.LoggerFactory.getLogger(getClass)
-        .warn(f"cosineNearDupPairsAuto: table budget capped at " +
-          f"$maxTables (geometry wants $tablesWanted for recall " +
-          f"$targetRecall%.2f at threshold $threshold%.2f, n=$n). " +
-          f"Estimated recall AT the threshold is $achieved%.2f. " +
-          f"Raise maxTables/targetBucket, or lower targetRecall to " +
-          f"make the contract explicit.")
-    }
+    val tablesWanted = tablesFor(bits)
+    val log = org.slf4j.LoggerFactory.getLogger(getClass)
     val rnd = new scala.util.Random(seed)
-    val planeSets = Seq.fill(tables)(
-      Seq.fill(bits)(Seq.fill(dim)(rnd.nextGaussian())))
-    // staging exists to bound PEAK SCRATCH: each hash table replicates
-    // every vector into the (t, b) join exchange. Estimate that volume
-    // (float vector + row overhead) and stage only when it is worth the
-    // sequential-batch + GC-nudge overhead — at the ×1000 soak (2M
-    // 64-dim vectors × 48 tables ≈ 29 GB/side) staging is the
-    // difference between finishing and ENOSPC; at q149's test scale the
-    // single-shot join is strictly faster and pair-identical
-    // (SplitsSpec pins staged == one-shot).
-    val estShuffleBytes = nRaw * tables.toLong * (dim.toLong * 4 + 48)
-    if (estShuffleBytes <= StagedShuffleMinBytes)
+    // route: below both gates, the plain bucketed join (vector in the
+    // exchange, exact cosine in-flight) — strictly faster at small n
+    // and oracle-pinned pair-identical, q149's test-scale path,
+    // unchanged. Otherwise the signature-prefiltered form: the
+    // exchange carries a 256-bit packed signature instead of the
+    // vector (~6× lighter) and candidates cost xor+popcount instead of
+    // a float dot — which is what lets the recall contract KEEP the
+    // table count the formula asks for instead of clamping it (the
+    // r8/r15 ×1000 announced-recall clamp, now closed).
+    val estShuffleBytes = nRaw * tablesWanted * (dim.toLong * 4 + 48)
+    if (tablesWanted <= maxTables &&
+        estShuffleBytes <= StagedShuffleMinBytes) {
+      val planeSets = Seq.fill(tablesWanted.toInt)(
+        Seq.fill(bits)(Seq.fill(dim)(rnd.nextGaussian())))
       cosineNearDupPairsBucketed(df, threshold, planeSets, idCol, vecCol)
-    else
-      cosineNearDupPairsBucketedStaged(df, threshold, planeSets,
-        stageTables, idCol, vecCol)
+    } else {
+      // the sig prefilter misses a pair AT the threshold with
+      // probability 1 − SigKeep (its 2σ cut); compensate by sizing the
+      // bucket geometry for targetRecall / SigKeep so the NET recall
+      // still meets the contract
+      val targetEff = math.min(0.9999, targetRecall / SigKeep)
+      val wantedEff = {
+        val pAll = math.pow(p, bits)
+        math.max(1L, math.ceil(
+          math.log1p(-targetEff) / math.log1p(-pAll)).toLong)
+      }
+      val tables = math.min(SigMaxTables.toLong, wantedEff).toInt
+      if (wantedEff > SigMaxTables) {
+        val achieved = SigKeep *
+          (1.0 - math.pow(1.0 - math.pow(p, bits), tables.toDouble))
+        log.warn(f"cosineNearDupPairsAuto: table budget capped at " +
+          f"$SigMaxTables (geometry wants $wantedEff for net recall " +
+          f"$targetRecall%.2f at threshold $threshold%.2f, n=$n). " +
+          f"Estimated net recall AT the threshold is $achieved%.2f. " +
+          f"Lower targetRecall to make the contract explicit.")
+      } else {
+        // warn-level on purpose: the grant EXCEEDS the caller's
+        // maxTables budget (on the cheaper sig exchange), and the
+        // recall-contract geometry must be visible in default logs —
+        // the announced-not-silent rule the r8 clamp established
+        log.warn(f"cosineNearDupPairsAuto: signature arm, $tables " +
+          f"tables × $bits bits (recall sized at $targetEff%.4f = " +
+          f"$targetRecall%.2f / SigKeep to absorb the prefilter's 2σ " +
+          f"miss) — net recall AT the threshold holds by construction.")
+      }
+      val planeSets = Seq.fill(tables)(
+        Seq.fill(bits)(Seq.fill(dim)(rnd.nextGaussian())))
+      val sigPlanes = Seq.fill(SigBits)(Seq.fill(dim)(rnd.nextGaussian()))
+      // same 4 GiB gate as the vector form, on the SIG exchange: a
+      // single-shot 13.6 GB/side sig join at the ×1000 soak OOM'd the
+      // 8 GB default heap (32 concurrent tasks sharing the execution
+      // pool) — batching bounds the per-stage exchange AND the
+      // per-batch survivor materialization, a heap discipline as much
+      // as a scratch-disk one
+      val estSigBytes = nRaw * tables.toLong * (8L * (SigBits / 64) + 64)
+      val stage = if (estSigBytes <= StagedShuffleMinBytes) tables
+                  else stageTables
+      cosineNearDupPairsSig(df, threshold, planeSets, sigPlanes, stage,
+        idCol, vecCol)
+    }
   }
+
+  /** Probability that a true pair AT the threshold survives the sig
+    * arm's 2σ Hamming cut: Φ(2) ≈ 0.9772. The bucket geometry divides
+    * its recall target by this, so the prefilter's miss is paid for in
+    * tables, not silently subtracted from the contract.
+    */
+  private val SigKeep = 0.9772
+
+  /** Table ceiling for the signature arm — 4× the vector-exchange
+    * default budget; at sig-exchange row cost this is still lighter
+    * than 48 vector tables, and below the 2²³ route guard the recall
+    * formula never asks for more at practical thresholds.
+    */
+  private val SigMaxTables = 192
+
+  /** Signature width for the prefiltered arm: 256 bits = 4 longs.
+    * σ of the Binomial Hamming estimate is ≤ 8 bits, so a 4σ cut
+    * separates pairs at a 0.7 threshold (mean ~65) from random pairs
+    * (mean 128) by >3σ on both sides.
+    */
+  private val SigBits = 256
 
   /** Per-side (t, b)-exchange volume above which [[cosineNearDupPairsAuto]]
     * routes through the staged form (4 GiB — well under any healthy

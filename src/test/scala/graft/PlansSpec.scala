@@ -96,6 +96,32 @@ class PlansSpec extends SparkSpec {
     }
   }
 
+  test("rhpPack's sign bits equal rhpBucket's for <= 64 planes, and " +
+    "packing is stable across >64-bit widths") {
+    import graft.functions.VectorFunctions.rhpBucket
+    import graft.plans.RhpExpressions.rhpPack
+    val r = new scala.util.Random(42)
+    val planes = Seq.fill(70)(Seq.fill(8)(r.nextGaussian()))
+    val vecs = Seq.tabulate(20)(i =>
+      (i.toLong, Seq.fill(8)(math.sin(i * 7.3 + 1).toFloat * (i + 1))))
+      .toDF("id", "v")
+      .withColumn("v", col("v").cast("array<double>"))
+    // first 64 planes: the packed long must equal the Column-algebra
+    // bucket bit-for-bit
+    val got = vecs.select(
+        rhpPack(col("v"), planes.take(64)).getItem(0).as("packed"),
+        rhpBucket(col("v"), planes.take(64)).as("bucket"))
+      .as[(Long, Long)].collect()
+    got.foreach { case (p, b) => assert(p == b, s"packed $p != bucket $b") }
+    // 70 planes span two longs; the second long holds bits 64..69 and
+    // its value equals the 6-plane bucket over planes 64..69
+    val wide = vecs.select(
+        rhpPack(col("v"), planes).getItem(1).as("hi"),
+        rhpBucket(col("v"), planes.drop(64)).as("bucket"))
+      .as[(Long, Long)].collect()
+    wide.foreach { case (h, b) => assert(h == b, s"hi $h != bucket $b") }
+  }
+
   test("salted join matches the plain join on skewed keys") {
     // 90% of left rows share one hot key
     val left = Seq.tabulate(1000)(i =>

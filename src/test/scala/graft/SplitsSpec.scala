@@ -101,6 +101,39 @@ class SplitsSpec extends SparkSpec {
       s"routed recall ${routedBucketed.size}/${exact.size}")
   }
 
+  test("signature-prefiltered near-dup is pair-identical to the bucketed " +
+    "form on the same plane tables (planted dups far inside the 2-sigma " +
+    "Hamming cut), staged == single-shot, never a false positive") {
+    val base = Tables.embeddings(spark, sf).filter(col("vec_id") < 200)
+    val copies = base
+      .withColumn("vec_id", col("vec_id") + 1000)
+      .withColumn("embedding", expr(
+        "transform(embedding, (x, i) -> x * (1.0f + float(0.03 * sin(i + vec_id))))"))
+    val corpus = base.unionByName(copies)
+    val dim = base.select(size(col("embedding"))).head().getInt(0)
+    val tables = (0 until 6).map(t => planes(6, dim, seed = 100 + t))
+    val sigPlanes = planes(256, dim, seed = 999)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("id_a", "id_b", "sim")
+        .as[(Long, Long, Double)].collect().toSet
+    val bucketed = pairs(Similarity
+      .cosineNearDupPairsBucketed(corpus, 0.95, tables))
+    val sig = pairs(Similarity.cosineNearDupPairsSig(corpus, 0.95,
+      tables, sigPlanes, stageTables = tables.size))
+    // a planted pair at ~0.999 sits ~20 sigma under the Hamming cut, so
+    // the prefilter drops nothing here: same candidates, same verify
+    assert(sig == bucketed, s"sig != bucketed: ${sig.size} vs " +
+      s"${bucketed.size}")
+    val sigStaged = pairs(Similarity.cosineNearDupPairsSig(corpus, 0.95,
+      tables, sigPlanes, stageTables = 2))
+    assert(sigStaged == sig, "staged sig != single-shot sig")
+    // exact verify after the prefilter: every emitted sim clears the
+    // threshold (no Hamming-estimated sims leak into the output)
+    assert(sig.forall(_._3 >= 0.95))
+    val exact = pairs(Similarity.cosineNearDupPairs(corpus, 0.95))
+    assert(sig.subsetOf(exact))
+  }
+
   test("auto near-dup refuses above routeThreshold, routing to semDedup") {
     val emb = Tables.embeddings(spark, sf).filter(col("vec_id") < 100)
     // below the guard: runs fine
