@@ -189,6 +189,29 @@ object Curation {
       .withColumn("label", col("score") >= threshold)
   }
 
+  /** [[logisticQuality]]'s scoring head over CALLER-CHOSEN feature
+    * columns — the fusion surface: any signal that is already a column
+    * on the row (a q23/q156 langid prediction flag, q125 gopher ratios,
+    * q98 cross-entropy) becomes a classifier feature without a new
+    * operator. Same left-associative dot product + sigmoid (scores
+    * bit-reproducible), same scale shape: a map-only projection, no
+    * shuffle, no join — whatever joins produced the features have
+    * already happened upstream, where their operators own the plan.
+    */
+  def logisticScore(df: DataFrame, idCol: String,
+                    featureCols: Seq[String], weights: Seq[Double],
+                    bias: Double, threshold: Double = 0.5): DataFrame = {
+    require(featureCols.nonEmpty, "featureCols must be non-empty")
+    require(featureCols.length == weights.length,
+      s"${featureCols.length} features but ${weights.length} weights")
+    val z = featureCols.zip(weights).foldLeft(lit(bias)) {
+      case (acc, (f, w)) => acc + lit(w) * col(f).cast("double")
+    }
+    df.select((col(idCol) +: featureCols.map(col)) :+
+      round(lit(1.0) / (lit(1.0) + exp(-z)), 6).as("score"): _*)
+      .withColumn("label", col("score") >= threshold)
+  }
+
   def gopherQualityFilter(df: DataFrame, idCol: String, textCol: String,
                           minWords: Int = 50, maxWords: Int = 100000,
                           minMeanWordLen: Double = 3.0,

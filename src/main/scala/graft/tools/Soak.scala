@@ -58,6 +58,9 @@ object Soak {
     // r13: domain quality rollup + the BPE pair (learn + encode)
     "q138_domain_blocklist", "q139_bpe_merges", "q140_bpe_encode",
     "q141_line_dedup",
+    // r16: char-n-gram langid (map-only projection) + the end-to-end
+    // CJK composition (segment once → gopher/CE/span-dedup)
+    "q156_langid_ngram", "q157_cjk_pipeline",
     // r14: batched BPE, HTML extraction, video near-dup, composed web
     // pipeline, bigram CE (q145 streaming rollup is trigger-dominated —
     // the streaming family's soak story is the StreamProf minima)

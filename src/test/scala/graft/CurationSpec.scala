@@ -720,6 +720,38 @@ class CurationSpec extends SparkSpec {
     assert(gotA7 == gotA)
   }
 
+  test("logisticScore fuses upstream signal columns (langid flag, " +
+    "gopher ratio, CE) into one map-only classifier; scores match the " +
+    "hand-computed sigmoid; arity guarded") {
+    import graft.operators.Curation
+    import graft.functions.TextAnalysis
+    // upstream operators produce the features; fusion is just columns
+    val feats = Curation.gopherQualityFilter(docs, "doc_id", "text")
+      .select(col("doc_id"), col("unique_frac"))
+      .join(Curation.unigramCrossEntropy(docs, "doc_id", "text")
+        .select(col("id").as("doc_id"), col("ce")), "doc_id")
+      .join(docs.select(col("doc_id"),
+        (TextAnalysis.langIdNgram(col("text"),
+          TextAnalysis.NgramProfiles) === "en")
+          .cast("double").as("is_en")), "doc_id")
+    val w = Seq(1.2, -0.4, 0.9)
+    val got = Curation.logisticScore(feats, "doc_id",
+        Seq("unique_frac", "ce", "is_en"), w, bias = -0.3)
+      .orderBy("doc_id")
+      .select("doc_id", "unique_frac", "ce", "is_en", "score")
+      .collect()
+    got.foreach { r =>
+      val z = ((-0.3 + 1.2 * r.getDouble(1)) - 0.4 * r.getDouble(2)) +
+        0.9 * r.getDouble(3)
+      val want = math.rint(1.0 / (1.0 + math.exp(-z)) * 1e6) / 1e6
+      assert(r.getDouble(4) == want, s"row $r: want $want")
+    }
+    assert(got.length == 5)
+    intercept[IllegalArgumentException] {
+      Curation.logisticScore(feats, "doc_id", Seq("ce"), w, 0.0)
+    }
+  }
+
   test("learnUnigramLm: the in-plan seed (filter + TakeOrdered top-K + " +
     "char union) equals the full-table reference under keepTop " +
     "truncation, frequency ties at the boundary included") {
