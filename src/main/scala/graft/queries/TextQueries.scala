@@ -344,6 +344,85 @@ object TextQueries {
        |ORDER BY doc_id""".stripMargin
   }
 
+  // --------------------------------------------------------------- q158
+  // Feature-fusion quality scoring: three INDEPENDENTLY-GATED upstream
+  // signals — gopher unique_frac (q125's family), self-corpus unigram
+  // CE (q98), and a langIdNgram English flag (q156) — fused by
+  // Curation.logisticScore into one classifier column. All features
+  // are round(…,6)-pinned doubles or exact flags, so the left-assoc
+  // dot + sigmoid replays closed-form; the oracle rebuilds each
+  // feature from its own query's SQL and fuses identically.
+  private val FuseW = Seq(1.2, -0.4, 0.9)
+  private val FuseBias = -0.3
+
+  private def q158(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Curation
+    val docs = Tables.documents(s, dir)
+    val feats = Curation.gopherQualityFilter(docs, "doc_id", "text")
+      .select(col("doc_id"), col("unique_frac"))
+      .join(Curation.unigramCrossEntropy(docs, "doc_id", "text")
+        .select(col("id").as("doc_id"), col("ce")), "doc_id")
+      .join(docs.select(col("doc_id"),
+        (TextAnalysis.langIdNgram(col("text"), TextAnalysis.NgramProfiles)
+          === "en").cast("double").as("is_en")), "doc_id")
+    Curation.logisticScore(feats, "doc_id",
+        Seq("unique_frac", "ce", "is_en"), FuseW, FuseBias)
+      .orderBy(col("doc_id"))
+  }
+
+  private val q158Sql = {
+    val Seq(w1, w2, w3) = FuseW
+    def score(p: Seq[(String, Int)]) = {
+      val whens = p.map { case (g, w) => s"WHEN '$g' THEN $w" }.mkString(" ")
+      s"""coalesce(CAST(list_sum(list_transform(
+         |    list_transform(range(1, greatest(length(lower(text)) - 1, 0)
+         |      + 1), i -> substr(lower(text), i, 2)),
+         |    g -> CASE g $whens ELSE 0 END)) AS BIGINT), 0)""".stripMargin
+    }
+    val scores = TextAnalysis.NgramProfiles
+      .map { case (l, p) => s"  ${score(p)} AS s_$l" }.mkString(",\n")
+    s"""WITH tk AS (
+       |  SELECT doc_id, len(t) AS dl, unnest(t) AS term
+       |  FROM (SELECT doc_id, $toksSql AS t FROM documents)),
+       |tf AS (SELECT doc_id, dl, term, count(*) AS tf
+       |       FROM tk GROUP BY doc_id, dl, term),
+       |cf AS (SELECT term, sum(tf) AS cf FROM tf GROUP BY term),
+       |tot AS (SELECT CAST(sum(cf) AS DOUBLE) AS t_total FROM cf),
+       |scored AS (
+       |  SELECT tf.doc_id, tf.dl, tf.term,
+       |    CAST(tf.tf AS DOUBLE) *
+       |      -ln(CAST(cf.cf AS DOUBLE) / tt.t_total) AS nll
+       |  FROM tf JOIN cf USING (term) CROSS JOIN tot tt),
+       |ced AS (
+       |  SELECT doc_id,
+       |    round(list_inner_product(list(nll ORDER BY term),
+       |      list_transform(list(nll ORDER BY term), x -> 1.0))
+       |      / dl, 6) AS ce
+       |  FROM scored GROUP BY doc_id, dl),
+       |uf AS (
+       |  SELECT doc_id,
+       |    round(CAST(len(list_distinct($toksSql)) AS DOUBLE)
+       |      / CAST(greatest(len($toksSql), 1) AS DOUBLE), 6)
+       |      AS unique_frac
+       |  FROM documents),
+       |lg AS (
+       |  SELECT doc_id,
+       |    CASE WHEN s_en >= greatest(s_fr, s_es, s_de)
+       |         THEN 1.0 ELSE 0.0 END AS is_en
+       |  FROM (SELECT doc_id,
+       |$scores
+       |        FROM documents)),
+       |z AS (
+       |  SELECT uf.doc_id, uf.unique_frac, ced.ce, lg.is_en,
+       |    ((($FuseBias + ($w1 * uf.unique_frac)) + ($w2 * ced.ce))
+       |      + ($w3 * lg.is_en)) AS z
+       |  FROM uf JOIN ced USING (doc_id) JOIN lg USING (doc_id))
+       |SELECT doc_id, unique_frac, ce, is_en,
+       |  round(1.0 / (1.0 + exp(-z)), 6) AS score,
+       |  round(1.0 / (1.0 + exp(-z)), 6) >= 0.5 AS label
+       |FROM z ORDER BY doc_id""".stripMargin
+  }
+
   // ---------------------------------------------------------------- q24
   // Token-set fingerprint (order-insensitive content hash).
   private def q24(s: SparkSession, dir: String): DataFrame =
@@ -1032,6 +1111,7 @@ object TextQueries {
     "q23_langid" -> (q23 _),
     "q156_langid_ngram" -> (q156 _),
     "q157_cjk_pipeline" -> (q157 _),
+    "q158_quality_fusion" -> (q158 _),
     "q24_fingerprint" -> (q24 _),
     "q25_ngram_jaccard" -> (q25 _),
     "q26_minhash_lsh" -> (q26 _),
@@ -1057,6 +1137,7 @@ object TextQueries {
     "q23_langid" -> q23Sql,
     "q156_langid_ngram" -> q156Sql,
     "q157_cjk_pipeline" -> q157Sql,
+    "q158_quality_fusion" -> q158Sql,
     "q24_fingerprint" -> q24Sql,
     "q25_ngram_jaccard" -> q25Sql,
     "q26_minhash_lsh" -> q25Sql, // see q26 note: row-identical to q25
