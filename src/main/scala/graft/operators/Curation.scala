@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.ColumnBridge
 
 import graft.functions.TextAnalysis
 
@@ -70,6 +71,72 @@ object Curation {
     hits.select(col("id"), col("n_shingles"), col("n_overlap"),
       round(ratio, 6).as("overlap_ratio"),
       (ratio >= lit(flagThreshold)).as("contaminated"))
+  }
+
+  /** Folds the benchmark's distinct word n-grams into an `mBits`-wide
+    * Bloom bit array, DISTRIBUTED: each benchmark row emits its grams' k
+    * md5-60-bit positions ([[graft.plans.BloomGramPositions]]), and a
+    * `bit_or` rollup over 64-bit word indexes assembles the array — the
+    * driver collects at most mBits/64 longs (32 KB at 2^18, 16 MB at a
+    * production 2^27 sized for ~10^7 benchmark grams at ~1% FP), never a
+    * gram, a position row, or anything proportional to benchmark size.
+    */
+  def bloomContaminationBits(bench: DataFrame, textCol: String,
+                             n: Int = 4, mBits: Int = 1 << 22,
+                             k: Int = 3): Array[Long] = {
+    require(mBits >= 64 && mBits % 64 == 0,
+      s"mBits must be a positive multiple of 64, got $mBits")
+    val pos = ColumnBridge.column(graft.plans.BloomGramPositions(
+      ColumnBridge.expression(col(textCol)), n, k, mBits))
+    val words = bench.select(explode(pos).as("pos"))
+      .selectExpr("CAST(pos DIV 64 AS INT) AS w",
+        "shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT)) AS b")
+      .groupBy("w").agg(expr("bit_or(b)").as("bits"))
+      .collect()
+    val arr = new Array[Long](mBits / 64)
+    words.foreach(r => arr(r.getInt(0)) = r.getLong(1))
+    arr
+  }
+
+  /** Bloom-filter form of [[contaminationReport]] — the 100 TB default.
+    *
+    * The exact report explodes the corpus into gram rows, joins the
+    * broadcast benchmark gram set, and re-aggregates per document; this
+    * form replaces all of that with ONE map-only projection: each corpus
+    * document tests its own distinct grams against the benchmark's Bloom
+    * bit array (k bit tests per gram, [[graft.plans.BloomNgramProbe]])
+    * inside whole-stage codegen — no explode, no join, no shuffle, and
+    * the "broadcast" is a bit array of mBits/8 bytes instead of 8 bytes
+    * per benchmark gram.
+    *
+    * Bloom guarantees: NO false negatives — every document the exact
+    * report flags is flagged here at the same threshold (hit counts can
+    * only grow); false positives at ≈ (1−e^(−k·g/m))^k per gram add
+    * spurious hits, so at sane sizing the flagged set is a small superset
+    * and the operator serves as the cheap first pass that routes only
+    * flagged documents into the exact gram join. Emits EVERY corpus
+    * document (id, n_shingles, n_bloom_hits, hit_ratio, contaminated) —
+    * unlike the exact report, which inner-joins away zero-overlap docs —
+    * because the map-only form pays nothing to keep them.
+    */
+  def bloomContaminationReport(corpus: DataFrame, bench: DataFrame,
+                               idCol: String, textCol: String,
+                               n: Int = 4, mBits: Int = 1 << 22,
+                               k: Int = 3,
+                               flagThreshold: Double = 0.05): DataFrame = {
+    val bits = bloomContaminationBits(bench, textCol, n, mBits, k)
+    val stats = ColumnBridge.column(graft.plans.BloomNgramProbe(
+      ColumnBridge.expression(col(textCol)), n, k, mBits, bits))
+    val ratio = col("n_bloom_hits").cast("double") /
+      greatest(col("n_shingles"), lit(1)).cast("double")
+    corpus
+      .select(col(idCol).as("id"), stats.as("_bp"))
+      .select(col("id"),
+        element_at(col("_bp"), 1).as("n_shingles"),
+        element_at(col("_bp"), 2).as("n_bloom_hits"))
+      .select(col("id"), col("n_shingles"), col("n_bloom_hits"),
+        round(ratio, 6).as("hit_ratio"),
+        (ratio >= lit(flagThreshold)).as("contaminated"))
   }
 
   // ------------------------------------------------------------------

@@ -60,6 +60,63 @@ object CurationQueries {
        |ORDER BY doc_id""".stripMargin
   }
 
+  // --------------------------------------------------------------- q159
+  // Broadcast-Bloom decontamination: q79's contamination check with the
+  // gram join replaced by a map-only probe of the benchmark's Bloom bit
+  // array (k = 3 md5-60-bit positions per gram, mBits = 2^22). The oracle
+  // replays the EXACT filter — false positives included — because a gram
+  // hits iff all 3 of its positions are in the distinct set-bit table the
+  // benchmark implies, and set-membership is equivalent to the bit test.
+  // Spark never explodes or joins the corpus; DuckDB re-derives the same
+  // verdicts relationally, so a hash match proves the kernel's md5
+  // positions, the bit_or build, and the all-k-bits probe cross-engine.
+  private def q159(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    Curation.bloomContaminationReport(
+        docs.filter(col("doc_id") % 20 =!= 0),
+        docs.filter(col("doc_id") % 20 === 0),
+        "doc_id", "text", n = 4, mBits = 1 << 22, k = 3,
+        flagThreshold = 0.05)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy(col("doc_id"))
+  }
+
+  private val q159Sql = {
+    val grams =
+      s"""list_distinct(list_transform(
+         |    generate_series(1, greatest(len($toksSql) - 3, 0)),
+         |    i -> concat_ws(' ', $toksSql[i], $toksSql[i+1],
+         |                   $toksSql[i+2], $toksSql[i+3])))""".stripMargin
+    def pos(g: String) =
+      s"""CAST(concat('0x', substr(md5($g || '#' || CAST(i AS VARCHAR)),
+         |      1, 15)) AS BIGINT) % 4194304""".stripMargin
+    s"""WITH g AS (SELECT doc_id, $grams AS grams FROM documents),
+       |idx AS (SELECT unnest([0, 1, 2]) AS i),
+       |bench AS (SELECT DISTINCT unnest(grams) AS gram FROM g
+       |          WHERE doc_id % 20 = 0),
+       |setbits AS (SELECT DISTINCT ${pos("gram")} AS pos
+       |            FROM bench CROSS JOIN idx),
+       |corpus AS (SELECT doc_id, unnest(grams) AS gram FROM g
+       |           WHERE doc_id % 20 != 0),
+       |cp AS (SELECT doc_id, gram, ${pos("gram")} AS pos
+       |       FROM corpus CROSS JOIN idx),
+       |hitg AS (SELECT doc_id, gram FROM cp JOIN setbits USING (pos)
+       |         GROUP BY doc_id, gram HAVING count(*) = 3),
+       |hits AS (SELECT doc_id, count(*) AS n_bloom_hits FROM hitg
+       |         GROUP BY doc_id),
+       |tot AS (SELECT doc_id, len(grams) AS n_shingles FROM g
+       |        WHERE doc_id % 20 != 0)
+       |SELECT t.doc_id, t.n_shingles,
+       |  coalesce(h.n_bloom_hits, 0) AS n_bloom_hits,
+       |  round(CAST(coalesce(h.n_bloom_hits, 0) AS DOUBLE)
+       |    / CAST(greatest(t.n_shingles, 1) AS DOUBLE), 6) AS hit_ratio,
+       |  CAST(coalesce(h.n_bloom_hits, 0) AS DOUBLE)
+       |    / CAST(greatest(t.n_shingles, 1) AS DOUBLE) >= 0.05
+       |    AS contaminated
+       |FROM tot t LEFT JOIN hits h USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+  }
+
   // ---------------------------------------------------------------- q80
   // Gopher-style repetition signals as one shuffle-free projection (the
   // Spark side folds each doc's own sorted token array; the oracle
@@ -1219,6 +1276,7 @@ object CurationQueries {
     "q119_doc_chunking" -> (q119 _),
     "q102_span_removal_runvote" -> (q102 _),
     "q79_contamination" -> (q79 _),
+    "q159_bloom_decontam" -> (q159 _),
     "q80_repetition" -> (q80 _),
     "q81_tfidf" -> (q81 _),
     "q82_incremental_dedup" -> (q82 _),
@@ -1248,6 +1306,7 @@ object CurationQueries {
     "q124_cdc_chunks" -> q124Sql,
     "q119_doc_chunking" -> q119Sql,
     "q79_contamination" -> q79Sql,
+    "q159_bloom_decontam" -> q159Sql,
     "q80_repetition" -> q80Sql,
     "q81_tfidf" -> q81Sql,
     "q82_incremental_dedup" -> q82Sql,
