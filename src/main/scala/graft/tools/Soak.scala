@@ -70,7 +70,10 @@ object Soak {
     // learn/encode, logistic quality inference (q149's uncapped form is
     // the s149 fullOps pair)
     "q150_decontam_fixedbench", "q151_cjk_tokens", "q152_unigram_lm",
-    "q153_quality_classifier", "q154_unigram_encode")
+    "q153_quality_classifier", "q154_unigram_encode",
+    // r16: broadcast-Bloom decontamination — the map-only twin of q79's
+    // exact gram join; soaking BOTH gives the same-session A/B pair
+    "q159_bloom_decontam")
 
   /** Same co-tenant preflight as [[graft.Bench]]: exponent fits across
     * scale runs are meaningless if one run raced a loaded box, so wait
