@@ -64,4 +64,70 @@ object Sketches {
     df.groupBy(groupCols.map(col): _*)
       .agg(approxDistinct(col(valueCol)).as("approx_distinct"),
         count(col(valueCol)).as("n"))
+
+  /** Engine-portable, ORACLE-REPLAYABLE HyperLogLog distinct estimate.
+    *
+    * [[approxDistinct]] (Spark's HLL++) is the production default, but
+    * its sketch bytes are engine-private: no other system can rebuild or
+    * audit them. This form pins every step to cross-engine-deterministic
+    * primitives, so DuckDB (or any SQL engine) replays the IDENTICAL
+    * estimate from the same rows:
+    *
+    *   - hash: the repo's md5-60-bit idiom (q137 lineage) over the value
+    *     cast to string — bit-identical in the JVM, Spark SQL, DuckDB;
+    *   - bucket: top p bits (`h DIV 2^(60-p)`); remainder w: low 60-p;
+    *   - rank: rho = (60-p) − len(bin(w)) + 1 — `bin()` length is the
+    *     EXACT integer floor(log2)+1 in both engines (no float log);
+    *   - register sum: harmonic terms 2^-rho are summed as EXACT
+    *     integers 2^(Q+1-rho) (Q = 60-p; max m·2^(Q+1) = 2^61 at p=12,
+    *     inside long) — integer addition is order-independent, so the
+    *     estimate cannot drift with partition count or merge order, the
+    *     way a double sum would;
+    *   - estimate: alpha_m · m² · 2^(Q+1) / S, one double expression of
+    *     exact inputs, identical literal shape in the SQL oracle.
+    *
+    * Raw HLL only (no small/large-range correction): corrections need
+    * `ln`, whose cross-engine rounding is not pinned — callers in the
+    * linear-counting regime get `buckets_hit` and can correct downstream.
+    * Registers are max-merged, so partial aggregation runs map-side and
+    * per-group state is at most m rows into the first shuffle — the
+    * approx_count_distinct shape, auditable.
+    */
+  def deterministicHll(df: DataFrame, groupCols: Seq[String],
+                       valueCol: String, p: Int = 12): DataFrame = {
+    require(p >= 4 && p <= 16, s"p must be in [4,16], got $p")
+    val m = 1 << p
+    val q = 60 - p
+    val h = conv(substring(md5(col(valueCol).cast("string")), 1, 15),
+      16, 10).cast("long")
+    val gs = groupCols.map(col)
+    // integer DIV for the bucket: h < 2^60 exceeds double-exact range,
+    // so Column./ (double division) would corrupt high buckets
+    val regs = df
+      .select(gs :+ h.as("_h"): _*)
+      .selectExpr(groupCols ++ Seq(
+        s"_h DIV ${1L << q} AS _bucket",
+        s"CASE WHEN _h % ${1L << q} = 0 THEN ${q + 1} " +
+          s"ELSE ${q + 1} - length(bin(_h % ${1L << q})) END AS _rho"): _*)
+      .groupBy(gs :+ col("_bucket"): _*)
+      .agg(max(col("_rho")).as("_reg"))
+    // exact-integer harmonic sum: present buckets contribute 2^(Q+1-reg),
+    // absent buckets (register 0) contribute 2^(Q+1) each
+    val sPresent = sum(expr(s"shiftleft(CAST(1 AS BIGINT), ${q + 1} - _reg)"))
+    // every literal cast to DOUBLE: bare decimal literals parse as
+    // DECIMAL in both Spark and DuckDB, with engine-specific scale
+    // arithmetic — the cast pins both engines to the same IEEE ops
+    val alphaTimesM2 = s"(CAST(0.7213 AS DOUBLE) / " +
+      s"(CAST(1 AS DOUBLE) + CAST(1.079 AS DOUBLE) / $m)) * $m * $m"
+    regs.groupBy(gs: _*)
+      .agg(count(lit(1)).cast("long").as("buckets_hit"),
+        sPresent.as("_sp"))
+      .withColumn("s_int",
+        col("_sp") + (lit(m.toLong) - col("buckets_hit")) *
+          lit(1L << (q + 1)))
+      .withColumn("hll_estimate", round(
+        expr(s"$alphaTimesM2 * ${1L << (q + 1)} / CAST(s_int AS DOUBLE)"),
+        3))
+      .drop("_sp")
+  }
 }

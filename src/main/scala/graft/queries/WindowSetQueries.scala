@@ -259,6 +259,82 @@ object WindowSetQueries {
       |GROUP BY 1
       |ORDER BY k""".stripMargin
 
+  // --------------------------------------------------------------- q160
+  // Deterministic HLL distinct-count gate — the FOURTH sketch, and the
+  // first whose ESTIMATE (not just its contracts) the oracle replays
+  // bit-for-bit: per-source distinct-token counts estimated by
+  // Sketches.deterministicHll (md5-60-bit hash, bin()-length ranks,
+  // exact-integer register sums — every step engine-portable), joined to
+  // the exact counts so the row also publishes the realized relative
+  // error. approx_count_distinct stays the production default; this form
+  // is the auditable twin whose sketch any SQL engine can rebuild.
+  private def q160(s: SparkSession, dir: String): DataFrame = {
+    // value = distinct word 4-grams per source: the shingle-space size a
+    // dedup planner budgets against, and a cardinality that exercises the
+    // estimator's working regime at sf0.01+ (p=8 -> m=256); the rel_err
+    // column self-reports the small-corpus linear-counting regime rather
+    // than hiding it behind an engine-unpinnable ln() correction
+    val t = Tables.documents(s, dir).select(col("source"),
+      explode(array_distinct(graft.functions.TextAnalysis.shinglesOfTokens(
+        graft.functions.TextAnalysis.tokens(col("text")), 4))).as("gram"))
+    val hll = graft.operators.Sketches.deterministicHll(
+      t, Seq("source"), "gram", p = 8)
+    val exact = t.groupBy("source")
+      .agg(countDistinct(col("gram")).as("n_exact"))
+    val err = abs(col("hll_estimate") - col("n_exact").cast("double")) /
+      col("n_exact").cast("double")
+    exact.join(hll, Seq("source"))
+      .select(col("source"), col("n_exact"), col("buckets_hit"),
+        col("s_int"), col("hll_estimate"), round(err, 6).as("rel_err"))
+      .orderBy(col("source"))
+  }
+
+  private val q160Sql = {
+    val q = 52 // 60 - p at p = 8
+    val m = 256
+    val twoQ = 1L << q
+    val twoQ1 = 1L << (q + 1)
+    val toks = """string_split_regex(trim(text), '\s+')"""
+    s"""WITH t AS (
+       |  SELECT source, unnest(list_distinct(list_transform(
+       |    generate_series(1, greatest(len($toks) - 3, 0)),
+       |    i -> concat_ws(' ', $toks[i], $toks[i+1],
+       |                   $toks[i+2], $toks[i+3])))) AS gram
+       |  FROM documents),
+       |h AS (
+       |  SELECT source, gram,
+       |    CAST(concat('0x', substr(md5(gram), 1, 15)) AS BIGINT) AS hh
+       |  FROM t),
+       |r AS (
+       |  SELECT source, hh // $twoQ AS bucket,
+       |    CASE WHEN hh % $twoQ = 0 THEN ${q + 1}
+       |         ELSE ${q + 1} - length(bin(hh % $twoQ)) END AS rho
+       |  FROM h),
+       |regs AS (SELECT source, bucket, max(rho) AS reg
+       |         FROM r GROUP BY source, bucket),
+       |agg AS (
+       |  SELECT source, count(*) AS buckets_hit,
+       |    CAST(sum(CAST(1 AS BIGINT) << (${q + 1} - reg)) AS BIGINT) AS sp
+       |  FROM regs GROUP BY source),
+       |st AS (
+       |  SELECT source, buckets_hit,
+       |    sp + ($m - buckets_hit) * $twoQ1 AS s_int
+       |  FROM agg),
+       |est AS (
+       |  SELECT source, buckets_hit, s_int,
+       |    round((CAST(0.7213 AS DOUBLE) / (CAST(1 AS DOUBLE)
+       |        + CAST(1.079 AS DOUBLE) / $m)) * $m * $m
+       |      * $twoQ1 / CAST(s_int AS DOUBLE), 3) AS hll_estimate
+       |  FROM st),
+       |ex AS (SELECT source, count(DISTINCT gram) AS n_exact
+       |       FROM t GROUP BY source)
+       |SELECT e.source, x.n_exact, e.buckets_hit, e.s_int, e.hll_estimate,
+       |  round(abs(e.hll_estimate - CAST(x.n_exact AS DOUBLE))
+       |    / CAST(x.n_exact AS DOUBLE), 6) AS rel_err
+       |FROM est e JOIN ex x USING (source)
+       |ORDER BY source""".stripMargin
+  }
+
   // ---------------------------------------------------------------- q51
   // Transparent range join: the query is written as a PLAIN non-equi
   // inner join — no manual bucketing — and graft's RangeJoinRewrite
@@ -299,6 +375,7 @@ object WindowSetQueries {
     "q49_array_explode" -> (q49 _),
     "q50_sketch_accuracy" -> (q50 _),
     "q122_countmin_accuracy" -> (q122 _),
+    "q160_hll_distinct" -> (q160 _),
     "q51_range_join_auto" -> (q51 _))
 
   val oracleSql: Map[String, String] = Map(
@@ -309,5 +386,6 @@ object WindowSetQueries {
     "q49_array_explode" -> q49Sql,
     "q50_sketch_accuracy" -> q50Sql,
     "q122_countmin_accuracy" -> q122Sql,
+    "q160_hll_distinct" -> q160Sql,
     "q51_range_join_auto" -> q51Sql)
 }

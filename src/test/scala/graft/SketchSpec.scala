@@ -45,6 +45,47 @@ class SketchSpec extends SparkSpec {
     }
   }
 
+  test("deterministic HLL is partition-order invariant, bit-exactly") {
+    // the integer register sum makes the estimate independent of how
+    // partial aggregates merge — the property a double sum cannot give
+    val vals = spark.range(0, 20000)
+      .select(lit("g").as("grp"), concat(lit("v"), col("id")).as("v"))
+    def run(parts: Int) = Sketches.deterministicHll(
+        vals.repartition(parts), Seq("grp"), "v", p = 8)
+      .select("buckets_hit", "s_int", "hll_estimate")
+      .head()
+    assert(run(1) == run(17))
+    assert(run(17) == run(32))
+  }
+
+  test("deterministic HLL tracks the exact count in its working regime") {
+    // 20k distinct at m=256 is deep in the estimator's asymptotic band:
+    // typical error 1/sqrt(m) ~ 6%; assert a generous 3-sigma bound
+    val n = 20000
+    val vals = spark.range(0, n)
+      .select(lit("g").as("grp"), concat(lit("v"), col("id")).as("v"))
+    val est = Sketches.deterministicHll(vals, Seq("grp"), "v", p = 8)
+      .select("hll_estimate").head().getDouble(0)
+    assert(math.abs(est - n) / n < 0.20, s"est=$est n=$n")
+  }
+
+  test("deterministic HLL structure bounds hold") {
+    val vals = spark.range(0, 500)
+      .select((col("id") % 3).cast("string").as("grp"),
+        concat(lit("x"), col("id")).as("v"))
+    val rows = Sketches.deterministicHll(vals, Seq("grp"), "v", p = 8)
+      .collect()
+    assert(rows.length == 3)
+    rows.foreach { r =>
+      val hit = r.getAs[Long]("buckets_hit")
+      val sInt = r.getAs[Long]("s_int")
+      assert(hit >= 1 && hit <= 256)
+      // every present bucket contributes in [1, 2^52]; absent ones 2^53
+      assert(sInt >= hit + (256 - hit) * (1L << 53))
+      assert(sInt <= hit * (1L << 52) + (256 - hit) * (1L << 53))
+    }
+  }
+
   test("count-min estimates are upward-biased and eps-bounded") {
     val n = li.count()
     val bytes = li.select(Sketches.countMin(col("l_returnflag"),
