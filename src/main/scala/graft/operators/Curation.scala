@@ -83,18 +83,35 @@ object Curation {
     */
   def bloomContaminationBits(bench: DataFrame, textCol: String,
                              n: Int = 4, mBits: Int = 1 << 22,
-                             k: Int = 3): Array[Long] = {
+                             k: Int = 3): Array[Long] =
+    bloomBitsFromWordRows(
+      bloomWordRows(bench, textCol, n, mBits, k).collect()
+        .map(r => (r.getInt(0), r.getLong(1))), mBits)
+
+  /** The Bloom array as its SPARSE relational form — one `(w, bits)` row
+    * per non-zero 64-bit word. This is the store/merge shape: two word
+    * tables OR-merge with `union → groupBy(w) → bit_or`, which is how the
+    * streaming loop folds benchmark updates in without ever rebuilding
+    * from raw text ([[graft.streaming.StreamingPipeline.bloomDecontamStream]]).
+    */
+  def bloomWordRows(bench: DataFrame, textCol: String,
+                    n: Int = 4, mBits: Int = 1 << 22,
+                    k: Int = 3): DataFrame = {
     require(mBits >= 64 && mBits % 64 == 0,
       s"mBits must be a positive multiple of 64, got $mBits")
     val pos = ColumnBridge.column(graft.plans.BloomGramPositions(
       ColumnBridge.expression(col(textCol)), n, k, mBits))
-    val words = bench.select(explode(pos).as("pos"))
+    bench.select(explode(pos).as("pos"))
       .selectExpr("CAST(pos DIV 64 AS INT) AS w",
         "shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT)) AS b")
       .groupBy("w").agg(expr("bit_or(b)").as("bits"))
-      .collect()
+  }
+
+  /** Densify collected `(w, bits)` word rows into the probe's array. */
+  def bloomBitsFromWordRows(rows: Seq[(Int, Long)],
+                            mBits: Int): Array[Long] = {
     val arr = new Array[Long](mBits / 64)
-    words.foreach(r => arr(r.getInt(0)) = r.getLong(1))
+    rows.foreach { case (w, b) => arr(w) = b }
     arr
   }
 
@@ -123,8 +140,19 @@ object Curation {
                                idCol: String, textCol: String,
                                n: Int = 4, mBits: Int = 1 << 22,
                                k: Int = 3,
-                               flagThreshold: Double = 0.05): DataFrame = {
-    val bits = bloomContaminationBits(bench, textCol, n, mBits, k)
+                               flagThreshold: Double = 0.05): DataFrame =
+    bloomProbeReport(corpus,
+      bloomContaminationBits(bench, textCol, n, mBits, k),
+      idCol, textCol, n, mBits, k, flagThreshold)
+
+  /** The probe half of [[bloomContaminationReport]], against an
+    * already-built bit array — the shape the streaming loop uses, where
+    * the array comes from the store rather than a batch-side build.
+    */
+  def bloomProbeReport(corpus: DataFrame, bits: Array[Long],
+                       idCol: String, textCol: String,
+                       n: Int, mBits: Int, k: Int,
+                       flagThreshold: Double): DataFrame = {
     val stats = ColumnBridge.column(graft.plans.BloomNgramProbe(
       ColumnBridge.expression(col(textCol)), n, k, mBits, bits))
     val ratio = col("n_bloom_hits").cast("double") /

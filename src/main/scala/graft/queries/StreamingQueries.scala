@@ -963,7 +963,92 @@ object StreamingQueries {
        |ORDER BY batch_id, vec_id""".stripMargin
   }
 
+  // --------------------------------------------------------------- q161
+  // Streaming broadcast-Bloom n-gram decontamination: q159's map-only
+  // probe in q155's loop shape. Three real micro-batches; each batch's
+  // train docs probe the Bloom word store built from benchmark rows in
+  // versions STRICTLY BELOW the batch (batch 0 probes an empty filter —
+  // all-zero rows — exactly like q155's empty prior), and benchmark rows
+  // OR-merge into the next store version. The oracle replays the entire
+  // emission history closed-form: a train gram in chunk c hits iff ALL
+  // k=3 of its md5-60-bit positions appear among the set bits implied by
+  // benchmark grams in chunks < c — set-membership equals the bit test,
+  // false positives replay identically (the q159 argument, per batch
+  // prefix).
+  private def q161(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), col("text"),
+        (col("doc_id") % 20 === 0).as("is_bench"))
+    val work = scratchDir("graft_q161")
+    val inDir = cachedChunks(s"q161|$dir|3")(writeChunks(docs, "doc_id", _, 3))
+    val storeDir = new File(work, "store").getPath
+    val outDir = new File(work, "out")
+    outDir.mkdirs()
+    withGateConfs(s, 3) {
+      val stream = s.readStream
+        .schema(docs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(inDir.getPath)
+      val q = StreamingPipeline.bloomDecontamStream(stream, "is_bench",
+          storeDir, n = 4, mBits = 1 << 22, k = 3,
+          flagThreshold = 0.05) { (res, batchId) =>
+          res.withColumn("batch_id", lit(batchId))
+            .write.mode("append").parquet(outDir.getPath)
+        }
+        .option("checkpointLocation", new File(work, "ckpt").getPath)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    s.read.parquet(outDir.getPath)
+      .select(col("batch_id"), col("id").as("doc_id"), col("n_shingles"),
+        col("n_bloom_hits"), col("hit_ratio"), col("contaminated"))
+      .orderBy(col("batch_id"), col("doc_id"))
+  }
+
+  private val q161Sql = {
+    val toks = """string_split_regex(trim(text), '\s+')"""
+    val grams =
+      s"""list_distinct(list_transform(
+         |    generate_series(1, greatest(len($toks) - 3, 0)),
+         |    i -> concat_ws(' ', $toks[i], $toks[i+1],
+         |                   $toks[i+2], $toks[i+3])))""".stripMargin
+    def pos(g: String) =
+      s"""CAST(concat('0x', substr(md5($g || '#' || CAST(i AS VARCHAR)),
+         |      1, 15)) AS BIGINT) % 4194304""".stripMargin
+    s"""WITH g AS (
+       |  SELECT doc_id, doc_id % 3 AS chunk, doc_id % 20 = 0 AS is_bench,
+       |    $grams AS grams
+       |  FROM documents),
+       |idx AS (SELECT unnest([0, 1, 2]) AS i),
+       |bg AS (SELECT chunk, unnest(grams) AS gram FROM g WHERE is_bench),
+       |sb AS (SELECT DISTINCT chunk, ${pos("gram")} AS pos
+       |       FROM bg CROSS JOIN idx),
+       |tg AS (SELECT chunk, doc_id, unnest(grams) AS gram FROM g
+       |       WHERE NOT is_bench),
+       |cp AS (SELECT chunk, doc_id, gram, i, ${pos("gram")} AS pos
+       |       FROM tg CROSS JOIN idx),
+       |sel AS (SELECT DISTINCT cp.chunk, cp.doc_id, cp.gram, cp.i
+       |        FROM cp JOIN sb ON cp.pos = sb.pos AND sb.chunk < cp.chunk),
+       |hitg AS (SELECT chunk, doc_id, gram FROM sel
+       |         GROUP BY chunk, doc_id, gram HAVING count(*) = 3),
+       |hits AS (SELECT doc_id, count(*) AS n_bloom_hits FROM hitg
+       |         GROUP BY doc_id),
+       |tot AS (SELECT chunk, doc_id, len(grams) AS n_shingles FROM g
+       |        WHERE NOT is_bench)
+       |SELECT CAST(t.chunk AS BIGINT) AS batch_id, t.doc_id, t.n_shingles,
+       |  coalesce(h.n_bloom_hits, 0) AS n_bloom_hits,
+       |  round(CAST(coalesce(h.n_bloom_hits, 0) AS DOUBLE)
+       |    / CAST(greatest(t.n_shingles, 1) AS DOUBLE), 6) AS hit_ratio,
+       |  CAST(coalesce(h.n_bloom_hits, 0) AS DOUBLE)
+       |    / CAST(greatest(t.n_shingles, 1) AS DOUBLE) >= 0.05
+       |    AS contaminated
+       |FROM tot t LEFT JOIN hits h USING (doc_id)
+       |ORDER BY batch_id, doc_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q161_streaming_bloom" -> (q161 _),
     "q155_streaming_decontam" -> (q155 _),
     "q148_streaming_minhash_dedup" -> (q148 _),
     "q145_streaming_domain_rollup" -> (q145 _),
@@ -975,6 +1060,7 @@ object StreamingQueries {
     "q118_streaming_interval_join" -> (q118 _))
 
   val oracleSql: Map[String, String] = Map(
+    "q161_streaming_bloom" -> q161Sql,
     "q155_streaming_decontam" -> q155Sql,
     "q148_streaming_minhash_dedup" -> q148Sql,
     "q145_streaming_domain_rollup" -> q145Sql,

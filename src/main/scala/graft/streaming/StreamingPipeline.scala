@@ -783,6 +783,77 @@ object StreamingPipeline {
     batchDirsBefore(snapDir, "v", Long.MaxValue).lastOption
       .map(f => spark.read.parquet(f.getPath))
 
+  /** Streaming BROADCAST-BLOOM n-gram decontamination — the q159
+    * map-only surface in the [[decontamStream]] loop shape. One stream
+    * carries both sides, distinguished by `benchFlagCol`: each
+    * micro-batch's TRAIN documents probe the Bloom bit array maintained
+    * from all benchmark rows in versions strictly below the current
+    * batchId (the probe is ONE codegen'd projection per batch — no
+    * explode, no join, no shuffle), and the batch's BENCHMARK rows
+    * OR-merge into the next store version.
+    *
+    * The store is the filter's SPARSE word table — at most mBits/64
+    * `(w, bits)` rows, ~32 KB of parquet at the gate's 2^22 — and
+    * merging is `union → groupBy(w) → bit_or`, so folding a benchmark
+    * update in costs one bounded rollup and never rebuilds from raw
+    * text or grows with benchmark history. Same replay discipline as
+    * [[decontamBatch]]: strictly-below lookup + versioned overwrite
+    * (at-least-once redelivery re-emits identical scores), train-only
+    * batches write nothing, and a writing batch prunes to {prior, new}.
+    */
+  def bloomDecontamStream(docs: DataFrame, benchFlagCol: String,
+                          storeDir: String, n: Int = 4,
+                          mBits: Int = 1 << 22, k: Int = 3,
+                          flagThreshold: Double = 0.05,
+                          idCol: String = "doc_id",
+                          textCol: String = "text")(
+      onBatch: (DataFrame, Long) => Unit) = {
+    new java.io.File(storeDir).mkdirs()
+    docs.writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        bloomDecontamBatch(batch, batchId, benchFlagCol, storeDir,
+          n, mBits, k, flagThreshold, idCol, textCol)(onBatch)
+      }
+  }
+
+  /** One micro-batch of [[bloomDecontamStream]]. */
+  private[graft] def bloomDecontamBatch(
+      batch: DataFrame, batchId: Long, benchFlagCol: String,
+      storeDir: String, n: Int, mBits: Int, k: Int,
+      flagThreshold: Double, idCol: String, textCol: String)(
+      onBatch: (DataFrame, Long) => Unit): Unit = {
+    val s = batch.sparkSession
+    val priorDir = batchDirsBefore(storeDir, "v", batchId).lastOption
+    val priorWords = priorDir.map(f => s.read.parquet(f.getPath))
+    // before any benchmark arrives the filter is EMPTY: zero bits set,
+    // every probe reports zero hits
+    val bits = graft.operators.Curation.bloomBitsFromWordRows(
+      priorWords.map(_.collect().toSeq
+        .map(r => (r.getInt(0), r.getLong(1)))).getOrElse(Seq.empty),
+      mBits)
+    val scored = graft.operators.Curation.bloomProbeReport(
+        batch.filter(!col(benchFlagCol)), bits, idCol, textCol,
+        n, mBits, k, flagThreshold)
+      .persist()
+    scored.count() // pin the PRIOR-filter scores before the store moves
+    onBatch(scored, batchId)
+    if (!batch.filter(col(benchFlagCol)).isEmpty) {
+      val newWords = graft.operators.Curation.bloomWordRows(
+        batch.filter(col(benchFlagCol)), textCol, n, mBits, k)
+      val merged = priorWords match {
+        case Some(p) => p.unionByName(newWords)
+          .groupBy("w").agg(expr("bit_or(bits)").as("bits"))
+        case None => newWords
+      }
+      merged.write.mode("overwrite").parquet(f"$storeDir/v$batchId%05d")
+      priorDir.foreach(p => batchDirsBefore(storeDir, "v", dirId(p))
+        .foreach(deleteRecursively))
+    }
+    scored.unpersist()
+    ()
+  }
+
   /** Streaming upsert sink: each micro-batch merges into the latest
     * parquet snapshot via [[graft.operators.Snapshot.mergeSnapshot]]
     * (keep-highest-`versionCol` per key) and writes a NEW snapshot

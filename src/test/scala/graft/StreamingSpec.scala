@@ -477,6 +477,82 @@ class StreamingSpec extends SparkSpec {
       "pruning must never lose benchmark rows")
   }
 
+  test("streaming Bloom decontamination: batches probe the PRIOR filter, " +
+    "benchmark rows OR-merge the word store, replay is idempotent") {
+    import graft.operators.Curation
+    implicit val sqlCtx = spark.sqlContext
+    val storeDir = Files.createTempDirectory("graft-bloomstream").toString
+    val chk = Files.createTempDirectory("graft-bloomstream-chk").toString
+    val m = 1 << 14
+    var perBatch = Map.empty[Long, Seq[(Long, Int, Int, Boolean)]]
+    val mem = MemoryStream[(Long, String, Boolean)]
+    val q = StreamingPipeline.bloomDecontamStream(
+      mem.toDF().toDF("doc_id", "text", "is_bench"), "is_bench",
+      storeDir, n = 4, mBits = m, k = 3, flagThreshold = 0.05) {
+      (res, id) =>
+        perBatch += id -> res
+          .select("id", "n_shingles", "n_bloom_hits", "contaminated")
+          .as[(Long, Int, Int, Boolean)].collect().toSeq.sortBy(_._1)
+    }.option("checkpointLocation", chk).start()
+    val benchText = "the quick brown fox jumps over the lazy dog"
+    val bench2Text = "other benchmark sentence with different gram content"
+    val b0 = Seq((100L, benchText, true),
+      (1L, "the quick brown fox jumps high", false))
+    val b1 = Seq(
+      (2L, "quick brown fox jumps over the lazy dog today", false),
+      (3L, "unrelated words entirely on their own path", false))
+    mem.addData(b0: _*)
+    q.processAllAvailable()
+    mem.addData(b1: _*)
+    q.processAllAvailable()
+    q.stop()
+    // batch 0 probes an EMPTY filter: rows emitted, zero hits everywhere
+    assert(perBatch(0L).map(_._1) == Seq(1L))
+    assert(perBatch(0L).forall(r => r._3 == 0 && !r._4))
+    // batch 1 parity with the batch surface on the same inputs
+    val want = Curation.bloomContaminationReport(
+        b1.map(r => (r._1, r._2)).toDF("doc_id", "text"),
+        b0.filter(_._3).map(r => (r._1, r._2)).toDF("doc_id", "text"),
+        "doc_id", "text", n = 4, mBits = m, k = 3, flagThreshold = 0.05)
+      .select("id", "n_shingles", "n_bloom_hits", "contaminated")
+      .as[(Long, Int, Int, Boolean)].collect().toSeq.sortBy(_._1)
+    assert(perBatch(1L) == want, s"got ${perBatch(1L)}, want $want")
+    assert(perBatch(1L).exists(r => r._1 == 2L && r._3 > 0),
+      "doc 2 shares grams with the batch-0 benchmark")
+    // the train-only batch 1 wrote nothing
+    def versionDirs = new java.io.File(storeDir).listFiles()
+      .filter(_.isDirectory).map(_.getName).sorted.toSeq
+    assert(versionDirs == Seq("v00000"),
+      s"train-only batch must not move the store: $versionDirs")
+    // crash-replay of batch 1 re-emits identical scores, store unchanged
+    var replay = Seq.empty[(Long, Int, Int, Boolean)]
+    StreamingPipeline.bloomDecontamBatch(
+      b1.toDF("doc_id", "text", "is_bench"), 1L, "is_bench", storeDir,
+      4, m, 3, 0.05, "doc_id", "text") { (res, _) =>
+      replay = res
+        .select("id", "n_shingles", "n_bloom_hits", "contaminated")
+        .as[(Long, Int, Int, Boolean)].collect().toSeq.sortBy(_._1)
+    }
+    assert(replay == perBatch(1L))
+    assert(versionDirs == Seq("v00000"))
+    // a benchmark-carrying batch OR-merges and prunes to {prior, new},
+    // and the merged words equal a from-scratch build over BOTH
+    // benchmark batches, bit-for-bit
+    StreamingPipeline.bloomDecontamBatch(
+      Seq((101L, bench2Text, true)).toDF("doc_id", "text", "is_bench"),
+      2L, "is_bench", storeDir, 4, m, 3, 0.05, "doc_id", "text") {
+      (_, _) => ()
+    }
+    assert(versionDirs == Seq("v00000", "v00002"), s"got $versionDirs")
+    val mergedWords = spark.read.parquet(s"$storeDir/v00002")
+      .select("w", "bits").as[(Int, Long)].collect().toSeq
+    val wantBits = Curation.bloomContaminationBits(
+      Seq((100L, benchText), (101L, bench2Text)).toDF("doc_id", "text"),
+      "text", n = 4, mBits = m, k = 3)
+    assert(Curation.bloomBitsFromWordRows(mergedWords, m).toSeq ==
+      wantBits.toSeq, "incremental OR-merge must equal the batch build")
+  }
+
   test("streaming semDedup matches the batch q97 semantics over " +
     "monotone-id batches") {
     import graft.operators.Similarity
