@@ -616,6 +616,41 @@ object Similarity {
         graft.plans.CentroidExpressions.nearestCentroid(col("v"), centroids))
   }
 
+  /** Cluster-quota corpus balancing — the diversity rebalance step of
+    * the SemDeDup/DataComp-style curation recipe: assign every document
+    * to its nearest embedding centroid ([[assignCells]], one map pass),
+    * then cap each cell at `quota` with the repo's deterministic draw
+    * (md5-of-id order — [[Curation.quotaSample]]'s construction, so the
+    * kept set is reproducible across runs, partitionings, and engines).
+    * Over-represented modes (boilerplate clusters, template farms) are
+    * trimmed to the cap while rare clusters survive whole.
+    *
+    * Emits EVERY row with its verdict — (vec_id, cell, cell_n,
+    * cell_rank, kept) — because at corpus scale knowing what mass each
+    * cell lost is what makes the quota tunable (the q137 drop-accounting
+    * argument). Scale: one codegen'd assignment pass, then a single
+    * hash-shuffle on cell for the per-cell sort; cells are bounded by
+    * |centroids|, so skew is the centroid layout's responsibility (pick
+    * k-means‖ centroids, not a degenerate handful). The keep-only
+    * deployment form (`.filter(col("kept"))`, or a direct
+    * `cell_rank <= quota` filter) lets Spark plan the two-phase
+    * WindowGroupLimit instead, shuffling at most quota rows per cell per
+    * input partition.
+    */
+  def clusterQuotaBalance(vecs: DataFrame, centroids: Seq[Seq[Double]],
+                          quota: Int, idCol: String = "vec_id",
+                          vecCol: String = "embedding"): DataFrame = {
+    require(quota >= 1, s"quota must be >= 1, got $quota")
+    val wOrd = Window.partitionBy(col("cell"))
+      .orderBy(md5(col("vec_id").cast("string")).asc, col("vec_id").asc)
+    val wAll = Window.partitionBy(col("cell"))
+    assignCells(vecs, centroids, idCol, vecCol)
+      .select(col("vec_id"), col("cell").cast("long").as("cell"))
+      .withColumn("cell_n", count(lit(1)).over(wAll))
+      .withColumn("cell_rank", row_number().over(wOrd))
+      .withColumn("kept", col("cell_rank") <= quota)
+  }
+
   /** SemDeDup for an INCREMENT: scores `batch` against an accumulated
     * assignment snapshot `prior` (rows of (vec_id, v, cell) as produced
     * by earlier assignments — the state a continuously-maintained dedup

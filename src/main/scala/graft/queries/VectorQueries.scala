@@ -357,6 +357,35 @@ object VectorQueries {
        |ORDER BY o.vec_id""".stripMargin
   }
 
+  // --------------------------------------------------------------- q162
+  // Cluster-quota corpus balancing: nearest-centroid assignment (the
+  // q32/q103 fp-exact cell oracle) composed with the q83 deterministic
+  // md5-order draw, capped per cell — the SemDeDup-adjacent diversity
+  // rebalance. Every row is emitted with its verdict plus the cell's
+  // population, so the gate pins assignment, per-cell ordering, the cap,
+  // and the drop accounting in one row shape.
+  private def q162(s: SparkSession, dir: String): DataFrame =
+    Similarity.clusterQuotaBalance(
+        Tables.embeddings(s, dir), q32Centroids, quota = 10)
+      .orderBy(col("vec_id"))
+
+  private val q162Sql = {
+    val dists = distsSqlFor(q32Centroids)
+    s"""WITH vecs AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |b AS (SELECT vec_id, list_position(dists, list_min(dists)) AS cell
+       |      FROM (SELECT vec_id, v, $dists AS dists FROM vecs)),
+       |rk AS (
+       |  SELECT vec_id, CAST(cell AS BIGINT) AS cell,
+       |    count(*) OVER (PARTITION BY cell) AS cell_n,
+       |    row_number() OVER (PARTITION BY cell
+       |      ORDER BY md5(CAST(vec_id AS VARCHAR)) ASC, vec_id ASC)
+       |      AS cell_rank
+       |  FROM b)
+       |SELECT vec_id, cell, cell_n, cell_rank, cell_rank <= 10 AS kept
+       |FROM rk ORDER BY vec_id""".stripMargin
+  }
+
   // --------------------------------------------------------------- q104
   // Adaptive IVF probing (the q99 diagnostic turned recall lever): each
   // query walks its distance-ordered cells and probes while the PRIOR
@@ -705,6 +734,7 @@ object VectorQueries {
     "q97_semantic_dedup" -> (q97 _),
     "q99_ivf_cell_stats" -> (q99 _),
     "q103_semantic_dedup_increment" -> (q103 _),
+    "q162_cluster_balance" -> (q162 _),
     "q104_knn_ivf_adaptive" -> (q104 _),
     "q105_knn_ivfpq" -> (q105 _))
 
@@ -723,6 +753,7 @@ object VectorQueries {
     "q97_semantic_dedup" -> q97Sql,
     "q99_ivf_cell_stats" -> q99Sql,
     "q103_semantic_dedup_increment" -> q103Sql,
+    "q162_cluster_balance" -> q162Sql,
     "q104_knn_ivf_adaptive" -> q104Sql,
     "q105_knn_ivfpq" -> q105Sql)
 }

@@ -534,4 +534,31 @@ class SimilaritySpec extends SparkSpec {
       iters = 2, trainSampleMax = 0)
     assert(wide == full, "cap >= N must equal uncapped training")
   }
+
+  test("clusterQuotaBalance caps each cell deterministically, " +
+    "accounting for every row") {
+    val centroids = Seq(Seq(1.0, 0.0, 0.0), Seq(0.0, 1.0, 0.0))
+    val many = spark.range(0, 60).select(col("id").as("vec_id"),
+      array(when(col("id") % 3 === 0, lit(1.0f)).otherwise(lit(0.0f)),
+        when(col("id") % 3 === 0, lit(0.0f)).otherwise(lit(1.0f)),
+        lit(0.0f)).as("embedding"))
+    val out = Similarity.clusterQuotaBalance(many, centroids, quota = 5)
+    val rows = out.collect()
+    assert(rows.length == 60, "every input row must be emitted")
+    // per cell: exactly min(quota, cell_n) kept, ranks a permutation
+    val byCell = rows.groupBy(_.getAs[Long]("cell"))
+    assert(byCell.keySet == Set(1L, 2L))
+    for ((_, rs) <- byCell) {
+      val n = rs.length
+      assert(rs.forall(_.getAs[Long]("cell_n") == n))
+      assert(rs.count(_.getAs[Boolean]("kept")) == math.min(5, n))
+      assert(rs.map(_.getAs[Int]("cell_rank")).sorted.toSeq ==
+        (1 to n).toSeq)
+    }
+    // the draw is partition-order invariant: same kept set at any layout
+    def keptSet(parts: Int) = Similarity.clusterQuotaBalance(
+        many.repartition(parts), centroids, quota = 5)
+      .filter(col("kept")).select("vec_id").as[Long].collect().toSet
+    assert(keptSet(1) == keptSet(13))
+  }
 }
