@@ -386,6 +386,122 @@ object VectorQueries {
        |FROM rk ORDER BY vec_id""".stripMargin
   }
 
+  // --------------------------------------------------------------- q163
+  // END-TO-END curation-balance composition (q146/q157's shape for the
+  // r16 operators): gopher quality rules (q125 config) → broadcast-Bloom
+  // decontamination against the benchmark slice (q159 config) →
+  // cluster-quota balancing of the survivors over embedding cells (q162
+  // config), emitted as ONE funnel row per train document with sentinel
+  // -1s where a stage never ran (dropped earlier, or no embedding). The
+  // oracle replays all three stages closed-form from the same tables, so
+  // a hash match gates the composition contract: each stage consumes
+  // exactly the previous stage's survivors, and the final kept set is
+  // reproducible end to end.
+  private def q163(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Curation
+    val docs = Tables.documents(s, dir)
+    val bench = docs.filter(col("doc_id") % 20 === 0)
+    val train = docs.filter(col("doc_id") % 20 =!= 0)
+    val quality = Curation.gopherQualityFilter(train, "doc_id", "text",
+        minWords = 20, maxWords = 90,
+        minMeanWordLen = 3.9, maxMeanWordLen = 5.1,
+        minUniqueFrac = 0.35, minStopwordFrac = 0.02,
+        stopwords = Seq("the", "a"))
+      .select(col("doc_id"), col("keep").as("quality_keep"))
+    val decon = Curation.bloomContaminationReport(train, bench,
+        "doc_id", "text", n = 4, mBits = 1 << 22, k = 3,
+        flagThreshold = 0.05)
+      .select(col("id").as("doc_id"), col("contaminated"))
+    val surv = quality.join(decon, "doc_id")
+      .withColumn("survives", col("quality_keep") && !col("contaminated"))
+    val emb = Tables.embeddings(s, dir)
+      .select(col("vec_id").as("doc_id"), col("embedding"))
+    val balanced = Similarity.clusterQuotaBalance(
+        surv.filter(col("survives")).join(emb, "doc_id"),
+        q32Centroids, quota = 10, idCol = "doc_id")
+      .select(col("vec_id").as("doc_id"), col("cell"),
+        col("cell_rank"), col("kept"))
+    surv.join(balanced, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("quality_keep"), col("contaminated"),
+        coalesce(col("cell"), lit(-1L)).as("cell"),
+        coalesce(col("cell_rank"), lit(-1)).as("cell_rank"),
+        coalesce(col("kept"), lit(false)).as("kept"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val q163Sql = {
+    val dists = distsSqlFor(q32Centroids)
+    val toks = """string_split_regex(trim(text), '\s+')"""
+    val grams =
+      s"""list_distinct(list_transform(
+         |    generate_series(1, greatest(len($toks) - 3, 0)),
+         |    i -> concat_ws(' ', $toks[i], $toks[i+1],
+         |                   $toks[i+2], $toks[i+3])))""".stripMargin
+    def pos(g: String) =
+      s"""CAST(concat('0x', substr(md5($g || '#' || CAST(i AS VARCHAR)),
+         |      1, 15)) AS BIGINT) % 4194304""".stripMargin
+    s"""WITH t AS (SELECT doc_id, $toks AS tks FROM documents
+       |           WHERE doc_id % 20 != 0),
+       |qm AS (
+       |  SELECT doc_id,
+       |    len(tks) AS n_words,
+       |    CAST(list_sum(list_transform(tks, x -> CAST(length(x) AS
+       |      BIGINT))) AS DOUBLE) / CAST(greatest(len(tks), 1) AS DOUBLE)
+       |      AS mwl,
+       |    CAST(len(list_distinct(tks)) AS DOUBLE)
+       |      / CAST(greatest(len(tks), 1) AS DOUBLE) AS uf,
+       |    CAST(len(list_filter(tks, w -> list_contains(['the','a'], w)))
+       |      AS DOUBLE) / CAST(greatest(len(tks), 1) AS DOUBLE) AS sf
+       |  FROM t),
+       |qual AS (
+       |  SELECT doc_id,
+       |    ((n_words >= 20 AND n_words <= 90) AND (mwl >= 3.9 AND
+       |      mwl <= 5.1) AND uf >= 0.35 AND sf >= 0.02) AS quality_keep
+       |  FROM qm),
+       |g AS (SELECT doc_id, $grams AS grams FROM documents),
+       |idx AS (SELECT unnest([0, 1, 2]) AS i),
+       |bench AS (SELECT DISTINCT unnest(grams) AS gram FROM g
+       |          WHERE doc_id % 20 = 0),
+       |setbits AS (SELECT DISTINCT ${pos("gram")} AS pos
+       |            FROM bench CROSS JOIN idx),
+       |corpus AS (SELECT doc_id, unnest(grams) AS gram FROM g
+       |           WHERE doc_id % 20 != 0),
+       |cp AS (SELECT doc_id, gram, ${pos("gram")} AS pos
+       |       FROM corpus CROSS JOIN idx),
+       |hitg AS (SELECT doc_id, gram FROM cp JOIN setbits USING (pos)
+       |         GROUP BY doc_id, gram HAVING count(*) = 3),
+       |hits AS (SELECT doc_id, count(*) AS nh FROM hitg GROUP BY doc_id),
+       |tot AS (SELECT doc_id, len(grams) AS nsh FROM g
+       |        WHERE doc_id % 20 != 0),
+       |dec AS (
+       |  SELECT t2.doc_id,
+       |    CAST(coalesce(h.nh, 0) AS DOUBLE)
+       |      / CAST(greatest(t2.nsh, 1) AS DOUBLE) >= 0.05 AS contaminated
+       |  FROM tot t2 LEFT JOIN hits h USING (doc_id)),
+       |surv AS (
+       |  SELECT q2.doc_id, q2.quality_keep, d.contaminated,
+       |    q2.quality_keep AND NOT d.contaminated AS survives
+       |  FROM qual q2 JOIN dec d USING (doc_id)),
+       |vecs AS (SELECT vec_id AS doc_id, CAST(embedding AS DOUBLE[]) AS v
+       |         FROM embeddings),
+       |cells AS (
+       |  SELECT doc_id, list_position(dists, list_min(dists)) AS cell
+       |  FROM (SELECT sv.doc_id, $dists AS dists
+       |        FROM surv sv JOIN vecs USING (doc_id) WHERE sv.survives)),
+       |rk AS (
+       |  SELECT doc_id, CAST(cell AS BIGINT) AS cell,
+       |    row_number() OVER (PARTITION BY cell
+       |      ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC)
+       |      AS cell_rank
+       |  FROM cells)
+       |SELECT s.doc_id, s.quality_keep, s.contaminated,
+       |  coalesce(r.cell, -1) AS cell,
+       |  coalesce(r.cell_rank, -1) AS cell_rank,
+       |  coalesce(r.cell_rank <= 10, FALSE) AS kept
+       |FROM surv s LEFT JOIN rk r USING (doc_id)
+       |ORDER BY s.doc_id""".stripMargin
+  }
+
   // --------------------------------------------------------------- q104
   // Adaptive IVF probing (the q99 diagnostic turned recall lever): each
   // query walks its distance-ordered cells and probes while the PRIOR
@@ -735,6 +851,7 @@ object VectorQueries {
     "q99_ivf_cell_stats" -> (q99 _),
     "q103_semantic_dedup_increment" -> (q103 _),
     "q162_cluster_balance" -> (q162 _),
+    "q163_curation_balance" -> (q163 _),
     "q104_knn_ivf_adaptive" -> (q104 _),
     "q105_knn_ivfpq" -> (q105 _))
 
@@ -754,6 +871,7 @@ object VectorQueries {
     "q99_ivf_cell_stats" -> q99Sql,
     "q103_semantic_dedup_increment" -> q103Sql,
     "q162_cluster_balance" -> q162Sql,
+    "q163_curation_balance" -> q163Sql,
     "q104_knn_ivf_adaptive" -> q104Sql,
     "q105_knn_ivfpq" -> q105Sql)
 }
