@@ -72,8 +72,11 @@ object Soak {
     "q150_decontam_fixedbench", "q151_cjk_tokens", "q152_unigram_lm",
     "q153_quality_classifier", "q154_unigram_encode",
     // r16: broadcast-Bloom decontamination — the map-only twin of q79's
-    // exact gram join; soaking BOTH gives the same-session A/B pair
-    "q159_bloom_decontam")
+    // exact gram join; soaking BOTH gives the same-session A/B pair —
+    // plus the deterministic HLL gate, cluster-quota balancing, and the
+    // end-to-end curation-balance composition
+    "q159_bloom_decontam", "q160_hll_distinct", "q162_cluster_balance",
+    "q163_curation_balance")
 
   /** Same co-tenant preflight as [[graft.Bench]]: exponent fits across
     * scale runs are meaningless if one run raced a loaded box, so wait
@@ -174,6 +177,20 @@ object Soak {
         // Auto geometry: bucket bits grow with log2(N), tables with the
         // recall target — the scale path the fixed 6-bit version is not.
         Similarity.cosineNearDupPairsAuto(embs, 0.7)),
+      "s160_hll_only" -> (() => {
+        // the DEPLOYMENT form of q160: the deterministic HLL estimate
+        // alone — the registered gate also pays an exact countDistinct
+        // pass that exists purely as the oracle's ground truth (the q122
+        // argument), so this arm is what a corpus-stats job actually runs
+        import org.apache.spark.sql.functions._
+        val t = docs.select(col("source"),
+          explode(array_distinct(
+            graft.functions.TextAnalysis.shinglesOfTokens(
+              graft.functions.TextAnalysis.tokens(col("text")), 4)))
+            .as("gram"))
+        graft.operators.Sketches.deterministicHll(
+          t, Seq("source"), "gram", p = 8)
+      }),
       "s149_routed_full" -> (() =>
         // the ROUTED default surface on the full corpus at s33's
         // threshold (0.7 — see the s33 comment for why not 0.45): at

@@ -143,6 +143,25 @@ class SurfacePlanSpec extends SparkSpec {
       s"expected at most the output-sort exchange, got $exchanges")
   }
 
+  test("q159 Bloom decontamination: the corpus probe plans join-free " +
+    "(vs q79's gram join) — one projection over the scan") {
+    val p = physical(run("q159_bloom_decontam"))
+    val s = p.toString
+    assert(!s.contains("Join"),
+      "the Bloom probe must not join the corpus against anything")
+    assert(p.collect { case w: WindowExec => w }.isEmpty)
+    assert(!s.contains("Generate"),
+      "the probe folds grams in-row; no explode of the corpus")
+    // the output sort is the only exchange-bearing step of the probe
+    val exchanges = "Exchange".r.findAllIn(s).length
+    assert(exchanges <= 1,
+      s"expected at most the output-sort exchange, got $exchanges")
+    // the exact form it replaces DOES join — the contrast the routing
+    // argument rests on
+    val exact = physical(run("q79_contamination")).toString
+    assert(exact.contains("Join"), "q79 control lost its gram join?")
+  }
+
   test("Histograms.equiDepth routing: WindowExec only BELOW the window " +
     "bound; the exact-scalable and sketch arms plan window-free") {
     val li = Tables.lineitem(spark, sf)
