@@ -94,26 +94,46 @@ object Sketches {
     * approx_count_distinct shape, auditable.
     */
   def deterministicHll(df: DataFrame, groupCols: Seq[String],
-                       valueCol: String, p: Int = 12): DataFrame = {
+                       valueCol: String, p: Int = 12): DataFrame =
+    hllEstimateFromRegisters(
+      hllRegisters(df, groupCols, valueCol, p), groupCols, p)
+
+  /** The register table of [[deterministicHll]] — one `(group…, bucket,
+    * reg)` row per hit bucket, at most m per group. Registers MAX-MERGE:
+    * `union → groupBy(group, bucket) → max(reg)` folds any two register
+    * tables (shards, days, micro-batches) into the table a single pass
+    * over the union would have produced — the mergeability that makes
+    * the sketch a store format, not just a query
+    * ([[graft.streaming.StreamingPipeline.hllStatsStream]]).
+    */
+  def hllRegisters(df: DataFrame, groupCols: Seq[String],
+                   valueCol: String, p: Int = 12): DataFrame = {
     require(p >= 4 && p <= 16, s"p must be in [4,16], got $p")
-    val m = 1 << p
     val q = 60 - p
     val h = conv(substring(md5(col(valueCol).cast("string")), 1, 15),
       16, 10).cast("long")
     val gs = groupCols.map(col)
     // integer DIV for the bucket: h < 2^60 exceeds double-exact range,
     // so Column./ (double division) would corrupt high buckets
-    val regs = df
-      .select(gs :+ h.as("_h"): _*)
+    df.select(gs :+ h.as("_h"): _*)
       .selectExpr(groupCols ++ Seq(
-        s"_h DIV ${1L << q} AS _bucket",
+        s"_h DIV ${1L << q} AS bucket",
         s"CASE WHEN _h % ${1L << q} = 0 THEN ${q + 1} " +
-          s"ELSE ${q + 1} - length(bin(_h % ${1L << q})) END AS _rho"): _*)
-      .groupBy(gs :+ col("_bucket"): _*)
-      .agg(max(col("_rho")).as("_reg"))
+          s"ELSE ${q + 1} - length(bin(_h % ${1L << q})) END AS rho"): _*)
+      .groupBy(gs :+ col("bucket"): _*)
+      .agg(max(col("rho")).as("reg"))
+  }
+
+  /** The estimate head of [[deterministicHll]], over an (optionally
+    * merged) register table. */
+  def hllEstimateFromRegisters(regs: DataFrame, groupCols: Seq[String],
+                               p: Int = 12): DataFrame = {
+    val m = 1 << p
+    val q = 60 - p
+    val gs = groupCols.map(col)
     // exact-integer harmonic sum: present buckets contribute 2^(Q+1-reg),
     // absent buckets (register 0) contribute 2^(Q+1) each
-    val sPresent = sum(expr(s"shiftleft(CAST(1 AS BIGINT), ${q + 1} - _reg)"))
+    val sPresent = sum(expr(s"shiftleft(CAST(1 AS BIGINT), ${q + 1} - reg)"))
     // every literal cast to DOUBLE: bare decimal literals parse as
     // DECIMAL in both Spark and DuckDB, with engine-specific scale
     // arithmetic — the cast pins both engines to the same IEEE ops

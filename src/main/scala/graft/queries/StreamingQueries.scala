@@ -1047,7 +1047,93 @@ object StreamingQueries {
        |ORDER BY batch_id, doc_id""".stripMargin
   }
 
+  // --------------------------------------------------------------- q164
+  // Streaming incremental corpus statistics: q160's deterministic HLL in
+  // the loop shape. Three real micro-batches; each batch max-merges its
+  // per-source gram registers into the store and emits the RUNNING
+  // estimates from the merged table — because registers are mergeable,
+  // batch c's emission must equal a single-pass q160 over chunks <= c,
+  // and that is exactly what the oracle computes (the cumulative-prefix
+  // replay). Store is sources × 256 rows; exact-integer register sums
+  // keep every emitted estimate bit-stable across partitionings.
+  private def q164(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"), col("text"))
+    val work = scratchDir("graft_q164")
+    val inDir = cachedChunks(s"q164|$dir|3")(writeChunks(docs, "doc_id", _, 3))
+    val storeDir = new File(work, "store").getPath
+    val outDir = new File(work, "out")
+    outDir.mkdirs()
+    withGateConfs(s, 3) {
+      val stream = s.readStream
+        .schema(docs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(inDir.getPath)
+        .select(col("source"), explode(array_distinct(
+          graft.functions.TextAnalysis.shinglesOfTokens(
+            graft.functions.TextAnalysis.tokens(col("text")), 4)))
+          .as("gram"))
+      val q = StreamingPipeline.hllStatsStream(stream, "source", "gram",
+          p = 8, storeDir) { (res, batchId) =>
+          res.withColumn("batch_id", lit(batchId))
+            .write.mode("append").parquet(outDir.getPath)
+        }
+        .option("checkpointLocation", new File(work, "ckpt").getPath)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    s.read.parquet(outDir.getPath)
+      .select(col("batch_id"), col("source"), col("buckets_hit"),
+        col("s_int"), col("hll_estimate"))
+      .orderBy(col("batch_id"), col("source"))
+  }
+
+  private val q164Sql = {
+    val q = 52 // 60 - p at p = 8
+    val m = 256
+    val twoQ = 1L << q
+    val twoQ1 = 1L << (q + 1)
+    val toks = """string_split_regex(trim(text), '\s+')"""
+    val grams =
+      s"""list_distinct(list_transform(
+         |    generate_series(1, greatest(len($toks) - 3, 0)),
+         |    i -> concat_ws(' ', $toks[i], $toks[i+1],
+         |                   $toks[i+2], $toks[i+3])))""".stripMargin
+    s"""WITH t AS (
+       |  SELECT doc_id % 3 AS chunk, source, unnest($grams) AS gram
+       |  FROM documents),
+       |h AS (
+       |  SELECT chunk, source,
+       |    CAST(concat('0x', substr(md5(gram), 1, 15)) AS BIGINT) AS hh
+       |  FROM t),
+       |r AS (
+       |  SELECT chunk, source, hh // $twoQ AS bucket,
+       |    CASE WHEN hh % $twoQ = 0 THEN ${q + 1}
+       |         ELSE ${q + 1} - length(bin(hh % $twoQ)) END AS rho
+       |  FROM h),
+       |bs AS (SELECT unnest([0, 1, 2]) AS b),
+       |regs AS (
+       |  SELECT bs.b, source, bucket, max(rho) AS reg
+       |  FROM bs JOIN r ON r.chunk <= bs.b
+       |  GROUP BY bs.b, source, bucket),
+       |agg AS (
+       |  SELECT b, source, count(*) AS buckets_hit,
+       |    CAST(sum(CAST(1 AS BIGINT) << (${q + 1} - reg)) AS BIGINT) AS sp
+       |  FROM regs GROUP BY b, source),
+       |st AS (
+       |  SELECT b, source, buckets_hit,
+       |    sp + ($m - buckets_hit) * $twoQ1 AS s_int
+       |  FROM agg)
+       |SELECT CAST(b AS BIGINT) AS batch_id, source, buckets_hit, s_int,
+       |  round((CAST(0.7213 AS DOUBLE) / (CAST(1 AS DOUBLE)
+       |      + CAST(1.079 AS DOUBLE) / $m)) * $m * $m
+       |    * $twoQ1 / CAST(s_int AS DOUBLE), 3) AS hll_estimate
+       |FROM st ORDER BY batch_id, source""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q164_streaming_hll" -> (q164 _),
     "q161_streaming_bloom" -> (q161 _),
     "q155_streaming_decontam" -> (q155 _),
     "q148_streaming_minhash_dedup" -> (q148 _),
@@ -1060,6 +1146,7 @@ object StreamingQueries {
     "q118_streaming_interval_join" -> (q118 _))
 
   val oracleSql: Map[String, String] = Map(
+    "q164_streaming_hll" -> q164Sql,
     "q161_streaming_bloom" -> q161Sql,
     "q155_streaming_decontam" -> q155Sql,
     "q148_streaming_minhash_dedup" -> q148Sql,

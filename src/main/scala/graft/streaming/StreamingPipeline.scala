@@ -817,6 +817,55 @@ object StreamingPipeline {
       }
   }
 
+  /** Streaming incremental corpus statistics — the q160 deterministic
+    * HLL in the loop shape: each micro-batch's `(group, value)` rows
+    * fold into a per-group register store by MAX-MERGE
+    * ([[graft.operators.Sketches.hllRegisters]] — registers are
+    * max-mergeable, so the merged table equals the single-pass table
+    * over everything seen), and the batch emits the RUNNING per-group
+    * estimates from the merged registers. Store is at most
+    * groups × 2^p rows of (group, bucket, reg) parquet; every batch
+    * writes (stats always move), pruning to {prior, new}. Replay is
+    * idempotent: the prior lookup is strictly below batchId, so a
+    * redelivered batch re-merges the same inputs into the same store
+    * and re-emits the same estimates.
+    */
+  def hllStatsStream(rows: DataFrame, groupCol: String, valueCol: String,
+                     p: Int, storeDir: String)(
+      onBatch: (DataFrame, Long) => Unit) = {
+    new java.io.File(storeDir).mkdirs()
+    rows.writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        hllStatsBatch(batch, batchId, groupCol, valueCol, p, storeDir)(
+          onBatch)
+      }
+  }
+
+  /** One micro-batch of [[hllStatsStream]]. */
+  private[graft] def hllStatsBatch(
+      batch: DataFrame, batchId: Long, groupCol: String, valueCol: String,
+      p: Int, storeDir: String)(
+      onBatch: (DataFrame, Long) => Unit): Unit = {
+    val s = batch.sparkSession
+    val priorDir = batchDirsBefore(storeDir, "v", batchId).lastOption
+    val batchRegs = graft.operators.Sketches.hllRegisters(
+      batch, Seq(groupCol), valueCol, p)
+    val merged = (priorDir.map(f => s.read.parquet(f.getPath)) match {
+      case Some(prior) => prior.unionByName(batchRegs)
+        .groupBy(col(groupCol), col("bucket"))
+        .agg(max(col("reg")).as("reg"))
+      case None => batchRegs
+    }).persist()
+    onBatch(graft.operators.Sketches.hllEstimateFromRegisters(
+      merged, Seq(groupCol), p), batchId)
+    merged.write.mode("overwrite").parquet(f"$storeDir/v$batchId%05d")
+    priorDir.foreach(pd => batchDirsBefore(storeDir, "v", dirId(pd))
+      .foreach(deleteRecursively))
+    merged.unpersist()
+    ()
+  }
+
   /** One micro-batch of [[bloomDecontamStream]]. */
   private[graft] def bloomDecontamBatch(
       batch: DataFrame, batchId: Long, benchFlagCol: String,

@@ -553,6 +553,55 @@ class StreamingSpec extends SparkSpec {
       wantBits.toSeq, "incremental OR-merge must equal the batch build")
   }
 
+  test("streaming HLL stats: every batch's running estimate equals the " +
+    "single-pass sketch over everything seen; replay is idempotent") {
+    import graft.operators.Sketches
+    implicit val sqlCtx = spark.sqlContext
+    val storeDir = Files.createTempDirectory("graft-hllstream").toString
+    val chk = Files.createTempDirectory("graft-hllstream-chk").toString
+    var perBatch = Map.empty[Long, Seq[(String, Long, Long, Double)]]
+    val mem = MemoryStream[(String, String)]
+    val q = StreamingPipeline.hllStatsStream(
+      mem.toDF().toDF("grp", "v"), "grp", "v", p = 8, storeDir) {
+      (res, id) =>
+        perBatch += id -> res
+          .select("grp", "buckets_hit", "s_int", "hll_estimate")
+          .as[(String, Long, Long, Double)].collect().toSeq.sortBy(_._1)
+    }.option("checkpointLocation", chk).start()
+    val b0 = (0 until 300).map(i => ("a", s"x$i"))
+    val b1 = (0 until 200).map(i => ("a", s"y$i")) ++
+      (0 until 50).map(i => ("b", s"z$i"))
+    mem.addData(b0: _*)
+    q.processAllAvailable()
+    mem.addData(b1: _*)
+    q.processAllAvailable()
+    q.stop()
+    // mergeability: batch c's emission == deterministicHll over the
+    // union of all batches <= c (the single-pass table)
+    def onePass(rows: Seq[(String, String)]) = Sketches.deterministicHll(
+        rows.toDF("grp", "v"), Seq("grp"), "v", p = 8)
+      .select("grp", "buckets_hit", "s_int", "hll_estimate")
+      .as[(String, Long, Long, Double)].collect().toSeq.sortBy(_._1)
+    assert(perBatch(0L) == onePass(b0))
+    assert(perBatch(1L) == onePass(b0 ++ b1))
+    assert(perBatch(1L).map(_._1) == Seq("a", "b"),
+      "group b appears once its first rows arrive")
+    // every batch writes; retention keeps {prior, new}
+    def versionDirs = new java.io.File(storeDir).listFiles()
+      .filter(_.isDirectory).map(_.getName).sorted.toSeq
+    assert(versionDirs == Seq("v00000", "v00001"), s"got $versionDirs")
+    // crash-replay of batch 1: prior lookup is strictly below, so the
+    // re-merge reproduces the same store and the same emission
+    var replay = Seq.empty[(String, Long, Long, Double)]
+    StreamingPipeline.hllStatsBatch(
+      b1.toDF("grp", "v"), 1L, "grp", "v", 8, storeDir) { (res, _) =>
+      replay = res.select("grp", "buckets_hit", "s_int", "hll_estimate")
+        .as[(String, Long, Long, Double)].collect().toSeq.sortBy(_._1)
+    }
+    assert(replay == perBatch(1L))
+    assert(versionDirs == Seq("v00000", "v00001"))
+  }
+
   test("streaming semDedup matches the batch q97 semantics over " +
     "monotone-id batches") {
     import graft.operators.Similarity
