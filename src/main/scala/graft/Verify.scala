@@ -5,10 +5,13 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    // args: <sfDir> <outDir> [nameSubstring] — the optional filter is a
-    // local-iteration aid; the driver always calls with exactly two args.
+    // args: <sfDir> <outDir> [nameSubstrings] — the optional filter is a
+    // local-iteration aid (comma-separated substrings, any-match — the
+    // Bench SPARK_GRAFT_ONLY semantics); the driver always calls with
+    // exactly two args.
     val Array(sfDir, outDir) = args.take(2)
     val only = args.drop(2).headOption
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -23,7 +26,7 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.toSeq.sortBy(_._1)
-      .filter { case (name, _) => only.forall(name.contains) }
+      .filter { case (name, _) => only.forall(_.exists(name.contains)) }
       .foreach { case (name, fn) =>
       val t0 = System.nanoTime()
       try {

@@ -98,6 +98,55 @@ object Sketches {
     hllEstimateFromRegisters(
       hllRegisters(df, groupCols, valueCol, p), groupCols, p)
 
+  /** [[deterministicHll]] fused with the EXACT per-group distinct count,
+    * in one pass over `df`. An estimate-vs-truth gate written as two
+    * branches (`countDistinct` + the sketch) scans and shuffles the
+    * input TWICE and joins the halves; but both answers are functions of
+    * the same distinct `(group…, value)` set — `max(rho)` is
+    * dedup-invariant, and the exact count is just that set's size per
+    * group. So: distinct once, then count each bucket's distinct values
+    * alongside its register (`n_exact = Σ per-bucket counts`). One scan,
+    * three exchanges (value-distinct → bucket → group), no join. Values
+    * must be non-NULL (as in [[hllRegisters]] — NULL hashes to a NULL
+    * bucket; `countDistinct` would instead skip it).
+    *
+    * Output: groupCols…, n_exact, buckets_hit, s_int, hll_estimate —
+    * bit-identical to joining [[deterministicHll]] with the exact
+    * `countDistinct` (SketchSpec pins the parity).
+    */
+  def deterministicHllWithExact(df: DataFrame, groupCols: Seq[String],
+                                valueCol: String, p: Int = 12): DataFrame = {
+    require(p >= 4 && p <= 16, s"p must be in [4,16], got $p")
+    val m = 1 << p
+    val q = 60 - p
+    val gs = groupCols.map(col)
+    val h = conv(substring(md5(col(valueCol).cast("string")), 1, 15),
+      16, 10).cast("long")
+    val buckets = df.select(gs :+ col(valueCol).as(valueCol): _*)
+      .distinct()
+      .select(gs :+ h.as("_h"): _*)
+      .selectExpr(groupCols ++ Seq(
+        s"_h DIV ${1L << q} AS bucket",
+        s"CASE WHEN _h % ${1L << q} = 0 THEN ${q + 1} " +
+          s"ELSE ${q + 1} - length(bin(_h % ${1L << q})) END AS rho"): _*)
+      .groupBy(gs :+ col("bucket"): _*)
+      .agg(max(col("rho")).as("reg"), count(lit(1)).as("_nv"))
+    val sPresent = sum(expr(s"shiftleft(CAST(1 AS BIGINT), ${q + 1} - reg)"))
+    val alphaTimesM2 = s"(CAST(0.7213 AS DOUBLE) / " +
+      s"(CAST(1 AS DOUBLE) + CAST(1.079 AS DOUBLE) / $m)) * $m * $m"
+    buckets.groupBy(gs: _*)
+      .agg(sum(col("_nv")).as("n_exact"),
+        count(lit(1)).cast("long").as("buckets_hit"),
+        sPresent.as("_sp"))
+      .withColumn("s_int",
+        col("_sp") + (lit(m.toLong) - col("buckets_hit")) *
+          lit(1L << (q + 1)))
+      .withColumn("hll_estimate", round(
+        expr(s"$alphaTimesM2 * ${1L << (q + 1)} / CAST(s_int AS DOUBLE)"),
+        3))
+      .drop("_sp")
+  }
+
   /** The register table of [[deterministicHll]] — one `(group…, bucket,
     * reg)` row per hit bucket, at most m per group. Registers MAX-MERGE:
     * `union → groupBy(group, bucket) → max(reg)` folds any two register

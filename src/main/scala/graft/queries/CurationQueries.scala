@@ -1030,9 +1030,13 @@ object CurationQueries {
   // rebuilt text. Both engines build the same lines from the same
   // token slices, so the digest is exact.
   private def q141(s: SparkSession, dir: String): DataFrame = {
-    val toks = TextAnalysis.tokens(col("text"))
+    // r16: materialize the token array first — the slice lambda would
+    // otherwise re-split the doc once per 8-token line (q160 trap)
+    val toks = col("_toks")
     val nLines = ceil(size(toks).cast("double") / 8d).cast("int")
     val lined = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        TextAnalysis.tokens(col("text")).as("_toks"))
       .filter(size(toks) > 0)
       .select(col("doc_id"), array_join(transform(
           sequence(lit(0), nLines - 1),

@@ -1069,9 +1069,12 @@ object StreamingQueries {
         .schema(docs.schema)
         .option("maxFilesPerTrigger", "1")
         .parquet(inDir.getPath)
+        // r16: materialized token array — inlining tokens(text) into the
+        // shingle lambda re-splits the doc once per shingle (q160 fix)
+        .select(col("source"),
+          graft.functions.TextAnalysis.tokens(col("text")).as("_toks"))
         .select(col("source"), explode(array_distinct(
-          graft.functions.TextAnalysis.shinglesOfTokens(
-            graft.functions.TextAnalysis.tokens(col("text")), 4)))
+          graft.functions.TextAnalysis.shinglesOfTokens(col("_toks"), 4)))
           .as("gram"))
       val q = StreamingPipeline.hllStatsStream(stream, "source", "gram",
           p = 8, storeDir) { (res, batchId) =>

@@ -431,10 +431,14 @@ object WebQueries {
   }
 
   private def q143(s: SparkSession, dir: String): DataFrame = {
-    val toks = graft.functions.TextAnalysis.tokens(col("text"))
+    // r16: materialized token array — synthHtml slices its tokens ~3x
+    // per 8-token line inside a lambda, so an inline tokens(text) would
+    // re-split the doc per line (q160 trap)
     val pages = Tables.documents(s, dir)
       .filter(length(trim(col("text"))) > 0)
-      .select(col("doc_id"), synthHtml(toks).as("html"))
+      .select(col("doc_id"),
+        graft.functions.TextAnalysis.tokens(col("text")).as("_toks"))
+      .select(col("doc_id"), synthHtml(col("_toks")).as("html"))
     WebCuration.extractMainContent(pages, "doc_id", "html")
       .select(col("doc_id"), col("title"),
         col("n_blocks").cast("long").as("n_blocks"),
@@ -503,10 +507,12 @@ object WebQueries {
   // the funnel breaks the final digest.
   private def q146(s: SparkSession, dir: String): DataFrame = {
     import graft.operators.Curation
-    val toks = graft.functions.TextAnalysis.tokens(col("text"))
+    // r16: materialized token array before synthHtml (q143 note)
     val pages = Tables.documents(s, dir)
       .filter(length(trim(col("text"))) > 0)
-      .select(col("doc_id"), synthHtml(toks).as("html"))
+      .select(col("doc_id"),
+        graft.functions.TextAnalysis.tokens(col("text")).as("_toks"))
+      .select(col("doc_id"), synthHtml(col("_toks")).as("html"))
     val extracted = WebCuration.extractMainContent(pages, "doc_id", "html")
       .select(col("doc_id"), col("text"))
     val cleaned = Curation.lineDedupText(extracted, "doc_id", "text",

@@ -274,16 +274,26 @@ object WindowSetQueries {
     // estimator's working regime at sf0.01+ (p=8 -> m=256); the rel_err
     // column self-reports the small-corpus linear-counting regime rather
     // than hiding it behind an engine-unpinnable ln() correction
-    val t = Tables.documents(s, dir).select(col("source"),
-      explode(array_distinct(graft.functions.TextAnalysis.shinglesOfTokens(
-        graft.functions.TextAnalysis.tokens(col("text")), 4))).as("gram"))
-    val hll = graft.operators.Sketches.deterministicHll(
+    // r16: materialize the token array BEFORE shingling — handing
+    // tokens(text) straight to the transform lambda re-splits the doc
+    // once per shingle (the documented shinglesOfTokens trap; measured
+    // 2.5 s → ~0.3 s single-task at sf0.1)
+    val t = Tables.documents(s, dir)
+      .select(col("source"),
+        graft.functions.TextAnalysis.tokens(col("text")).as("_toks"))
+      .select(col("source"),
+        explode(array_distinct(graft.functions.TextAnalysis
+          .shinglesOfTokens(col("_toks"), 4))).as("gram"))
+    // r16: fused single-pass form — the two-branch original (exact
+    // countDistinct + sketch, joined) scanned and shingle-exploded the
+    // corpus twice; both answers derive from the distinct (source, gram)
+    // set, so Sketches.deterministicHllWithExact computes them in one
+    // scan with no join (values identical; SketchSpec pins parity)
+    val fused = graft.operators.Sketches.deterministicHllWithExact(
       t, Seq("source"), "gram", p = 8)
-    val exact = t.groupBy("source")
-      .agg(countDistinct(col("gram")).as("n_exact"))
     val err = abs(col("hll_estimate") - col("n_exact").cast("double")) /
       col("n_exact").cast("double")
-    exact.join(hll, Seq("source"))
+    fused
       .select(col("source"), col("n_exact"), col("buckets_hit"),
         col("s_int"), col("hll_estimate"), round(err, 6).as("rel_err"))
       .orderBy(col("source"))

@@ -183,11 +183,12 @@ object Soak {
         // pass that exists purely as the oracle's ground truth (the q122
         // argument), so this arm is what a corpus-stats job actually runs
         import org.apache.spark.sql.functions._
-        val t = docs.select(col("source"),
-          explode(array_distinct(
-            graft.functions.TextAnalysis.shinglesOfTokens(
-              graft.functions.TextAnalysis.tokens(col("text")), 4)))
-            .as("gram"))
+        val t = docs
+          .select(col("source"),
+            graft.functions.TextAnalysis.tokens(col("text")).as("_toks"))
+          .select(col("source"),
+            explode(array_distinct(graft.functions.TextAnalysis
+              .shinglesOfTokens(col("_toks"), 4))).as("gram"))
         graft.operators.Sketches.deterministicHll(
           t, Seq("source"), "gram", p = 8)
       }),

@@ -86,6 +86,30 @@ class SketchSpec extends SparkSpec {
     }
   }
 
+  test("fused HLL+exact equals the two-branch form bit-for-bit") {
+    // deterministicHllWithExact (one distinct pass, no join) must emit
+    // exactly what countDistinct joined with deterministicHll emits —
+    // the r16 q160 rewrite's equivalence proof. The fixture has heavy
+    // cross-row duplication (id % 97) and multiple groups, so the
+    // dedup-invariance of max(rho) and the per-bucket distinct counting
+    // are both load-bearing.
+    val vals = spark.range(0, 30000)
+      .select((col("id") % 3).cast("string").as("grp"),
+        concat(lit("v"), (col("id") % 97)).as("v"))
+    val fused = Sketches.deterministicHllWithExact(
+        vals, Seq("grp"), "v", p = 8)
+      .select("grp", "n_exact", "buckets_hit", "s_int", "hll_estimate")
+      .collect().sortBy(_.getString(0))
+    val exact = vals.groupBy("grp")
+      .agg(countDistinct(col("v")).as("n_exact"))
+    val twoBranch = exact
+      .join(Sketches.deterministicHll(vals, Seq("grp"), "v", p = 8),
+        Seq("grp"))
+      .select("grp", "n_exact", "buckets_hit", "s_int", "hll_estimate")
+      .collect().sortBy(_.getString(0))
+    assert(fused.toSeq == twoBranch.toSeq)
+  }
+
   test("count-min estimates are upward-biased and eps-bounded") {
     val n = li.count()
     val bytes = li.select(Sketches.countMin(col("l_returnflag"),
