@@ -26,7 +26,17 @@ object Partitioning {
     */
   def widen(df: DataFrame): DataFrame = {
     val spark = df.sparkSession
-    val target = spark.sparkContext.defaultParallelism
+    // r16: target the SESSION's shuffle width, not raw core count — the
+    // two agree in every batch session (both sized to the cluster), but
+    // a caller that has deliberately narrowed its shuffles (the
+    // streaming gates run micro-batches at shuffle.partitions=3) was
+    // still being widened to every core, so each per-batch action paid
+    // defaultParallelism task launches on rows-per-task work. The
+    // shuffle-partition conf is the one knob deployments already size
+    // with the data; honor it here too.
+    val target = spark.conf.getOption("spark.sql.shuffle.partitions")
+      .flatMap(s => scala.util.Try(s.toInt).toOption)
+      .getOrElse(spark.sparkContext.defaultParallelism)
     val splitBytes = JavaUtils.byteStringAsBytes(
       spark.conf.get("spark.sql.files.maxPartitionBytes", "128MB")).max(1L)
     val estSplits = df.queryExecution.optimizedPlan.stats.sizeInBytes / splitBytes + 1

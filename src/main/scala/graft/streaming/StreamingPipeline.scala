@@ -341,13 +341,16 @@ object StreamingPipeline {
     val assigned = graft.operators.Similarity
       .assignCells(batch, centroids, idCol, vecCol)
       .persist()
-    val nBatch = assigned.count()
-    t = tick("assign+count", t)
-    // cells touched by this batch: bounded by min(|batch|, k) — a
-    // model-scale list, safe to collect; prunes the store read below
-    val touched = assigned.select(col("cell").cast("long")).distinct()
-      .collect().map(_.getLong(0)).toSeq
-    t = tick("touched", t)
+    // ONE action materializes the persist and returns both the batch
+    // size and the touched-cell list (bounded by min(|batch|, k) — a
+    // model-scale result, safe to collect); r16 folded the separate
+    // count() + distinct-collect pair into this rollup, one fewer
+    // pass over the batch per micro-batch
+    val cellCounts = assigned.groupBy(col("cell").cast("long").as("cell"))
+      .agg(count(lit(1)).as("n")).collect()
+    val nBatch = cellCounts.map(_.getLong(1)).sum
+    val touched = cellCounts.map(_.getLong(0)).toSeq
+    t = tick("assign+touched", t)
     val dirs = batchDirsBefore(stateDir, "b", Long.MaxValue)
       .filterNot(_.getName == f"b$batchId%05d")
     // one read per batch dir (multi-root partition discovery conflicts),
