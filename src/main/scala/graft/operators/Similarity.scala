@@ -109,14 +109,16 @@ object Similarity {
                        tables: Seq[Seq[Seq[Double]]],
                        idCol: String = "vec_id",
                        vecCol: String = "embedding"): DataFrame = {
+    // one-kernel bucket assignment (plan size O(1) in tables×bits — the
+    // r16 q149 lesson: per-plane Column trees cost seconds of ANALYSIS
+    // at real table counts); posexplode's pos IS the table index
     def bucketed(df: DataFrame, id: String, vec: String, n: String) =
       df.select(col(idCol).as(id), col(vecCol).as(vec),
         norm(col(vecCol)).as(n),
-        explode(array(tables.zipWithIndex.map { case (planes, t) =>
-          struct(lit(t).as("t"), rhpBucket(col(vecCol), planes).as("b"))
-        }: _*)).as("tb"))
-        .select(col(id), col(vec), col(n), col("tb.t").as("t"),
-          col("tb.b").as("b"))
+        posexplode(graft.plans.RhpExpressions.rhpBuckets(
+          col(vecCol).cast("array<double>"), tables)))
+        .select(col(id), col(vec), col(n), col("pos").as("t"),
+          col("col").as("b"))
     val q = bucketed(queries, "query_id", "qv", "_qn")
     val c = bucketed(Partitioning.widen(corpus), "neighbor_id", "cv", "_cn")
     rankTopKBySim(
@@ -139,12 +141,13 @@ object Similarity {
                                  idCol: String = "vec_id",
                                  vecCol: String = "embedding"): DataFrame = {
     val wdf = Partitioning.widen(df)
+    // one-kernel bucket assignment — O(1) plan size in tables×bits (the
+    // r16 q149 lesson; see lshKnnMultiTable)
     def bucketed(id: String, vec: String) =
       wdf.select(col(idCol).as(id), col(vecCol).as(vec),
-        explode(array(tables.zipWithIndex.map { case (planes, t) =>
-          struct(lit(t).as("t"), rhpBucket(col(vecCol), planes).as("b"))
-        }: _*)).as("tb"))
-        .select(col(id), col(vec), col("tb.t").as("t"), col("tb.b").as("b"))
+        posexplode(graft.plans.RhpExpressions.rhpBuckets(
+          col(vecCol).cast("array<double>"), tables)))
+        .select(col(id), col(vec), col("pos").as("t"), col("col").as("b"))
     // cosine verify IN-FLIGHT, before any pair-level exchange: candidate
     // pairs materialize inside the (t, b) join partitions, and a failed
     // candidate dies right there — only TRUE pairs reach the dedup
@@ -260,10 +263,10 @@ object Similarity {
               id: String, sig: String) = vecs
       .select(col("id").as(id),
         graft.plans.RhpExpressions.rhpPack(col("v"), sigPlanes).as(sig),
-        explode(array(planeBatch.zipWithIndex.map { case (planes, t) =>
-          struct(lit(tOff + t).as("t"), rhpBucket(col("v"), planes).as("b"))
-        }: _*)).as("tb"))
-      .select(col(id), col(sig), col("tb.t").as("t"), col("tb.b").as("b"))
+        posexplode(graft.plans.RhpExpressions.rhpBuckets(
+          col("v"), planeBatch)))
+      .select(col(id), col(sig), (col("pos") + lit(tOff)).as("t"),
+        col("col").as("b"))
     def cands(planeBatch: Seq[Seq[Seq[Double]]], tOff: Int) =
       coded(planeBatch, tOff, "id_a", "sa")
         .join(coded(planeBatch, tOff, "id_b", "sb"), Seq("t", "b"))

@@ -90,6 +90,97 @@ case class RhpPack(child: Expression, planes: Seq[Seq[Double]])
       newChild: Expression): RhpPack = copy(child = newChild)
 }
 
+/** All-tables RHP bucket assignment in ONE kernel pass: element t of the
+  * output is table t's bucket id — bit i set iff the vector's projection
+  * on plane i of table t is ≥ 0, the exact per-bit convention of
+  * [[graft.functions.VectorFunctions.rhpBucket]] (same left-to-right
+  * accumulation order, same `>= 0.0` sign rule), so the bucket VALUES
+  * are unchanged and every oracle stays pinned.
+  *
+  * Why a kernel: the Column-algebra form builds |tables|·|bits|
+  * aggregate(zip_with(...)) trees with the plane rows inlined as
+  * literals — at the routed surface's 44-table geometry that is a
+  * multi-thousand-node plan whose ANALYSIS cost alone dominated q149
+  * (measured ~2.6 s driver time per call at sf0.1), and the
+  * higher-order functions allocate a zipped array per plane per row at
+  * execution. Here the whole matrix rides one reference object
+  * (O(1) plan size) and evaluation is a fused multiply-add loop.
+  */
+final class RhpBucketsKernel(tables: Seq[Seq[Seq[Double]]])
+    extends Serializable {
+  require(tables.nonEmpty, "tables must be non-empty")
+  private val nTables = tables.size
+  private val bits = tables.head.size
+  private val dim = tables.head.head.size
+  require(bits >= 1 && bits <= 63, s"bits per table must be in [1,63], got $bits")
+  @transient private lazy val flat: Array[Double] = {
+    val a = new Array[Double](nTables * bits * dim)
+    var i = 0
+    tables.foreach { planes =>
+      require(planes.size == bits, "ragged table list")
+      planes.foreach { p =>
+        require(p.size == dim, "ragged plane matrix")
+        p.foreach { x => a(i) = x; i += 1 }
+      }
+    }
+    a
+  }
+
+  def buckets(v: ArrayData): GenericArrayData = {
+    val n = math.min(dim, v.numElements())
+    val out = new Array[Any](nTables)
+    val m = flat
+    var t = 0
+    while (t < nTables) {
+      var bkt = 0L
+      var b = 0
+      while (b < bits) {
+        var acc = 0.0
+        val off = (t * bits + b) * dim
+        var j = 0
+        while (j < n) { acc += m(off + j) * v.getDouble(j); j += 1 }
+        if (acc >= 0.0) bkt |= (1L << b)
+        b += 1
+      }
+      out(t) = bkt
+      t += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** ArrayType(DoubleType) → ArrayType(LongType) wrapper for
+  * [[RhpBucketsKernel]] — the [[RhpPack]] pattern. */
+case class RhpBuckets(child: Expression, tables: Seq[Seq[Seq[Double]]])
+    extends UnaryExpression with Serializable {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "rhp_buckets"
+
+  @transient private lazy val kernel = new RhpBucketsKernel(tables)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<double> input, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    kernel.buckets(v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val ref = ctx.addReferenceObj("rhpb", kernel,
+        classOf[RhpBucketsKernel].getName)
+      s"${ev.value} = $ref.buckets($c);"
+    })
+
+  override protected def withNewChildInternal(
+      newChild: Expression): RhpBuckets = copy(child = newChild)
+}
+
 object RhpExpressions {
 
   /** Packed RHP signature of an `array<double>` vector column — O(1)
@@ -97,4 +188,11 @@ object RhpExpressions {
     */
   def rhpPack(vec: Column, planes: Seq[Seq[Double]]): Column =
     ColumnBridge.column(RhpPack(ColumnBridge.expression(vec), planes))
+
+  /** Per-table RHP bucket ids of an `array<double>` vector column as
+    * one `array<long>` (element t = table t's bucket) — O(1) plan size
+    * in |tables|·|bits|; values identical to the per-plane Column form.
+    */
+  def rhpBuckets(vec: Column, tables: Seq[Seq[Seq[Double]]]): Column =
+    ColumnBridge.column(RhpBuckets(ColumnBridge.expression(vec), tables))
 }

@@ -122,6 +122,31 @@ class PlansSpec extends SparkSpec {
     wide.foreach { case (h, b) => assert(h == b, s"hi $h != bucket $b") }
   }
 
+  test("rhpBuckets equals the per-table rhpBucket Column form " +
+    "bit-for-bit") {
+    // the r16 q149 kernel: one pass over all tables must assign the
+    // exact bucket the per-plane aggregate(zip_with) trees assigned
+    import graft.functions.VectorFunctions.rhpBucket
+    import graft.plans.RhpExpressions.rhpBuckets
+    val r = new scala.util.Random(7)
+    val tables = Seq.fill(11)(Seq.fill(5)(Seq.fill(8)(r.nextGaussian())))
+    val vecs = Seq.tabulate(25)(i =>
+      (i.toLong, Seq.fill(8)(math.cos(i * 3.1 + 2).toFloat * (i - 12))))
+      .toDF("id", "v")
+      .withColumn("v", col("v").cast("array<double>"))
+    val kernel = vecs.select(col("id"),
+        posexplode(rhpBuckets(col("v"), tables)))
+      .select(col("id"), col("pos").as("t"), col("col").as("b"))
+      .orderBy("id", "t").as[(Long, Int, Long)].collect().toSeq
+    val columnForm = vecs.select(col("id"),
+        explode(array(tables.zipWithIndex.map { case (planes, t) =>
+          struct(lit(t).as("t"), rhpBucket(col("v"), planes).as("b"))
+        }: _*)).as("tb"))
+      .select(col("id"), col("tb.t").as("t"), col("tb.b").as("b"))
+      .orderBy("id", "t").as[(Long, Int, Long)].collect().toSeq
+    assert(kernel == columnForm)
+  }
+
   test("salted join matches the plain join on skewed keys") {
     // 90% of left rows share one hot key
     val left = Seq.tabulate(1000)(i =>
