@@ -131,6 +131,20 @@ object Bench {
         sys.env.getOrElse("SPARK_GRAFT_INIT_PARTS", cpus))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.codegen.cache.maxEntries", "5000")
+      // Let AQE re-plan (coalesce/skew-split) the materialization of
+      // persisted frames. Spark's default pins cached-plan output
+      // partitioning for consumers that rely on co-partitioning; none of
+      // our operators do (every join after a persist re-shuffles or
+      // broadcasts), so the pin only forces model-scale cached frames to
+      // keep shuffle-width partition counts — every downstream action
+      // then relaunches that many tasks per pass. Scale-adaptive by
+      // construction: AQE sizes the cached output to its advisory bytes
+      // whatever the cluster width. Measured (tools/ConfProf, interleaved
+      // same-JVM minima): q147 2.21→1.39, q98 1.21→0.80, q136 2.49→1.74,
+      // q117 1.90→1.20, q120 1.05→0.76, q111 2.95→2.48; q126/q28 within
+      // +0.1, rest neutral.
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+        "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
