@@ -81,10 +81,15 @@ object Similarity {
                          idCol: String = "vec_id",
                          vecCol: String = "embedding"): DataFrame = {
     val wdf = Partitioning.widen(df)
-    val a = wdf.select(col(idCol).as("id_a"), col(vecCol).as("va"))
-    val b = wdf.select(col(idCol).as("id_b"), col(vecCol).as("vb"))
+    // norms hoisted to the sides — one vector fold per pair instead of
+    // three; bit-identical (see semDedupAgainst)
+    val a = wdf.select(col(idCol).as("id_a"), col(vecCol).as("va"),
+      norm(col(vecCol)).as("_na"))
+    val b = wdf.select(col(idCol).as("id_b"), col(vecCol).as("vb"),
+      norm(col(vecCol)).as("_nb"))
     a.join(b, col("id_a") < col("id_b"))
-      .withColumn("sim", round(cosine(col("va"), col("vb")), 6))
+      .withColumn("sim", round(
+        dot(col("va"), col("vb")) / (col("_na") * col("_nb")), 6))
       .filter(col("sim") >= threshold)
       .select(col("id_a"), col("id_b"), col("sim"))
   }
@@ -143,11 +148,16 @@ object Similarity {
     val wdf = Partitioning.widen(df)
     // one-kernel bucket assignment — O(1) plan size in tables×bits (the
     // r16 q149 lesson; see lshKnnMultiTable)
-    def bucketed(id: String, vec: String) =
+    // norms hoisted to the sides (bit-identical; see semDedupAgainst):
+    // +8 bytes per row through the (t, b) exchange buys the in-flight
+    // verify dropping from three vector folds per candidate to one
+    def bucketed(id: String, vec: String, n: String) =
       wdf.select(col(idCol).as(id), col(vecCol).as(vec),
+        norm(col(vecCol)).as(n),
         posexplode(graft.plans.RhpExpressions.rhpBuckets(
           col(vecCol).cast("array<double>"), tables)))
-        .select(col(id), col(vec), col("pos").as("t"), col("col").as("b"))
+        .select(col(id), col(vec), col(n),
+          col("pos").as("t"), col("col").as("b"))
     // cosine verify IN-FLIGHT, before any pair-level exchange: candidate
     // pairs materialize inside the (t, b) join partitions, and a failed
     // candidate dies right there — only TRUE pairs reach the dedup
@@ -155,9 +165,11 @@ object Similarity {
     // times, but k is small and the alternative (dedup first) shuffles
     // every failed candidate with both vectors attached — the ×100 soak
     // measured that as a multi-GB exchange.
-    bucketed("id_a", "va").join(bucketed("id_b", "vb"), Seq("t", "b"))
+    bucketed("id_a", "va", "_na")
+      .join(bucketed("id_b", "vb", "_nb"), Seq("t", "b"))
       .filter(col("id_a") < col("id_b"))
-      .withColumn("sim", round(cosine(col("va"), col("vb")), 6))
+      .withColumn("sim", round(
+        dot(col("va"), col("vb")) / (col("_na") * col("_nb")), 6))
       .filter(col("sim") >= threshold)
       .select(col("id_a"), col("id_b"), col("sim"))
       .dropDuplicates("id_a", "id_b")
@@ -307,11 +319,14 @@ object Similarity {
     // large — a forced broadcast of the ×1000 soak's survivor band
     // blew the driver heap.
     val withA = survivors
-      .join(vecs.select(col("id").as("id_a"), col("v").as("va")), "id_a")
+      .join(vecs.select(col("id").as("id_a"), col("v").as("va"),
+        norm(col("v")).as("_na")), "id_a")
     withA
-      .join(vecs.select(col("id").as("id_b"), col("v").as("vb")), "id_b")
+      .join(vecs.select(col("id").as("id_b"), col("v").as("vb"),
+        norm(col("v")).as("_nb")), "id_b")
       .select(col("id_a"), col("id_b"),
-        round(cosine(col("va"), col("vb")), 6).as("sim"))
+        round(dot(col("va"), col("vb")) / (col("_na") * col("_nb")), 6)
+          .as("sim"))
       .filter(col("sim") >= threshold)
   }
 
@@ -698,14 +713,22 @@ object Similarity {
     */
   private[graft] def semDedupAgainst(prior: DataFrame, assigned: DataFrame,
                                      threshold: Double): DataFrame = {
+    // norms HOISTED to the join sides (the simHoisted rationale): cosine
+    // recomputes both self-dots per candidate PAIR; sqrt(dot(v,v)) once
+    // per row and dot/( _na*_nb ) per pair is the same expression tree
+    // per value — bit-identical — at one vector fold per candidate
+    // instead of three
     def sideA(df: DataFrame) = df.select(col("cell").cast("long"),
-      col("vec_id").as("id_a"), col("v").as("va"))
+      col("vec_id").as("id_a"), col("v").as("va"),
+      norm(col("v")).as("_na"))
     val cand = sideA(prior).union(sideA(assigned))
     val b = assigned.select(col("cell").cast("long"),
-      col("vec_id").as("id_b"), col("v").as("vb"))
+      col("vec_id").as("id_b"), col("v").as("vb"),
+      norm(col("v")).as("_nb"))
     val dups = b.join(cand, Seq("cell"))
       .filter(col("id_a") < col("id_b"))
-      .withColumn("sim", round(cosine(col("va"), col("vb")), 6))
+      .withColumn("sim", round(
+        dot(col("va"), col("vb")) / (col("_na") * col("_nb")), 6))
       .filter(col("sim") >= threshold)
       .groupBy(col("id_b"))
       .agg(min(col("id_a")).as("dup_of"))
@@ -889,8 +912,13 @@ object Similarity {
     */
   private def probeContamination(t: DataFrame, b: DataFrame,
                                  threshold: Double): DataFrame =
-    t.join(broadcast(b), Seq("cell"))
-      .withColumn("sim", round(cosine(col("tv"), col("bv")), 6))
+    // norms hoisted to the sides (one vector fold per candidate instead
+    // of three; bit-identical — see semDedupAgainst). The broadcast
+    // grows by 8 bytes per benchmark row.
+    t.withColumn("_tn", norm(col("tv")))
+      .join(broadcast(b.withColumn("_bn", norm(col("bv")))), Seq("cell"))
+      .withColumn("sim", round(
+        dot(col("tv"), col("bv")) / (col("_tn") * col("_bn")), 6))
       .filter(col("sim") >= threshold)
       .groupBy(col("vec_id"), col("cell"))
       .agg(min(col("bench_id")).as("contaminated_by"),

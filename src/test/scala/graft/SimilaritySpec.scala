@@ -30,6 +30,22 @@ class SimilaritySpec extends SparkSpec {
     assert(math.abs(ad) < 1e-12)
   }
 
+  test("side-hoisted norms are BIT-identical to inline cosine (r16: " +
+    "near-dup sims must not move when the norm fold leaves the pair loop)") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+      .filter(col("vec_id") < 60)
+    val hoisted = Similarity.cosineNearDupPairs(emb, threshold = -2.0)
+      .select(col("id_a"), col("id_b"), col("sim"))
+    val a = emb.select(col("vec_id").as("id_a"), col("embedding").as("va"))
+    val b = emb.select(col("vec_id").as("id_b"), col("embedding").as("vb"))
+    val inline = a.join(b, col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(VectorFunctions.cosine(col("va"), col("vb")), 6).as("sim"))
+    assert(hoisted.exceptAll(inline).isEmpty &&
+      inline.exceptAll(hoisted).isEmpty,
+      "hoisted-norm sims diverge from inline cosine")
+  }
+
   test("brute-force knn ranks by cosine desc with id tie-break") {
     val got = Similarity.bruteForceKnn(
         vecs.filter(col("vec_id") === 0), vecs, k = 2)
