@@ -907,10 +907,15 @@ object Curation {
                                      idCol: String, textCol: String)
       : DataFrame = {
     val bd = batch.select(col(idCol), md5(col(textCol)).as("content_hash"))
+    // no distinct on either broadcast side (r17): a LEFT_SEMI probe and a
+    // LEFT_ANTI build both tolerate duplicate keys — the semi emits each
+    // store row at most once and the anti drops a batch row on ANY match
+    // — so the two distincts only added a shuffle exchange each per call
+    // (per micro-batch in the streaming path). Duplicate store digests
+    // (the compaction rename-to-delete window) change nothing either way.
     val matched = digests.select("content_hash")
-      .join(broadcast(bd.select("content_hash").distinct()),
+      .join(broadcast(bd.select("content_hash")),
         Seq("content_hash"), "left_semi")
-      .distinct()
     bd.join(broadcast(matched), Seq("content_hash"), "left_anti")
       .groupBy("content_hash")
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("batch_dups"))

@@ -198,6 +198,40 @@ object StreamingPipeline {
       Option(f.listFiles()).getOrElse(Array.empty).map(treeBytes).sum
     else f.length()
 
+  /** First long metric of an [[org.apache.spark.sql.Observation]], with a
+    * bounded wait and a fallback. Observation metrics ride the action that
+    * materializes the observed frame (zero extra Spark jobs — the r17
+    * single-materialization rework), but they are DELIVERED via the async
+    * listener bus, so they land a few ms after the action returns; poll
+    * briefly rather than `get()` (which would hang forever if the caller's
+    * `onBatch` never ran an action). The fallback recomputes the count as
+    * its own job — correctness never depends on the metric arriving.
+    */
+  private lazy val obsRowMethod: Option[java.lang.reflect.Method] =
+    // getRowOrEmpty is private[sql] at the Scala level but public in
+    // bytecode (plain reflection, no setAccessible); absent in some
+    // future Spark → fall back to the count job unconditionally
+    try Some(classOf[org.apache.spark.sql.Observation]
+      .getMethod("getRowOrEmpty"))
+    catch { case _: Throwable => None }
+
+  private def observedLong(obs: org.apache.spark.sql.Observation,
+                           deadlineMs: Long = 2000L)(
+      fallback: => Long): Long =
+    obsRowMethod.flatMap { m =>
+      // unset metrics surface as an EMPTY row (length 0), not None
+      def row = m.invoke(obs).asInstanceOf[Option[org.apache.spark.sql.Row]]
+        .filter(_.length > 0)
+      val t0 = System.nanoTime
+      val deadline = t0 + deadlineMs * 1000000L
+      var r = row // getRowOrEmpty itself waits up to ~100 ms when empty
+      while (r.isEmpty && System.nanoTime < deadline) r = row
+      if (sys.env.contains("GRAFT_STREAM_TIMING")) System.err.println(
+        f"[observedLong] waited ${(System.nanoTime - t0) / 1e6}%.1fms " +
+          s"fallback=${r.isEmpty}")
+      r.map(_.getLong(0))
+    }.getOrElse(fallback)
+
   private[graft] def incrementalDedupBatch(
       batch: DataFrame, batchId: Long, idCol: String, textCol: String,
       digestDir: String,
@@ -245,12 +279,20 @@ object StreamingPipeline {
           .drop("pfx")
       }
     // map-side form: the historical store never shuffles, whatever its
-    // size — the per-batch cost a long-lived stream actually pays
+    // size — the per-batch cost a long-lived stream actually pays.
+    // r17 single-materialization: the onBatch call is the batch's ONE
+    // pass over the survivors — it runs before the digest write below,
+    // so it reads the pre-batch store (the pin the old separate count()
+    // bought with an extra job per batch) — and the survivor count the
+    // store-layout decision needs rides that same action's observed
+    // metrics instead of its own job.
+    val obs = new org.apache.spark.sql.Observation()
     val kept = graft.operators.Curation
       .incrementalDedupDigestsMapSide(batch, pruned, idCol, textCol)
+      .observe(obs, count(lit(1)).as("n"))
       .persist()
-    val nKept = kept.count() // pin results BEFORE the store grows
     onBatch(kept, batchId)
+    val nKept = observedLong(obs)(kept.count())
     // a PARTITIONED write of zero rows leaves a schemaless dir parquet
     // cannot re-read (the semDedupBatch lesson) — empty and
     // below-threshold batches write flat, with pfx as a DATA column so
@@ -365,9 +407,13 @@ object StreamingPipeline {
     t = tick("prior", t)
     val result = graft.operators.Similarity
       .semDedupAgainst(prior, assigned, threshold)
-      .persist()
-    result.count() // pin results BEFORE the store grows (self-read safety)
-    t = tick("semdedup+count", t)
+    t = tick("semdedup", t)
+    // r17 single-materialization: onBatch is the batch's one pass over
+    // the result (the gates write it to parquet). It runs BEFORE the
+    // state write and compaction below, so the prior union it reads is
+    // still the pre-batch store — the pin the old persist+count pair
+    // bought with an extra job per batch. onBatch must consume eagerly:
+    // a deferred read could race compaction's source-dir deletes.
     onBatch(result, batchId)
     t = tick("onBatch", t)
     // an EMPTY batch must not write: a partitioned parquet write of zero
@@ -378,7 +424,6 @@ object StreamingPipeline {
         .parquet(f"$stateDir/b$batchId%05d")
     t = tick("stateWrite", t)
     assigned.unpersist()
-    result.unpersist()
     // same auto-compaction cadence as the digest store: the per-batch
     // prior is a union over O(batches) subdirs, so a long-lived stream's
     // planning cost grows without bound unless committed history merges.
@@ -432,7 +477,7 @@ object StreamingPipeline {
     * it). A replay that finds `c<id>` already present just finishes the
     * deletes. The duplicate-rows window between rename and deletes is
     * harmless: both stores' readers tolerate duplicates (the digest
-    * anti-join distincts; the semDedup dup rollup is a min, idempotent
+    * anti-join ignores duplicate build keys; the semDedup dup rollup is a min, idempotent
     * under row duplication). NOT for the latest-version stores (mixture
     * inventory / LM / upsert snapshots), which already keep O(1) live
     * state per version and prune by "latest strictly below".
@@ -456,7 +501,7 @@ object StreamingPipeline {
     // visible `c<id>` compacted slot (same-parent dir rename), and only
     // then are sources dropped; readers union b- and c-dirs and tolerate
     // the duplicate-rows window between rename and deletes (the digest
-    // anti-join distincts; the semDedup dup rollup is a min). The old
+    // anti-join ignores duplicate build keys; the semDedup dup rollup is a min). The old
     // form overwrote the highest SOURCE dir in place — mode("overwrite")
     // deletes the target before the write commits, so a crash mid-merge
     // lost that dir's rows.
@@ -638,7 +683,10 @@ object StreamingPipeline {
             sum(col("n_tokens")).as("n_tokens"))
       case None => batchAgg
     }).persist()
-    merged.count() // pin before the new version writes
+    // the version write doubles as the cache pin (r17: the separate
+    // count job removed) — the merge reads the version strictly BELOW
+    // batchId, which this write never touches, and onBatch's plan then
+    // reads the materialized cache
     merged.write.mode("overwrite").parquet(f"$stateDir/v$batchId%05d")
     onBatch(planOf(merged), batchId)
     merged.unpersist()
@@ -687,13 +735,14 @@ object StreamingPipeline {
       .persist()
     val scored = graft.operators.Curation
       .unigramCrossEntropyAgainstTf(tf, prior, addK)
-      .persist()
-    scored.count() // pin the PRIOR-LM scores before the store advances
+    // r17 single-materialization: onBatch is the one pass over the
+    // PRIOR-LM scores — it runs before the store advances below, and the
+    // prior read is the version strictly below batchId, untouched by the
+    // v<batchId> write either way
     onBatch(scored, batchId)
     graft.operators.Curation
       .unigramLmMerge(prior, graft.operators.Curation.unigramLmOfTf(tf))
       .write.mode("overwrite").parquet(f"$lmDir/v$batchId%05d")
-    scored.unpersist()
     tf.unpersist()
     ()
   }
@@ -755,15 +804,30 @@ object StreamingPipeline {
     val snap = prior.getOrElse(graft.operators.Similarity
       .benchmarkSnapshot(batch.filter(lit(false)), centroids, idCol,
         vecCol))
+    // r17 single-materialization: onBatch is the batch's one pass over
+    // the scores (it runs before the snapshot write, so it reads the
+    // prior snapshot — the pin the old persist+count bought with an
+    // extra job), and the benchmark-row count rides that same action's
+    // observed metrics: the CollectMetrics node sits BELOW the train
+    // filter, so it sees every batch row — no separate isEmpty() probe.
+    val obs = new org.apache.spark.sql.Observation()
+    val observed = batch.observe(obs,
+      count(when(col(benchFlagCol), lit(1))).as("nb"))
     val scored = graft.operators.Similarity.semanticContaminationAgainst(
-        batch.filter(!col(benchFlagCol)), snap, centroids, threshold,
+        observed.filter(!col(benchFlagCol)), snap, centroids, threshold,
         idCol, vecCol)
-      .persist()
-    scored.count() // pin the PRIOR-snapshot scores before the store moves
     onBatch(scored, batchId)
+    // empty-prior batches (before any benchmark arrived) collapse the
+    // scoring join to an empty relation at optimization time, PRUNING the
+    // CollectMetrics node — the observation would never complete; probe
+    // directly instead of burning the poll deadline
+    val nBench =
+      if (priorDir.isEmpty)
+        (if (batch.filter(col(benchFlagCol)).isEmpty) 0L else 1L)
+      else observedLong(obs)(batch.filter(col(benchFlagCol)).count())
     // a train-only batch (the common case) leaves the store untouched —
     // no O(snapshot) rewrite per micro-batch
-    if (!batch.filter(col(benchFlagCol)).isEmpty) {
+    if (nBench > 0) {
       // benchmark rows are immutable per id, so the replay-dedup keeps
       // content-identical rows whichever copy survives
       val newBench = graft.operators.Similarity.benchmarkSnapshot(
@@ -776,7 +840,6 @@ object StreamingPipeline {
       priorDir.foreach(p => batchDirsBefore(snapDir, "v", dirId(p))
         .foreach(deleteRecursively))
     }
-    scored.unpersist()
     ()
   }
 
@@ -884,13 +947,20 @@ object StreamingPipeline {
       priorWords.map(_.collect().toSeq
         .map(r => (r.getInt(0), r.getLong(1)))).getOrElse(Seq.empty),
       mBits)
+    // r17 single-materialization (the decontamBatch recipe): onBatch is
+    // the one pass over the prior-filter scores, and the benchmark-row
+    // count rides its observed metrics (CollectMetrics below the train
+    // filter sees every batch row) — no separate count or isEmpty jobs.
+    val obs = new org.apache.spark.sql.Observation()
+    val observed = batch.observe(obs,
+      count(when(col(benchFlagCol), lit(1))).as("nb"))
     val scored = graft.operators.Curation.bloomProbeReport(
-        batch.filter(!col(benchFlagCol)), bits, idCol, textCol,
+        observed.filter(!col(benchFlagCol)), bits, idCol, textCol,
         n, mBits, k, flagThreshold)
-      .persist()
-    scored.count() // pin the PRIOR-filter scores before the store moves
     onBatch(scored, batchId)
-    if (!batch.filter(col(benchFlagCol)).isEmpty) {
+    val nBench = observedLong(obs)(
+      batch.filter(col(benchFlagCol)).count())
+    if (nBench > 0) {
       val newWords = graft.operators.Curation.bloomWordRows(
         batch.filter(col(benchFlagCol)), textCol, n, mBits, k)
       val merged = priorWords match {
@@ -902,7 +972,6 @@ object StreamingPipeline {
       priorDir.foreach(p => batchDirsBefore(storeDir, "v", dirId(p))
         .foreach(deleteRecursively))
     }
-    scored.unpersist()
     ()
   }
 
@@ -1184,6 +1253,10 @@ object StreamingPipeline {
     val bandDir = s"$stateDir/bands"
     val shDir = s"$stateDir/shingles"
     val rowsPer = numHashes / bands
+    // eager localCheckpoint, NOT lazy persist: the emission plan builds
+    // several BROADCASTS from these frames concurrently, and racing
+    // broadcast jobs each recompute an unmaterialized cache (measured
+    // r17: persist here made q148 62→94 jobs, jobWall 2.5→4.7 s)
     val sets = graft.operators.Dedup
       .hashedShingleSets(batch, idCol, textCol, n)
       .localCheckpoint(true) // feeds bands, verify, and the store write
@@ -1251,7 +1324,11 @@ object StreamingPipeline {
       .join(dupOf, Seq("id"), "left")
       .select(col("id"), coalesce(col("dup_of"), lit(-1L)).as("dup_of"),
         col("dup_of").isNull.as("kept"))
-      .localCheckpoint(true) // pin BEFORE the stores grow
+    // onBatch is the batch's one pass over the emission — it runs before
+    // the store writes below, so the band/shingle store reads underneath
+    // are still the pre-batch stores (the pin the old eager checkpoint
+    // bought with an extra job); must consume eagerly (compaction below
+    // deletes merged source dirs).
     onBatch(emission, batchId)
     curBands.select(col("band"), col("bh"), col("id"))
       .coalesce(1).write.mode("overwrite")
@@ -1283,17 +1360,24 @@ object StreamingPipeline {
     *     broadcast of the batch's pair digests, the batch anti-joins
     *     the broadcast match set; the STORE never shuffles), so each
     *     batch learns exactly its FIRST-SEEN pairs;
-    *   - `counters`: per-batch per-domain partial sums (docs,
-    *     parseable, keep, words, new-canonical) — model-scale rows.
+    *   - `counters`: a RUNNING per-domain counter table (docs,
+    *     parseable, keep, words, new-canonical) maintained as versioned
+    *     snapshots (r17, the mixture-inventory recipe): each batch
+    *     merges its partial sums into the latest version strictly below
+    *     its batchId and prunes to {prior, new} — O(domains) rows live
+    *     whatever the stream age.
     *
-    * The per-batch rollup handed to `onBatch` aggregates the counters
-    * store (domains × batches rows, never documents), computing exactly
-    * the batch operator's rounded rates: after any prefix of
-    * micro-batches the emission equals `domainQualityRollup` over the
-    * union of those batches (StreamingSpec asserts it; q145 gates the
-    * whole emission history against DuckDB). Replay-idempotent: both
-    * stores key their subdirs by batchId and overwrite on replay; the
-    * pairs store auto-compacts like the digest store.
+    * The per-batch rollup handed to `onBatch` is a projection of the
+    * merged counter table (domains rows, never documents or batches),
+    * computing exactly the batch operator's rounded rates: after any
+    * prefix of micro-batches the emission equals `domainQualityRollup`
+    * over the union of those batches (StreamingSpec asserts it; q145
+    * gates the whole emission history against DuckDB — long partial
+    * sums are associative, so running totals are bit-identical to a
+    * whole-store aggregation). Replay-idempotent: the pairs store keys
+    * its subdirs by batchId and overwrites on replay (auto-compacting
+    * like the digest store); the counter store replays by the
+    * strictly-below version lookup.
     */
   def domainQualityStream(docs: DataFrame, urlCol: String, idCol: String,
                           keepCol: String, wordsCol: String,
@@ -1327,6 +1411,10 @@ object StreamingPipeline {
         col(keepCol).cast("int").as("_keep"),
         col(wordsCol).cast("long").as("_words"))
       .filter(col("domain").isNotNull)
+      // eager localCheckpoint, NOT lazy persist: the pairs path builds
+      // nested broadcasts from this frame, and racing broadcast jobs
+      // each recompute an unmaterialized cache (measured r17: persists
+      // here made q145 52→61 jobs, jobWall 2.1→3.4 s)
       .localCheckpoint(true) // consumed twice (pairs + counters)
     // first-seen (domain, canonical) pairs vs the digest store —
     // map-side: the store never shuffles
@@ -1344,10 +1432,11 @@ object StreamingPipeline {
         seenDirs.map(d => s.read.parquet(d.getPath))
           .reduce(_.unionByName(_, allowMissingColumns = true))
       else s.range(0).select(lit("").as("content_hash"))
+    // no distinct (r17): the anti-join below tolerates duplicate build
+    // keys — store-side duplicates (compaction window) change nothing
     val matched = seen.select("content_hash")
       .join(broadcast(pairs.select("content_hash")),
         Seq("content_hash"), "left_semi")
-      .distinct()
     val newPairs = pairs
       .join(broadcast(matched), Seq("content_hash"), "left_anti")
       .localCheckpoint(true) // written to the store AND counted
@@ -1361,33 +1450,51 @@ object StreamingPipeline {
           .agg(count(lit(1)).as("n_canon_new")),
         Seq("domain"), "left")
       .withColumn("n_canon_new", coalesce(col("n_canon_new"), lit(0L)))
-    counters.coalesce(1).write.mode("overwrite")
-      .parquet(f"$ctrDir/b$batchId%05d")
+    // r17: RUNNING counter store (the mixtureUpkeepBatch recipe) — the
+    // batch's partial sums merge into the latest version strictly below
+    // batchId and write as v<batchId>, so the per-batch rollup read is
+    // O(domains), never O(batches × domains): the old b-keyed append
+    // store re-scanned and re-aggregated EVERY batch subdir per rollup,
+    // a per-batch cost that grew with stream age. Long sums are
+    // associative, so the running totals (and every rate derived from
+    // them) are bit-identical to the old whole-store aggregation.
+    // Replay-idempotent by the strictly-below argument; a writing batch
+    // prunes to {prior, new} (the prior must survive — only the current
+    // batch can replay, and it reads exactly that version).
+    val prevCtr = batchDirsBefore(ctrDir, "v", batchId).lastOption
+    val merged = (prevCtr.map(f => s.read.parquet(f.getPath)) match {
+      case Some(prev) => prev.unionByName(counters)
+        .groupBy(col("domain"))
+        .agg(sum(col("n_docs")).as("n_docs"),
+          sum(col("parseable")).as("parseable"),
+          sum(col("keep_sum")).as("keep_sum"),
+          sum(col("words_sum")).as("words_sum"),
+          sum(col("n_canon_new")).as("n_canon_new"))
+      case None => counters
+    }).persist()
+    // the version write doubles as the cache pin (the mixture recipe)
+    merged.coalesce(1).write.mode("overwrite")
+      .parquet(f"$ctrDir/v$batchId%05d")
     newPairs.select("content_hash").coalesce(1).write.mode("overwrite")
       .parquet(f"$pairDir/b$batchId%05d")
-    // rollup over the counters store (this batch included): domains ×
-    // batches rows — the corpus is never rescanned
-    val ctrDirs = batchDirsBefore(ctrDir, "b", Long.MaxValue)
-    val allCtrs = ctrDirs.map(d => s.read.parquet(d.getPath))
-      .reduce(_.unionByName(_, allowMissingColumns = true))
     val g = greatest(col("parseable"), lit(1L)).cast("double")
-    val rollup = allCtrs.groupBy(col("domain"))
-      .agg(sum(col("n_docs")).as("n_docs"),
-        sum(col("parseable")).as("parseable"),
-        sum(col("n_canon_new")).as("n_canonical"),
-        sum(col("keep_sum")).as("keep_sum"),
-        sum(col("words_sum")).as("words_sum"))
-      .select(col("domain"), col("n_docs"), col("parseable"),
-        col("n_canonical"),
+    val rollup = merged.select(col("domain"), col("n_docs"),
+        col("parseable"), col("n_canon_new").as("n_canonical"),
         round(col("keep_sum").cast("double") /
           col("n_docs").cast("double"), 6).as("keep_rate"),
         round(col("words_sum").cast("double") /
           col("n_docs").cast("double"), 6).as("avg_words"),
-        round((col("parseable") - col("n_canonical")).cast("double") / g, 6)
+        round((col("parseable") - col("n_canon_new")).cast("double") / g, 6)
           .as("dup_rate"))
       .withColumn("block_score",
         round((col("dup_rate") + (lit(1d) - col("keep_rate"))) / 2d, 6))
     onBatch(rollup, batchId)
+    // retention: keep {prior, new} (a replay of THIS batch reads the
+    // prior); prune AFTER onBatch so a cache miss on the rollup read can
+    // still recompute merged from the prior version
+    prevCtr.foreach(p => batchDirsBefore(ctrDir, "v", dirId(p))
+      .foreach(deleteRecursively))
+    merged.unpersist()
     if (batchDirsBefore(pairDir, "b", Long.MaxValue).length >=
         DigestCompactMinDirs)
       compactStateDirs(s, pairDir, beforeId = batchId)
