@@ -586,14 +586,14 @@ object Curation {
     val (result, cached) = bigramCrossEntropyBuild(df, idCol, textCol,
       storage)
     try action(result)
-    finally cached.unpersist(blocking = true)
+    finally cached.foreach(_.unpersist(blocking = true))
   }
 
   private def bigramCrossEntropyBuild(df: DataFrame, idCol: String,
                                       textCol: String,
                                       storage: org.apache.spark.storage
                                         .StorageLevel)
-      : (DataFrame, DataFrame) = {
+      : (DataFrame, Seq[DataFrame]) = {
     val base = df.select(col(idCol).as("id"),
         graft.functions.TextAnalysis.tokens(col(textCol)).as("_toks"))
       .select(col("id"), size(col("_toks")).as("dl"), col("_toks"))
@@ -606,6 +606,13 @@ object Curation {
     // doc roster for the final left join. Previously the vocabulary job
     // and the final join each re-tokenized the corpus (three scans total);
     // now the corpus is scanned once.
+    // (r17 negative result, kept for the record: computing the per-doc
+    // tf by sorting each doc's bigram array and run-length encoding it
+    // — removing this groupBy exchange outright — measured SLOWER: the
+    // per-row array_sort cost ~+230 ms on the tokenize stage against a
+    // 5 MB shuffle saved, both as structs and as concatenated strings.
+    // The hash aggregate + exchange is the cheaper tf path at every
+    // scale where CPU dominates the bigram-sized shuffle.)
     val edges = base
       .select(col("id"), col("dl"),
         explode(when(col("dl") >= 1,
@@ -623,17 +630,28 @@ object Curation {
     // real bigram rows: sentinel rows have r NULL and can never collide
     // with a bigram group key
     val bg = edges.filter(col("r").isNotNull)
+    // PERSISTED (r17): bf is consumed three times — the size-stats head,
+    // the model's bigram side, and the model's left-context rollup —
+    // each of which otherwise re-scans the edges cache and redoes the
+    // (l, r) aggregation. Vocabulary-sized, dropped with edges.
     val bf = bg.groupBy(col("l"), col("r")).agg(sum(col("tf")).as("bf"))
+      .persist(storage)
     val model = bf.join(
       bf.groupBy(col("l")).agg(sum(col("bf")).as("lcnt")), "l")
     // vocabulary size off the persisted edges (no corpus re-scan): every
-    // token appears as an `l` thanks to the last-token sentinel rows
-    val vocabN = edges.filter(col("l").isNotNull)
-      .agg(countDistinct(col("l")).as("v")).head().getLong(0)
-    val mstats = model.agg(count(lit(1)).as("n"),
-      sum(octet_length(col("l")) + octet_length(col("r"))).as("b")).head()
-    val estBytes = (if (mstats.isNullAt(1)) 0L else mstats.getLong(1)) +
-      mstats.getLong(0) * BroadcastRowOverhead
+    // token appears as an `l` thanks to the last-token sentinel rows.
+    // ONE bounded job (r17: the former two head() actions fused): the
+    // model-size stats are computed from bf, which matches the model
+    // row-for-row (model is bf inner-joined to its own left-context
+    // rollup — a 1:1 match by construction).
+    val stats = edges.filter(col("l").isNotNull)
+      .agg(countDistinct(col("l")).as("v"))
+      .crossJoin(bf.agg(count(lit(1)).as("n"),
+        sum(octet_length(col("l")) + octet_length(col("r"))).as("b")))
+      .head()
+    val vocabN = stats.getLong(0)
+    val estBytes = (if (stats.isNullAt(2)) 0L else stats.getLong(2)) +
+      stats.getLong(1) * BroadcastRowOverhead
     val modelSide =
       if (estBytes <= BroadcastVocabMaxBytes) broadcast(model) else model
     val scored = bg.join(modelSide, Seq("l", "r"))
@@ -663,7 +681,7 @@ object Curation {
       .select(col("id"), col("dl").cast("long").as("n_tokens"),
         greatest(col("dl") - 1, lit(0)).cast("long").as("n_bigrams"),
         coalesce(col("ce"), lit(0.0)).as("ce"))
-    (result, edges)
+    (result, Seq(edges, bf))
   }
 
   /** Builds a frozen unigram LM snapshot from a corpus: one row per

@@ -33,10 +33,21 @@ object Retrieval {
     */
   def bm25(df: DataFrame, idCol: String, textCol: String,
            queryTerms: Seq[String], k1: Double = 1.2,
-           b: Double = 0.75): DataFrame = {
+           b: Double = 0.75): DataFrame =
+    bm25FromToks(df.select(col(idCol).as("id"),
+      TextAnalysis.tokens(col(textCol)).as("_toks")), queryTerms, k1, b)
+
+  /** [[bm25]] over a pre-tokenized (id, _toks) frame — the shared-scan
+    * entry hybrid retrieval uses: one tokenize pass (persisted by the
+    * caller) feeds every ranker instead of each ranker re-tokenizing
+    * the corpus per aggregate subtree (r17).
+    */
+  private[graft] def bm25FromToks(toks0: DataFrame,
+                                  queryTerms: Seq[String],
+                                  k1: Double = 1.2,
+                                  b: Double = 0.75): DataFrame = {
     require(queryTerms.nonEmpty, "queryTerms must be non-empty")
-    val toks = df.select(col(idCol).as("id"),
-        TextAnalysis.tokens(col(textCol)).as("_toks"))
+    val toks = toks0
       .select(col("id"), size(col("_toks")).as("dl"), col("_toks"))
     // one-row corpus stats; avgdl = exact long sum / exact count
     val stats = toks.agg(count(lit(1)).as("n_docs"),
@@ -85,11 +96,19 @@ object Retrieval {
     */
   def queryLikelihood(df: DataFrame, idCol: String, textCol: String,
                       queryTerms: Seq[String],
-                      mu: Double = 300.0): DataFrame = {
+                      mu: Double = 300.0): DataFrame =
+    queryLikelihoodFromToks(df.select(col(idCol).as("id"),
+      TextAnalysis.tokens(col(textCol)).as("_toks")), queryTerms, mu)
+
+  /** [[queryLikelihood]] over a pre-tokenized (id, _toks) frame (the
+    * [[bm25FromToks]] shared-scan rationale). */
+  private[graft] def queryLikelihoodFromToks(toks0: DataFrame,
+                                             queryTerms: Seq[String],
+                                             mu: Double = 300.0)
+      : DataFrame = {
     require(queryTerms.nonEmpty, "queryTerms must be non-empty")
     val terms = queryTerms.distinct.sorted
-    val toks = df.select(col(idCol).as("id"),
-        TextAnalysis.tokens(col(textCol)).as("_toks"))
+    val toks = toks0
       .select(col("id"), size(col("_toks")).cast("long").as("dl"),
         col("_toks"))
     val qset = array(terms.map(lit): _*)

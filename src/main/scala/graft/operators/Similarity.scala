@@ -21,6 +21,16 @@ import graft.functions.VectorFunctions._
   */
 object Similarity {
 
+  /** Byte ceiling for broadcasting a batch/increment side into a dedup
+    * join (the [[semDedupAgainst]] r17 map-side-store form): the smaller
+    * of 256 MB and an eighth of the driver heap — a MEASURED-size gate
+    * (optimizer stats), mirroring Curation's broadcast-vocabulary
+    * ceiling, so a backfill-sized batch falls back to the shuffle join
+    * instead of OOMing the driver.
+    */
+  private val BroadcastBatchMaxBytes: Long =
+    math.min(256L << 20, Runtime.getRuntime.maxMemory() / 8)
+
   /** Exact cosine top-k: for each query vector, the k nearest corpus
     * vectors (excluding itself), ranked by similarity desc with id as the
     * deterministic tie-break. Broadcast the query side when it is small —
@@ -725,7 +735,20 @@ object Similarity {
     val b = assigned.select(col("cell").cast("long"),
       col("vec_id").as("id_b"), col("v").as("vb"),
       norm(col("v")).as("_nb"))
-    val dups = b.join(cand, Seq("cell"))
+    // r17: the batch/increment side is the BOUNDED one — when its
+    // measured size clears the broadcast ceiling, broadcast it into both
+    // the cell join and the survivor join so the accumulated store side
+    // (prior, inside cand) never shuffles — the map-side-store principle
+    // the digest/band stores already follow. Gated on optimizer stats: a
+    // materialized cached batch reports real bytes; an unmaterialized
+    // corpus-scale frame estimates huge and falls back to the shuffle
+    // join (same results either way — only the join strategy moves).
+    val bcastBatch = assigned.queryExecution.optimizedPlan.stats
+      .sizeInBytes <= BroadcastBatchMaxBytes
+    val paired =
+      if (bcastBatch) cand.join(broadcast(b), Seq("cell"))
+      else b.join(cand, Seq("cell"))
+    val dups = paired
       .filter(col("id_a") < col("id_b"))
       .withColumn("sim", round(
         dot(col("va"), col("vb")) / (col("_na") * col("_nb")), 6))
@@ -733,7 +756,8 @@ object Similarity {
       .groupBy(col("id_b"))
       .agg(min(col("id_a")).as("dup_of"))
       .select(col("id_b").as("vec_id"), col("dup_of"))
-    assigned.join(dups, Seq("vec_id"), "left")
+    val dupsSide = if (bcastBatch) broadcast(dups) else dups
+    assigned.join(dupsSide, Seq("vec_id"), "left")
       .select(col("vec_id"), col("cell").cast("long").as("cell"),
         col("dup_of"), col("dup_of").isNull.as("kept"))
   }

@@ -919,11 +919,18 @@ object TextQueries {
 
   private def q126(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
+    // ONE persisted tokenize pass feeds both rankers (r17): each ranker
+    // otherwise re-tokenizes the corpus per aggregate subtree (measured
+    // 5 corpus scans in the q126 plan). Session-LRU cache-lifetime
+    // contract as elsewhere (the bench clears caches between draws).
+    val toks = docs.select(col("doc_id").as("id"),
+        graft.functions.TextAnalysis.tokens(col("text")).as("_toks"))
+      .persist()
     val bm = graft.operators.Retrieval
-      .bm25(docs, "doc_id", "text", Bm25Terms)
+      .bm25FromToks(toks, Bm25Terms)
       .select(col("id"), round(col("bm25"), 6).as("score"))
     val ql = graft.operators.Retrieval
-      .queryLikelihood(docs, "doc_id", "text", Bm25Terms)
+      .queryLikelihoodFromToks(toks, Bm25Terms)
       .select(col("id"), round(col("ql"), 6).as("score"))
     graft.operators.Retrieval
       .rrfFuse(Seq("bm25" -> rankTop50(bm), "ql" -> rankTop50(ql)))

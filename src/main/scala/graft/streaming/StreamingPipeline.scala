@@ -1215,9 +1215,12 @@ object StreamingPipeline {
     * the standard banded self-join (batch-sized). A document's
     * `dup_of` is the MINIMUM id over all earlier matches (prior
     * batches, or same batch with a smaller id) at `threshold`; docs
-    * with no match are `kept`. ALL batch docs' bands + shingles append
-    * to the stores (batchId-keyed subdirs — replay overwrites, so the
-    * emission is idempotent; both stores auto-compact).
+    * with no match are `kept`. ALL batch docs append to ONE wide store —
+    * (id, shingles, bands array) rows in batchId-keyed subdirs (r17: the
+    * former separate band and shingle stores cost two writes, listings
+    * and compactions per batch; parquet column pruning keeps each probe
+    * path as narrow as the split stores were). Replay overwrites its own
+    * subdir, so the emission is idempotent; the store auto-compacts.
     *
     * Scale: per-batch cost is batch-sized work plus one map-side scan
     * of each store; shuffle never carries store rows. State is
@@ -1234,8 +1237,7 @@ object StreamingPipeline {
                          threshold: Double = 0.4, numHashes: Int = 64,
                          bands: Int = 32)(
       onBatch: (DataFrame, Long) => Unit) = {
-    new java.io.File(stateDir, "bands").mkdirs()
-    new java.io.File(stateDir, "shingles").mkdirs()
+    new java.io.File(stateDir, "store").mkdirs()
     docs.writeStream
       .outputMode(OutputMode.Append)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -1250,8 +1252,7 @@ object StreamingPipeline {
       bands: Int)(onBatch: (DataFrame, Long) => Unit): Unit = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val s = batch.sparkSession
-    val bandDir = s"$stateDir/bands"
-    val shDir = s"$stateDir/shingles"
+    val storeDir = s"$stateDir/store"
     val rowsPer = numHashes / bands
     // eager localCheckpoint, NOT lazy persist: the emission plan builds
     // several BROADCASTS from these frames concurrently, and racing
@@ -1263,29 +1264,37 @@ object StreamingPipeline {
     val cur = sets.filter(size(col("shingles")) > 0)
       .withColumn("sig", graft.plans.SetExpressions
         .minHashLongs(col("shingles"), numHashes))
-    val curBands = cur.select(col("id"), col("shingles"),
-        explode(array((0 until bands).map { b =>
+    // ONE wide row per doc — (id, shingles, bands array) — is both the
+    // store row and the source of the exploded band view (r17: the band
+    // and shingle stores were two dirs with two writes, two listings and
+    // two compactions per batch; parquet column pruning keeps the two
+    // probe paths as narrow as the split stores were)
+    val curWide = cur.select(col("id"), col("shingles"),
+        array((0 until bands).map { b =>
           struct(lit(b).as("band"),
             xxhash64(slice(col("sig"), b * rowsPer + 1, rowsPer))
               .as("bh"))
-        }: _*)).as("bb"))
+        }: _*).as("bands"))
+      .localCheckpoint(true)
+    val curBands = curWide.select(col("id"), col("shingles"),
+        explode(col("bands")).as("bb"))
       .select(col("id"), col("shingles"),
         col("bb.band").as("band"), col("bb.bh").as("bh"))
-      .localCheckpoint(true)
-    def readStore(dir: String, empty: DataFrame): DataFrame = {
-      val dirs = batchDirsBefore(dir, "b", Long.MaxValue)
+    val priorWide = {
+      val dirs = batchDirsBefore(storeDir, "b", Long.MaxValue)
         .filterNot(_.getName == f"b$batchId%05d")
       if (dirs.nonEmpty)
         dirs.map(d => s.read.parquet(d.getPath))
           .reduce(_.unionByName(_, allowMissingColumns = true))
-      else empty
+      else s.range(0).select(lit(0L).as("id"),
+        lit(Array.empty[Long]).as("shingles"),
+        expr("CAST(array() AS array<struct<band: int, bh: bigint>>)")
+          .as("bands"))
     }
-    val priorBands = readStore(bandDir,
-      s.range(0).select(lit(0).as("band"), lit(0L).as("bh"),
-        lit(0L).as("id")))
-    val priorSh = readStore(shDir,
-      s.range(0).select(lit(0L).as("id"),
-        lit(Array.empty[Long]).as("shingles")))
+    val priorBands = priorWide
+      .select(col("id"), explode(col("bands")).as("bb"))
+      .select(col("bb.band").as("band"), col("bb.bh").as("bh"), col("id"))
+    val priorSh = priorWide.select(col("id"), col("shingles"))
     // cross-batch candidates: store scans stay map-side (semi vs the
     // broadcast batch band keys, then inner vs the broadcast band rows)
     val batchKeys = curBands.select(col("band"), col("bh")).distinct()
@@ -1330,18 +1339,11 @@ object StreamingPipeline {
     // bought with an extra job); must consume eagerly (compaction below
     // deletes merged source dirs).
     onBatch(emission, batchId)
-    curBands.select(col("band"), col("bh"), col("id"))
-      .coalesce(1).write.mode("overwrite")
-      .parquet(f"$bandDir/b$batchId%05d")
-    sets.filter(size(col("shingles")) > 0)
-      .select(col("id"), col("shingles"))
-      .coalesce(1).write.mode("overwrite")
-      .parquet(f"$shDir/b$batchId%05d")
-    Seq(bandDir, shDir).foreach { d =>
-      if (batchDirsBefore(d, "b", Long.MaxValue).length >=
-          DigestCompactMinDirs)
-        compactStateDirs(s, d, beforeId = batchId)
-    }
+    curWide.coalesce(1).write.mode("overwrite")
+      .parquet(f"$storeDir/b$batchId%05d")
+    if (batchDirsBefore(storeDir, "b", Long.MaxValue).length >=
+        DigestCompactMinDirs)
+      compactStateDirs(s, storeDir, beforeId = batchId)
     ()
   }
 
