@@ -34,6 +34,16 @@ object Partitioning {
     // defaultParallelism task launches on rows-per-task work. The
     // shuffle-partition conf is the one knob deployments already size
     // with the data; honor it here too.
+    // NOTE (r16 advice): getOption returns the REGISTERED default
+    // ("200") even when the user never set the conf, so the
+    // defaultParallelism fallback below is effectively unreachable on a
+    // stock session. That is accepted deliberately: every in-repo entry
+    // point sizes the conf from SPARK_GRAFT_CPUS (so conf == cores), the
+    // streaming gates NARROW it on purpose (widen must honor that), and
+    // a library consumer who leaves it at 200 on a wider cluster is
+    // under-widening dense kernels exactly as every shuffle in their job
+    // is under-partitioned — the fix there is sizing the conf, the knob
+    // deployments already own, not a second heuristic here.
     val target = spark.conf.getOption("spark.sql.shuffle.partitions")
       .flatMap(s => scala.util.Try(s.toInt).toOption)
       .getOrElse(spark.sparkContext.defaultParallelism)

@@ -122,7 +122,13 @@ object Sketches {
     val gs = groupCols.map(col)
     val h = conv(substring(md5(col(valueCol).cast("string")), 1, 15),
       16, 10).cast("long")
+    // NULL values are excluded (r17, the r16 advice item): countDistinct
+    // skips NULLs, so the fused form must too for the "bit-identical to
+    // the two-branch join" claim to hold on NULL-containing inputs —
+    // previously the distinct kept a null row and count(lit(1)) counted
+    // its bucket
     val buckets = df.select(gs :+ col(valueCol).as(valueCol): _*)
+      .filter(col(valueCol).isNotNull)
       .distinct()
       .select(gs :+ h.as("_h"): _*)
       .selectExpr(groupCols ++ Seq(

@@ -127,7 +127,15 @@ final class RhpBucketsKernel(tables: Seq[Seq[Seq[Double]]])
   }
 
   def buckets(v: ArrayData): GenericArrayData = {
-    val n = math.min(dim, v.numElements())
+    // exact-dim contract (r17, the r16 advice item): a short or long
+    // vector would silently zero-pad/truncate the projection — and the
+    // old per-plane Column form null-padded to bucket 0 instead — so a
+    // dim mismatch is a caller bug that must fail loudly, not a value
+    // difference between the two forms
+    require(v.numElements() == dim,
+      s"rhp_buckets: vector has ${v.numElements()} elements, planes " +
+        s"have $dim — RHP requires exact-dimension vectors")
+    val n = dim
     val out = new Array[Any](nTables)
     val m = flat
     var t = 0
@@ -150,7 +158,16 @@ final class RhpBucketsKernel(tables: Seq[Seq[Seq[Double]]])
 }
 
 /** ArrayType(DoubleType) → ArrayType(LongType) wrapper for
-  * [[RhpBucketsKernel]] — the [[RhpPack]] pattern. */
+  * [[RhpBucketsKernel]] — the [[RhpPack]] pattern.
+  *
+  * Element contract: vectors must be exact-dimension (enforced — see
+  * the kernel's require) with NO null elements (not enforced in the
+  * fused loop for cost; every caller feeds parquet/literal embeddings
+  * that are dense by construction). NULL vectors are null-out
+  * (nullSafeEval), and `posexplode` over the result then DROPS the row
+  * — callers that must keep null-embedding rows filter them upstream
+  * deliberately rather than relying on join-side behavior.
+  */
 case class RhpBuckets(child: Expression, tables: Seq[Seq[Seq[Double]]])
     extends UnaryExpression with Serializable {
 

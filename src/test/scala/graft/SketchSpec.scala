@@ -110,6 +110,28 @@ class SketchSpec extends SparkSpec {
     assert(fused.toSeq == twoBranch.toSeq)
   }
 
+  test("fused HLL+exact skips NULL values exactly like countDistinct") {
+    // r17 advice fix: the fused form filters NULLs before the distinct,
+    // matching countDistinct semantics — a NULL-bearing input must yield
+    // the same rows as the two-branch join, not an extra null bucket
+    val vals = spark.range(0, 500)
+      .select((col("id") % 2).cast("string").as("grp"),
+        when(col("id") % 5 === 0, lit(null).cast("string"))
+          .otherwise(concat(lit("v"), col("id") % 23)).as("v"))
+    val fused = Sketches.deterministicHllWithExact(
+        vals, Seq("grp"), "v", p = 8)
+      .select("grp", "n_exact", "buckets_hit", "s_int", "hll_estimate")
+      .collect().sortBy(_.getString(0))
+    val twoBranch = vals.groupBy("grp")
+      .agg(countDistinct(col("v")).as("n_exact"))
+      .join(Sketches.deterministicHll(
+          vals.filter(col("v").isNotNull), Seq("grp"), "v", p = 8),
+        Seq("grp"))
+      .select("grp", "n_exact", "buckets_hit", "s_int", "hll_estimate")
+      .collect().sortBy(_.getString(0))
+    assert(fused.toSeq == twoBranch.toSeq)
+  }
+
   test("count-min estimates are upward-biased and eps-bounded") {
     val n = li.count()
     val bytes = li.select(Sketches.countMin(col("l_returnflag"),
