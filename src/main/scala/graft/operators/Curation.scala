@@ -863,15 +863,49 @@ object Curation {
                                     .StorageLevel)
       : (DataFrame, DataFrame) = {
     val tf = docTermFreq(candidates, idCol, textCol).persist(tfStorage)
-    val tgtScore =
-      unigramCrossEntropyAgainstTf(tf, unigramLm(target, textCol), addK)
-        .select(col("id"), col("n_tokens"),
-          col("oov_tokens").as("tgt_oov_tokens"),
-          col("ce").as("ce_target"))
-    val rawScore =
-      unigramCrossEntropyAgainstTf(tf, unigramLmOfTf(tf), addK)
-        .select(col("id"), col("ce").as("ce_raw"))
-    val result = tgtScore.join(rawScore, Seq("id"))
+    // FUSED single scoring pass (r17, guide §1.2): the two
+    // unigramCrossEntropyAgainstTf calls each re-scanned the tf cache,
+    // re-joined on term, and ran their own per-doc rollup, then met in a
+    // doc-keyed join. Both scores are functions of the SAME tf rows, and
+    // terms are unique per doc (tf groups on (id, dl, term)), so one
+    // term-join against both vocabulary-sized LMs and ONE rollup with
+    // two independently-sorted folds computes both CE columns — each
+    // fold sees exactly the rows, structs, and (term-sorted) order of
+    // its two-pass counterpart, so the doubles are bit-identical.
+    val tgtLm = unigramLm(target, textCol)
+    val rawLm = unigramLmOfTf(tf)
+    def lmStats(lm: DataFrame, t: String, v: String) =
+      lm.agg(coalesce(sum(col("cf")), lit(0L)).as(t),
+        count(lit(1)).as(v))
+    def denom(t: String, v: String) = col(t).cast("double") +
+      lit(addK) * (col(v).cast("double") + lit(1.0))
+    val scored = tf
+      .join(tgtLm.select(col("term"), col("cf").as("_tcf")), Seq("term"),
+        "left")
+      .join(rawLm.select(col("term"), col("cf").as("_rcf")), Seq("term"),
+        "left")
+      .crossJoin(broadcast(lmStats(tgtLm, "_tt", "_tv")))
+      .crossJoin(broadcast(lmStats(rawLm, "_rt", "_rv")))
+      .withColumn("_oov", col("_tcf").isNull)
+      .withColumn("_nt", col("tf").cast("double") * -log(
+        (coalesce(col("_tcf"), lit(0L)).cast("double") + lit(addK)) /
+          denom("_tt", "_tv")))
+      .withColumn("_nr", col("tf").cast("double") * -log(
+        (coalesce(col("_rcf"), lit(0L)).cast("double") + lit(addK)) /
+          denom("_rt", "_rv")))
+    val result = scored.groupBy(col("id"), col("dl"))
+      .agg(
+        sum(when(col("_oov"), col("tf")).otherwise(lit(0L)))
+          .as("tgt_oov_tokens"),
+        aggregate(
+          array_sort(collect_list(struct(col("term"), col("_nt")))),
+          lit(0.0), (acc, s) => acc + s.getField("_nt")).as("_st"),
+        aggregate(
+          array_sort(collect_list(struct(col("term"), col("_nr")))),
+          lit(0.0), (acc, s) => acc + s.getField("_nr")).as("_sr"))
+      .select(col("id"), col("dl").as("n_tokens"), col("tgt_oov_tokens"),
+        round(col("_st") / col("dl"), 6).as("ce_target"),
+        round(col("_sr") / col("dl"), 6).as("ce_raw"))
       .withColumn("log_weight",
         round(col("n_tokens") * (col("ce_raw") - col("ce_target")), 6))
       .withColumn("keep", col("log_weight") >= 0)
